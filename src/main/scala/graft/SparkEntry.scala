@@ -1,13 +1,184 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Analytics, CoreOps}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every query takes (spark, sfDir) and returns a DataFrame whose column
+  * names match its `oracleSql` entry exactly (the driver sorts columns
+  * by name before hashing). Money/quantity aggregates go through
+  * DECIMAL(30,6) on both sides so results are exact and
+  * order-independent (see CoreOps.dsum). Timestamps in oracle-checked
+  * outputs are emitted as formatted strings to sidestep
+  * parquet-timestamp representation differences between engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's full topology end-to-end (Streams.java:99-169).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    CoreOps.pickupPipeline(
+      Tables.orders(spark, dir), Tables.customer(spark, dir),
+      Tables.nation(spark, dir), Tables.lineitem(spark, dir),
+      Tables.part(spark, dir))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- core reference-derived operators (SURVEY §2, Streams.java) --
+    "q01_repartition" -> ((s, d) => CoreOps.repartitionByKey(Tables.orders(s, d))),
+    "q02_join_user" -> ((s, d) =>
+      CoreOps.joinUser(Tables.orders(s, d), Tables.customer(s, d))),
+    "q03_join_store_broadcast" -> ((s, d) =>
+      CoreOps.joinStoreBroadcast(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q04_explode_items" -> ((s, d) => CoreOps.explodeItems(Tables.lineitem(s, d))),
+    "q05_enrich_price" -> ((s, d) =>
+      CoreOps.enrichPrice(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q06_order_reassembly" -> ((s, d) =>
+      CoreOps.orderReassembly(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q07_product_stats" -> ((s, d) => CoreOps.productStats(Tables.lineitem(s, d))),
+    "q08_stats_by_store" -> ((s, d) => CoreOps.statsByStore(Tables.lineitem(s, d))),
+    "q09_stats_merge" -> ((s, d) => CoreOps.statsMerge(Tables.lineitem(s, d))),
+    "q10_pickup_pipeline" -> ((s, d) =>
+      CoreOps.pickupPipeline(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.lineitem(s, d), Tables.part(s, d))),
+    // -- analytics headliners --
+    "q11_pricing_summary" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
+    "q12_top_unshipped" -> ((s, d) =>
+      Analytics.topUnshipped(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q13_regional_revenue" -> ((s, d) =>
+      Analytics.regionalRevenue(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q14_window_running" -> ((s, d) => Analytics.windowRunning(Tables.lineitem(s, d))),
+    "q15_sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
+    "q16_events_window_agg" -> ((s, d) => Analytics.eventsWindowAgg(Tables.events(s, d))),
+  )
+
+  /** DuckDB oracle SQL, column-name-aligned with `queries`. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_repartition" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    "q02_join_user" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "q03_join_store_broadcast" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey""",
+    "q04_explode_items" ->
+      "SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM lineitem",
+    "q05_enrich_price" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+                p_retailprice AS price
+         FROM lineitem JOIN part ON l_partkey = p_partkey""",
+    "q06_order_reassembly" ->
+      """SELECT l_orderkey, count(*) AS item_count,
+                CAST(sum(CAST(l_quantity * p_retailprice AS DECIMAL(30,6))) AS DOUBLE) AS order_total
+         FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+         GROUP BY l_orderkey
+         HAVING bool_and(p_retailprice IS NOT NULL)""",
+    "q07_product_stats" ->
+      """SELECT l_partkey,
+                CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS quantity,
+                count(DISTINCT l_orderkey) AS orders
+         FROM lineitem GROUP BY l_partkey""",
+    "q08_stats_by_store" ->
+      """SELECT l_partkey, l_suppkey,
+                CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS quantity
+         FROM lineitem GROUP BY l_partkey, l_suppkey""",
+    "q09_stats_merge" ->
+      """WITH v1 AS (
+           SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(30,6))) AS q,
+                  count(DISTINCT l_orderkey) AS o
+           FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY l_partkey),
+         v2 AS (
+           SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(30,6))) AS q,
+                  count(DISTINCT l_orderkey) AS o
+           FROM lineitem WHERE l_orderkey % 2 <> 0 GROUP BY l_partkey),
+         u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         SELECT l_partkey, CAST(sum(q) AS DOUBLE) AS quantity,
+                CAST(sum(o) AS BIGINT) AS orders
+         FROM u GROUP BY l_partkey""",
+    "q10_pickup_pipeline" ->
+      """SELECT o_orderkey, c_name, n_name, count(*) AS item_count,
+                CAST(sum(CAST(l_quantity * p_retailprice AS DECIMAL(30,6))) AS DOUBLE) AS order_total
+         FROM lineitem
+         LEFT JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY o_orderkey, c_name, n_name
+         HAVING bool_and(p_retailprice IS NOT NULL)""",
+    "q11_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+                CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_qty,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q12_top_unshipped" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                o_orderpriority,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC
+         LIMIT 10""",
+    "q13_regional_revenue" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
+    "q14_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, ship_seq, running_qty FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+                  row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS ship_seq,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
+           FROM lineitem) t
+         WHERE ship_seq <= 5""",
+    "q15_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         y AS (
+           SELECT *, CASE WHEN prev_ts IS NULL
+                          OR (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 > 1800.0
+                     THEN 1 ELSE 0 END AS new_session
+           FROM x),
+         z AS (
+           SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM y)
+         SELECT user_id, session_seq, count(*) AS n_events,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
+         FROM z GROUP BY user_id, session_seq""",
+    "q16_events_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+                count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2""",
+  )
 }

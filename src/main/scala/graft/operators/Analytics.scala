@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import CoreOps.{dec, dsum}
+
+/** Analytics headliners — the batch "query capability" surface the
+  * reference's topology implies (grouped aggregation, multi-way joins,
+  * top-k, windows, sessionization), sized for a 100 TB cluster:
+  * single-shuffle aggs with map-side partials, broadcast dims, and
+  * window partitioning on high-cardinality keys.
+  */
+object Analytics {
+
+  /** q11: TPC-H Q1-style pricing summary. Pure scan→partial-agg→final:
+    * at scale this is bound by parquet scan throughput; the projection
+    * and shipdate filter are pushed into the scan.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** q12: TPC-H Q3-style shipping priority: selective filters pushed to
+    * both scans, two shuffle joins on their natural keys, then a grouped
+    * agg + deterministic top-k.
+    */
+  def topUnshipped(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cutoff = lit(java.sql.Timestamp.valueOf("1995-03-15 00:00:00"))
+    customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(lineitem.filter(col("l_shipdate") > cutoff), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+  }
+
+  /** q13: TPC-H Q5-style regional revenue: big facts shuffle-join on
+    * their keys; nation/region ride along as broadcasts. supplier stands
+    * in for the store dimension (reference joins orders→store,
+    * Streams.java:141).
+    */
+  def regionalRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                      supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+
+  /** q14: window functions — per-supplier ship sequence + running
+    * quantity. Window partition key (l_suppkey) is high-cardinality at
+    * scale so the sort stays per-partition and parallel.
+    */
+  def windowRunning(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    lineitem
+      .withColumn("ship_seq", row_number().over(w))
+      .withColumn("running_qty",
+        sum(dec(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .filter(col("ship_seq") <= 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("ship_seq"), col("running_qty"))
+  }
+
+  /** q15: gap-based sessionization of the events stream (30-minute
+    * inactivity gap) via lag + cumulative-sum windows — the classic
+    * two-window formulation that needs exactly one shuffle on user_id.
+    */
+  def sessionize(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).cast("double") / 1e6 > 1800.0,
+          1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        dsum(col("value")).as("session_value"))
+  }
+
+  /** q16: tumbling event-time window aggregation — the batch analog of
+    * the Structured Streaming job in graft.streaming (watermark+window);
+    * same plan shape: bucket timestamp, partial agg, one shuffle.
+    */
+  def eventsWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+}

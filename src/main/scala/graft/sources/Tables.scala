@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed loaders for the driver-generated TPC-H-ish parquet tables
+  * (see /root/repo/TESTDATA.md). These stand in for the reference's
+  * Kafka-backed tables: purchase orders ↔ orders+lineitem, users ↔
+  * customer, products ↔ part, stores ↔ supplier/nation/region
+  * (reference: common/src/main/java/dev/buesing/ksd/common/domain).
+  *
+  * All loads are plain parquet scans so Catalyst can push filters and
+  * prune columns into the scan — callers should select/filter on the
+  * returned frame, never pre-collect.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    * long (spark.sql.legacy.parquet.nanosAsLong=true — set in
+    * Verify/Bench/test sessions). Convert to a micros timestamp here so
+    * downstream operators see a plain TimestampType either way.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    else raw
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}
+
+/** Case-class row models for the typed (Dataset) paths. */
+object Models {
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+  case class LineItem(l_orderkey: Long, l_partkey: Long, l_suppkey: Long,
+                      l_linenumber: Int, l_quantity: Double,
+                      l_extendedprice: Double, l_discount: Double, l_tax: Double,
+                      l_returnflag: String, l_linestatus: String,
+                      l_shipdate: java.sql.Timestamp)
+  case class Document(doc_id: Long, text: String, lang: String, source: String,
+                      n_chars: Long)
+  case class Embedding(vec_id: Long, embedding: Array[Float], label: Int)
+}
