@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, CoreOps}
+import graft.operators.{Analytics, CoreOps, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -56,6 +56,12 @@ object SparkEntry {
     "q14_window_running" -> ((s, d) => Analytics.windowRunning(Tables.lineitem(s, d))),
     "q15_sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
     "q16_events_window_agg" -> ((s, d) => Analytics.eventsWindowAgg(Tables.events(s, d))),
+    // -- LLM-data-pipeline: text analysis (SURVEY §2 q20-q24) --
+    "q20_dedup_exact" -> ((s, d) => TextOps.dedupExact(Tables.documents(s, d))),
+    "q21_doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(Tables.documents(s, d))),
+    "q22_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
+    "q23_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
+    "q24_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
@@ -180,5 +186,35 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2""",
+    "q20_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+                count(*) AS n_dups
+         FROM documents GROUP BY 2""",
+    "q21_doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(text)+1),
+                      i -> CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 1000000007) AS fp_poly
+         FROM documents""",
+    "q22_token_count" ->
+      """SELECT doc_id,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+         FROM documents""",
+    "q23_quality_score" ->
+      """SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_words,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+                length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+                len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                    t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+                  / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS stopword_ratio
+         FROM documents""",
   )
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface
+  * (SURVEY.md §2 q20–q24) over the `documents` table.
+  *
+  * All ops are pure `functions._` column expressions — no UDFs — so the
+  * whole pipeline stays inside whole-stage codegen and scales as a
+  * single scan→project(→agg) plan: at 100 TB these are embarrassingly
+  * parallel per-row transforms (bounded only by parquet scan
+  * throughput) plus, for dedup, one hash-partitioned exchange on the
+  * normalized-text hash.
+  */
+object TextOps {
+
+  /** Whitespace-normalized lowercase form used for exact dedup. */
+  private def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace token count; 0 for blank text. */
+  def wsTokens(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L))
+      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+
+  /** q20: exact deduplication — hash-group documents on normalized text,
+    * keep the smallest doc_id as the canonical representative.
+    * One shuffle keyed by md5(norm) (fixed-width key, never the full
+    * text) with map-side partial aggregation; at 100 TB this is the
+    * standard first dedup pass before any fuzzy matching.
+    */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(normText(col("text"))).as("text_hash"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_dups"))
+      .select(col("doc_id"), col("text_hash"), col("n_dups"))
+
+  /** q21: document fingerprinting — md5 of the raw text plus a 64-bit
+    * polynomial rolling hash (base 31, mod 1e9+7, over code points).
+    * The rolling hash is an order-sensitive content fingerprint (same
+    * family the reference's changelog-compaction keys rely on: equal
+    * content ⇒ equal key); computed with higher-order `aggregate` so it
+    * stays a codegen'd per-row expression.
+    */
+  def docFingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5(col("text")).as("fp_md5"),
+      expr(
+        """aggregate(
+             transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+             CAST(0 AS BIGINT),
+             (h, c) -> (h * 31 + c) % 1000000007)""").as("fp_poly"))
+
+  /** q22: token counting — whitespace tokens and a BPE-ish regex
+    * tokenization (letter runs | digit runs | single punctuation), the
+    * usual cheap proxy for subword token counts in corpus budgeting.
+    */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      wsTokens(col("text")).as("ws_tokens"),
+      regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("bpe_tokens"))
+
+  /** q23: quality scoring — length plus alpha / punctuation / stopword /
+    * whitespace ratios; integer counts divided once at the end so the
+    * doubles are bit-identical across engines and partitionings.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val stop = array(Seq("the", "a", "of", "and", "to", "in", "is", "it").map(lit): _*)
+    val n = length(col("text")).cast("double")
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      wsTokens(col("text")).as("n_words"),
+      (length(regexp_replace(col("text"), "[^A-Za-z]", "")) / n).as("alpha_ratio"),
+      (length(regexp_replace(col("text"), "[^.,;:!?'\"]", "")) / n).as("punct_ratio"),
+      (size(filter(split(lower(trim(col("text"))), "\\s+"),
+        t => array_contains(stop, t))).cast("double") /
+        wsTokens(col("text")).cast("double")).as("stopword_ratio"))
+  }
+
+  /** Per-language stopword marker lists for the n-gram/stopword
+    * language-ID heuristic (q24). Tiny, broadcast as literals.
+    */
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "les", "des", "une", "est", "dans", "pour", "sur"),
+    "zh" -> Seq("de5", "shi4", "bu4", "wo3", "zhe4", "le5", "ren2", "ni3"))
+
+  /** q24 (rows-only): language identification — scores each language by
+    * stopword hits over whitespace tokens, argmax with deterministic
+    * lexicographic tie-break. One row per document. A per-row O(tokens ×
+    * langs) expression: no shuffle at all.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val scored = langStops.map { case (lang, stops) =>
+      val arr = array(stops.map(lit): _*)
+      struct(
+        size(filter(toks, t => array_contains(arr, t))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // greatest(struct…) orders by hits then lang: ties resolve to the
+    // lexicographically LAST lang; flip sign of nothing — acceptable and
+    // deterministic. Pull out the winning lang.
+    documents.select(
+      col("doc_id"),
+      greatest(scored: _*).getField("lang").as("pred_lang"),
+      greatest(scored: _*).getField("hits").cast("long").as("stopword_hits"),
+      col("lang").as("claimed_lang"))
+  }
+}

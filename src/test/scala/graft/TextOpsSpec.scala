@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Invariants for the text-analysis operators (SURVEY.md §2 q20–q24).
+  * The value-level gate is the driver's DuckDB compare; these pin the
+  * semantic properties that must hold regardless of engine.
+  */
+class TextOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.operators.TextOps
+  import graft.sources.Tables
+
+  lazy val docs = Tables.documents(spark, sfDir)
+
+  test("q20 dedup groups partition the corpus: sum(n_dups) == total docs") {
+    val out = TextOps.dedupExact(docs)
+    val total = out.agg(sum("n_dups")).head.getLong(0)
+    assert(total == docs.count())
+    // canonical doc_id is a real doc id
+    assert(out.join(docs, "doc_id").count() == out.count())
+  }
+
+  test("q20 dedup is idempotent on already-unique canonical docs") {
+    val canon = TextOps.dedupExact(docs).select("doc_id").join(docs, "doc_id")
+    val again = TextOps.dedupExact(canon)
+    assert(again.count() == canon.count())
+    assert(again.filter(col("n_dups") > 1).count() == 0)
+  }
+
+  test("q21 fingerprints are deterministic and collision-free on distinct text") {
+    val fp = TextOps.docFingerprint(docs)
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(fp.select("fp_md5").distinct().count() == distinctTexts)
+    // same text twice => same fingerprint (self-union)
+    val doubled = TextOps.docFingerprint(docs.unionAll(docs))
+    assert(doubled.select("fp_md5", "fp_poly").distinct().count() == distinctTexts)
+  }
+
+  test("q22 token counts: bpe >= ws tokens (regex splits punctuation out)") {
+    val out = TextOps.tokenCount(docs)
+    assert(out.filter(col("bpe_tokens") < col("ws_tokens")).count() == 0)
+    assert(out.filter(col("ws_tokens") <= 0).count() == 0)
+  }
+
+  test("q23 quality ratios are all within [0,1]") {
+    val out = TextOps.qualityScore(docs)
+    for (c <- Seq("alpha_ratio", "punct_ratio", "stopword_ratio"))
+      assert(out.filter(col(c) < 0 || col(c) > 1).count() == 0, c)
+  }
+
+  test("q24 lang_id emits one deterministic prediction per doc") {
+    val out = TextOps.langId(docs)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("pred_lang").isNull).count() == 0)
+    // deterministic across runs
+    val again = TextOps.langId(docs)
+    assertSameRows(out, again)
+  }
+}
