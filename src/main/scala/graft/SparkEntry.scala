@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, CoreOps, TextOps}
+import graft.operators.{Analytics, CoreOps, Dedup, Multimodal, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -62,6 +62,16 @@ object SparkEntry {
     "q22_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "q23_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "q24_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    // -- LLM-data-pipeline: fuzzy dedup (q25-q27, rows-only checks) --
+    "q25_dedup_minhash" -> ((s, d) => Dedup.dedupMinHash(Tables.documents(s, d))),
+    "q26_dedup_simhash" -> ((s, d) => Dedup.dedupSimHash(Tables.documents(s, d))),
+    "q27_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    // -- LLM-data-pipeline: similarity search (q28-q30) --
+    "q28_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
+    "q29_knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
+    "q30_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(Tables.embeddings(s, d))),
+    // -- LLM-data-pipeline: multimodal plumbing (q31) --
+    "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
@@ -215,6 +225,44 @@ object SparkEntry {
                 len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                     t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
                   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS stopword_ratio
+         FROM documents""",
+    "q28_knn_bruteforce" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (acc, x) -> acc + x) AS n2
+           FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, len(a.embedding)+1),
+                      i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))),
+                    (acc, x) -> acc + x) / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         r AS (SELECT vec_id, neighbor_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM p)
+         SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",
+    "q30_embedding_dedup" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (acc, x) -> acc + x) AS n2
+           FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(a.embedding)+1),
+                   i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))),
+                 (acc, x) -> acc + x) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.35""",
+    "q31_multimodal_meta" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
+                md5(text) AS blob_md5,
+                CAST(n_chars % 1024 AS BIGINT) AS width,
+                CAST((doc_id * 7919) % 768 AS BIGINT) AS height
          FROM documents""",
   )
 }

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy near-duplicate detection (SURVEY.md §2 q25–q27) — the standard
+  * large-corpus dedup trio: MinHash+LSH, SimHash, and n-gram Jaccard
+  * via an inverted shingle index.
+  *
+  * Scale design (100 TB corpus): all three avoid the O(N²) cross join.
+  * - MinHash/LSH: candidate generation is a self-join on (band_id,
+  *   band_signature) — duplicate-dense buckets are small by
+  *   construction (b bands × r rows tuned for the target Jaccard
+  *   threshold), so the join is shuffle-friendly and skew-bounded.
+  * - SimHash: pairs must share one of 4 16-bit chunks to be within
+  *   Hamming distance 3 (pigeonhole), so blocking on chunk value turns
+  *   pair-finding into an equi-join.
+  * - n-gram Jaccard: inverted index join on shingle with a document-
+  *   frequency cap; ubiquitous shingles (which would quadratically blow
+  *   up the join) carry no discriminative signal and are dropped, the
+  *   classic posting-list pruning trade-off.
+  * Hashing is `xxhash64` everywhere — codegen'd, no UDFs.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of the lowercased text. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Distinct character n-gram shingles of the ws-normalized lowercase
+    * text (expression-built: the Scala `substring` helper takes literal
+    * positions only, the lambda needs a Column position).
+    */
+  private def charShinglesExpr(n: Int): Column =
+    expr(s"""array_distinct(transform(
+              sequence(1, greatest(length(regexp_replace(lower(trim(text)), '\\\\s+', ' ')) - ${n - 1}, 1)),
+              i -> substring(regexp_replace(lower(trim(text)), '\\\\s+', ' '), i, $n)))""")
+
+  /** Per-document distinct word-shingle postings: (doc_id, shingle). */
+  private def postings(documents: DataFrame, n: Int): DataFrame =
+    documents.select(col("doc_id"), explode(wordShingles(col("text"), n)).as("shingle"))
+
+  /** q25 (rows-only): MinHash + LSH banded dedup.
+    *
+    * numPerm minhash permutations (h_i(s) = xxhash64(i, s)), banded into
+    * `bands` bands of numPerm/bands rows; docs sharing any band
+    * signature become candidates; candidates are verified with EXACT
+    * shingle-set Jaccard and counted as duplicates at `tau`.
+    * Output: one row per document — doc_id, n_shingles, n_candidates,
+    * n_dups — so the result is non-empty even on a dup-free corpus.
+    */
+  def dedupMinHash(documents: DataFrame, numPerm: Int = 32, bands: Int = 8,
+                   shingleN: Int = 3, tau: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rows = numPerm / bands
+    val post = postings(documents, shingleN)
+
+    // signature: one min per permutation — a single hash-partitioned
+    // aggregation on doc_id with map-side partials.
+    val minCols = (0 until numPerm).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    val sig = post.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+
+    // band signatures: hash the r mins of each band into one 64-bit key.
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+      struct(lit(b).as("band_id"), xxhash64(cols: _*).as("band_sig"))
+    }
+    val buckets = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_id").as("band_id"), col("bb.band_sig").as("band_sig"))
+
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    val candidates = a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    // exact verify: |A∩B| via the posting join restricted to candidates,
+    // |A∪B| from per-doc set sizes.
+    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = candidates
+      .join(post.as("pa"), col("id_a") === col("pa.doc_id"))
+      .join(post.as("pb"), col("id_b") === col("pb.doc_id") &&
+        col("pa.shingle") === col("pb.shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
+    val verified = candidates
+      .join(common, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+
+    // fold pair stats back to one row per doc (both pair directions).
+    val perDoc = verified.select(col("id_a").as("doc_id"), col("jaccard"))
+      .unionAll(verified.select(col("id_b").as("doc_id"), col("jaccard")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= tau, 1).otherwise(0)).as("n_dups"))
+
+    documents.select(col("doc_id"))
+      .join(sizes, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_sh", "n_candidates", "n_dups"))
+      .select(col("doc_id"), col("n_sh").as("n_shingles"),
+        col("n_candidates"), col("n_dups"))
+  }
+
+  /** q26 (rows-only): 64-bit SimHash + Hamming-distance pairing.
+    *
+    * Bit j of the signature is the sign of Σ_tokens (±1 on bit j of
+    * xxhash64(token)) — computed as 64 map-side-combinable sums in ONE
+    * aggregation (no 64× row blowup). Near pairs (Hamming ≤ maxDist<4)
+    * are found by pigeonhole blocking on the 4 16-bit chunks.
+    * Output: one row per document — doc_id, simhash, n_near.
+    */
+  def dedupSimHash(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$j"))
+    val summed = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    }
+    val sigs = summed.select(col("doc_id"), simhash.as("simhash"))
+
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c => struct(lit(c).as("chunk_id"),
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk_val"))): _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"),
+        col("ch.chunk_id").as("chunk_id"), col("ch.chunk_val").as("chunk_val"))
+
+    val a = chunks.as("a")
+    val b = chunks.as("b")
+    val near = a.join(b,
+        col("a.chunk_id") === col("b.chunk_id") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxDist)
+
+    val perDoc = near.select(col("id_a").as("doc_id"))
+      .unionAll(near.select(col("id_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
+
+    sigs.join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_near"))
+      .select(col("doc_id"), col("simhash"), col("n_near"))
+  }
+
+  /** q27 (rows-only): exact character-n-gram Jaccard best-match.
+    *
+    * Inverted index on char shingles with a document-frequency cap
+    * (maxDf): postings self-join counts |A∩B| only for pairs sharing at
+    * least one (sub-cap) shingle; |A∪B| from exact per-doc set sizes.
+    * Output: one row per document with its best neighbor (nullable) —
+    * doc_id, n_shingles, best_neighbor, best_common, best_jaccard.
+    */
+  def ngramJaccard(documents: DataFrame, shingleN: Int = 3, maxDf: Int = 10000): DataFrame = {
+    val post = documents.select(col("doc_id"),
+      explode(charShinglesExpr(shingleN)).as("shingle"))
+    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val df = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val pruned = post.join(df.filter(col("df") <= maxDf), Seq("shingle"))
+      .select(col("doc_id"), col("shingle"))
+
+    val common = pruned.as("pa").join(pruned.as("pb"),
+        col("pa.shingle") === col("pb.shingle") &&
+        col("pa.doc_id") < col("pb.doc_id"))
+      .groupBy(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+
+    val scored = common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+
+    // best partner per doc, both directions, deterministic tie-break.
+    val dirs = scored.select(col("id_a").as("doc_id"), col("id_b").as("partner"),
+        col("n_common"), col("jaccard"))
+      .unionAll(scored.select(col("id_b").as("doc_id"), col("id_a").as("partner"),
+        col("n_common"), col("jaccard")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("partner").asc)
+    val best = dirs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("partner").as("best_neighbor"),
+        col("n_common").as("best_common"), col("jaccard").as("best_jaccard"))
+
+    documents.select(col("doc_id")).join(sizes, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_sh"))
+      .select(col("doc_id"), col("n_sh").as("n_shingles"),
+        col("best_neighbor"), col("best_common"), col("best_jaccard"))
+  }
+}

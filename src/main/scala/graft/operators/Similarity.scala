@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact similarity search over the `embeddings` table
+  * (SURVEY.md §2 q28–q30). Embeddings stay `Array[Float]`; all vector
+  * math is higher-order `functions` (zip_with / aggregate) — codegen'd
+  * column expressions, no UDFs, no driver-side collects.
+  *
+  * FP determinism: dot products and norms accumulate in DOUBLE,
+  * sequentially left-to-right (`aggregate` with a 0.0 seed), and cosine
+  * is always dot / (sqrt(na) * sqrt(nb)) in that exact operation order —
+  * so Spark and the DuckDB oracle (same reduction order spelled out in
+  * SQL) produce bit-identical doubles.
+  *
+  * Scale: brute-force top-k is the verified O(N²/p) baseline — right
+  * answer, used to grade the approximate paths; at 100 TB you run
+  * q29's LSH buckets (candidates-per-bucket cost) or shard the
+  * brute-force with a broadcast query set. The self-join broadcasts the
+  * smaller (projected) side when under the AQE threshold.
+  */
+object Similarity {
+
+  /** Sequential-order double dot product of two float-array columns. */
+  def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm, same accumulation order. */
+  def norm2(a: Column): Column = dotd(a, a)
+
+  /** cosine(a, b) with the canonical operation order. */
+  def cosine(a: Column, b: Column, na2: Column, nb2: Column): Column =
+    dotd(a, b) / (sqrt(na2) * sqrt(nb2))
+
+  /** q28: exact brute-force cosine top-k — the correctness baseline.
+    * Output: (vec_id, neighbor_id, rank), ints only; the float score is
+    * deliberately excluded from the oracle-checked surface (ranks are
+    * stable, raw doubles are representation-fragile across engines).
+    */
+  def knnBruteForce(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    val a = e.select(col("vec_id").as("vec_id"), col("embedding").as("ea"), col("n2").as("na2"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("n2").as("nb2"))
+    val pairs = a.join(b, col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("ea"), col("eb"), col("na2"), col("nb2")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Random-hyperplane signature: `nBits` sign bits, hyperplane r_j
+    * built from deterministic per-(bit, dim) hashes — xxhash64(j, d)
+    * scaled to [-1, 1). No RNG state, reproducible on any cluster.
+    */
+  private def rhpSignature(emb: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      // sum_d emb[d] * r_jd, r_jd = hash → [-1,1)
+      val proj = (0 until dim).map { d =>
+        element_at(emb, d + 1).cast("double") *
+          (xxhash64(lit(j), lit(d)).cast("double") / lit(Long.MaxValue.toDouble))
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** q29 (rows-only): LSH-bucketed approximate top-k. Vectors hash to a
+    * `nBits`-bit random-hyperplane signature; candidates are vectors in
+    * the same bucket; exact cosine ranks within the bucket. At scale the
+    * cost is Σ bucket² instead of N² — tune nBits so buckets stay
+    * O(N / 2^nBits). Output one row per vector (rank-1..k within
+    * bucket; singleton buckets emit a null neighbor).
+    */
+  def knnLsh(embeddings: DataFrame, dim: Int = 64, nBits: Int = 8, k: Int = 5): DataFrame = {
+    val sigs = embeddings.select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("n2"),
+        rhpSignature(col("embedding"), dim, nBits).as("bucket"))
+    val a = sigs.select(col("bucket"), col("vec_id"), col("embedding").as("ea"), col("n2").as("na2"))
+    val b = sigs.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("eb"), col("n2").as("nb2"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("ea"), col("eb"), col("na2"), col("nb2")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val ranked = pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
+    sigs.select(col("vec_id"), col("bucket"))
+      .join(ranked, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"), col("neighbor_id"),
+        col("rank"), col("cos"))
+  }
+
+  /** q30: near-duplicate pairs by cosine ≥ tau (exact, pair ids only —
+    * same FP-stability rationale as q28). Emits each qualifying pair
+    * once with id_a < id_b.
+    */
+  def embeddingDedup(embeddings: DataFrame, tau: Double = 0.35): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("n2").as("na2"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("n2").as("nb2"))
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(cosine(col("ea"), col("eb"), col("na2"), col("nb2")) >= tau)
+      .select(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate tests for the fuzzy dedup operators (q25–q27):
+  * clone a slice of the corpus under new doc_ids and require each
+  * algorithm to find the planted pairs (exact copies ⇒ Jaccard 1.0,
+  * Hamming 0 — must be caught at any reasonable threshold).
+  */
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.operators.Dedup
+  import graft.sources.Tables
+
+  lazy val docs = Tables.documents(spark, sfDir)
+  /** Corpus with ids 0..n-1 plus exact clones of the first 10 docs. */
+  lazy val planted = {
+    val clones = docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    docs.unionAll(clones)
+  }
+
+  test("q25 minhash finds every planted exact duplicate") {
+    val out = Dedup.dedupMinHash(planted)
+    assert(out.count() == planted.count())
+    val dupIds = out.filter(col("n_dups") >= 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    for (i <- 0 until 10) {
+      assert(dupIds.contains(i.toLong), s"doc $i not flagged")
+      assert(dupIds.contains(i + 100000L), s"clone of $i not flagged")
+    }
+  }
+
+  test("q25 minhash on a dup-free corpus flags nothing at tau=1.0") {
+    val out = Dedup.dedupMinHash(docs, tau = 1.0)
+    assert(out.filter(col("n_dups") > 0).count() == 0)
+  }
+
+  test("q26 simhash: clones get identical signatures and n_near >= 1") {
+    val out = Dedup.dedupSimHash(planted)
+    val sig = out.select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0 until 10) {
+      assert(sig(i.toLong) == sig(i + 100000L), s"sig mismatch for $i")
+    }
+    val near = out.filter(col("n_near") >= 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    for (i <- 0 until 10) assert(near.contains(i.toLong) && near.contains(i + 100000L))
+  }
+
+  test("q27 ngram jaccard: planted clone is the best neighbor at 1.0") {
+    val out = Dedup.ngramJaccard(planted)
+    val best = out.filter(col("doc_id") < 10)
+      .select("doc_id", "best_neighbor", "best_jaccard").collect()
+    for (r <- best) {
+      assert(!r.isNullAt(1), s"doc ${r.getLong(0)} has no neighbor")
+      assert(r.getDouble(2) == 1.0, s"doc ${r.getLong(0)} best_jaccard ${r.getDouble(2)}")
+    }
+  }
+
+  test("q27 output covers every doc and jaccard within [0,1]") {
+    val out = Dedup.ngramJaccard(docs)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("best_jaccard") < 0 || col("best_jaccard") > 1).count() == 0)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** q31 multimodal plumbing: binary payload column, metadata extraction,
+  * and the partition-batched decode path (stub codec, real plumbing).
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.operators.Multimodal
+  import graft.sources.Tables
+
+  lazy val docs = Tables.documents(spark, sfDir)
+
+  test("q31 metadata: one row per doc, blob_len == byte length of text") {
+    val out = Multimodal.multimodalMeta(docs)
+    assert(out.count() == docs.count())
+    // ASCII corpus: utf-8 byte length == char length
+    val j = out.join(docs, "doc_id")
+      .filter(col("blob_len") =!= length(col("text")))
+    assert(j.count() == 0)
+    assert(out.filter(col("blob_md5").isNull).count() == 0)
+    assert(out.filter(col("width") < 0 || col("width") >= 1024).count() == 0)
+    assert(out.filter(col("height") < 0 || col("height") >= 768).count() == 0)
+  }
+
+  test("q31 decodeBatch: stub decode agrees with the metadata query") {
+    val decoded = Multimodal.decodeBatch(docs, batchSize = 16)
+    assert(decoded.filter(!_.ok).count() == 0)
+    val d = decoded.toDF().select(col("doc_id"), col("blob_len").as("d_len"),
+      col("height").as("d_height"))
+    val meta = Multimodal.multimodalMeta(docs)
+    val j = d.join(meta, Seq("doc_id"))
+      .filter(col("d_len") =!= col("blob_len") || col("d_height") =!= col("height"))
+    assert(j.count() == 0)
+    // batching is a pure performance detail: batch size must not change results
+    val again = Multimodal.decodeBatch(docs, batchSize = 3)
+    assertSameRows(decoded.toDF(), again.toDF())
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Planted-vector tests for the similarity operators (q28–q30): an
+  * exact clone of a vector has cosine 1.0 with its source, so it must
+  * be the rank-1 brute-force neighbor, share every LSH bucket, and
+  * appear as a near-dup pair at any tau ≤ 1.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.operators.Similarity
+  import graft.sources.Tables
+
+  lazy val emb = Tables.embeddings(spark, sfDir)
+  lazy val planted = {
+    val clone = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(999999L))
+    emb.unionAll(clone)
+  }
+
+  test("q28 brute-force: k neighbors per vector, ranks 1..k, no self-match") {
+    val k = 5
+    val out = Similarity.knnBruteForce(emb, k)
+    val n = emb.count()
+    assert(out.count() == n * k)
+    assert(out.filter(col("vec_id") === col("neighbor_id")).count() == 0)
+    val badRanks = out.groupBy("vec_id")
+      .agg(countDistinct("rank").as("dr"), max("rank").as("mx"))
+      .filter(col("dr") =!= k || col("mx") =!= k)
+    assert(badRanks.count() == 0)
+  }
+
+  test("q28 brute-force: planted clone is the rank-1 neighbor both ways") {
+    val out = Similarity.knnBruteForce(planted, 3)
+    val top = out.filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top(999999L) == 0L)
+    assert(top(0L) == 999999L)
+  }
+
+  test("q29 LSH: clone lands in the same bucket with cosine 1.0 at rank 1") {
+    val out = Similarity.knnLsh(planted)
+    val row = out.filter(col("vec_id") === 999999L && col("rank") === 1).head()
+    assert(row.getAs[Long]("neighbor_id") == 0L)
+    assert(math.abs(row.getAs[Double]("cos") - 1.0) < 1e-12)
+    // every vector appears (singleton buckets included, null neighbor)
+    assert(out.select("vec_id").distinct().count() == planted.count())
+  }
+
+  test("q30 embedding dedup finds the planted pair and respects id_a < id_b") {
+    val out = Similarity.embeddingDedup(planted, tau = 0.999)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 999999L)))
+    assert(out.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+
+  test("q30 at tau just above the corpus max returns no false positives") {
+    // sf0.001 corpus max pairwise cosine is < 0.9 (random vectors)
+    val out = Similarity.embeddingDedup(emb, tau = 0.9)
+    assert(out.count() == 0)
+  }
+}
