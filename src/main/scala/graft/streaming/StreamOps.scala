@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference's streaming
+  * topology (SURVEY.md §2 s01–s04; reference
+  * streams/src/main/java/dev/buesing/ksd/streams/Streams.java).
+  *
+  * Each op is a pure stream→stream transform usable under any source
+  * (Kafka in production, MemoryStream in tests, files in the driver
+  * environment): the reference's Kafka-topic plumbing is a *source*
+  * concern, not an operator concern, so the operators take/return
+  * Datasets and `KafkaIO` owns the source/sink config surface.
+  */
+object StreamOps {
+
+  /** Per-sku running stats — streaming state for s01.
+    * Mirrors ProductStatsV2 (common/src/main/java/dev/buesing/ksd/common/
+    * domain/ProductStatsV2.java): total quantity + the set of orders that
+    * touched the sku (the reference keeps the full orderIds list in its
+    * state store; `orderIds` here is that same set, so `orders` is an
+    * EXACT distinct count, merged idempotently on re-delivery).
+    */
+  case class SkuStats(l_partkey: Long, quantity: BigDecimal, orders: Long)
+  case class SkuState(quantity: BigDecimal, orderIds: Set[Long])
+
+  case class SkuEvent(l_partkey: Long, l_orderkey: Long, l_quantity: Double)
+
+  /** s01: continuous groupByKey(sku) + aggregate (Streams.java:205-220)
+    * via flatMapGroupsWithState in Update mode: one state entry per sku,
+    * emitting the updated stats on every batch — the exact semantics of
+    * a Kafka Streams KTable aggregation + changelog emission.
+    *
+    * Scale: state is hash-partitioned by sku across executors (RocksDB/
+    * HDFS state store on a real cluster); quantity accumulates in
+    * BigDecimal so merge order never changes the result. The orderIds
+    * set grows with distinct orders per sku — same linear state the
+    * reference's ProductStats carries; swap in an HLL sketch when an
+    * approximate distinct count is acceptable.
+    */
+  def streamProductStats(events: Dataset[SkuEvent]): Dataset[SkuStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.l_partkey)
+      .flatMapGroupsWithState[SkuState, SkuStats](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[SkuEvent], state: GroupState[SkuState]) =>
+          val prev = state.getOption.getOrElse(SkuState(BigDecimal(0), Set.empty))
+          val next = rows.foldLeft(prev) { (s, e) =>
+            SkuState(s.quantity + BigDecimal(e.l_quantity), s.orderIds + e.l_orderkey)
+          }
+          state.update(next)
+          Iterator.single(SkuStats(key, next.quantity, next.orderIds.size.toLong))
+      }
+  }
+
+  /** s02: event-time tumbling-window aggregation with a watermark —
+    * the streaming form of Analytics.eventsWindowAgg. Late events beyond
+    * the watermark are dropped; closed windows stop consuming state.
+    */
+  def streamWindowAgg(events: DataFrame, watermark: String = "1 hour",
+                      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** s03: stream ⋈ static-table join (Streams.java:137/147 — joining
+    * the order stream against KTable dims). The static side is a plain
+    * DataFrame; Spark broadcasts it when small, exactly the
+    * GlobalKTable pattern; otherwise it shuffle-joins per microbatch.
+    */
+  def streamEnrichPrice(lineitemStream: DataFrame, part: DataFrame): DataFrame =
+    lineitemStream
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        col("l_quantity"), col("p_retailprice").as("price"))
+}
+
+/** s04: the Kafka source/sink config surface (Streams.java:35-49 —
+  * bootstrap servers, topic, consumer group, exactly-once). The Kafka
+  * connector jar is not present in this environment, so `.load()` on
+  * these is exercised in production only; the builders themselves (and
+  * the file-based substitution used in tests/driver runs) are the
+  * supported surface.
+  */
+object KafkaIO {
+
+  /** Configured Kafka stream reader (call `.load()` where the
+    * spark-sql-kafka connector is on the classpath).
+    */
+  def reader(spark: SparkSession, bootstrap: String, topic: String,
+             startingOffsets: String = "earliest") =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+
+  /** Kafka sink for a streaming frame with `key`/`value` columns;
+    * checkpointing gives exactly-once into Kafka (the reference enables
+    * EOS via processing.guarantee=exactly_once_v2).
+    */
+  def writer(df: DataFrame, bootstrap: String, topic: String, checkpoint: String) =
+    df.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** File-based source substitution with an explicit schema — the
+    * environment-portable stand-in the specs and driver use.
+    */
+  def fileSource(spark: SparkSession, dir: String,
+                 schema: org.apache.spark.sql.types.StructType,
+                 format: String = "parquet", glob: Option[String] = None): DataFrame = {
+    val r = spark.readStream.format(format).schema(schema)
+    glob.foreach(g => r.option("pathGlobFilter", g))
+    r.load(dir)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming operators (s01–s04) verified against their batch analogs
+  * on the same input — the update-mode state results after draining a
+  * MemoryStream must equal the batch aggregation of the same rows
+  * (SURVEY.md §4: streaming ops are ScalaTest-verified vs batch).
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.streaming.{KafkaIO, StreamOps}
+  import graft.sources.Tables
+
+  test("s01 per-sku streaming stats converge to the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"))
+      .as[StreamOps.SkuEvent].collect()
+
+    val source = MemoryStream[StreamOps.SkuEvent]
+    val q = StreamOps.streamProductStats(source.toDS())
+      .writeStream.format("memory").queryName("s01_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // feed in two batches to force cross-batch state merge
+      val (first, second) = li.splitAt(li.length / 2)
+      source.addData(first.toSeq); q.processAllAvailable()
+      source.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // latest state per key from the update-mode changelog: quantity and
+    // orders are monotone non-decreasing per key, so latest == max.
+    val latest = spark.table("s01_out")
+      .groupBy(col("l_partkey"))
+      .agg(max(col("quantity")).cast("double").as("quantity"),
+        max(col("orders")).as("orders"))
+
+    val batch = graft.operators.CoreOps.productStats(Tables.lineitem(spark, sfDir))
+    assertSameRows(latest, batch.select(col("l_partkey"),
+      col("quantity"), col("orders")))
+  }
+
+  test("s02 streaming window agg equals the batch tumbling aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .as[graft.sources.Models.Event].collect()
+
+    val source = MemoryStream[graft.sources.Models.Event]
+    val q = StreamOps.streamWindowAgg(source.toDF())
+      .writeStream.format("memory").queryName("s02_out")
+      .outputMode(OutputMode.Update()).start()
+    try { source.addData(ev.toSeq); q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("s02_out")
+      .groupBy("window_start", "event_type")
+      .agg(max("n_events").as("n_events"), max("total_value").as("total_value"))
+    val want = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double").as("total_value"))
+    assertSameRows(got, want)
+  }
+
+  test("s03 stream-static join matches the batch enrichment") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("l_quantity"))
+    val rows = li.as[(Long, Long, Int, Double)].collect()
+
+    val source = MemoryStream[(Long, Long, Int, Double)]
+    val stream = source.toDF()
+      .toDF("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    val q = StreamOps.streamEnrichPrice(stream, Tables.part(spark, sfDir))
+      .writeStream.format("memory").queryName("s03_out")
+      .outputMode(OutputMode.Append()).start()
+    try { source.addData(rows.toSeq); q.processAllAvailable() } finally q.stop()
+
+    val batch = graft.operators.CoreOps.enrichPrice(li, Tables.part(spark, sfDir))
+    assertSameRows(spark.table("s03_out"), batch)
+  }
+
+  test("s04 kafka config surface builds; file substitution streams real rows") {
+    // Kafka connector jar absent: builders must construct without loading
+    val r = KafkaIO.reader(spark, "broker:9092", "purchase-orders")
+    assert(r != null)
+    val schema = Tables.lineitem(spark, sfDir).schema
+    val src = KafkaIO.fileSource(spark, sfDir, schema, glob = Some("lineitem.parquet"))
+    assert(src.isStreaming)
+    val q = src.writeStream.format("memory").queryName("s04_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("s04_out").count() ==
+      Tables.lineitem(spark, sfDir).count())
+  }
+}
