@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst vector kernels (SURVEY.md §5: "no UDF in the hot
+  * path"). The similarity operators originally used higher-order
+  * `zip_with`/`aggregate` lambdas, which are CodegenFallback —
+  * interpreted per element. On the O(N²) KNN cross join that's the
+  * entire runtime, so the dot product is a first-class codegen'd
+  * expression: one tight `double` loop over the two float arrays,
+  * inlined into whole-stage codegen.
+  *
+  * FP CONTRACT: accumulates left→right in double with a 0.0 seed —
+  * exactly `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)),
+  * 0.0, (acc,x) -> acc+x)` and exactly the DuckDB oracle's
+  * `list_reduce(list_prepend(0.0, …), +)` — so results stay
+  * bit-identical to both formulations.
+  */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_d needs two array<float> args, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Deterministic pseudo-random hyperplane components for the LSH
+  * signature — splitmix64 of the (bit, dim) index scaled to [-1, 1).
+  * A pure function of the indices: identical on every executor, every
+  * run, every cluster size; no RNG state to ship.
+  */
+object RhpPlanes {
+  def mix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  def plane(j: Int, d: Int): Double =
+    mix(j.toLong * 1000003L + d.toLong).toDouble / Long.MaxValue.toDouble
+}
+
+/** Random-hyperplane LSH signature of a float-array embedding: bit j =
+  * sign(Σ_d emb[d] · plane(j, d)). One codegen'd double loop — the
+  * naive formulation (nBits × dim `element_at` terms) builds a
+  * 512-node expression tree whose generated code takes seconds to
+  * janino-compile and can fall out of codegen entirely.
+  */
+case class RhpSignatureExpr(child: Expression, nBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nBits >= 1 && nBits <= 64, "nBits in [1, 64]")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rhp_signature needs array<float>, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < nBits) {
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        acc += a.getFloat(d).toDouble * RhpPlanes.plane(j, d)
+        d += 1
+      }
+      if (acc > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val sig = ctx.freshName("sig")
+      val dim = ctx.freshName("dim")
+      s"""
+         |int $dim = $a.numElements();
+         |long $sig = 0L;
+         |for (int $j = 0; $j < $nBits; $j++) {
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    $acc += (double) $a.getFloat($d) * graft.functions.RhpPlanes.plane($j, $d);
+         |  }
+         |  if ($acc > 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorFunctions {
+  /** Sequential-order double dot product of two float-array columns. */
+  def dot_d(a: Column, b: Column): Column =
+    Bridge.column(DotProductD(Bridge.expression(a), Bridge.expression(b)))
+
+  /** nBits-bit random-hyperplane LSH signature of a float-array column. */
+  def rhp_signature(emb: Column, nBits: Int): Column =
+    Bridge.column(RhpSignatureExpr(Bridge.expression(emb), nBits))
+}

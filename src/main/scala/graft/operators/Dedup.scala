@@ -23,27 +23,30 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of the lowercased text. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
-
-  /** Distinct character n-gram shingles of the ws-normalized lowercase
-    * text (expression-built: the Scala `substring` helper takes literal
-    * positions only, the lambda needs a Column position).
+  /** Per-document distinct word n-gram postings: (doc_id, shingle).
+    * The token array is materialized in a projection BEFORE the
+    * `transform` lambda: an expression referenced inside a higher-order
+    * lambda is re-evaluated per element, so splitting inline would cost
+    * O(len × positions) per document instead of O(len).
     */
-  private def charShinglesExpr(n: Int): Column =
-    expr(s"""array_distinct(transform(
-              sequence(1, greatest(length(regexp_replace(lower(trim(text)), '\\\\s+', ' ')) - ${n - 1}, 1)),
-              i -> substring(regexp_replace(lower(trim(text)), '\\\\s+', ' '), i, $n)))""")
-
-  /** Per-document distinct word-shingle postings: (doc_id, shingle). */
   private def postings(documents: DataFrame, n: Int): DataFrame =
-    documents.select(col("doc_id"), explode(wordShingles(col("text"), n)).as("shingle"))
+    documents
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(array_distinct(
+        expr(s"""transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)),
+                 i -> concat_ws(' ', slice(toks, i, $n)))"""))).as("shingle"))
+
+  /** Per-document distinct character n-gram postings: (doc_id, shingle).
+    * Same materialize-before-lambda rule: the ws-normalized string is
+    * computed once per row, then `substring` slides over the attribute.
+    */
+  private def charPostings(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+      .select(col("doc_id"), explode(array_distinct(
+        expr(s"""transform(sequence(1, greatest(length(norm) - ${n - 1}, 1)),
+                 i -> substring(norm, i, $n))"""))).as("shingle"))
 
   /** q25 (rows-only): MinHash + LSH banded dedup.
     *
@@ -170,13 +173,18 @@ object Dedup {
     * Output: one row per document with its best neighbor (nullable) —
     * doc_id, n_shingles, best_neighbor, best_common, best_jaccard.
     */
-  def ngramJaccard(documents: DataFrame, shingleN: Int = 3, maxDf: Int = 10000): DataFrame = {
-    val post = documents.select(col("doc_id"),
-      explode(charShinglesExpr(shingleN)).as("shingle"))
-    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+  def ngramJaccard(documents: DataFrame, shingleN: Int = 7, maxDf: Int = 256): DataFrame = {
+    val post = charPostings(documents, shingleN)
+    // df cap bounds the self-join at Σ min(df,maxDf)² — without it a
+    // ubiquitous shingle contributes df² pairs and the join is O(N²).
+    // Jaccard is computed over the PRUNED sets on both sides (sizes
+    // below also come from `pruned`), so pruning stays symmetric: exact
+    // duplicates still score 1.0 and shared-rare-shingle pairs rank
+    // first — the standard posting-list pruning trade-off.
     val df = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val pruned = post.join(df.filter(col("df") <= maxDf), Seq("shingle"))
       .select(col("doc_id"), col("shingle"))
+    val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
     val common = pruned.as("pa").join(pruned.as("pb"),
         col("pa.shingle") === col("pb.shingle") &&

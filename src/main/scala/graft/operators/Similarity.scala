@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order double dot product of two float-array columns. */
+  /** Sequential-order double dot product — a native codegen'd Catalyst
+    * expression (graft.functions.DotProductD); same FP contract as the
+    * higher-order `aggregate(zip_with(...))` formulation it replaces,
+    * which is CodegenFallback and ~10× slower on the N² hot path.
+    */
   def dotd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot_d(a, b)
 
   /** Squared L2 norm, same accumulation order. */
   def norm2(a: Column): Column = dotd(a, a)
@@ -44,8 +47,13 @@ object Similarity {
       norm2(col("embedding")).as("n2"))
     val a = e.select(col("vec_id").as("vec_id"), col("embedding").as("ea"), col("n2").as("na2"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("n2").as("nb2"))
+    // project the fat embedding arrays away BEFORE the window: the N²
+    // row set that shuffles into the top-k sort is 24 bytes/row, not
+    // ~550 (2×64 floats) — at scale that's the difference between a
+    // 600 MB and a 13 GB exchange.
     val pairs = a.join(b, col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("ea"), col("eb"), col("na2"), col("nb2")))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("ea"), col("eb"), col("na2"), col("nb2")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -53,38 +61,26 @@ object Similarity {
       .select(col("vec_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
-  /** Random-hyperplane signature: `nBits` sign bits, hyperplane r_j
-    * built from deterministic per-(bit, dim) hashes — xxhash64(j, d)
-    * scaled to [-1, 1). No RNG state, reproducible on any cluster.
-    */
-  private def rhpSignature(emb: Column, dim: Int, nBits: Int): Column = {
-    val bits = (0 until nBits).map { j =>
-      // sum_d emb[d] * r_jd, r_jd = hash → [-1,1)
-      val proj = (0 until dim).map { d =>
-        element_at(emb, d + 1).cast("double") *
-          (xxhash64(lit(j), lit(d)).cast("double") / lit(Long.MaxValue.toDouble))
-      }.reduce(_ + _)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
-  }
-
   /** q29 (rows-only): LSH-bucketed approximate top-k. Vectors hash to a
-    * `nBits`-bit random-hyperplane signature; candidates are vectors in
-    * the same bucket; exact cosine ranks within the bucket. At scale the
-    * cost is Σ bucket² instead of N² — tune nBits so buckets stay
-    * O(N / 2^nBits). Output one row per vector (rank-1..k within
-    * bucket; singleton buckets emit a null neighbor).
+    * `nBits`-bit random-hyperplane signature (graft.functions
+    * .RhpSignatureExpr — one codegen'd loop, deterministic hyperplanes);
+    * candidates are vectors in the same bucket; exact cosine ranks
+    * within the bucket. At scale the cost is Σ bucket² instead of N² —
+    * tune nBits so buckets stay O(N / 2^nBits). Output one row per
+    * vector (rank-1..k within bucket; singleton buckets emit a null
+    * neighbor).
     */
-  def knnLsh(embeddings: DataFrame, dim: Int = 64, nBits: Int = 8, k: Int = 5): DataFrame = {
+  def knnLsh(embeddings: DataFrame, nBits: Int = 8, k: Int = 5): DataFrame = {
     val sigs = embeddings.select(col("vec_id"), col("embedding"),
         norm2(col("embedding")).as("n2"),
-        rhpSignature(col("embedding"), dim, nBits).as("bucket"))
+        graft.functions.VectorFunctions.rhp_signature(col("embedding"), nBits).as("bucket"))
     val a = sigs.select(col("bucket"), col("vec_id"), col("embedding").as("ea"), col("n2").as("na2"))
     val b = sigs.select(col("bucket"), col("vec_id").as("neighbor_id"),
       col("embedding").as("eb"), col("n2").as("nb2"))
+    // same narrow-before-window projection as q28
     val pairs = a.join(b, Seq("bucket")).filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("ea"), col("eb"), col("na2"), col("nb2")))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("ea"), col("eb"), col("na2"), col("nb2")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     val ranked = pairs.withColumn("rank", row_number().over(w))

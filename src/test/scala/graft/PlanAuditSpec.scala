@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan audits (SURVEY.md §5): the properties that make these
+  * operators survive a 100× scale-up are asserted here, not just
+  * eyeballed — filter/projection pushdown into the parquet scan,
+  * broadcast of the small dims, and shuffle counts (an extra exchange
+  * at sf0.1 is the bottleneck at 100 TB).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.operators.{Analytics, CoreOps}
+  import graft.sources.Tables
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+  private def planStr(df: DataFrame): String = plan(df).toString
+  /** Execute first so AQE finalizes the plan (AdaptiveSparkPlanExec
+    * hides its children until then), then audit the REAL plan.
+    */
+  private def finalPlanStr(df: DataFrame): String = {
+    df.collect() // df.count() would execute a DIFFERENT (re-planned) query
+    // AQE prints "== Final Plan ==" then "== Initial Plan ==": audit the
+    // final section only, or every node double-counts.
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+  private def countShuffles(df: DataFrame): Int =
+    "Exchange hashpartitioning".r.findAllIn(finalPlanStr(df)).size
+
+  test("q11 pushes the shipdate filter and prunes columns at the scan") {
+    val s = planStr(Analytics.pricingSummary(Tables.lineitem(spark, sfDir)))
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), s)
+    // pruned read schema: none of the unused key columns are scanned
+    assert(!s.contains("l_orderkey"), "scan should not read l_orderkey")
+  }
+
+  test("q11 is a single-shuffle partial->final aggregation") {
+    assert(countShuffles(Analytics.pricingSummary(Tables.lineitem(spark, sfDir))) == 1)
+  }
+
+  test("q06 join+groupBy on the same key reuses one exchange per side") {
+    // lineitem⋈part on partkey (broadcast part) then groupBy orderkey:
+    // exactly one shuffle of the fact side (for the final agg) + none
+    // for the broadcast join.
+    val df = CoreOps.orderReassembly(Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir))
+    assert(countShuffles(df) <= 2, planStr(df))
+  }
+
+  test("q03 broadcast join ships no exchange for the probe side") {
+    val df = CoreOps.joinStoreBroadcast(Tables.customer(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
+    assert(countShuffles(df) == 0, planStr(df))
+    assert(planStr(df).contains("BroadcastHashJoin"))
+  }
+
+  test("q13 broadcasts nation and region (dims never shuffle the facts)") {
+    val df = Analytics.regionalRevenue(Tables.customer(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir),
+      Tables.supplier(spark, sfDir), Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
+    val s = planStr(df)
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("q07 aggregation is partial->final (map-side combine present)") {
+    val s = planStr(CoreOps.productStats(Tables.lineitem(spark, sfDir)))
+    // two HashAggregates (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s)
+  }
+
+  test("q28 dot product is inlined in whole-stage codegen (no fallback)") {
+    val df = graft.operators.Similarity.knnBruteForce(Tables.embeddings(spark, sfDir), 3)
+    val s = finalPlanStr(df)
+    // in AQE plan strings whole-stage codegen shows as "*(n) " prefixes
+    assert(s.contains("*("), s)
+    // the join itself (where the N² dot products run) must be codegen'd:
+    // DotProductD never appears under a CodegenFallback wrapper
+    assert(!s.contains("CodegenFallback"), s)
+  }
+
+  test("q21 fingerprint scan reads only doc_id and text") {
+    val s = planStr(graft.operators.TextOps.docFingerprint(Tables.documents(spark, sfDir)))
+    assert(!s.contains("n_chars"), "scan should not read n_chars")
+  }
+}
