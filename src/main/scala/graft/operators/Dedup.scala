@@ -23,22 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Per-document distinct word n-gram postings: (doc_id, shingle).
-    * The token array is materialized in a projection BEFORE the
-    * `transform` lambda: an expression referenced inside a higher-order
-    * lambda is re-evaluated per element, so splitting inline would cost
-    * O(len × positions) per document instead of O(len).
+  /** Per-document distinct word n-gram postings: (doc_id, shingle),
+    * shingle = xxhash64 of the n-gram. Two deliberate choices:
+    * - the token array is materialized in a projection BEFORE the
+    *   `transform` lambda (an expression referenced inside a
+    *   higher-order lambda re-evaluates per element — inlining the
+    *   split costs O(len × positions) per document instead of O(len));
+    * - shingles are carried as 64-bit hashes, never strings: set
+    *   semantics are identical (collisions are ~N²/2⁶⁴), while
+    *   distinct/shuffle/join keys shrink to 8 fixed bytes — at corpus
+    *   scale the posting shuffles are the whole cost of dedup.
     */
   private def postings(documents: DataFrame, n: Int): DataFrame =
     documents
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .select(col("doc_id"), explode(array_distinct(
         expr(s"""transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)),
-                 i -> concat_ws(' ', slice(toks, i, $n)))"""))).as("shingle"))
+                 i -> xxhash64(concat_ws(' ', slice(toks, i, $n))))"""))).as("shingle"))
 
-  /** Per-document distinct character n-gram postings: (doc_id, shingle).
-    * Same materialize-before-lambda rule: the ws-normalized string is
-    * computed once per row, then `substring` slides over the attribute.
+  /** Per-document distinct character n-gram postings: (doc_id, shingle
+    * hash). Same materialize-before-lambda and hash-not-string rules.
     */
   private def charPostings(documents: DataFrame, n: Int): DataFrame =
     documents
@@ -46,7 +50,7 @@ object Dedup {
         regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
       .select(col("doc_id"), explode(array_distinct(
         expr(s"""transform(sequence(1, greatest(length(norm) - ${n - 1}, 1)),
-                 i -> substring(norm, i, $n))"""))).as("shingle"))
+                 i -> xxhash64(substring(norm, i, $n)))"""))).as("shingle"))
 
   /** q25 (rows-only): MinHash + LSH banded dedup.
     *
@@ -182,9 +186,17 @@ object Dedup {
     // duplicates still score 1.0 and shared-rare-shingle pairs rank
     // first — the standard posting-list pruning trade-off.
     val df = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val pruned = post.join(df.filter(col("df") <= maxDf), Seq("shingle"))
-      .select(col("doc_id"), col("shingle"))
-    val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // Materialize the per-doc pruned sets ONCE (one compact row per doc)
+    // — postings, set sizes, and both self-join sides all derive from
+    // it; without the persist each consumer re-runs the whole
+    // explode→df→prune chain (the same intermediate-reuse pattern
+    // Spark MLlib uses in ALS/MinHashLSH).
+    val docSets = post.join(df.filter(col("df") <= maxDf), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = docSets.select(col("doc_id"), explode(col("shs")).as("shingle"))
+    val sizes = docSets.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
 
     val common = pruned.as("pa").join(pruned.as("pb"),
         col("pa.shingle") === col("pb.shingle") &&
@@ -198,16 +210,21 @@ object Dedup {
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
 
-    // best partner per doc, both directions, deterministic tie-break.
+    // best partner per doc, both directions. max_by with a (jaccard,
+    // -partner) ordering struct instead of a row_number window: the
+    // window sorts the full pair set; max_by is a hash aggregate with
+    // map-side partials — no sort, one light shuffle. Tie-break:
+    // highest jaccard, then smallest partner id.
     val dirs = scored.select(col("id_a").as("doc_id"), col("id_b").as("partner"),
         col("n_common"), col("jaccard"))
       .unionAll(scored.select(col("id_b").as("doc_id"), col("id_a").as("partner"),
         col("n_common"), col("jaccard")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      .orderBy(col("jaccard").desc, col("partner").asc)
-    val best = dirs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("partner").as("best_neighbor"),
-        col("n_common").as("best_common"), col("jaccard").as("best_jaccard"))
+    val best = dirs.groupBy(col("doc_id"))
+      .agg(max_by(
+        struct(col("partner"), col("n_common"), col("jaccard")),
+        struct(col("jaccard"), (-col("partner")).as("tb"))).as("b"))
+      .select(col("doc_id"), col("b.partner").as("best_neighbor"),
+        col("b.n_common").as("best_common"), col("b.jaccard").as("best_jaccard"))
 
     documents.select(col("doc_id")).join(sizes, Seq("doc_id"), "left")
       .join(best, Seq("doc_id"), "left")

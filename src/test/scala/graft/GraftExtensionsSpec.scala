@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface registration: graft's native expressions must be usable
+  * from pure SQL once registered (extension class on a cluster, or
+  * programmatic register()).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("dot_d and rhp_signature are callable from SQL") {
+    GraftExtensions.register(spark)
+    graft.sources.Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb")
+    val row = spark.sql(
+      """SELECT dot_d(embedding, embedding) AS n2,
+                rhp_signature(embedding, 16) AS bucket
+         FROM emb LIMIT 1""").head()
+    assert(row.getDouble(0) > 0.0)
+    assert(row.getLong(1) >= 0L && row.getLong(1) < (1L << 16))
+  }
+
+  test("SQL dot_d matches the Scala DSL dot product exactly") {
+    GraftExtensions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    emb.createOrReplaceTempView("emb2")
+    val sql = spark.sql("SELECT vec_id, dot_d(embedding, embedding) AS n2 FROM emb2")
+    val dsl = emb.select(emb("vec_id"),
+      graft.operators.Similarity.norm2(emb("embedding")).as("n2"))
+    assertSameRows(sql, dsl)
+  }
+
+  test("extension class applies cleanly to a new session") {
+    // same JVM: active session already exists, so exercise the
+    // SparkSessionExtensions wiring directly against a fresh Extensions
+    // instance (what spark.sql.extensions does at session build).
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // builder-level smoke: definitions registered without throwing
+    assert(GraftExtensions.definitions.map(_._1).toSet == Set("dot_d", "rhp_signature"))
+  }
+}
