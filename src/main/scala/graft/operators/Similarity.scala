@@ -54,11 +54,15 @@ object Similarity {
     val pairs = a.join(b, col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
         cosine(col("ea"), col("eb"), col("na2"), col("nb2")).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    // top_k_by (bounded-heap aggregate, graft.functions.TopKBy) instead
+    // of a row_number window: map-side partials reduce each partition to
+    // ≤k rows per vec, so the exchange carries N×k rows, not the N²
+    // candidate set, and nothing sorts the full pair set.
+    pairs.groupBy(col("vec_id"))
+      .agg(graft.functions.TopKByFunctions.top_k_by(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** q29 (rows-only): LSH-bucketed approximate top-k. Vectors hash to a
@@ -77,15 +81,15 @@ object Similarity {
     val a = sigs.select(col("bucket"), col("vec_id"), col("embedding").as("ea"), col("n2").as("na2"))
     val b = sigs.select(col("bucket"), col("vec_id").as("neighbor_id"),
       col("embedding").as("eb"), col("n2").as("nb2"))
-    // same narrow-before-window projection as q28
+    // same narrow projection + bounded top-k aggregation as q28
     val pairs = a.join(b, Seq("bucket")).filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
         cosine(col("ea"), col("eb"), col("na2"), col("nb2")).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    val ranked = pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
+    val ranked = pairs.groupBy(col("vec_id"))
+      .agg(graft.functions.TopKByFunctions.top_k_by(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("t.ord").as("cos"))
     sigs.select(col("vec_id"), col("bucket"))
       .join(ranked, Seq("vec_id"), "left")
       .select(col("vec_id"), col("bucket"), col("neighbor_id"),
