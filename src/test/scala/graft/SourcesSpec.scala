@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Bucketed-write co-location and the deterministic order generator
+  * (reference `builder`/`publisher` analogs).
+  */
+class SourcesSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.sources.{OrderGenerator, TableWriter, Tables}
+
+  test("bucketed tables join WITHOUT any exchange (co-located join)") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    TableWriter.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    TableWriter.writeBucketed(o, "o_bucketed", "o_orderkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val j = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(j.count() == li.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("order generator is deterministic and shape-correct") {
+    val ids = spark.range(0, 1000).toDF("id")
+    val a = OrderGenerator.orders(ids)
+    val b = OrderGenerator.orders(ids)
+    assertSameRows(a.select(col("order_id"), col("user_id"), col("store_id"),
+      to_json(col("items")).as("items")),
+      b.select(col("order_id"), col("user_id"), col("store_id"),
+        to_json(col("items")).as("items")))
+    assert(a.count() == 1000)
+    val stats = a.select(size(col("items")).as("n")).agg(min("n"), max("n")).head()
+    assert(stats.getInt(0) >= 1 && stats.getInt(1) <= 5)
+    // field domains
+    assert(a.filter(col("user_id") < 0 || col("user_id") >= 1000).count() == 0)
+    assert(a.filter(col("store_id") < 0 || col("store_id") >= 100).count() == 0)
+  }
+
+  test("order generator: streaming over the same ids equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = OrderGenerator.orderItems(source.toDF().withColumnRenamed("value", "id"))
+      .writeStream.format("memory").queryName("gen_out")
+      .outputMode("append").start()
+    try { source.addData(0L until 500L); q.processAllAvailable() } finally q.stop()
+    val batch = OrderGenerator.orderItems(spark.range(0, 500).toDF("id"))
+    assertSameRows(spark.table("gen_out"), batch)
+  }
+
+  test("generated items feed the core pipeline shapes (explode + stats)") {
+    val items = OrderGenerator.orderItems(spark.range(0, 2000).toDF("id"))
+    val stats = items.groupBy("sku").agg(
+      sum("quantity").as("quantity"), countDistinct("order_id").as("orders"))
+    assert(stats.count() > 0)
+    assert(stats.agg(sum("orders")).head.getLong(0) >= 2000)
+  }
+}
