@@ -56,6 +56,12 @@ object SparkEntry {
     "q14_window_running" -> ((s, d) => Analytics.windowRunning(Tables.lineitem(s, d))),
     "q15_sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
     "q16_events_window_agg" -> ((s, d) => Analytics.eventsWindowAgg(Tables.events(s, d))),
+    "q17_priority_semi" -> ((s, d) =>
+      Analytics.orderPriorityCount(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q18_large_orders" -> ((s, d) =>
+      Analytics.largeOrders(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q19_inactive_customers" -> ((s, d) =>
+      Analytics.inactiveCustomers(Tables.customer(s, d), Tables.orders(s, d))),
     // -- LLM-data-pipeline: text analysis (SURVEY §2 q20-q24) --
     "q20_dedup_exact" -> ((s, d) => TextOps.dedupExact(Tables.documents(s, d))),
     "q21_doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(Tables.documents(s, d))),
@@ -196,6 +202,26 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2""",
+    "q17_priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00')
+         GROUP BY o_orderpriority""",
+    "q18_large_orders" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                CAST(total_qty AS DOUBLE) AS total_qty
+         FROM orders
+         JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(30,6))) AS total_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 150.0) t
+           ON o_orderkey = l_orderkey""",
+    "q19_inactive_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')""",
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id,
                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,

@@ -81,6 +81,44 @@ object Analytics {
         col("ship_seq"), col("running_qty"))
   }
 
+  /** q17: order-priority counts over a semi-join (TPC-H Q4 shape) —
+    * EXISTS rewritten as `left_semi`: the probe side never widens, no
+    * data from lineitem crosses the join, and the build side is only
+    * the filtered keys. The cheapest of the join family at scale.
+    */
+  def orderPriorityCount(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem.filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** q18: large-order detection (TPC-H Q18 shape) — aggregate lineitem
+    * once, filter on the aggregate (HAVING), then join the survivors
+    * back to orders. The post-HAVING set is small, so the join back is
+    * broadcast-able; the big table is scanned exactly once.
+    */
+  def largeOrders(orders: DataFrame, lineitem: DataFrame, minQty: Double = 150.0): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("total_qty"))
+
+  /** q19: customers with no recent orders — NOT EXISTS as `left_anti`.
+    * Same scale story as q17: nothing widens, only filtered keys build.
+    */
+  def inactiveCustomers(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
   /** q15: gap-based sessionization of the events stream (30-minute
     * inactivity gap) via lag + cumulative-sum windows — the classic
     * two-window formulation that needs exactly one shuffle on user_id.
