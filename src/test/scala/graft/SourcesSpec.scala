@@ -11,6 +11,16 @@ class SourcesSpec extends AnyFunSuite {
   import graft.sources.{OrderGenerator, TableWriter, Tables}
 
   test("bucketed tables join WITHOUT any exchange (co-located join)") {
+    // fresh in-memory catalog + persistent warehouse dir: stale table
+    // locations from a previous JVM must go before overwrite-create.
+    for (t <- Seq("li_bucketed", "o_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
     TableWriter.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
