@@ -143,24 +143,21 @@ object CoreOps {
   /** q10 / flagship: the full topology end-to-end (Streams.java:99-169):
     * rekey by user → join users → broadcast-join stores → explode items
     * → enrich prices → reassemble order → filter fully-priced.
-    * orders⋈customer shuffles on custkey; lineitem joins orders on
-    * orderkey and the final groupBy reuses that same orderkey exchange.
+    *
+    * Plan shape, deliberately: REDUCE FIRST, ENRICH AFTER. The item
+    * fan-in (groupBy l_orderkey) runs before any dimension join, so
+    * (a) the lineitem⋈orders join and the aggregation share the
+    * orderkey exchange, and (b) only one pre-aggregated row per order —
+    * not every line item — flows through the customer/nation joins.
+    * Grouping after the joins on (orderkey, c_name, n_name) would
+    * re-shuffle the full enriched item stream on a 3-column key.
     */
   def pickupPipeline(orders: DataFrame, customer: DataFrame, nation: DataFrame,
-                     lineitem: DataFrame, part: DataFrame): DataFrame = {
-    val enrichedOrders = orders
-      .join(customer, orders("o_custkey") === customer("c_custkey"))
+                     lineitem: DataFrame, part: DataFrame): DataFrame =
+    orderReassembly(lineitem, part)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-    lineitem
-      .join(part, col("l_partkey") === col("p_partkey"), "left")
-      .join(enrichedOrders, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderkey"), col("c_name"), col("n_name"))
-      .agg(
-        count(lit(1)).as("item_count"),
-        dsum(col("l_quantity") * col("p_retailprice")).as("order_total"),
-        expr("bool_and(p_retailprice IS NOT NULL)").as("all_priced"))
-      .filter(col("all_priced"))
       .select(col("o_orderkey"), col("c_name"), col("n_name"),
         col("item_count"), col("order_total"))
-  }
 }
