@@ -9,6 +9,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep TypedImperativeAggregates (top_k_by) hash-based: the
+      // default threshold (128 distinct keys/partition) silently falls
+      // back to SORTING the full input — the exact cost the bounded
+      // top-k aggregation exists to avoid.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
