@@ -56,6 +56,35 @@ object StreamOps {
       }
   }
 
+  /** s01b: the bounded-state variant of streamProductStats — distinct
+    * orders tracked with an HLL sketch (graft.functions.Hll) instead of
+    * the reference's explicit orderIds list (ProductStatsV1.java keeps
+    * every id in the state store). State per sku becomes a constant
+    * 4 KiB regardless of order volume — the difference between state
+    * that fits executors at 100 TB and state that grows with the
+    * stream. `orders` is then a ±1.6% estimate (near-exact in the
+    * linear-counting regime).
+    */
+  def streamProductStatsApprox(events: Dataset[SkuEvent]): Dataset[SkuStats] = {
+    import events.sparkSession.implicits._
+    import graft.functions.Hll
+    case class HllState(quantity: BigDecimal, regs: Array[Byte])
+    events
+      .groupByKey(_.l_partkey)
+      .flatMapGroupsWithState[(BigDecimal, Array[Byte]), SkuStats](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[SkuEvent], state: GroupState[(BigDecimal, Array[Byte])]) =>
+          val (q0, regs) = state.getOption.getOrElse((BigDecimal(0), Hll.emptyRegisters()))
+          var q = q0
+          rows.foreach { e =>
+            q += BigDecimal(e.l_quantity)
+            Hll.add(regs, e.l_orderkey)
+          }
+          state.update((q, regs))
+          Iterator.single(SkuStats(key, q, Hll.estimate(regs)))
+      }
+  }
+
   /** s02: event-time tumbling-window aggregation with a watermark —
     * the streaming form of Analytics.eventsWindowAgg. Late events beyond
     * the watermark are dropped; closed windows stop consuming state.

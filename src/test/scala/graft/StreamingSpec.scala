@@ -45,6 +45,49 @@ class StreamingSpec extends AnyFunSuite {
       col("quantity"), col("orders")))
   }
 
+  test("s01b HLL-state stats: exact quantities, distinct counts within 5%") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"))
+      .as[StreamOps.SkuEvent].collect()
+
+    val source = MemoryStream[StreamOps.SkuEvent]
+    val q = StreamOps.streamProductStatsApprox(source.toDS())
+      .writeStream.format("memory").queryName("s01b_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val (first, second) = li.splitAt(li.length / 2)
+      source.addData(first.toSeq); q.processAllAvailable()
+      source.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val latest = spark.table("s01b_out").groupBy(col("l_partkey"))
+      .agg(max(col("quantity")).cast("double").as("quantity"),
+        max(col("orders")).as("est_orders"))
+    val exact = graft.operators.CoreOps.productStats(Tables.lineitem(spark, sfDir))
+    // exact quantity, approximate distinct: |est - exact| <= 5% + 1
+    val joined = latest.join(exact.withColumnRenamed("quantity", "q_exact"), "l_partkey")
+    assert(joined.filter(col("quantity") =!= col("q_exact")).count() == 0)
+    val bad = joined.filter(
+      abs(col("est_orders") - col("orders")) > col("orders") * 0.05 + 1)
+    assert(bad.count() == 0, bad.collect().take(5).mkString(";"))
+  }
+
+  test("hll sketch: merge equals union, estimates accurate to 2% at 100k") {
+    import graft.functions.Hll
+    val a = Hll.emptyRegisters(); val b = Hll.emptyRegisters()
+    (0L until 60000L).foreach(Hll.add(a, _))
+    (40000L until 100000L).foreach(Hll.add(b, _))
+    Hll.merge(a, b)
+    val est = Hll.estimate(a)
+    assert(math.abs(est - 100000L) < 2000, s"est=$est")
+    // small range is near-exact (linear counting σ ≈ 2.2 at n=200, m=4096)
+    val s = Hll.emptyRegisters()
+    (0L until 200L).foreach(Hll.add(s, _))
+    assert(math.abs(Hll.estimate(s) - 200L) <= 7)
+  }
+
   test("s02 streaming window agg equals the batch tumbling aggregation") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
