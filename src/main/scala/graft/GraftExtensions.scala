@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductD, RhpSignatureExpr}
+import graft.functions.{DotProductD, HllEstimate, HllSketchAgg, RhpSignatureExpr}
 
 /** Session extension registering graft's native Catalyst functions for
   * SQL use — `spark.sql.extensions=graft.GraftExtensions` on a cluster,
@@ -44,6 +44,19 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "rhp_signature(arrayFloat, nBitsLiteral)")
         RhpSignatureExpr(exprs(0), intLit(exprs(1), "rhp_signature nBits"))
+      }),
+    ("hll_sketch",
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 2, "hll_sketch(longCol[, pLiteral])")
+        val p = if (exprs.length == 2) intLit(exprs(1), "hll_sketch p") else 12
+        HllSketchAgg(exprs(0), p).toAggregateExpression()
+      }),
+    ("hll_estimate",
+      new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "hll_estimate(sketch)")
+        HllEstimate(exprs(0))
       }))
 
   /** Programmatic registration into an existing session (tests, REPLs —

@@ -85,6 +85,39 @@ object StreamOps {
       }
   }
 
+  /** A mergeable per-sku stats record for the restore path: partial
+    * quantity + serialized HLL order sketch (what the V1 changelog
+    * carries, re-expressed as bounded state).
+    */
+  case class SkuSketch(l_partkey: Long, quantity: Double, sketch: Array[Byte])
+
+  /** s05: the V1→V2 restore stream (Streams.java:222-259 restore
+    * transformer; restore module): replay a stream of V1 partial stats
+    * into the V2 running state by MERGING — quantities add, order
+    * sketches merge register-wise (the exact ProductStatsV2.merge
+    * contract, with an HLL instead of the unbounded orderIds list).
+    * Batch produces the sketches (HllFunctions.hll_sketch), this op
+    * consumes them: same bytes on both sides of the store boundary.
+    */
+  def streamStatsRestore(restore: Dataset[SkuSketch]): Dataset[SkuStats] = {
+    import restore.sparkSession.implicits._
+    import graft.functions.Hll
+    restore
+      .groupByKey(_.l_partkey)
+      .flatMapGroupsWithState[(BigDecimal, Array[Byte]), SkuStats](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[SkuSketch], state: GroupState[(BigDecimal, Array[Byte])]) =>
+          val (q0, regs) = state.getOption.getOrElse((BigDecimal(0), Hll.emptyRegisters()))
+          var q = q0
+          rows.foreach { r =>
+            q += BigDecimal(r.quantity)
+            Hll.merge(regs, r.sketch)
+          }
+          state.update((q, regs))
+          Iterator.single(SkuStats(key, q, Hll.estimate(regs)))
+      }
+  }
+
   /** s02: event-time tumbling-window aggregation with a watermark —
     * the streaming form of Analytics.eventsWindowAgg. Late events beyond
     * the watermark are dropped; closed windows stop consuming state.

@@ -37,6 +37,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
     // builder-level smoke: definitions registered without throwing
-    assert(GraftExtensions.definitions.map(_._1).toSet == Set("dot_d", "rhp_signature"))
+    assert(GraftExtensions.definitions.map(_._1).toSet ==
+      Set("dot_d", "rhp_signature", "hll_sketch", "hll_estimate"))
   }
 }

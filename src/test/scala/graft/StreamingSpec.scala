@@ -88,6 +88,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(Hll.estimate(s) - 200L) <= 7)
   }
 
+  test("s05 restore stream merges V1 sketches into V2 state correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.HllFunctions._
+    val li = Tables.lineitem(spark, sfDir)
+    // the V1 changelog: per-sku partial stats from two disjoint eras,
+    // quantities + mergeable order sketches (batch-built)
+    def sketches(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      li.filter(p(col("l_orderkey")))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("quantity"), hll_sketch(col("l_orderkey")).as("sketch"))
+        .as[graft.streaming.StreamOps.SkuSketch].collect()
+    val v1Old = sketches(k => k % 2 === 0)
+    val v1New = sketches(k => k % 2 =!= 0)
+
+    val source = MemoryStream[graft.streaming.StreamOps.SkuSketch]
+    val q = graft.streaming.StreamOps.streamStatsRestore(source.toDS())
+      .writeStream.format("memory").queryName("s05_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      source.addData(v1Old.toSeq); q.processAllAvailable()
+      source.addData(v1New.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val latest = spark.table("s05_out").groupBy(col("l_partkey"))
+      .agg(max(col("quantity")).cast("double").as("quantity"),
+        max(col("orders")).as("est_orders"))
+    val exact = graft.operators.CoreOps.productStats(li)
+    val joined = latest.join(exact.withColumnRenamed("quantity", "q_exact")
+      .withColumnRenamed("orders", "o_exact"), "l_partkey")
+    assert(joined.count() == exact.count())
+    assert(joined.filter(abs(col("quantity") - col("q_exact")) > 1e-6).count() == 0)
+    assert(joined.filter(
+      abs(col("est_orders") - col("o_exact")) > col("o_exact") * 0.05 + 1).count() == 0)
+  }
+
   test("s02 streaming window agg equals the batch tumbling aggregation") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
