@@ -55,6 +55,7 @@ object SparkEntry {
         Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q14_window_running" -> ((s, d) => Analytics.windowRunning(Tables.lineitem(s, d))),
     "q15_sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
+    "q15b_sessionize_sw" -> ((s, d) => Analytics.sessionizeSW(Tables.events(s, d))),
     "q16_events_window_agg" -> ((s, d) => Analytics.eventsWindowAgg(Tables.events(s, d))),
     "q17_priority_semi" -> ((s, d) =>
       Analytics.orderPriorityCount(Tables.orders(s, d), Tables.lineitem(s, d))),

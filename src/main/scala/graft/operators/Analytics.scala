@@ -140,6 +140,24 @@ object Analytics {
         dsum(col("value")).as("session_value"))
   }
 
+  /** q15b (rows-only): the same 30-minute-gap sessionization via
+    * Spark's native `session_window` — one groupBy, no window
+    * functions, and the identical plan works under Structured
+    * Streaming with a watermark. Cross-validated against the
+    * lag/cumsum formulation (q15) in AnalyticsSpec; kept alongside it
+    * because session_window can't emit the per-user ordinal
+    * session_seq the reference-style output carries.
+    */
+  def sessionizeSW(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        dsum(col("value")).as("session_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("session_value"))
+
   /** q16: tumbling event-time window aggregation — the batch analog of
     * the Structured Streaming job in graft.streaming (watermark+window);
     * same plan shape: bucket timestamp, partial agg, one shuffle.

@@ -140,6 +140,25 @@ object CoreOps {
       .agg(sum(col("q")).cast("double").as("quantity"), sum(col("o")).as("orders"))
   }
 
+  /** Skew-resistant two-phase aggregation: partial-aggregate on
+    * (key, salt) — spreading a hot key over `salts` reducers — then
+    * final-aggregate on key. Correct for any decomposable aggregate
+    * (sums/counts here). Use when ONE key dominates (a viral sku, a
+    * null-heavy join key) and AQE's skew handling can't help because
+    * the skew is in an aggregation, not a join. Costs one extra (tiny)
+    * shuffle of `salts`×|keys| partial rows — at uniform data it's
+    * pure overhead, so it's an explicit opt-in, not the default.
+    * countDistinct stays exact because the salt is a FUNCTION OF the
+    * counted column (each orderkey lands in exactly one salt bucket).
+    */
+  def saltedProductStats(lineitem: DataFrame, salts: Int = 16): DataFrame =
+    lineitem
+      .groupBy(col("l_partkey"), pmod(xxhash64(col("l_orderkey")), lit(salts.toLong)).as("salt"))
+      .agg(sum(dec(col("l_quantity"))).as("q"),
+        countDistinct(col("l_orderkey")).as("o"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("q")).cast("double").as("quantity"), sum(col("o")).as("orders"))
+
   /** q10 / flagship: the full topology end-to-end (Streams.java:99-169):
     * rekey by user → join users → broadcast-join stores → explode items
     * → enrich prices → reassemble order → filter fully-priced.

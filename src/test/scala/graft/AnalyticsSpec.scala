@@ -36,6 +36,15 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("q15b session_window formulation agrees with the lag/cumsum one") {
+    val ev = Tables.events(spark, sfDir)
+    val a = Analytics.sessionize(ev)
+      .select(col("user_id"), col("session_start"), col("n_events"), col("session_value"))
+    val b = Analytics.sessionizeSW(ev)
+      .select(col("user_id"), col("session_start"), col("n_events"), col("session_value"))
+    SparkTestSession.assertSameRows(a, b)
+  }
+
   test("q15 sessions partition all events") {
     val out = Analytics.sessionize(events)
     val total = out.agg(sum("n_events")).collect()(0).getLong(0)

@@ -76,6 +76,11 @@ class CoreOpsSpec extends AnyFunSuite {
     assertSameRows(CoreOps.statsMerge(li), CoreOps.productStats(li))
   }
 
+  test("salted aggregation equals the direct aggregation (skew path)") {
+    assertSameRows(CoreOps.saltedProductStats(li, salts = 16), CoreOps.productStats(li))
+    assertSameRows(CoreOps.saltedProductStats(li, salts = 1), CoreOps.productStats(li))
+  }
+
   test("q10 pickup pipeline equals q06 totals joined with dims") {
     val p = CoreOps.pickupPipeline(orders, Tables.customer(spark, sfDir),
       Tables.nation(spark, sfDir), li, Tables.part(spark, sfDir))
