@@ -77,6 +77,7 @@ object SparkEntry {
     "q28_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
     "q29_knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
     "q30_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(Tables.embeddings(s, d))),
+    "q32_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
   )

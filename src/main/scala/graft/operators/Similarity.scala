@@ -96,6 +96,63 @@ object Similarity {
         col("rank"), col("cos"))
   }
 
+  /** q32 (rows-only): IVF-Flat approximate top-k — the other standard
+    * ANN scale path beside LSH (q29). Deterministic coarse quantizer:
+    * the `nCentroids` vectors with the smallest xxhash64(vec_id) serve
+    * as centroids (hash-sampling, no RNG state); every vector is
+    * assigned to its nearest centroid (broadcast join — the centroid
+    * table is tiny by construction); each query probes its `nProbe`
+    * nearest centroids and ranks candidates from those inverted lists
+    * by exact cosine. At scale: cost ≈ N × nCentroids (assignment) +
+    * N × (nProbe/nCentroids) × N (probing) — tune nCentroids ≈ √N.
+    * Output one row per vector (null neighbor if its probed lists are
+    * empty of others).
+    */
+  def knnIvf(embeddings: DataFrame, nCentroids: Int = 32, nProbe: Int = 4,
+             k: Int = 5): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    val centroids = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("n2").as("cn2"))
+
+    // vector → (cosine to every centroid); reused for assignment + probes
+    val vc = e.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("cid"),
+        cosine(col("embedding"), col("cvec"), col("n2"), col("cn2")).as("ccos"))
+
+    // inverted lists: each vector in exactly one centroid's list
+    val assign = vc.groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tb"))).as("cid"))
+
+    // each query probes its nProbe nearest centroids
+    val probes = vc.groupBy(col("vec_id"))
+      .agg(graft.functions.TopKByFunctions.top_k_by(col("ccos"), col("cid"), nProbe).as("top"))
+      .select(col("vec_id"), explode(col("top.id")).as("probe_cid"))
+
+    val candidates = probes
+      .join(assign.select(col("vec_id").as("neighbor_id"), col("cid").as("probe_cid")),
+        Seq("probe_cid"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"))
+
+    val scored = candidates
+      .join(e.select(col("vec_id"), col("embedding").as("ea"), col("n2").as("na2")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("n2").as("nb2")),
+        Seq("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("ea"), col("eb"), col("na2"), col("nb2")).as("cos"))
+    val ranked = scored.groupBy(col("vec_id"))
+      .agg(graft.functions.TopKByFunctions.top_k_by(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("t.ord").as("cos"))
+
+    assign.select(col("vec_id"), col("cid"))
+      .join(ranked, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** q30: near-duplicate pairs by cosine ≥ tau (exact, pair ids only —
     * same FP-stability rationale as q28). Emits each qualifying pair
     * once with id_a < id_b.

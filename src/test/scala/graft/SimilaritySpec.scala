@@ -49,6 +49,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.select("vec_id").distinct().count() == planted.count())
   }
 
+  test("q32 IVF: clone shares the centroid list and ranks first at cos 1.0") {
+    val out = Similarity.knnIvf(planted)
+    // identical vectors ⇒ identical centroid distances ⇒ same assignment
+    val cids = out.filter(col("vec_id").isin(0L, 999999L))
+      .select("vec_id", "cid").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cids(0L) == cids(999999L))
+    val top = out.filter(col("vec_id") === 999999L && col("rank") === 1).head()
+    assert(top.getAs[Long]("neighbor_id") == 0L)
+    assert(math.abs(top.getAs[Double]("cos") - 1.0) < 1e-12)
+    // one row minimum per vector
+    assert(out.select("vec_id").distinct().count() == planted.count())
+  }
+
+  test("q32 IVF recall: probed top-1 matches brute-force for most vectors") {
+    val ivf = Similarity.knnIvf(emb, nCentroids = 16, nProbe = 4)
+      .filter(col("rank") === 1).select(col("vec_id"), col("neighbor_id").as("ivf_nn"))
+    val bf = Similarity.knnBruteForce(emb, 1)
+      .select(col("vec_id"), col("neighbor_id").as("bf_nn"))
+    val joined = bf.join(ivf, Seq("vec_id"), "left")
+    val n = joined.count()
+    val hit = joined.filter(col("ivf_nn") === col("bf_nn")).count()
+    // nProbe/nCentroids = 25% of lists probed; random vectors have weak
+    // cluster structure, so expect recall well above the 25% floor
+    assert(hit.toDouble / n > 0.3, s"recall ${hit.toDouble / n}")
+  }
+
   test("q30 embedding dedup finds the planted pair and respects id_a < id_b") {
     val out = Similarity.embeddingDedup(planted, tau = 0.999)
     val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
