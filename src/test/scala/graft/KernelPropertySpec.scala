@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+import graft.functions.{Hll, TopKBuffer}
+
+/** Property tests for the custom kernels: the model answer is computed
+  * with plain Scala collections, the kernel must agree on arbitrary
+  * inputs — insertion order, duplicates, merges, partial fills.
+  * Seeded generators → deterministic, yet hundreds of adversarial
+  * cases per run.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def modelTopK(xs: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
+    xs.sortBy { case (o, i) => (-o, i) }.take(k)
+
+  test("TopKBuffer equals sort-based top-k for arbitrary inputs") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 300) {
+      val k = 1 + rnd.nextInt(8)
+      val xs = Seq.fill(rnd.nextInt(60))(
+        (rnd.nextInt(20) - 10.0, rnd.nextInt(50).toLong)) // dense: forces ties
+      val buf = new TopKBuffer(k)
+      xs.foreach { case (o, i) => buf.insert(o, i) }
+      val got = (0 until buf.n).map(i => (buf.ords(i), buf.ids(i)))
+      assert(got == modelTopK(xs, k), s"k=$k xs=$xs")
+    }
+  }
+
+  test("TopKBuffer merge equals top-k of the concatenation") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 300) {
+      val k = 1 + rnd.nextInt(6)
+      def mk() = Seq.fill(rnd.nextInt(40))(
+        (rnd.nextInt(10) - 5.0, rnd.nextInt(30).toLong))
+      val (a, b) = (mk(), mk())
+      val ba = new TopKBuffer(k); a.foreach { case (o, i) => ba.insert(o, i) }
+      val bb = new TopKBuffer(k); b.foreach { case (o, i) => bb.insert(o, i) }
+      ba.mergeFrom(bb)
+      val got = (0 until ba.n).map(i => (ba.ords(i), ba.ids(i)))
+      assert(got == modelTopK(a ++ b, k), s"k=$k a=$a b=$b")
+    }
+  }
+
+  test("Hll add/merge order never changes the registers") {
+    val rnd = new Random(11)
+    for (_ <- 1 to 50) {
+      val a = Seq.fill(rnd.nextInt(500))(rnd.nextLong())
+      val b = Seq.fill(rnd.nextInt(500))(rnd.nextLong())
+      val ab = Hll.emptyRegisters(8); val ba = Hll.emptyRegisters(8)
+      a.foreach(Hll.add(ab, _)); b.foreach(Hll.add(ab, _))
+      b.foreach(Hll.add(ba, _)); a.foreach(Hll.add(ba, _))
+      assert(ab.sameElements(ba))
+      // merging a sketch into itself is a no-op (idempotent monoid)
+      val before = ab.clone()
+      Hll.merge(ab, before)
+      assert(ab.sameElements(before))
+      // split-then-merge equals single-pass
+      val merged = Hll.emptyRegisters(8)
+      val sa = Hll.emptyRegisters(8); a.foreach(Hll.add(sa, _))
+      val sb = Hll.emptyRegisters(8); b.foreach(Hll.add(sb, _))
+      Hll.merge(merged, sa); Hll.merge(merged, sb)
+      assert(merged.sameElements(ab))
+    }
+  }
+
+  test("Hll estimate tracks true cardinality within 5% + 3 at p=12") {
+    for (n <- Seq(0, 1, 7, 100, 1234, 5000, 20000, 100000)) {
+      val s = Hll.emptyRegisters(12)
+      (0 until n).foreach(i => Hll.add(s, i.toLong * 2654435761L + 17))
+      val est = Hll.estimate(s)
+      assert(math.abs(est - n) <= n * 0.05 + 3, s"n=$n est=$est")
+    }
+  }
+
+  test("polynomial fingerprint matches an independent reference impl") {
+    // mirror of the q21 expression: (h*31 + codepoint) % 1e9+7, left fold
+    def ref(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    val rnd = new Random(3)
+    val docs = Seq("", "a", "hello world") ++
+      Seq.fill(50)(Random.alphanumeric.take(rnd.nextInt(200)).mkString)
+    import SparkTestSession.spark
+    import spark.implicits._
+    val df = docs.toDF("text")
+    val got = df.selectExpr(
+      """aggregate(
+           transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+           CAST(0 AS BIGINT),
+           (h, c) -> (h * 31 + c) % 1000000007) AS fp""", "text")
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    docs.foreach(d => assert(got(d) == ref(d), s"text=$d"))
+  }
+}
