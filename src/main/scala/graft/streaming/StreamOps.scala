@@ -133,6 +133,69 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** One enriched line item flowing through the streaming pickup
+    * topology: already keyed by order, price present iff the product
+    * lookup matched (null ⇒ not yet priceable, the reference's
+    * "item without price" state).
+    */
+  case class OrderItem(l_orderkey: Long, l_linenumber: Int, l_quantity: Double,
+                       price: Option[Double])
+
+  /** Reassembled order state/output (reference pickup-order-reduce +
+    * filter, Streams.java:152-169).
+    */
+  case class OrderState(l_orderkey: Long, item_count: Long,
+                        order_total: BigDecimal, all_priced: Boolean)
+
+  /** s06: streaming order reassembly — the pickup branch's
+    * groupBy(orderId) + reduce + filter(all priced) as one stateful
+    * operator. Update-mode changelog like the reference's KTable: each
+    * batch emits the order's current reduction; consumers take the
+    * rows with all_priced=true (the filter is downstream, exactly as
+    * in the reference topology, so partially-priced orders remain
+    * observable for monitoring).
+    *
+    * State per order: three scalars — NOT the item list (the reduce
+    * only ever needs count/total/all-priced, so the state store stays
+    * O(1) per key where the reference materializes whole
+    * PurchaseOrders).
+    */
+  def streamOrderReassembly(items: Dataset[OrderItem]): Dataset[OrderState] = {
+    import items.sparkSession.implicits._
+    items
+      .groupByKey(_.l_orderkey)
+      .flatMapGroupsWithState[(Long, BigDecimal, Boolean), OrderState](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[OrderItem], state: GroupState[(Long, BigDecimal, Boolean)]) =>
+          val (n0, total0, priced0) = state.getOption.getOrElse((0L, BigDecimal(0), true))
+          var n = n0; var total = total0; var priced = priced0
+          rows.foreach { it =>
+            n += 1
+            it.price match {
+              case Some(p) => total += BigDecimal(it.l_quantity) * BigDecimal(p)
+              case None => priced = false
+            }
+          }
+          state.update((n, total, priced))
+          Iterator.single(OrderState(key, n, total, priced))
+      }
+  }
+
+  /** The full topology, streaming end-to-end (Streams.java:99-169):
+    * order-item stream → static dim joins (product prices) → stateful
+    * reassembly → all-priced filter. Returns the update-mode changelog
+    * of completed orders.
+    */
+  def pickupPipelineStream(lineitemStream: DataFrame, part: DataFrame): Dataset[OrderState] = {
+    import lineitemStream.sparkSession.implicits._
+    val enriched = lineitemStream
+      .join(part, col("l_partkey") === col("p_partkey"), "left")
+      .select(col("l_orderkey").cast("long"), col("l_linenumber").cast("int"),
+        col("l_quantity").cast("double"), col("p_retailprice").cast("double").as("price"))
+      .as[OrderItem]
+    streamOrderReassembly(enriched).filter(_.all_priced)
+  }
+
   /** s03: stream ⋈ static-table join (Streams.java:137/147 — joining
     * the order stream against KTable dims). The static side is a plain
     * DataFrame; Spark broadcasts it when small, exactly the

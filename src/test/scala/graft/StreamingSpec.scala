@@ -168,6 +168,39 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(spark.table("s03_out"), batch)
   }
 
+  test("s06 streaming pickup pipeline converges to the batch reassembly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("l_quantity"))
+    val rows = li.as[(Long, Long, Int, Double)].collect()
+
+    val source = MemoryStream[(Long, Long, Int, Double)]
+    val stream = source.toDF().toDF("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    val q = graft.streaming.StreamOps
+      .pickupPipelineStream(stream, Tables.part(spark, sfDir))
+      .writeStream.format("memory").queryName("s06_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      source.addData(first.toSeq); q.processAllAvailable()
+      source.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // latest state per order: item_count and order_total grow monotonically
+    val latest = spark.table("s06_out").groupBy(col("l_orderkey"))
+      .agg(max(col("item_count")).as("item_count"),
+        max(col("order_total")).cast("double").as("stream_total"))
+    val batch = graft.operators.CoreOps.orderReassembly(li, Tables.part(spark, sfDir))
+    // every batch-complete order must appear with the full item count
+    val j = batch.join(latest, Seq("l_orderkey"), "left")
+    assert(j.filter(latest("item_count").isNull).count() == 0)
+    assert(j.filter(batch("item_count") =!= latest("item_count")).count() == 0)
+    // totals agree up to the per-item DECIMAL(30,6) rounding the batch
+    // side applies (stream keeps full BigDecimal precision)
+    assert(j.filter(abs(col("order_total") - col("stream_total")) > 1e-3).count() == 0)
+  }
+
   test("s04 kafka config surface builds; file substitution streams real rows") {
     // Kafka connector jar absent: builders must construct without loading
     val r = KafkaIO.reader(spark, "broker:9092", "purchase-orders")
