@@ -36,6 +36,22 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** The reference's nested PurchaseOrder shape (SURVEY.md §3): one row
+    * per order with its line items collected into an array — orders ⋈
+    * lineitem grouped on the shared orderkey, so building the nested
+    * form costs one shuffle and explodes back out losslessly
+    * (CoreOps.explodeItems round-trip).
+    */
+  def nestedOrders(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    orders(spark, dir)
+      .join(lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice")))).as("items"))
+  }
 }
 
 /** Case-class row models for the typed (Dataset) paths. */

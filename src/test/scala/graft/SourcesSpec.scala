@@ -37,6 +37,17 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("nested orders round-trip losslessly back to line items") {
+    val nested = Tables.nestedOrders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    // every order with items appears once, with all its items
+    assert(nested.count() == li.select("l_orderkey").distinct().count())
+    val back = nested.select(col("o_orderkey"), explode(col("items")).as("it"))
+      .select(col("o_orderkey").as("l_orderkey"), col("it.l_partkey").as("l_partkey"),
+        col("it.l_linenumber").as("l_linenumber"), col("it.l_quantity").as("l_quantity"))
+    assertSameRows(back, li.select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity"))
+  }
+
   test("order generator is deterministic and shape-correct") {
     val ids = spark.range(0, 1000).toDF("id")
     val a = OrderGenerator.orders(ids)
