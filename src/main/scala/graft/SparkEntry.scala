@@ -78,6 +78,7 @@ object SparkEntry {
     "q29_knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
     "q30_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(Tables.embeddings(s, d))),
     "q32_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
+    "q33_vocabulary" -> ((s, d) => TextOps.vocabulary(Tables.documents(s, d))),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
   )
@@ -254,6 +255,15 @@ object SparkEntry {
                     t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
                   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS stopword_ratio
          FROM documents""",
+    "q33_vocabulary" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         FROM (SELECT doc_id,
+                      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+               FROM documents)
+         WHERE length(token) > 0
+         GROUP BY token
+         ORDER BY tf DESC, token ASC
+         LIMIT 100""",
     "q28_knn_bruteforce" ->
       """WITH e AS (
            SELECT vec_id, embedding,

@@ -83,6 +83,21 @@ object TextOps {
         wsTokens(col("text")).cast("double")).as("stopword_ratio"))
   }
 
+  /** q33: vocabulary building — corpus-wide term frequency + document
+    * frequency with a deterministic top-k cut. The workhorse of
+    * tokenizer training and quality filtering at corpus scale: one
+    * explode, one combined tf/df aggregation (df via countDistinct),
+    * and a global TakeOrdered for the cut — no full sort of the vocab.
+    */
+  def vocabulary(documents: DataFrame, topK: Int = 100): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(topK)
+
   /** Per-language stopword marker lists for the n-gram/stopword
     * language-ID heuristic (q24). Tiny, broadcast as literals.
     */

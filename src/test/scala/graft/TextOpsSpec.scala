@@ -50,6 +50,16 @@ class TextOpsSpec extends AnyFunSuite {
       assert(out.filter(col(c) < 0 || col(c) > 1).count() == 0, c)
   }
 
+  test("q33 vocabulary: tf sums to the token count, df bounded by corpus size") {
+    val out = TextOps.vocabulary(docs, topK = 1000000)
+    val totalTf = out.agg(sum("tf")).head.getLong(0)
+    val totalTokens = TextOps.tokenCount(docs).agg(sum("ws_tokens")).head.getLong(0)
+    assert(totalTf == totalTokens)
+    val n = docs.count()
+    assert(out.filter(col("df") > n || col("df") < 1).count() == 0)
+    assert(out.filter(col("df") > col("tf")).count() == 0)
+  }
+
   test("q24 lang_id emits one deterministic prediction per doc") {
     val out = TextOps.langId(docs)
     assert(out.count() == docs.count())
