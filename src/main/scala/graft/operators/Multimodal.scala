@@ -53,6 +53,82 @@ object Multimodal {
       ok = ok)
   }
 
+  /** Deterministic fake feature vector from a payload — the stub
+    * stand-in for an image/audio embedding model. Real plumbing: the
+    * output is a dense `Array[Float]` column ready for the Similarity
+    * operators (knn/embedding-dedup run on it unchanged).
+    */
+  def featureStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < payload.length) { h = (h ^ payload(i)) * 0x100000001b3L; i += 1 }
+    var d = 0
+    while (d < dim) {
+      val z = graft.functions.RhpPlanes.mix(h + d)
+      out(d) = (z.toDouble / Long.MaxValue.toDouble).toFloat
+      d += 1
+    }
+    out
+  }
+
+  case class MediaFeatures(doc_id: Long, features: Array[Float])
+  case class ResizedMedia(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
+  case class MediaFrames(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Feature extraction over payload batches (stub model, real
+    * mapPartitions plumbing + schema): binary column in, float-vector
+    * column out — feeds straight into Similarity.knnBruteForce etc.
+    */
+  def extractFeatures(documents: DataFrame, dim: Int = 64,
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val withPayload = documents
+      .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
+      .select(col("doc_id").cast("long"), col("payload"))
+    implicit val enc = Encoders.product[MediaFeatures]
+    withPayload.as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
+        MediaFeatures(id, featureStub(if (p == null) Array.emptyByteArray else p, dim))
+      }))
+  }
+
+  /** Resize stub: deterministic truncation standing in for a pixel
+    * resample — output payload is a prefix of the input (a real codec
+    * would re-encode), with the claimed output dims carried beside it.
+    */
+  def resize(documents: DataFrame, width: Int = 64, height: Int = 48,
+             batchSize: Int = 64): Dataset[ResizedMedia] = {
+    val withPayload = documents
+      .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
+      .select(col("doc_id").cast("long"), col("payload"))
+    implicit val enc = Encoders.product[ResizedMedia]
+    withPayload.as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
+        val src = if (p == null) Array.emptyByteArray else p
+        ResizedMedia(id, src.take(math.min(src.length, width * height / 8)), width, height)
+      }))
+  }
+
+  /** Frame sampling stub: split the payload into `nFrames` even chunks
+    * (a real video codec would decode + sample keyframes). 1→N rows,
+    * the explode-shaped transform of the media pipeline.
+    */
+  def sampleFrames(documents: DataFrame, nFrames: Int = 4,
+                   batchSize: Int = 64): Dataset[MediaFrames] = {
+    val withPayload = documents
+      .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
+      .select(col("doc_id").cast("long"), col("payload"))
+    implicit val enc = Encoders.product[MediaFrames]
+    withPayload.as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { case (id, p) =>
+        val src = if (p == null) Array.emptyByteArray else p
+        val step = math.max(1, src.length / nFrames)
+        (0 until nFrames).iterator.map { f =>
+          MediaFrames(id, f, src.slice(f * step, math.min(src.length, f * step + step)))
+        }
+      }))
+  }
+
   /** Partition-batched decode — the Scala analog of `mapInPandas`: each
     * partition's rows stream through the decoder in micro-batches of
     * `batchSize` (a real decoder amortizes codec init / GPU transfer per

@@ -25,6 +25,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.filter(col("height") < 0 || col("height") >= 768).count() == 0)
   }
 
+  test("feature extraction feeds the similarity operators end-to-end") {
+    val feats = Multimodal.extractFeatures(docs, dim = 16).toDF()
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+    // deterministic + correct shape
+    assert(feats.count() == docs.count())
+    val again = Multimodal.extractFeatures(docs, dim = 16).toDF()
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+    assertSameRows(feats.select(col("vec_id"), to_json(col("embedding")).as("e")),
+      again.select(col("vec_id"), to_json(col("embedding")).as("e")))
+    // knn runs unchanged on extracted features
+    val knn = graft.operators.Similarity.knnBruteForce(feats, 3)
+    assert(knn.count() == docs.count() * 3)
+  }
+
+  test("resize and frame sampling keep schema and row contracts") {
+    val rs = Multimodal.resize(docs, width = 64, height = 48)
+    assert(rs.count() == docs.count())
+    assert(rs.filter(r => r.width != 64 || r.height != 48).count() == 0)
+    assert(rs.filter(r => r.payload.length > 64 * 48 / 8).count() == 0)
+    val fr = Multimodal.sampleFrames(docs, nFrames = 4)
+    assert(fr.count() == docs.count() * 4)
+    assert(fr.filter(f => f.frame_idx < 0 || f.frame_idx >= 4).count() == 0)
+  }
+
   test("q31 decodeBatch: stub decode agrees with the metadata query") {
     val decoded = Multimodal.decodeBatch(docs, batchSize = 16)
     assert(decoded.filter(!_.ok).count() == 0)
