@@ -76,6 +76,15 @@ class CoreOpsSpec extends AnyFunSuite {
     assertSameRows(CoreOps.statsMerge(li), CoreOps.productStats(li))
   }
 
+  test("typed Aggregator product stats equals the untyped plan") {
+    import spark.implicits._
+    val typed = graft.operators.TypedOps.productStatsTyped(
+      li.select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+        .as[graft.sources.Models.LineItem])
+    assertSameRows(typed.toDF(), CoreOps.productStats(li))
+  }
+
   test("salted aggregation equals the direct aggregation (skew path)") {
     assertSameRows(CoreOps.saltedProductStats(li, salts = 16), CoreOps.productStats(li))
     assertSameRows(CoreOps.saltedProductStats(li, salts = 1), CoreOps.productStats(li))
