@@ -75,6 +75,7 @@ object SparkEntry {
     "q27_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     // -- LLM-data-pipeline: similarity search (q28-q30) --
     "q28_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
+    "q28b_knn_blocked" -> ((s, d) => Similarity.knnBruteForceBlocked(Tables.embeddings(s, d))),
     "q29_knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
     "q30_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(Tables.embeddings(s, d))),
     "q32_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
@@ -265,6 +266,26 @@ object SparkEntry {
          ORDER BY tf DESC, token ASC
          LIMIT 100""",
     "q28_knn_bruteforce" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (acc, x) -> acc + x) AS n2
+           FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, len(a.embedding)+1),
+                      i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))),
+                    (acc, x) -> acc + x) / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         r AS (SELECT vec_id, neighbor_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM p)
+         SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",
+    // q28b: identical semantics + FP contract as q28, different physical
+    // kernel (blocked mapPartitions sweep) — same oracle by design.
+    "q28b_knn_blocked" ->
       """WITH e AS (
            SELECT vec_id, embedding,
                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

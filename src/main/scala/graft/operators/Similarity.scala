@@ -96,6 +96,68 @@ object Similarity {
         col("rank"), col("cos"))
   }
 
+  /** q28b: the same exact cosine top-k as knnBruteForce, as a blocked
+    * kernel — THE one operator where mapPartitions is warranted: a
+    * native engine does brute-force ANN as a blocked matrix sweep, and
+    * no join plan matches that constant factor (the declarative q28
+    * materializes N² join rows just to aggregate them away). One side
+    * is broadcast as primitive arrays (fine to ~1M×64 floats ≈ 256 MB;
+    * beyond that, shard the broadcast or use q29/q32); each partition
+    * streams its probe rows against the whole matrix with a bounded
+    * TopKBuffer — zero shuffle, output is N×k rows.
+    *
+    * FP + ordering contract identical to q28 (sequential double dot,
+    * (cos desc, id asc) ties), so it hash-matches the same oracle.
+    */
+  def knnBruteForceBlocked(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val rows = embeddings.select(col("vec_id").cast("long"), col("embedding")).collect()
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = rows(i).getLong(0)
+      vecs(i) = rows(i).getSeq[Float](1).toArray
+      var s = 0.0
+      val v = vecs(i)
+      var d = 0
+      while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
+      norms(i) = s
+      i += 1
+    }
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (bIds, bVecs, bNorms) = bc.value
+        it.flatMap { case (qid, qv) =>
+          var qn = 0.0
+          var d = 0
+          while (d < qv.length) { qn += qv(d).toDouble * qv(d).toDouble; d += 1 }
+          val qSqrt = math.sqrt(qn)
+          val buf = new graft.functions.TopKBuffer(k)
+          var j = 0
+          while (j < bIds.length) {
+            if (bIds(j) != qid) {
+              val bv = bVecs(j)
+              var dot = 0.0
+              var e = 0
+              val len = math.min(qv.length, bv.length)
+              while (e < len) { dot += qv(e).toDouble * bv(e).toDouble; e += 1 }
+              buf.insert(dot / (qSqrt * math.sqrt(bNorms(j))), bIds(j))
+            }
+            j += 1
+          }
+          (0 until buf.n).iterator.map(r => (qid, buf.ids(r), (r + 1).toLong))
+        }
+      }
+      .toDF("vec_id", "neighbor_id", "rank")
+  }
+
   /** q32 (rows-only): IVF-Flat approximate top-k — the other standard
     * ANN scale path beside LSH (q29). Deterministic coarse quantizer:
     * the `nCentroids` vectors with the smallest xxhash64(vec_id) serve

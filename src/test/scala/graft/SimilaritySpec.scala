@@ -40,6 +40,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top(0L) == 999999L)
   }
 
+  test("q28b blocked kernel is row-identical to the declarative plan") {
+    assertSameRows(
+      Similarity.knnBruteForceBlocked(emb, 7),
+      Similarity.knnBruteForce(emb, 7)
+        .select(col("vec_id"), col("neighbor_id"), col("rank")))
+  }
+
   test("q29 LSH: clone lands in the same bucket with cosine 1.0 at rank 1") {
     val out = Similarity.knnLsh(planted)
     val row = out.filter(col("vec_id") === 999999L && col("rank") === 1).head()
