@@ -17,7 +17,7 @@ class SemiAntiSpec extends AnyFunSuite {
 
   test("q17 semi-join counts partition the qualifying orders") {
     val out = Analytics.orderPriorityCount(orders, li)
-    val total = out.agg(sum("order_count")).head.getLong(0)
+    val total = out.agg(sum("order_count")).head().getLong(0)
     val direct = orders.join(
       li.filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
         .select("l_orderkey").distinct(),

@@ -81,6 +81,6 @@ class SourcesSpec extends AnyFunSuite {
     val stats = items.groupBy("sku").agg(
       sum("quantity").as("quantity"), countDistinct("order_id").as("orders"))
     assert(stats.count() > 0)
-    assert(stats.agg(sum("orders")).head.getLong(0) >= 2000)
+    assert(stats.agg(sum("orders")).head().getLong(0) >= 2000)
   }
 }

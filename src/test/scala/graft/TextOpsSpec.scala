@@ -16,7 +16,7 @@ class TextOpsSpec extends AnyFunSuite {
 
   test("q20 dedup groups partition the corpus: sum(n_dups) == total docs") {
     val out = TextOps.dedupExact(docs)
-    val total = out.agg(sum("n_dups")).head.getLong(0)
+    val total = out.agg(sum("n_dups")).head().getLong(0)
     assert(total == docs.count())
     // canonical doc_id is a real doc id
     assert(out.join(docs, "doc_id").count() == out.count())
@@ -52,8 +52,8 @@ class TextOpsSpec extends AnyFunSuite {
 
   test("q33 vocabulary: tf sums to the token count, df bounded by corpus size") {
     val out = TextOps.vocabulary(docs, topK = 1000000)
-    val totalTf = out.agg(sum("tf")).head.getLong(0)
-    val totalTokens = TextOps.tokenCount(docs).agg(sum("ws_tokens")).head.getLong(0)
+    val totalTf = out.agg(sum("tf")).head().getLong(0)
+    val totalTokens = TextOps.tokenCount(docs).agg(sum("ws_tokens")).head().getLong(0)
     assert(totalTf == totalTokens)
     val n = docs.count()
     assert(out.filter(col("df") > n || col("df") < 1).count() == 0)
