@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, CoreOps, Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Analytics, AsofJoin, CoreOps, Dedup, Multimodal, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -80,6 +80,8 @@ object SparkEntry {
     "q30_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(Tables.embeddings(s, d))),
     "q32_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
     "q33_vocabulary" -> ((s, d) => TextOps.vocabulary(Tables.documents(s, d))),
+    "q34_asof_join" -> ((s, d) =>
+      AsofJoin.eventsAsofOrders(Tables.events(s, d), Tables.orders(s, d))),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
   )
@@ -283,6 +285,15 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
                FROM p)
          SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",
+    "q34_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+                strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+                o.last_orderkey,
+                strftime(o.o_orderdate, '%Y-%m-%d') AS last_orderdate
+         FROM events e
+         ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+                         FROM orders GROUP BY o_custkey, o_orderdate) o
+           ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""",
     // q28b: identical semantics + FP contract as q28, different physical
     // kernel (blocked mapPartitions sweep) — same oracle by design.
     "q28b_knn_blocked" ->

@@ -33,6 +33,29 @@ class SemiAntiSpec extends AnyFunSuite {
     assert(out.join(orders, Seq("o_orderkey")).count() == out.count())
   }
 
+  test("q34 as-of join: every enrichment is the max prior-dated order") {
+    val ev = Tables.events(spark, sfDir)
+    val out = graft.operators.AsofJoin.eventsAsofOrders(ev, orders)
+    assert(out.count() == ev.count())
+    // brute-force check on a sample user: latest order at/before each event
+    val u = out.select("user_id").limit(1).head().getLong(0)
+    val got = out.filter(col("user_id") === u)
+      .select("event_ts", "last_orderkey").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val userOrders = orders.filter(col("o_custkey") === u)
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    val userEvents = ev.filter(col("user_id") === u)
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("e"), col("ts")).collect()
+    for (r <- userEvents) {
+      val eligible = userOrders.filter(_._2.getTime <= r.getTimestamp(1).getTime)
+      val expect =
+        if (eligible.isEmpty) -1L
+        else eligible.maxBy(o => (o._2.getTime, o._1))._1
+      assert(got(r.getString(0)) == expect, s"event ${r.getString(0)}")
+    }
+  }
+
   test("q19 anti-join: result ∩ recent-order customers is empty") {
     val out = Analytics.inactiveCustomers(cust, orders)
     val active = orders
