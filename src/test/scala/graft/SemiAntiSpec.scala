@@ -40,19 +40,26 @@ class SemiAntiSpec extends AnyFunSuite {
     // brute-force check on a sample user: latest order at/before each event
     val u = out.select("user_id").limit(1).head().getLong(0)
     val got = out.filter(col("user_id") === u)
-      .select("event_ts", "last_orderkey").collect()
-      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      .select("event_id", "last_orderkey").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    def micros(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime * 1000L
+      case d: java.time.LocalDateTime =>
+        d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000L
+      case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
     val userOrders = orders.filter(col("o_custkey") === u)
       .select("o_orderkey", "o_orderdate").collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1)))
+      .map(r => (r.getLong(0), micros(r.get(1))))
     val userEvents = ev.filter(col("user_id") === u)
-      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("e"), col("ts")).collect()
+      .select(col("event_id"), col("ts")).collect()
     for (r <- userEvents) {
-      val eligible = userOrders.filter(_._2.getTime <= r.getTimestamp(1).getTime)
+      val eventMicros = micros(r.get(1))
+      val eligible = userOrders.filter(_._2 <= eventMicros)
       val expect =
         if (eligible.isEmpty) -1L
-        else eligible.maxBy(o => (o._2.getTime, o._1))._1
-      assert(got(r.getString(0)) == expect, s"event ${r.getString(0)}")
+        else eligible.maxBy(o => (o._2, o._1))._1
+      assert(got(r.getLong(0)) == expect, s"event ${r.getLong(0)}")
     }
   }
 
