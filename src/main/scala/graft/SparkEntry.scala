@@ -82,6 +82,7 @@ object SparkEntry {
     "q33_vocabulary" -> ((s, d) => TextOps.vocabulary(Tables.documents(s, d))),
     "q34_asof_join" -> ((s, d) =>
       AsofJoin.eventsAsofOrders(Tables.events(s, d), Tables.orders(s, d))),
+    "q35_json_props" -> ((s, d) => Analytics.jsonPropsAgg(Tables.events(s, d))),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
   )
@@ -294,6 +295,14 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
                          FROM orders GROUP BY o_custkey, o_orderdate) o
            ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""",
+    "q35_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+                count(CASE WHEN k IS NULL THEN 1 END) AS n_missing
+         FROM (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+         GROUP BY event_type""",
     // q28b: identical semantics + FP contract as q28, different physical
     // kernel (blocked mapPartitions sweep) — same oracle by design.
     "q28b_knn_blocked" ->

@@ -158,6 +158,23 @@ object Analytics {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("session_value"))
 
+  /** q35: semi-structured extraction — pull a typed field out of the
+    * JSON `props` payload and aggregate on it. `get_json_object` is the
+    * scan-time path (no pre-parse materialization); for hot multi-field
+    * access, `from_json` with an explicit schema (graft.sources.Serde
+    * pattern) amortizes one parse per row.
+    */
+  def jsonPropsAgg(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(when(col("k").isNull, 1)).as("n_missing"))
+
   /** q16: tumbling event-time window aggregation — the batch analog of
     * the Structured Streaming job in graft.streaming (watermark+window);
     * same plan shape: bucket timestamp, partial agg, one shuffle.
