@@ -196,6 +196,27 @@ object StreamOps {
     streamOrderReassembly(enriched).filter(_.all_priced)
   }
 
+  /** s07: streaming exact deduplication — the streaming analog of the
+    * q20 batch pass. Keyed on the content hash, not the payload, so
+    * dedup state is a fixed-width key per distinct document. With an
+    * event-time column + watermark, `withinWatermark` bounds state
+    * (late duplicates beyond the watermark pass through — the standard
+    * trade; unbounded mode is exact-forever at O(distinct) state).
+    */
+  def streamDedupExact(docs: DataFrame,
+                       eventTimeCol: Option[String] = None,
+                       watermark: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("text_hash",
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+    eventTimeCol match {
+      case Some(tsCol) =>
+        hashed.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark("text_hash")
+      case None =>
+        hashed.dropDuplicates("text_hash")
+    }
+  }
+
   /** s03: stream ⋈ static-table join (Streams.java:137/147 — joining
     * the order stream against KTable dims). The static side is a plain
     * DataFrame; Spark broadcasts it when small, exactly the

@@ -201,6 +201,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(j.filter(abs(col("order_total") - col("stream_total")) > 1e-3).count() == 0)
   }
 
+  test("s07 streaming dedup emits each distinct document exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[graft.sources.Models.Document].collect()
+    // duplicate the whole corpus across two batches under new ids
+    val clones = docs.map(d => d.copy(doc_id = d.doc_id + 100000))
+
+    val source = MemoryStream[graft.sources.Models.Document]
+    val q = graft.streaming.StreamOps.streamDedupExact(source.toDF())
+      .writeStream.format("memory").queryName("s07_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(docs.toSeq); q.processAllAvailable()
+      source.addData(clones.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("s07_out")
+    assert(out.count() == docs.length)             // clones all suppressed
+    assert(out.select("text_hash").distinct().count() == docs.length)
+    assert(out.filter(col("doc_id") >= 100000).count() == 0) // first wins
+  }
+
   test("s04 kafka config surface builds; file substitution streams real rows") {
     // Kafka connector jar absent: builders must construct without loading
     val r = KafkaIO.reader(spark, "broker:9092", "purchase-orders")
