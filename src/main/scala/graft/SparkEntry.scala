@@ -231,7 +231,7 @@ object SparkEntry {
                              AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')""",
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id,
-                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+                md5(regexp_replace(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+', ' ', 'g')) AS text_hash,
                 count(*) AS n_dups
          FROM documents GROUP BY 2""",
     "q21_doc_fingerprint" ->
@@ -244,25 +244,25 @@ object SparkEntry {
          FROM documents""",
     "q22_token_count" ->
       """SELECT doc_id,
-                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+                CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS ws_tokens,
                 CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
          FROM documents""",
     "q23_quality_score" ->
       """SELECT doc_id,
                 CAST(length(text) AS BIGINT) AS n_chars,
-                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_words,
+                CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_words,
                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
                 length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) / CAST(length(text) AS DOUBLE) AS punct_ratio,
-                len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                len(list_filter(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'),
                     t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
-                  / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS stopword_ratio
+                  / CAST(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS DOUBLE) AS stopword_ratio
          FROM documents""",
     "q33_vocabulary" ->
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          FROM (SELECT doc_id,
-                      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+                      unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS token
                FROM documents)
          WHERE length(token) > 0
          GROUP BY token

@@ -36,7 +36,7 @@ object Dedup {
     */
   private def postings(documents: DataFrame, n: Int): DataFrame =
     documents
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"), split(lower(graft.operators.TextOps.wsTrim(col("text"))), "\\s+").as("toks"))
       .select(col("doc_id"), explode(array_distinct(
         expr(s"""transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)),
                  i -> xxhash64(concat_ws(' ', slice(toks, i, $n))))"""))).as("shingle"))
@@ -47,7 +47,7 @@ object Dedup {
   private def charPostings(documents: DataFrame, n: Int): DataFrame =
     documents
       .select(col("doc_id"),
-        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+        regexp_replace(lower(graft.operators.TextOps.wsTrim(col("text"))), "\\s+", " ").as("norm"))
       .select(col("doc_id"), explode(array_distinct(
         expr(s"""transform(sequence(1, greatest(length(norm) - ${n - 1}, 1)),
                  i -> xxhash64(substring(norm, i, $n)))"""))).as("shingle"))
@@ -132,7 +132,7 @@ object Dedup {
     */
   def dedupSimHash(documents: DataFrame, maxDist: Int = 3): DataFrame = {
     val toks = documents.select(col("doc_id"),
-      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      explode(split(lower(graft.operators.TextOps.wsTrim(col("text"))), "\\s+")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)

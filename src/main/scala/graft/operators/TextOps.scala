@@ -15,14 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Trim ALL whitespace (built-in `trim` strips only 0x20 spaces —
+    * tab/newline-padded text would otherwise tokenize wrong).
+    */
+  def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** Whitespace-normalized lowercase form used for exact dedup. */
   private def normText(c: Column): Column =
-    regexp_replace(lower(trim(c)), "\\s+", " ")
+    regexp_replace(lower(wsTrim(c)), "\\s+", " ")
 
   /** Whitespace token count; 0 for blank text. */
   def wsTokens(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0L))
-      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+    when(length(wsTrim(c)) === 0, lit(0L))
+      .otherwise(size(split(wsTrim(c), "\\s+")).cast("long"))
 
   /** q20: exact deduplication — hash-group documents on normalized text,
     * keep the smallest doc_id as the canonical representative.
@@ -78,7 +83,7 @@ object TextOps {
       wsTokens(col("text")).as("n_words"),
       (length(regexp_replace(col("text"), "[^A-Za-z]", "")) / n).as("alpha_ratio"),
       (length(regexp_replace(col("text"), "[^.,;:!?'\"]", "")) / n).as("punct_ratio"),
-      (size(filter(split(lower(trim(col("text"))), "\\s+"),
+      (size(filter(split(lower(wsTrim(col("text"))), "\\s+"),
         t => array_contains(stop, t))).cast("double") /
         wsTokens(col("text")).cast("double")).as("stopword_ratio"))
   }
@@ -91,7 +96,7 @@ object TextOps {
     */
   def vocabulary(documents: DataFrame, topK: Int = 100): DataFrame =
     documents
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .select(col("doc_id"), explode(split(lower(wsTrim(col("text"))), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
@@ -114,7 +119,7 @@ object TextOps {
     * langs) expression: no shuffle at all.
     */
   def langId(documents: DataFrame): DataFrame = {
-    val toks = split(lower(trim(col("text"))), "\\s+")
+    val toks = split(lower(wsTrim(col("text"))), "\\s+")
     val scored = langStops.map { case (lang, stops) =>
       val arr = array(stops.map(lit): _*)
       struct(

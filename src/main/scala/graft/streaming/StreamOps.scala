@@ -207,7 +207,7 @@ object StreamOps {
                        eventTimeCol: Option[String] = None,
                        watermark: String = "1 hour"): DataFrame = {
     val hashed = docs.withColumn("text_hash",
-      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      md5(regexp_replace(lower(graft.operators.TextOps.wsTrim(col("text"))), "\\s+", " ")))
     eventTimeCol match {
       case Some(tsCol) =>
         hashed.withWatermark(tsCol, watermark)

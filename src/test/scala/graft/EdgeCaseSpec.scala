@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Empty-input hardening: every operator must return an empty frame
+  * with the right schema — not throw — when a table is empty (a
+  * filtered partition at scale IS an empty input somewhere).
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.operators._
+  import graft.sources.Tables
+
+  private def emptyLike(df: DataFrame): DataFrame = df.filter(lit(false))
+
+  lazy val li = Tables.lineitem(spark, sfDir)
+  lazy val docs = Tables.documents(spark, sfDir)
+  lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("core + analytics ops survive empty inputs") {
+    assert(CoreOps.productStats(emptyLike(li)).count() == 0)
+    assert(CoreOps.orderReassembly(emptyLike(li), Tables.part(spark, sfDir)).count() == 0)
+    assert(CoreOps.statsMerge(emptyLike(li)).count() == 0)
+    assert(Analytics.pricingSummary(emptyLike(li)).count() == 0)
+    assert(Analytics.windowRunning(emptyLike(li)).count() == 0)
+    assert(Analytics.sessionize(emptyLike(Tables.events(spark, sfDir))).count() == 0)
+  }
+
+  test("text + dedup ops survive empty corpora") {
+    assert(TextOps.dedupExact(emptyLike(docs)).count() == 0)
+    assert(TextOps.vocabulary(emptyLike(docs)).count() == 0)
+    assert(TextOps.qualityScore(emptyLike(docs)).count() == 0)
+    assert(Dedup.dedupMinHash(emptyLike(docs)).count() == 0)
+    assert(Dedup.dedupSimHash(emptyLike(docs)).count() == 0)
+    assert(Dedup.ngramJaccard(emptyLike(docs)).count() == 0)
+  }
+
+  test("similarity ops survive empty embeddings") {
+    assert(Similarity.knnBruteForce(emptyLike(emb)).count() == 0)
+    assert(Similarity.knnBruteForceBlocked(emptyLike(emb)).count() == 0)
+    assert(Similarity.knnLsh(emptyLike(emb)).count() == 0)
+    assert(Similarity.knnIvf(emptyLike(emb)).count() == 0)
+    assert(Similarity.embeddingDedup(emptyLike(emb)).count() == 0)
+  }
+
+  test("ops survive blank and single-char text") {
+    import spark.implicits._
+    val weird = Seq(
+      (1L, "", "en", "s", 0L),
+      (2L, " ", "en", "s", 1L),
+      (3L, "x", "en", "s", 1L),
+      (4L, "  \t \n ", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextOps.tokenCount(weird).count() == 4)
+    assert(TextOps.docFingerprint(weird).count() == 4)
+    assert(TextOps.langId(weird).count() == 4)
+    assert(Dedup.dedupMinHash(weird).count() == 4)
+    assert(Dedup.dedupSimHash(weird).count() == 4)
+    assert(Dedup.ngramJaccard(weird).count() == 4)
+    // blank text gets 0 tokens, never negative or null
+    val tc = TextOps.tokenCount(weird).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc(1L) == 0L && tc(2L) == 0L && tc(3L) == 1L && tc(4L) == 0L)
+  }
+}
