@@ -43,4 +43,31 @@ object TypedOps {
       .agg(productStatsAgg.toColumn)
       .map { case (k, (q, o)) => SkuStatsRow(k, q, o) }
   }
+
+  case class OrderHeader(o_orderkey: Long, o_totalprice: Double)
+  case class OrderRecon(o_orderkey: Long, has_header: Boolean, n_items: Long,
+                        header_total: Double, items_total: Double)
+
+  /** Cogrouped order/line-item reconciliation — the typed `cogroup`
+    * API: both sides hash to the same key partitioning, then each
+    * order's header(s) and items stream through one closure together.
+    * The relational equivalent is a full-outer join + groupBy; cogroup
+    * does it in ONE co-partitioned pass with no intermediate join row
+    * explosion, which is what you want when the per-key logic is
+    * genuinely imperative (validation, conflict resolution).
+    */
+  def reconcileOrders(orders: Dataset[OrderHeader],
+                      items: Dataset[LineItem]): Dataset[OrderRecon] = {
+    import orders.sparkSession.implicits._
+    orders.groupByKey(_.o_orderkey)
+      .cogroup(items.groupByKey(_.l_orderkey)) { (key, hs, is) =>
+        val headers = hs.toSeq
+        var n = 0L
+        var total = BigDecimal(0)
+        is.foreach { it => n += 1; total += BigDecimal(it.l_extendedprice) }
+        Iterator.single(OrderRecon(key, headers.nonEmpty, n,
+          headers.headOption.map(_.o_totalprice).getOrElse(0.0),
+          total.toDouble))
+      }
+  }
 }

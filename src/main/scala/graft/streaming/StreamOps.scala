@@ -85,6 +85,54 @@ object StreamOps {
       }
   }
 
+  /** HLL-backed per-sku state row for the transformWithState variant. */
+  case class SkuHllState(quantity: BigDecimal, regs: Array[Byte])
+
+  /** s08: the s01b state machine on Spark 4's `transformWithState` —
+    * the successor API to flatMapGroupsWithState (typed ValueState
+    * handles, TTL support, timers; requires the RocksDB state store
+    * provider). Same semantics as s01b: exact quantity + HLL distinct
+    * orders, update-mode changelog.
+    */
+  class SkuStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SkuEvent, SkuStats] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[SkuHllState] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SkuHllState](
+        "sku_stats", Encoders.product[SkuHllState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SkuEvent],
+                                 timers: TimerValues): Iterator[SkuStats] = {
+      import graft.functions.Hll
+      val prev =
+        if (state.exists()) state.get()
+        else SkuHllState(BigDecimal(0), Hll.emptyRegisters())
+      var q = prev.quantity
+      val regs = prev.regs
+      rows.foreach { e =>
+        q += BigDecimal(e.l_quantity)
+        Hll.add(regs, e.l_orderkey)
+      }
+      state.update(SkuHllState(q, regs))
+      Iterator.single(SkuStats(key, q, Hll.estimate(regs)))
+    }
+  }
+
+  /** s08 entry point. The session must run the RocksDB state store
+    * (spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider) — transformWithState requires it.
+    */
+  def streamProductStatsTws(events: Dataset[SkuEvent]): Dataset[SkuStats] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events
+      .groupByKey(_.l_partkey)
+      .transformWithState(new SkuStatsProcessor, TimeMode.None(), OM.Update())
+  }
+
   /** A mergeable per-sku stats record for the restore path: partial
     * quantity + serialized HLL order sketch (what the V1 changelog
     * carries, re-expressed as bounded state).

@@ -76,6 +76,28 @@ class CoreOpsSpec extends AnyFunSuite {
     assertSameRows(CoreOps.statsMerge(li), CoreOps.productStats(li))
   }
 
+  test("cogroup reconciliation agrees with the join-based computation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, sum}
+    val headers = orders.select(col("o_orderkey"), col("o_totalprice"))
+      .as[graft.operators.TypedOps.OrderHeader]
+    val items = li.selectExpr("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .as[graft.sources.Models.LineItem]
+    val recon = graft.operators.TypedOps.reconcileOrders(headers, items).toDF()
+    // row count = all orders ∪ all item orderkeys
+    val allKeys = orders.select(col("o_orderkey"))
+      .union(li.select(col("l_orderkey"))).distinct().count()
+    assert(recon.count() == allKeys)
+    // item counts match a relational groupBy
+    val viaJoin = li.groupBy(col("l_orderkey")).agg(count("*").as("n"))
+    val cmp = recon.join(viaJoin, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("n_items") =!= col("n"))
+    assert(cmp.count() == 0)
+    assert(recon.filter(!col("has_header")).count() == 0) // FK-complete data
+  }
+
   test("typed Aggregator product stats equals the untyped plan") {
     import spark.implicits._
     val typed = graft.operators.TypedOps.productStatsTyped(

@@ -88,6 +88,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(Hll.estimate(s) - 200L) <= 7)
   }
 
+  test("s08 transformWithState stats match flatMapGroupsWithState (s01b)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"))
+        .as[StreamOps.SkuEvent].collect()
+      val source = MemoryStream[StreamOps.SkuEvent]
+      val q = StreamOps.streamProductStatsTws(source.toDS())
+        .writeStream.format("memory").queryName("s08_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        val (first, second) = li.splitAt(li.length / 2)
+        source.addData(first.toSeq); q.processAllAvailable()
+        source.addData(second.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val latest = spark.table("s08_out").groupBy(col("l_partkey"))
+        .agg(max(col("quantity")).cast("double").as("quantity"),
+          max(col("orders")).as("orders"))
+      val exact = graft.operators.CoreOps.productStats(Tables.lineitem(spark, sfDir))
+      val j = latest.join(exact.withColumnRenamed("quantity", "q_exact")
+        .withColumnRenamed("orders", "o_exact"), "l_partkey")
+      assert(j.count() == exact.count())
+      assert(j.filter(col("quantity") =!= col("q_exact")).count() == 0)
+      assert(j.filter(
+        abs(col("orders") - col("o_exact")) > col("o_exact") * 0.05 + 1).count() == 0)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("s05 restore stream merges V1 sketches into V2 state correctly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
