@@ -83,6 +83,7 @@ object SparkEntry {
     "q34_asof_join" -> ((s, d) =>
       AsofJoin.eventsAsofOrders(Tables.events(s, d), Tables.orders(s, d))),
     "q35_json_props" -> ((s, d) => Analytics.jsonPropsAgg(Tables.events(s, d))),
+    "q36_label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
   )
@@ -303,6 +304,12 @@ object SparkEntry {
                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                FROM events)
          GROUP BY event_type""",
+    "q36_label_centroids" ->
+      """SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,
+                CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / 1000000.0 / count(*) AS mean_val
+         FROM embeddings, range(1, 65) AS t(i)
+         GROUP BY label, i""",
     // q28b: identical semantics + FP contract as q28, different physical
     // kernel (blocked mapPartitions sweep) — same oracle by design.
     "q28b_knn_blocked" ->

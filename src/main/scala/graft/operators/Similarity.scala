@@ -215,6 +215,24 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** q36: per-label centroids — the embedding-quality op behind IVF
+    * codebook training and cluster drift monitoring: element-wise mean
+    * vector per label, emitted relationally as (label, pos, n,
+    * mean_val) so the 64-wide vector never rides through the shuffle
+    * as an array. Components are quantized to integer micro-units
+    * (floor(x·1e6 + 0.5) — pure double IEEE ops, identical on any
+    * engine; a DECIMAL cast would tie-break .5s half-up here and
+    * half-even elsewhere) and summed as longs: exact under any
+    * partitioning, bit-equal to the DuckDB oracle.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .groupBy(col("label"), (col("pos0") + 1).cast("long").as("pos"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("v").cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1000000.0) / count(lit(1))).as("mean_val"))
+
   /** q30: near-duplicate pairs by cosine ≥ tau (exact, pair ids only —
     * same FP-stability rationale as q28). Emits each qualifying pair
     * once with id_a < id_b.

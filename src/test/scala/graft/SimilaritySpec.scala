@@ -83,6 +83,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hit.toDouble / n > 0.3, s"recall ${hit.toDouble / n}")
   }
 
+  test("q36 centroids: one row per (label, pos), n consistent per label") {
+    val out = Similarity.labelCentroids(emb)
+    val dims = 64
+    val labels = emb.select("label").distinct().count()
+    assert(out.count() == labels * dims)
+    // every position of a label reports the same member count
+    val bad = out.groupBy("label")
+      .agg(countDistinct("n").as("dn"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("dn") =!= 1 || col("mx") =!= dims || col("mn") =!= 1)
+    assert(bad.count() == 0)
+    // n sums (over one fixed pos) to the corpus size
+    val total = out.filter(col("pos") === 1)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total == emb.count())
+  }
+
   test("q30 embedding dedup finds the planted pair and respects id_a < id_b") {
     val out = Similarity.embeddingDedup(planted, tau = 0.999)
     val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
