@@ -78,6 +78,7 @@ object SparkEntry {
     "q28b_knn_blocked" -> ((s, d) => Similarity.knnBruteForceBlocked(Tables.embeddings(s, d))),
     "q29_knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
     "q30_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(Tables.embeddings(s, d))),
+    "q30b_embedding_dedup_lsh" -> ((s, d) => Similarity.embeddingDedupLsh(Tables.embeddings(s, d))),
     "q32_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
     "q33_vocabulary" -> ((s, d) => TextOps.vocabulary(Tables.documents(s, d))),
     "q34_asof_join" -> ((s, d) =>
@@ -343,6 +344,47 @@ object SparkEntry {
                  list_transform(range(1, len(a.embedding)+1),
                    i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))),
                  (acc, x) -> acc + x) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.35""",
+    // q30b: the signature (QrhpSignatureExpr) is pure 31-bit integer
+    // arithmetic, replayed verbatim below — candidate sets and the
+    // exact-cosine verify are engine-independent, so this approximate
+    // operator is still rows+schema+hash oracle-checked.
+    "q30b_embedding_dedup_lsh" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (acc, x) -> acc + x) AS n2
+           FROM embeddings),
+         w AS (
+           SELECT j, d, (s5 // 65536 - 16384) AS w FROM (
+             SELECT j, d, (1103515245 * xor(s3, s3 // 2048) + 12345) % 2147483648 AS s5 FROM (
+               SELECT j, d, (1103515245 * xor(s1, s1 // 65536) + 12345) % 2147483648 AS s3 FROM (
+                 SELECT j, d, (1103515245 * (j*67 + d) + 12345) % 2147483648 AS s1
+                 FROM range(0, 64) t1(j), range(0, 64) t2(d))))),
+         qv AS (
+           SELECT vec_id, d,
+                  CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS q
+           FROM e, range(0, 64) t(d)),
+         bits AS (
+           SELECT vec_id, j, CASE WHEN sum(q * w) >= 0 THEN 1 ELSE 0 END AS bit
+           FROM qv JOIN w USING (d)
+           GROUP BY vec_id, j),
+         bands AS (
+           SELECT vec_id, j // 4 AS band_id, sum(bit * (1 << (j % 4))) AS band_sig
+           FROM bits GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+            AND a.vec_id < b.vec_id)
+         SELECT id_a, id_b
+         FROM cand
+         JOIN e ea ON ea.vec_id = id_a
+         JOIN e eb ON eb.vec_id = id_b
+         WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(ea.embedding)+1),
+                   i -> CAST(ea.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(eb.embedding[CAST(i AS INT)] AS DOUBLE))),
+                 (acc, x) -> acc + x) / (sqrt(ea.n2) * sqrt(eb.n2)) >= 0.35""",
     "q31_multimodal_meta" ->
       """SELECT doc_id,
                 CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,

@@ -147,6 +147,97 @@ case class RhpSignatureExpr(child: Expression, nBits: Int)
     copy(child = newChild)
 }
 
+/** Hyperplane weights for the ORACLE-REPRODUCIBLE signature variant
+  * (QrhpSignatureExpr): every operation is exact 31-bit integer
+  * arithmetic — three multiply-mod-2³¹ rounds with xor-shift mixing in
+  * between (murmur-finalizer style, kept under 2³¹ so DuckDB's
+  * overflow-checked BIGINT math can replay it verbatim in SQL). No
+  * float enters the weight, so Spark and DuckDB agree bit-for-bit.
+  * The plain splitmix64-based RhpPlanes above is NOT SQL-replayable
+  * (64-bit wrapping multiply overflows DuckDB), which is exactly why
+  * this second family exists.
+  */
+object QrhpPlanes {
+  final val Mod: Long = 2147483648L // 2^31
+  def weight(j: Int, d: Int): Long = {
+    val x = j.toLong * 67L + d.toLong
+    val s1 = (1103515245L * x + 12345L) % Mod
+    val s2 = s1 ^ (s1 >> 16)
+    val s3 = (1103515245L * s2 + 12345L) % Mod
+    val s4 = s3 ^ (s3 >> 11)
+    val s5 = (1103515245L * s4 + 12345L) % Mod
+    (s5 >> 16) - 16384L // top 15 bits, centered: [-16384, 16384)
+  }
+}
+
+/** Quantized random-hyperplane signature: bit j = sign(Σ_d w(j,d) ·
+  * q_d) where q_d = floor(emb[d]·2²⁰ + 0.5) (exact: ·2²⁰ is an
+  * exponent shift, the +0.5/floor is the same pure-double rounding used
+  * by q36). The whole bit is integer arithmetic — no FP sign wobble —
+  * so a DuckDB oracle computes the IDENTICAL signature in SQL and
+  * LSH-candidate sets match exactly across engines. |Σ| ≤ 64·2¹⁴·|q|
+  * stays far under 2⁶³ for any sane embedding scale.
+  */
+case class QrhpSignatureExpr(child: Expression, nBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nBits >= 1 && nBits <= 64, "nBits in [1, 64]")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"qrhp_signature needs array<float>, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < nBits) {
+      var acc = 0L
+      var d = 0
+      while (d < dim) {
+        val q = math.floor(a.getFloat(d).toDouble * 1048576.0 + 0.5).toLong
+        acc += QrhpPlanes.weight(j, d) * q
+        d += 1
+      }
+      if (acc >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val sig = ctx.freshName("sig")
+      val dim = ctx.freshName("dim")
+      val q = ctx.freshName("q")
+      s"""
+         |int $dim = $a.numElements();
+         |long $sig = 0L;
+         |for (int $j = 0; $j < $nBits; $j++) {
+         |  long $acc = 0L;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    long $q = (long) java.lang.Math.floor((double) $a.getFloat($d) * 1048576.0 + 0.5);
+         |    $acc += graft.functions.QrhpPlanes.weight($j, $d) * $q;
+         |  }
+         |  if ($acc >= 0L) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Sequential-order double dot product of two float-array columns. */
   def dot_d(a: Column, b: Column): Column =
@@ -155,4 +246,10 @@ object VectorFunctions {
   /** nBits-bit random-hyperplane LSH signature of a float-array column. */
   def rhp_signature(emb: Column, nBits: Int): Column =
     Bridge.column(RhpSignatureExpr(Bridge.expression(emb), nBits))
+
+  /** nBits-bit QUANTIZED random-hyperplane signature (integer-exact,
+    * DuckDB-oracle-reproducible) of a float-array column.
+    */
+  def qrhp_signature(emb: Column, nBits: Int): Column =
+    Bridge.column(QrhpSignatureExpr(Bridge.expression(emb), nBits))
 }

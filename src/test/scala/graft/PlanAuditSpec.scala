@@ -80,6 +80,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CodegenFallback"), s)
   }
 
+  test("q30 block-pair dedup plans as an equi-join: no nested-loop, no cartesian") {
+    // the r1 formulation was a non-equi join -> BroadcastNestedLoopJoin
+    // (whole side broadcast, O(N^2) in one task's hands). The
+    // 1-Bucket-Theta rewrite must shuffle on the task key instead.
+    val df = graft.operators.Similarity.embeddingDedup(Tables.embeddings(spark, sfDir))
+    val s = finalPlanStr(df)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q30b LSH dedup: candidate generation is an equi-join on (band, sig)") {
+    val df = graft.operators.Similarity.embeddingDedupLsh(Tables.embeddings(spark, sfDir))
+    val s = finalPlanStr(df)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q21 fingerprint scan reads only doc_id and text") {
     val s = planStr(graft.operators.TextOps.docFingerprint(Tables.documents(spark, sfDir)))
     assert(!s.contains("n_chars"), "scan should not read n_chars")

@@ -111,4 +111,37 @@ class SimilaritySpec extends AnyFunSuite {
     val out = Similarity.embeddingDedup(emb, tau = 0.9)
     assert(out.count() == 0)
   }
+
+  test("q30 block-pair join matches the naive all-pairs result exactly") {
+    // reference: the r1 BroadcastNestedLoopJoin formulation, kept here
+    // as the test oracle for the balanced block-pair rewrite
+    val e = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm2(col("embedding")).as("n2"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("n2").as("na2"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("n2").as("nb2"))
+    val naive = a.join(b, col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("ea"), col("eb"), col("na2"), col("nb2")) >= 0.35)
+      .select(col("id_a"), col("id_b"))
+    assertSameRows(Similarity.embeddingDedup(emb, tau = 0.35, nBlocks = 4), naive)
+    // and block-count must not change the answer
+    assertSameRows(Similarity.embeddingDedup(emb, tau = 0.35, nBlocks = 7), naive)
+  }
+
+  test("q30b LSH dedup: planted clone pair always collides and verifies") {
+    val out = Similarity.embeddingDedupLsh(planted, tau = 0.999)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 999999L)))
+    assert(out.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+
+  test("q30b LSH dedup: no false positives (subset of exact) and recall >= 0.8") {
+    val exact = Similarity.embeddingDedup(emb).select("id_a", "id_b")
+    val lsh = Similarity.embeddingDedupLsh(emb).select("id_a", "id_b")
+    assert(lsh.exceptAll(exact).count() == 0, "LSH emitted a non-qualifying pair")
+    val nExact = exact.count()
+    val recall = lsh.intersect(exact).count().toDouble / nExact
+    // measured 0.897 at sf0.01: 16 bands × 4 bits against a corpus whose
+    // qualifying pairs sit at the 0.35 threshold (worst case for RHP)
+    assert(recall >= 0.8, s"recall $recall over $nExact exact pairs")
+  }
 }
