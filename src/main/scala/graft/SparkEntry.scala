@@ -261,6 +261,68 @@ object SparkEntry {
                     t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
                   / CAST(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS DOUBLE) AS stopword_ratio
          FROM documents""",
+    // q24: the stopword-hit argmax is plain SQL — DuckDB's max() over a
+    // {hits, lang} struct compares fields in declaration order, exactly
+    // like Spark's greatest(struct(hits, lang)).
+    "q24_lang_id" ->
+      """WITH sc AS (
+           SELECT d.doc_id, d.lang AS claimed_lang,
+                  max({'hits': len(list_filter(
+                         regexp_split_to_array(lower(regexp_replace(d.text, '^\s+|\s+$', '', 'g')), '\s+'),
+                         t -> list_contains(sl.stops, t))),
+                       'lang': sl.cand_lang}) AS g
+           FROM documents d, (VALUES
+             ('en', ['the','and','of','to','is','it','that','for']),
+             ('es', ['el','la','de','que','los','una','por','con']),
+             ('de', ['der','die','das','und','ist','nicht','ein','mit']),
+             ('fr', ['le','les','des','une','est','dans','pour','sur']),
+             ('zh', ['de5','shi4','bu4','wo3','zhe4','le5','ren2','ni3'])) sl(cand_lang, stops)
+           GROUP BY d.doc_id, d.lang)
+         SELECT doc_id, g['lang'] AS pred_lang,
+                CAST(g['hits'] AS BIGINT) AS stopword_hits, claimed_lang
+         FROM sc""",
+    // q27: hashing only gates set membership in the Spark version, so
+    // recomputing with STRING shingles yields identical values (xxhash64
+    // collisions at this scale: ~N_shingles² · 2⁻⁶⁴ ≈ 0).
+    "q27_ngram_jaccard" ->
+      """WITH norm AS (
+           SELECT doc_id,
+                  regexp_replace(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+', ' ', 'g') AS norm
+           FROM documents),
+         post AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, greatest(length(norm) - 6, 1) + 1),
+                    i -> substring(norm, CAST(i AS INT), 7)))) AS shingle
+           FROM norm),
+         df AS (SELECT shingle, count(*) AS df FROM post GROUP BY 1),
+         pruned AS (SELECT doc_id, shingle FROM post JOIN df USING (shingle) WHERE df <= 256),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT id_a, id_b, n_common,
+                  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+           FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b),
+         dirs AS (
+           SELECT id_a AS doc_id, id_b AS partner, n_common, jaccard FROM scored
+           UNION ALL
+           SELECT id_b AS doc_id, id_a AS partner, n_common, jaccard FROM scored),
+         best AS (
+           SELECT doc_id,
+                  max({'jaccard': jaccard, 'tb': -partner, 'partner': partner, 'nc': n_common}) AS b
+           FROM dirs GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(COALESCE(s.n_sh, 0) AS BIGINT) AS n_shingles,
+                bb.b['partner'] AS best_neighbor,
+                bb.b['nc'] AS best_common,
+                bb.b['jaccard'] AS best_jaccard
+         FROM (SELECT doc_id FROM documents) d
+         LEFT JOIN sizes s ON s.doc_id = d.doc_id
+         LEFT JOIN best bb ON bb.doc_id = d.doc_id""",
     "q33_vocabulary" ->
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          FROM (SELECT doc_id,

@@ -113,10 +113,15 @@ object TextOps {
     "fr" -> Seq("le", "les", "des", "une", "est", "dans", "pour", "sur"),
     "zh" -> Seq("de5", "shi4", "bu4", "wo3", "zhe4", "le5", "ren2", "ni3"))
 
-  /** q24 (rows-only): language identification — scores each language by
-    * stopword hits over whitespace tokens, argmax with deterministic
-    * lexicographic tie-break. One row per document. A per-row O(tokens ×
-    * langs) expression: no shuffle at all.
+  /** q24: language identification — scores each language by stopword
+    * hits over whitespace tokens, argmax with deterministic
+    * lexicographic tie-break (greatest(struct…) orders by hits then
+    * lang: ties resolve to the lexicographically LAST lang — the DuckDB
+    * oracle's max-of-struct uses the identical field order). One row
+    * per document; a per-row O(tokens × langs) expression, no shuffle.
+    * The winning struct is hoisted into ONE column before field
+    * extraction so the greatest-of-structs tree is built (and
+    * evaluated) once, not per extracted field.
     */
   def langId(documents: DataFrame): DataFrame = {
     val toks = split(lower(wsTrim(col("text"))), "\\s+")
@@ -126,13 +131,14 @@ object TextOps {
         size(filter(toks, t => array_contains(arr, t))).as("hits"),
         lit(lang).as("lang"))
     }
-    // greatest(struct…) orders by hits then lang: ties resolve to the
-    // lexicographically LAST lang; flip sign of nothing — acceptable and
-    // deterministic. Pull out the winning lang.
     documents.select(
-      col("doc_id"),
-      greatest(scored: _*).getField("lang").as("pred_lang"),
-      greatest(scored: _*).getField("hits").cast("long").as("stopword_hits"),
-      col("lang").as("claimed_lang"))
+        col("doc_id"),
+        greatest(scored: _*).as("g"),
+        col("lang").as("claimed_lang"))
+      .select(
+        col("doc_id"),
+        col("g.lang").as("pred_lang"),
+        col("g.hits").cast("long").as("stopword_hits"),
+        col("claimed_lang"))
   }
 }

@@ -47,6 +47,15 @@ class SimilaritySpec extends AnyFunSuite {
         .select(col("vec_id"), col("neighbor_id"), col("rank")))
   }
 
+  test("q28b sharded build side (multiple chunks) still matches exactly") {
+    // force several hash-chunks (N=500 -> 4 chunks of ~125): per-chunk
+    // sweeps + top_k_by merge must reproduce the single-broadcast result
+    assertSameRows(
+      Similarity.knnBruteForceBlocked(emb, 7, maxChunkRows = 130),
+      Similarity.knnBruteForce(emb, 7)
+        .select(col("vec_id"), col("neighbor_id"), col("rank")))
+  }
+
   test("q29 LSH: clone lands in the same bucket with cosine 1.0 at rank 1") {
     val out = Similarity.knnLsh(planted)
     val row = out.filter(col("vec_id") === 999999L && col("rank") === 1).head()
