@@ -97,6 +97,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("bucketed lineitem+orders: q06/q10-shaped join+agg plans ZERO exchanges") {
+    // storage-side analog of the reference's co-partitioned topics
+    // (BuildSystem.java): both facts bucketed on the orderkey with the
+    // same bucket count -> the fact⋈fact join AND the same-key groupBy
+    // both read the bucket layout as their distribution, so the whole
+    // reassembly pipeline runs without a single exchange.
+    import org.apache.spark.sql.functions._
+    import graft.sources.TableWriter
+    for (t <- Seq("li_coloc", "o_coloc")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
+    TableWriter.writeBucketed(Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity"), "li_coloc", "l_orderkey", 8)
+    TableWriter.writeBucketed(Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice"), "o_coloc", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+      val df = spark.table("li_coloc")
+        .join(spark.table("o_coloc"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("item_count"), sum(col("l_quantity")).as("total_qty"))
+      val s = finalPlanStr(df)
+      assert(!s.contains("Exchange"), s)
+      // sanity: it is still a real join+agg over all line items
+      assert(df.agg(sum(col("item_count"))).head().getLong(0)
+        == Tables.lineitem(spark, sfDir).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q21 fingerprint scan reads only doc_id and text") {
     val s = planStr(graft.operators.TextOps.docFingerprint(Tables.documents(spark, sfDir)))
     assert(!s.contains("n_chars"), "scan should not read n_chars")
