@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductD, HllEstimate, HllSketchAgg, RhpSignatureExpr}
+import graft.functions.{DotProductD, HllEstimate, HllSketchAgg, QrhpSignatureExpr, RhpSignatureExpr}
 
 /** Session extension registering graft's native Catalyst functions for
   * SQL use — `spark.sql.extensions=graft.GraftExtensions` on a cluster,
@@ -42,8 +42,16 @@ object GraftExtensions {
     ("rhp_signature",
       new ExpressionInfo(classOf[RhpSignatureExpr].getName, "rhp_signature"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, "rhp_signature(arrayFloat, nBitsLiteral)")
-        RhpSignatureExpr(exprs(0), intLit(exprs(1), "rhp_signature nBits"))
+        require(exprs.length == 2 || exprs.length == 3,
+          "rhp_signature(arrayFloat, nBitsLiteral[, offsetLiteral])")
+        val off = if (exprs.length == 3) intLit(exprs(2), "rhp_signature offset") else 0
+        RhpSignatureExpr(exprs(0), intLit(exprs(1), "rhp_signature nBits"), off)
+      }),
+    ("qrhp_signature",
+      new ExpressionInfo(classOf[QrhpSignatureExpr].getName, "qrhp_signature"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "qrhp_signature(arrayFloat, nBitsLiteral)")
+        QrhpSignatureExpr(exprs(0), intLit(exprs(1), "qrhp_signature nBits"))
       }),
     ("hll_sketch",
       new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),

@@ -90,9 +90,10 @@ object RhpPlanes {
   * 512-node expression tree whose generated code takes seconds to
   * janino-compile and can fall out of codegen entirely.
   */
-case class RhpSignatureExpr(child: Expression, nBits: Int)
+case class RhpSignatureExpr(child: Expression, nBits: Int, offset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(nBits >= 1 && nBits <= 64, "nBits in [1, 64]")
+  require(offset >= 0, "offset >= 0")
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -113,7 +114,7 @@ case class RhpSignatureExpr(child: Expression, nBits: Int)
       var acc = 0.0
       var d = 0
       while (d < dim) {
-        acc += a.getFloat(d).toDouble * RhpPlanes.plane(j, d)
+        acc += a.getFloat(d).toDouble * RhpPlanes.plane(offset + j, d)
         d += 1
       }
       if (acc > 0) sig |= (1L << j)
@@ -135,7 +136,7 @@ case class RhpSignatureExpr(child: Expression, nBits: Int)
          |for (int $j = 0; $j < $nBits; $j++) {
          |  double $acc = 0.0;
          |  for (int $d = 0; $d < $dim; $d++) {
-         |    $acc += (double) $a.getFloat($d) * graft.functions.RhpPlanes.plane($j, $d);
+         |    $acc += (double) $a.getFloat($d) * graft.functions.RhpPlanes.plane($offset + $j, $d);
          |  }
          |  if ($acc > 0) $sig |= (1L << $j);
          |}
@@ -243,9 +244,13 @@ object VectorFunctions {
   def dot_d(a: Column, b: Column): Column =
     Bridge.column(DotProductD(Bridge.expression(a), Bridge.expression(b)))
 
-  /** nBits-bit random-hyperplane LSH signature of a float-array column. */
-  def rhp_signature(emb: Column, nBits: Int): Column =
-    Bridge.column(RhpSignatureExpr(Bridge.expression(emb), nBits))
+  /** nBits-bit random-hyperplane LSH signature of a float-array column.
+    * `offset` shifts the global hyperplane index — independent tables
+    * draw disjoint plane ranges (table t passes offset = t·nBits), so
+    * the table count is not capped by one 64-bit signature.
+    */
+  def rhp_signature(emb: Column, nBits: Int, offset: Int = 0): Column =
+    Bridge.column(RhpSignatureExpr(Bridge.expression(emb), nBits, offset))
 
   /** nBits-bit QUANTIZED random-hyperplane signature (integer-exact,
     * DuckDB-oracle-reproducible) of a float-array column.

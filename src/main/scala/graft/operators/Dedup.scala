@@ -52,20 +52,23 @@ object Dedup {
         expr(s"""transform(sequence(1, greatest(length(norm) - ${n - 1}, 1)),
                  i -> xxhash64(substring(norm, i, $n)))"""))).as("shingle"))
 
-  /** q25 (rows-only): MinHash + LSH banded dedup.
-    *
-    * numPerm minhash permutations (h_i(s) = xxhash64(i, s)), banded into
-    * `bands` bands of numPerm/bands rows; docs sharing any band
-    * signature become candidates; candidates are verified with EXACT
-    * shingle-set Jaccard and counted as duplicates at `tau`.
-    * Output: one row per document — doc_id, n_shingles, n_candidates,
-    * n_dups — so the result is non-empty even on a dup-free corpus.
+  /** LSH candidate pairs with their EXACT (pruning-free) Jaccard —
+    * the pair-level core of q25, exposed so recall gates can compare
+    * the banded candidate set against `exactJaccardPairs` ground truth.
+    * Output: (id_a < id_b, n_common, jaccard) for every pair sharing at
+    * least one of `bands` band signatures.
     */
-  def dedupMinHash(documents: DataFrame, numPerm: Int = 32, bands: Int = 8,
-                   shingleN: Int = 3, tau: Double = 0.5): DataFrame = {
+  def minHashPairs(documents: DataFrame, numPerm: Int = 32, bands: Int = 8,
+                   shingleN: Int = 3): DataFrame =
+    minHashVerified(postings(documents, shingleN), numPerm, bands)
+
+  /** Pair verification over an existing postings frame — shared by
+    * minHashPairs and dedupMinHash so the per-doc fold reuses the SAME
+    * postings subtree it verified against.
+    */
+  private def minHashVerified(post: DataFrame, numPerm: Int, bands: Int): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rows = numPerm / bands
-    val post = postings(documents, shingleN)
 
     // signature: one min per permutation — a single hash-partitioned
     // aggregation on doc_id with map-side partials.
@@ -99,13 +102,53 @@ object Dedup {
       .join(post.as("pb"), col("id_b") === col("pb.doc_id") &&
         col("pa.shingle") === col("pb.shingle"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
-    val verified = candidates
+    candidates
       .join(common, Seq("id_a", "id_b"), "left")
       .na.fill(0L, Seq("n_common"))
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+  }
+
+  /** Ground-truth word-shingle Jaccard pairs WITHOUT banding or df
+    * pruning: the full posting self-join. Θ(Σ df²) — the recall oracle
+    * for the approximate dedup paths at test scale, not a production
+    * operator.
+    */
+  def exactJaccardPairs(documents: DataFrame, shingleN: Int = 3,
+                        tau: Double = 0.5): DataFrame = {
+    val post = postings(documents, shingleN)
+    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = post.as("pa").join(post.as("pb"),
+        col("pa.shingle") === col("pb.shingle") &&
+        col("pa.doc_id") < col("pb.doc_id"))
+      .groupBy(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** q25 (rows-only): MinHash + LSH banded dedup.
+    *
+    * numPerm minhash permutations (h_i(s) = xxhash64(i, s)), banded into
+    * `bands` bands of numPerm/bands rows; docs sharing any band
+    * signature become candidates (minHashPairs above); candidates are
+    * verified with EXACT shingle-set Jaccard and counted as duplicates
+    * at `tau`. Output: one row per document — doc_id, n_shingles,
+    * n_candidates, n_dups — so the result is non-empty even on a
+    * dup-free corpus.
+    */
+  def dedupMinHash(documents: DataFrame, numPerm: Int = 32, bands: Int = 8,
+                   shingleN: Int = 3, tau: Double = 0.5): DataFrame = {
+    val post = postings(documents, shingleN)
+    val verified = minHashVerified(post, numPerm, bands)
+    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
     // fold pair stats back to one row per doc (both pair directions).
     val perDoc = verified.select(col("id_a").as("doc_id"), col("jaccard"))
@@ -122,15 +165,11 @@ object Dedup {
         col("n_candidates"), col("n_dups"))
   }
 
-  /** q26 (rows-only): 64-bit SimHash + Hamming-distance pairing.
-    *
-    * Bit j of the signature is the sign of Σ_tokens (±1 on bit j of
-    * xxhash64(token)) — computed as 64 map-side-combinable sums in ONE
-    * aggregation (no 64× row blowup). Near pairs (Hamming ≤ maxDist<4)
-    * are found by pigeonhole blocking on the 4 16-bit chunks.
-    * Output: one row per document — doc_id, simhash, n_near.
+  /** Per-document 64-bit SimHash signature: bit j is the sign of
+    * Σ_tokens (±1 on bit j of xxhash64(token)) — 64 map-side-combinable
+    * sums in ONE aggregation (no 64× row blowup).
     */
-  def dedupSimHash(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simHashSignatures(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"),
       explode(split(lower(graft.operators.TextOps.wsTrim(col("text"))), "\\s+")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
@@ -141,8 +180,17 @@ object Dedup {
     val simhash = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
       acc.bitwiseOR(when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
     }
-    val sigs = summed.select(col("doc_id"), simhash.as("simhash"))
+    summed.select(col("doc_id"), simhash.as("simhash"))
+  }
 
+  /** Near pairs (Hamming ≤ maxDist < 4) by pigeonhole blocking on the
+    * 4 16-bit signature chunks — with Hamming ≤ 3 and 4 chunks at least
+    * one chunk is untouched, so the chunk equi-join has recall 1 BY
+    * CONSTRUCTION over the signatures (asserted against brute force in
+    * DedupSpec). Output: (id_a < id_b).
+    */
+  def simHashNearPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sigs = simHashSignatures(documents)
     val chunks = sigs.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c => struct(lit(c).as("chunk_id"),
           shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk_val"))): _*)).as("ch"))
@@ -151,7 +199,7 @@ object Dedup {
 
     val a = chunks.as("a")
     val b = chunks.as("b")
-    val near = a.join(b,
+    a.join(b,
         col("a.chunk_id") === col("b.chunk_id") &&
         col("a.chunk_val") === col("b.chunk_val") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -159,7 +207,16 @@ object Dedup {
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
       .distinct()
       .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxDist)
+      .select(col("id_a"), col("id_b"))
+  }
 
+  /** q26 (rows-only): 64-bit SimHash + Hamming-distance pairing —
+    * simHashSignatures + simHashNearPairs folded to one row per
+    * document: doc_id, simhash, n_near.
+    */
+  def dedupSimHash(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sigs = simHashSignatures(documents)
+    val near = simHashNearPairs(documents, maxDist)
     val perDoc = near.select(col("id_a").as("doc_id"))
       .unionAll(near.select(col("id_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))

@@ -65,24 +65,59 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
-  /** q29 (rows-only): LSH-bucketed approximate top-k. Vectors hash to a
-    * `nBits`-bit random-hyperplane signature (graft.functions
-    * .RhpSignatureExpr — one codegen'd loop, deterministic hyperplanes);
-    * candidates are vectors in the same bucket; exact cosine ranks
-    * within the bucket. At scale the cost is Σ bucket² instead of N² —
-    * tune nBits so buckets stay O(N / 2^nBits). Output one row per
-    * vector (rank-1..k within bucket; singleton buckets emit a null
-    * neighbor).
+  /** q29 (rows-only): multi-table LSH approximate top-k. `nTables`
+    * independent random-hyperplane hash tables of `bandBits` bits each
+    * (RhpSignatureExpr with a per-table plane offset — tables are NOT
+    * capped by one 64-bit signature); candidates are vectors sharing
+    * ANY table bucket; exact cosine ranks the candidate set. Output one
+    * row per vector (null neighbor if all its buckets are singletons).
+    *
+    * Sizing rule (same logic as IVF's √N centroids): bandBits ≈
+    * log2(N / target-bucket-occupancy) bounds per-table cost at
+    * N × occupancy; nTables buys recall (miss ≈ (1 − p^bandBits)^nTables
+    * for per-bit collision p = 1 − θ/π). bandBits ≤ 0 auto-sizes from
+    * a count of the input (occupancy target ~32), so the candidate
+    * volume stays ~nTables × 32 × N at every scale instead of drifting
+    * toward all-pairs as N grows past 2^bandBits.
+    *
+    * Measured at 16 tables × 4 bits on the sf0.001 corpus (the auto
+    * choice at N=500): recall@1 ≈ 0.94 — against ISOTROPIC random
+    * vectors, LSH's worst case (median top-1 cosine is only 0.36
+    * there; real embedding corpora cluster, so the same budget buys
+    * far smaller buckets at equal recall). SimilaritySpec pins it.
     */
-  def knnLsh(embeddings: DataFrame, nBits: Int = 8, k: Int = 5): DataFrame = {
-    val sigs = embeddings.select(col("vec_id"), col("embedding"),
-        norm2(col("embedding")).as("n2"),
-        graft.functions.VectorFunctions.rhp_signature(col("embedding"), nBits).as("bucket"))
-    val a = sigs.select(col("bucket"), col("vec_id"), col("embedding").as("ea"), col("n2").as("na2"))
-    val b = sigs.select(col("bucket"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("eb"), col("n2").as("nb2"))
-    // same narrow projection + bounded top-k aggregation as q28
-    val pairs = a.join(b, Seq("bucket")).filter(col("vec_id") =!= col("neighbor_id"))
+  def knnLsh(embeddings: DataFrame, nTables: Int = 16, bandBits: Int = 0,
+             k: Int = 5): DataFrame = {
+    val bb =
+      if (bandBits > 0) bandBits
+      else {
+        val n = embeddings.count()
+        math.min(24, math.max(4,
+          math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt))
+      }
+    val sigCols = (0 until nTables).map { t =>
+      graft.functions.VectorFunctions
+        .rhp_signature(col("embedding"), bb, t * bb).as(s"sig$t")
+    }
+    val e = embeddings.select(
+      Seq(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2")) ++ sigCols: _*)
+    val bandStructs = (0 until nTables).map { t =>
+      struct(lit(t).as("band_id"), col(s"sig$t").as("band_sig"))
+    }
+    val bands = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band_id").as("band_id"),
+        col("bb.band_sig").as("band_sig"))
+    // directed candidate pairs deduped across tables, then scored once
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
+      .distinct()
+    val pairs = cand
+      .join(e.select(col("vec_id"), col("embedding").as("ea"), col("n2").as("na2")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+        col("n2").as("nb2")), Seq("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
         cosine(col("ea"), col("eb"), col("na2"), col("nb2")).as("cos"))
     val ranked = pairs.groupBy(col("vec_id"))
@@ -90,10 +125,9 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("vec_id"), col("t.id").as("neighbor_id"),
         (col("pos") + 1).as("rank"), col("t.ord").as("cos"))
-    sigs.select(col("vec_id"), col("bucket"))
+    e.select(col("vec_id"))
       .join(ranked, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("bucket"), col("neighbor_id"),
-        col("rank"), col("cos"))
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
   /** q28b: the same exact cosine top-k as knnBruteForce, as a blocked

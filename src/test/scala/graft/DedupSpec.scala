@@ -49,6 +49,48 @@ class DedupSpec extends AnyFunSuite {
     for (i <- 0 until 10) assert(near.contains(i.toLong) && near.contains(i + 100000L))
   }
 
+  /** Corpus with NEAR-duplicates (not exact copies): clones of the
+    * first 20 docs with 1–3 filler words appended — shingle Jaccard
+    * lands high but below 1.0, so banding has to actually work.
+    */
+  lazy val perturbed = {
+    val filler = concat(col("text"), lit(" zz1"),
+      when(col("doc_id") % 3 >= 1, lit(" zz2")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 2, lit(" zz3")).otherwise(lit("")))
+    val clones = docs.filter(col("doc_id") < 20)
+      .withColumn("text", filler)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    docs.unionAll(clones)
+  }
+
+  test("q25 recall gate: banded candidates cover >= 90% of exact Jaccard pairs") {
+    val exact = Dedup.exactJaccardPairs(perturbed, shingleN = 3, tau = 0.5)
+      .select("id_a", "id_b")
+    val nExact = exact.count()
+    assert(nExact >= 20, s"perturbation too strong: only $nExact exact pairs")
+    val found = Dedup.minHashPairs(perturbed)
+      .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+    // verified candidates are exact-Jaccard-scored, so they must be a
+    // subset of ground truth...
+    assert(found.exceptAll(exact).count() == 0)
+    // ...and banding must not lose more than 10% of true pairs
+    val recall = found.intersect(exact).count().toDouble / nExact
+    assert(recall >= 0.9, s"recall $recall over $nExact pairs")
+  }
+
+  test("q26 pigeonhole blocking finds EXACTLY the brute-force Hamming pairs") {
+    val sigs = Dedup.simHashSignatures(perturbed)
+    val a = sigs.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+      .select("id_a", "id_b")
+    // Hamming <= 3 over 4 chunks leaves one chunk untouched, so chunk
+    // blocking is lossless by construction: recall is exactly 1
+    assertSameRows(Dedup.simHashNearPairs(perturbed, maxDist = 3), brute)
+    assert(brute.count() >= 1, "perturbed corpus should contain Hamming-near pairs")
+  }
+
   test("q27 ngram jaccard: planted clone is the best neighbor at 1.0") {
     val out = Dedup.ngramJaccard(planted)
     val best = out.filter(col("doc_id") < 10)

@@ -14,10 +14,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.sources.Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb")
     val row = spark.sql(
       """SELECT dot_d(embedding, embedding) AS n2,
-                rhp_signature(embedding, 16) AS bucket
+                rhp_signature(embedding, 16) AS bucket,
+                rhp_signature(embedding, 16, 16) AS bucket2,
+                qrhp_signature(embedding, 16) AS qbucket
          FROM emb LIMIT 1""").head()
     assert(row.getDouble(0) > 0.0)
     assert(row.getLong(1) >= 0L && row.getLong(1) < (1L << 16))
+    // offset selects DIFFERENT hyperplanes: same width, different bucket
+    assert(row.getLong(2) >= 0L && row.getLong(2) < (1L << 16))
+    assert(row.getLong(3) >= 0L && row.getLong(3) < (1L << 16))
   }
 
   test("SQL dot_d matches the Scala DSL dot product exactly") {
@@ -38,6 +43,6 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     // builder-level smoke: definitions registered without throwing
     assert(GraftExtensions.definitions.map(_._1).toSet ==
-      Set("dot_d", "rhp_signature", "hll_sketch", "hll_estimate"))
+      Set("dot_d", "rhp_signature", "qrhp_signature", "hll_sketch", "hll_estimate"))
   }
 }

@@ -56,13 +56,27 @@ class SimilaritySpec extends AnyFunSuite {
         .select(col("vec_id"), col("neighbor_id"), col("rank")))
   }
 
-  test("q29 LSH: clone lands in the same bucket with cosine 1.0 at rank 1") {
+  test("q29 LSH: clone collides in every table, cosine 1.0 at rank 1") {
     val out = Similarity.knnLsh(planted)
     val row = out.filter(col("vec_id") === 999999L && col("rank") === 1).head()
     assert(row.getAs[Long]("neighbor_id") == 0L)
     assert(math.abs(row.getAs[Double]("cos") - 1.0) < 1e-12)
-    // every vector appears (singleton buckets included, null neighbor)
+    // every vector appears (all-singleton-bucket vectors included, null neighbor)
     assert(out.select("vec_id").distinct().count() == planted.count())
+  }
+
+  test("q29 LSH recall gate: top-1 matches brute force for >= 85% of vectors") {
+    val lsh = Similarity.knnLsh(emb).filter(col("rank") === 1)
+      .select(col("vec_id"), col("neighbor_id").as("lsh_nn"))
+    val bf = Similarity.knnBruteForce(emb, 1)
+      .select(col("vec_id"), col("neighbor_id").as("bf_nn"))
+    val joined = bf.join(lsh, Seq("vec_id"), "left")
+    val n = joined.count()
+    val hit = joined.filter(col("lsh_nn") === col("bf_nn")).count()
+    val recall = hit.toDouble / n
+    // measured 0.94 at 16 tables x 4 bits on this corpus (isotropic
+    // random vectors - the hardest case; see knnLsh scaladoc)
+    assert(recall >= 0.85, s"recall@1 $recall over $n vectors")
   }
 
   test("q32 IVF: clone shares the centroid list and ranks first at cos 1.0") {
