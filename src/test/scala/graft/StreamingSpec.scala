@@ -262,6 +262,104 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("doc_id") >= 100000).count() == 0) // first wins
   }
 
+  private def freshDir(name: String): String = {
+    val dir = new java.io.File(s"/tmp/graft-test-$name")
+    if (dir.exists()) { import scala.reflect.io.Directory; new Directory(dir).deleteRecursively() }
+    dir.getAbsolutePath
+  }
+
+  test("s09 exactly-once sink: duplicate batch delivery leaves the snapshot unchanged") {
+    import spark.implicits._
+    import graft.streaming.ExactlyOnceSink
+    val dir = freshDir("eos")
+    def snap(): Seq[String] = ExactlyOnceSink.snapshot(spark, dir).get
+      .collect().map(_.toString).sorted.toSeq
+
+    val b0 = Seq((1L, 10.0), (2L, 20.0)).toDF("o_orderkey", "total")
+    val b1 = Seq((2L, 25.0), (3L, 30.0)).toDF("o_orderkey", "total")
+
+    ExactlyOnceSink.upsertBatch(dir, Seq("o_orderkey"))(b0, 0L)
+    val afterB0 = snap()
+    assert(afterB0.size == 2)
+    // duplicate delivery of batch 0 (checkpoint-recovery replay)
+    ExactlyOnceSink.upsertBatch(dir, Seq("o_orderkey"))(b0, 0L)
+    assert(snap() == afterB0)
+
+    // batch 1: updates key 2, inserts key 3 — the keyed MERGE
+    ExactlyOnceSink.upsertBatch(dir, Seq("o_orderkey"))(b1, 1L)
+    val afterB1 = snap()
+    assert(afterB1.size == 3)
+    assert(ExactlyOnceSink.snapshot(spark, dir).get
+      .filter(col("o_orderkey") === 2L).head().getDouble(1) == 25.0)
+
+    // replay batch 1, then a stale replay of batch 0: both no-ops
+    ExactlyOnceSink.upsertBatch(dir, Seq("o_orderkey"))(b1, 1L)
+    assert(snap() == afterB1)
+    ExactlyOnceSink.upsertBatch(dir, Seq("o_orderkey"))(b0, 0L)
+    assert(snap() == afterB1)
+  }
+
+  test("s09 end-to-end: streaming reassembly lands exactly once in the sink table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = freshDir("eos-e2e")
+    val li = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"), "left")
+      .select(col("l_orderkey").cast("long"), col("l_linenumber").cast("int"),
+        col("l_quantity").cast("double"),
+        col("p_retailprice").cast("double").as("price"))
+      .as[StreamOps.OrderItem].collect()
+
+    val source = MemoryStream[StreamOps.OrderItem]
+    val q = StreamOps.streamOrderReassembly(source.toDS())
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.OrderState], id: Long) =>
+        graft.streaming.ExactlyOnceSink.upsertBatch(dir, Seq("l_orderkey"))(b.toDF(), id)
+      }
+      .start()
+    try {
+      val (first, second) = li.splitAt(li.length / 2)
+      source.addData(first.toSeq); q.processAllAvailable()
+      source.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // snapshot holds the LATEST state per order (update-mode changelog
+    // upserted by key): counts must equal the batch reassembly's
+    val out = graft.streaming.ExactlyOnceSink.snapshot(spark, dir).get
+    val batch = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    val j = batch.join(out, Seq("l_orderkey"), "left")
+    assert(j.filter(col("item_count").isNull).count() == 0)
+    assert(j.filter(col("item_count") =!= col("n")).count() == 0)
+  }
+
+  test("s10 dim refresh: a microbatch sees the updated product price") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dimDir = freshDir("dim"); val sinkDir = freshDir("dim-sink")
+    val ckpt = freshDir("dim-ckpt")
+    Seq((7L, 100.0)).toDF("p_partkey", "p_retailprice")
+      .write.mode("overwrite").parquet(dimDir)
+
+    val source = MemoryStream[(Long, Long, Int, Double)]
+    val stream = source.toDF()
+      .toDF("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    val q = graft.streaming.RefreshingDim.enrichPriceQuery(stream, dimDir, sinkDir, ckpt)
+    try {
+      source.addData((1L, 7L, 1, 2.0)); q.processAllAvailable()
+      // the dim is updated WHILE the query runs — KTable semantics
+      Seq((7L, 200.0)).toDF("p_partkey", "p_retailprice")
+        .write.mode("overwrite").parquet(dimDir)
+      source.addData((2L, 7L, 1, 3.0)); q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.read.parquet(sinkDir)
+    assert(out.count() == 2)
+    assert(out.filter(col("l_orderkey") === 1L).head().getAs[Double]("price") == 100.0)
+    assert(out.filter(col("l_orderkey") === 2L).head().getAs[Double]("price") == 200.0)
+  }
+
   test("s04 kafka config surface builds; file substitution streams real rows") {
     // Kafka connector jar absent: builders must construct without loading
     val r = KafkaIO.reader(spark, "broker:9092", "purchase-orders")
