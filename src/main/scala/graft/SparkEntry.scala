@@ -447,12 +447,16 @@ object SparkEntry {
                  list_transform(range(1, len(ea.embedding)+1),
                    i -> CAST(ea.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(eb.embedding[CAST(i AS INT)] AS DOUBLE))),
                  (acc, x) -> acc + x) / (sqrt(ea.n2) * sqrt(eb.n2)) >= 0.35""",
+    // q31: width/height on the Spark side are read from REAL decoded
+    // pixels (ImageIO PNG round-trip); the oracle predicts them from
+    // the same metadata the synthesizer used — a codec defect would
+    // break this hash match.
     "q31_multimodal_meta" ->
       """SELECT doc_id,
                 CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
                 md5(text) AS blob_md5,
-                CAST(n_chars % 1024 AS BIGINT) AS width,
-                CAST((doc_id * 7919) % 768 AS BIGINT) AS height
+                CAST(1 + n_chars % 64 AS BIGINT) AS width,
+                CAST(1 + doc_id % 48 AS BIGINT) AS height
          FROM documents""",
   )
 }

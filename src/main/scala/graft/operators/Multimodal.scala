@@ -9,48 +9,93 @@ import org.apache.spark.sql.functions._
   * (blob + struct metadata; decode happens late, in the worker, only
   * for surviving rows).
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * environment): `decodeStub` derives deterministic fake dimensions from
-  * the payload. Everything around it — the binary column, checksum,
-  * metadata schema, and the partition-batched decode path
-  * (`decodeBatch`, the Scala analog of a Pandas-UDF/mapInPandas batch
-  * decode) — is real and tested.
+  * The STILL-IMAGE path is REAL: `decodeImage` runs javax.imageio
+  * (PNG/JPEG/BMP/GIF readers ship in the JDK — no external dependency)
+  * and `encodePng` produces genuine PNG bytes, so q31's width/height
+  * come from actual decoded pixels. Only the learned-model stages
+  * (feature embedding, pixel resampling, keyframe selection) remain
+  * deterministic stubs with real mapPartitions plumbing around them.
   */
 object Multimodal {
-
-  /** q31: attach a binary payload (here: the UTF-8 bytes of `text`,
-    * standing in for image bytes) and extract typed metadata with pure
-    * column expressions: byte length, md5 checksum, and stub-decoded
-    * width/height (deterministic functions of doc metadata, NOT of the
-    * codec — clearly fake, exercising the real schema/plumbing).
-    */
-  def multimodalMeta(documents: DataFrame): DataFrame =
-    documents
-      .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
-      .select(
-        col("doc_id"),
-        octet_length(col("payload")).cast("long").as("blob_len"),
-        md5(col("payload")).as("blob_md5"),
-        // stub decode: fake dims derived deterministically from metadata
-        (col("n_chars") % 1024).cast("long").as("width"),
-        ((col("doc_id") * 7919) % 768).cast("long").as("height"))
 
   /** A decoded media record — what a real decoder would emit. */
   case class DecodedMedia(doc_id: Long, blob_len: Long, width: Int, height: Int,
                           n_frames: Int, ok: Boolean)
 
-  /** STUB decoder for one payload. A real build links an image/audio
-    * codec here; this deterministic fake keeps the signature and the
-    * failure path (`ok = false` on empty payloads) honest.
+  /** Output row of the q31 metadata pass. */
+  case class MultimodalMeta(doc_id: Long, blob_len: Long, blob_md5: String,
+                            width: Long, height: Long)
+
+  /** REAL still-image decode via the JDK's ImageIO: dimensions read
+    * from the decoded pixel raster. ok=false (zero dims) for null,
+    * empty, or undecodable payloads — the honest failure path a media
+    * pipeline must carry.
     */
-  def decodeStub(docId: Long, payload: Array[Byte]): DecodedMedia = {
-    val ok = payload != null && payload.nonEmpty
-    val len = if (ok) payload.length else 0
-    DecodedMedia(docId, len.toLong,
-      width = if (ok) (len % 1024) else 0,
-      height = if (ok) ((docId * 7919) % 768).toInt else 0,
-      n_frames = if (ok) 1 + (len % 8) else 0,
-      ok = ok)
+  def decodeImage(docId: Long, payload: Array[Byte]): DecodedMedia = {
+    if (payload == null || payload.isEmpty)
+      DecodedMedia(docId, 0L, 0, 0, 0, ok = false)
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) DecodedMedia(docId, payload.length.toLong, 0, 0, 0, ok = false)
+      else DecodedMedia(docId, payload.length.toLong, img.getWidth, img.getHeight,
+        n_frames = 1, ok = true)
+    }
+  }
+
+  /** Deterministic tiny PNG: a real codec writing real pixels (filled
+    * from the splitmix64 stream so content is a pure function of
+    * `seed`). Synthesizes image payloads for the q31 round-trip and the
+    * specs — this environment ships no image corpus, but the codec
+    * path itself is the production one.
+    */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y,
+          (graft.functions.RhpPlanes.mix(seed * 1000003L + y.toLong * width + x) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** q31: binary payload + typed metadata, with width/height from a
+    * REAL PNG encode→decode round-trip (ImageIO both ways). Each doc
+    * synthesizes a (1 + n_chars mod 64) × (1 + doc_id mod 48) image —
+    * dims are metadata-derived so the DuckDB oracle can predict them,
+    * but the VALUES the query emits are read back from decoded pixels:
+    * a codec bug, not a formula, is what would break the hash match.
+    * blob_len/blob_md5 checksum the document payload itself. One
+    * narrow mapPartitions pass (the mapInPandas shape), no shuffle.
+    */
+  def multimodalMeta(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text, nChars) =>
+          val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          md.reset()
+          val hex = md.digest(payload).map("%02x".format(_)).mkString
+          val png = encodePng((1L + nChars % 64L).toInt, (1L + id % 48L).toInt, id)
+          val dec = decodeImage(id, png)
+          MultimodalMeta(id, payload.length.toLong, hex,
+            dec.width.toLong, dec.height.toLong)
+        }
+      }
+      .toDF()
   }
 
   /** Deterministic fake feature vector from a payload — the stub
@@ -129,21 +174,37 @@ object Multimodal {
       }))
   }
 
-  /** Partition-batched decode — the Scala analog of `mapInPandas`: each
-    * partition's rows stream through the decoder in micro-batches of
-    * `batchSize` (a real decoder amortizes codec init / GPU transfer per
-    * batch). No shuffle: purely narrow, scales linearly with input.
+  /** Synthetic image corpus: one real PNG payload per document,
+    * dimensions derived from doc metadata (this environment ships no
+    * image files; the bytes are genuine PNG). Schema (doc_id, payload)
+    * — the layout `decodeBatch` consumes.
     */
-  def decodeBatch(documents: DataFrame, batchSize: Int = 64): Dataset[DecodedMedia] = {
-    val withPayload = documents
-      .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
-      .select(col("doc_id").cast("long"), col("payload"))
+  def syntheticImages(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, encodePng((1L + nChars % 64L).toInt, (1L + id % 48L).toInt, id))
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Partition-batched REAL decode — the Scala analog of `mapInPandas`:
+    * each partition's (doc_id, payload) rows stream through ImageIO in
+    * micro-batches of `batchSize` (the batch boundary is where a real
+    * pipeline amortizes codec init / GPU transfer). Undecodable
+    * payloads surface as ok=false rows, never exceptions. No shuffle:
+    * purely narrow, scales linearly with input.
+    */
+  def decodeBatch(media: DataFrame, batchSize: Int = 64): Dataset[DecodedMedia] = {
+    val withPayload = media.select(col("doc_id").cast("long"), col("payload"))
     implicit val enc = Encoders.product[DecodedMedia]
     withPayload.as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          // batch boundary = where a real codec would init once
-          batch.iterator.map { case (id, payload) => decodeStub(id, payload) }
+          batch.iterator.map { case (id, payload) => decodeImage(id, payload) }
         }
       }
   }

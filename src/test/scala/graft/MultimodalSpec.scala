@@ -21,8 +21,34 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("blob_len") =!= length(col("text")))
     assert(j.count() == 0)
     assert(out.filter(col("blob_md5").isNull).count() == 0)
-    assert(out.filter(col("width") < 0 || col("width") >= 1024).count() == 0)
-    assert(out.filter(col("height") < 0 || col("height") >= 768).count() == 0)
+    // real decoded dims land exactly in the synthesizer's range
+    assert(out.filter(col("width") < 1 || col("width") > 64).count() == 0)
+    assert(out.filter(col("height") < 1 || col("height") > 48).count() == 0)
+  }
+
+  test("q31 md5 matches Spark's builtin md5 of the same bytes") {
+    val out = Multimodal.multimodalMeta(docs).select(col("doc_id"), col("blob_md5"))
+    val ref = docs.select(col("doc_id").cast("long").as("doc_id"),
+      md5(encode(col("text"), "UTF-8").cast("binary")).as("blob_md5"))
+    assertSameRows(out, ref)
+  }
+
+  test("png round-trip: decoded dimensions equal the encoded raster") {
+    val bytes = Multimodal.encodePng(17, 5, seed = 42L)
+    // PNG magic
+    assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val dec = Multimodal.decodeImage(1L, bytes)
+    assert(dec.ok && dec.width == 17 && dec.height == 5 && dec.n_frames == 1)
+    // determinism: same seed, same bytes
+    assert(java.util.Arrays.equals(bytes, Multimodal.encodePng(17, 5, seed = 42L)))
+    assert(!java.util.Arrays.equals(bytes, Multimodal.encodePng(17, 5, seed = 43L)))
+  }
+
+  test("decodeImage failure path: garbage and empty payloads report ok=false") {
+    assert(!Multimodal.decodeImage(1L, null).ok)
+    assert(!Multimodal.decodeImage(1L, Array.emptyByteArray).ok)
+    val garbage = Multimodal.decodeImage(1L, "not an image".getBytes)
+    assert(!garbage.ok && garbage.blob_len == 12L && garbage.width == 0)
   }
 
   test("feature extraction feeds the similarity operators end-to-end") {
@@ -49,17 +75,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fr.filter(f => f.frame_idx < 0 || f.frame_idx >= 4).count() == 0)
   }
 
-  test("q31 decodeBatch: stub decode agrees with the metadata query") {
-    val decoded = Multimodal.decodeBatch(docs, batchSize = 16)
+  test("q31 decodeBatch: REAL decode of the synthetic PNG corpus matches metadata") {
+    val images = Multimodal.syntheticImages(docs)
+    val decoded = Multimodal.decodeBatch(images, batchSize = 16)
     assert(decoded.filter(!_.ok).count() == 0)
-    val d = decoded.toDF().select(col("doc_id"), col("blob_len").as("d_len"),
+    val d = decoded.toDF().select(col("doc_id"), col("width").as("d_width"),
       col("height").as("d_height"))
     val meta = Multimodal.multimodalMeta(docs)
     val j = d.join(meta, Seq("doc_id"))
-      .filter(col("d_len") =!= col("blob_len") || col("d_height") =!= col("height"))
+      .filter(col("d_width") =!= col("width") || col("d_height") =!= col("height"))
     assert(j.count() == 0)
     // batching is a pure performance detail: batch size must not change results
-    val again = Multimodal.decodeBatch(docs, batchSize = 3)
+    val again = Multimodal.decodeBatch(images, batchSize = 3)
     assertSameRows(decoded.toDF(), again.toDF())
+  }
+
+  test("decodeBatch surfaces non-image payloads as ok=false rows, no failures") {
+    import org.apache.spark.sql.functions.encode
+    val textPayloads = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").cast("binary").as("payload"))
+    val decoded = Multimodal.decodeBatch(textPayloads)
+    assert(decoded.count() == docs.count())
+    assert(decoded.filter(_.ok).count() == 0)
   }
 }
