@@ -80,6 +80,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CodegenFallback"), s)
   }
 
+  test("q12 plan: filters pushed on all three scans, top-k without a full sort") {
+    // profiled r2: steady state ~1s at sf0.1; the 6.1s in BENCH_r01 was
+    // cold-JVM codegen/JIT of the first fact-fact join pipeline (first
+    // pass 7.3s, passes 2-8 all 1.0-1.3s). The plan itself is the one
+    // to keep: selective predicates reach every scan, AQE demotes both
+    // joins to broadcast at this scale, the aggregation is the single
+    // exchange, and the top-10 is TakeOrderedAndProject - never a
+    // global sort.
+    val df = Analytics.topUnshipped(Tables.customer(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+    val s = finalPlanStr(df)
+    assert(s.contains("EqualTo(c_mktsegment,BUILDING)"), s)
+    assert(s.contains("LessThan(o_orderdate"), s)
+    assert(s.contains("GreaterThan(l_shipdate"), s)
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(!s.replaceAll("TakeOrderedAndProject\\(limit=\\d+, orderBy", "")
+      .contains("Sort "), "top-k must not plan a full Sort: " + s)
+    assert(countShuffles(df) <= 1, s)
+  }
+
   test("q30 block-pair dedup plans as an equi-join: no nested-loop, no cartesian") {
     // the r1 formulation was a non-equi join -> BroadcastNestedLoopJoin
     // (whole side broadcast, O(N^2) in one task's hands). The
