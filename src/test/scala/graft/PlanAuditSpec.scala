@@ -152,6 +152,59 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("salted aggregation: two-phase shape, exact on a hot-key dataset") {
+    import org.apache.spark.sql.functions._
+    // synthetic skew: one sku is 90% of the stream (the viral-product
+    // case AQE cannot fix — the skew is in an aggregation, not a join)
+    val hot = spark.range(0, 50000).select(
+      lit(7L).as("l_partkey"), (col("id") % 1000).as("l_orderkey"),
+      lit(1.0).as("l_quantity"))
+    val uniform = spark.range(0, 5000).select(
+      (col("id") % 200).as("l_partkey"), (col("id") % 500 + 10000).as("l_orderkey"),
+      lit(2.0).as("l_quantity"))
+    val skewed = hot.unionAll(uniform)
+    val salted = CoreOps.saltedProductStats(skewed, salts = 8)
+    // correctness first: salting must not change any aggregate
+    val direct = CoreOps.productStats(skewed)
+    SparkTestSession.assertSameRows(salted, direct)
+    // plan shape: phase 1 shuffles on (l_partkey, salt) — the hot key
+    // spreads over 8 reducers — phase 2 re-shuffles the tiny partials
+    // on l_partkey alone
+    val s = finalPlanStr(CoreOps.saltedProductStats(skewed, salts = 8))
+    // the salt expression shows up as _groupingexpression in the plan
+    assert("hashpartitioning\\(l_partkey#\\d+L?, (salt|_groupingexpression)".r
+      .findFirstIn(s).isDefined,
+      "missing the salted phase-1 exchange: " + s)
+    assert("hashpartitioning\\(l_partkey#\\d+L?, \\d+\\)".r.findFirstIn(s).isDefined,
+      "missing the key-only phase-2 exchange: " + s)
+  }
+
+  test("AQE splits the skewed partition of a hot-key join (skew=true)") {
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // fact side: one key carries ~200k rows (MBs), others a handful
+      val fact = spark.range(0, 200000)
+        .select(when(col("id") < 190000, lit(7L)).otherwise(col("id") % 100).as("k"),
+          concat(lit("payload-"), col("id")).as("payload"))
+      val dim = spark.range(0, 100).select(col("id").as("k"), col("id").as("v"))
+      val j = fact.join(dim, Seq("k"))
+      j.collect()
+      val s = j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(s.contains("skew=true"), s)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q21 fingerprint scan reads only doc_id and text") {
     val s = planStr(graft.operators.TextOps.docFingerprint(Tables.documents(spark, sfDir)))
     assert(!s.contains("n_chars"), "scan should not read n_chars")
