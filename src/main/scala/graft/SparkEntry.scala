@@ -261,6 +261,138 @@ object SparkEntry {
                     t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
                   / CAST(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS DOUBLE) AS stopword_ratio
          FROM documents""",
+    // q15b: session_window sessionization — identical boundaries to the
+    // lag/cumsum formulation, so the oracle is q15's SQL without the
+    // per-user session ordinal in the output.
+    "q15b_sessionize_sw" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         y AS (
+           SELECT *, CASE WHEN prev_ts IS NULL
+                          OR (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 > 1800.0
+                     THEN 1 ELSE 0 END AS new_session
+           FROM x),
+         z AS (
+           SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM y)
+         SELECT user_id, count(*) AS n_events,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
+         FROM z GROUP BY user_id, session_seq""",
+    // q25: the ENTIRE minhash pipeline is replayed — poly-hashed
+    // shingles (q21 contract), universal-hash permutations
+    // (a_i·s + b_i mod 2³¹−1), base-131 band folds, candidate join,
+    // exact-Jaccard verify, per-doc fold. Engine-independent by
+    // construction (integer arithmetic throughout).
+    "q25_dedup_minhash" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
+           FROM documents),
+         shs AS (
+           SELECT DISTINCT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(sh)+1),
+                      i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')))) AS sh
+                 FROM toks) x),
+         sig AS (
+           SELECT doc_id, i,
+                  min((((1103515245*(2*i+1) + 12345) % 2147483648) * s
+                       + ((1103515245*(2*i+2) + 12345) % 2147483648)) % 2147483647) AS m
+           FROM shs, range(0, 32) t(i)
+           GROUP BY 1, 2),
+         bands AS (
+           SELECT doc_id, i // 4 AS band_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT), list(m ORDER BY i)),
+                    (acc, x) -> (acc * 131 + x) % 1000000007) AS band_sig
+           FROM sig GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY 1),
+         common AS (
+           SELECT id_a, id_b, count(*) AS n_common
+           FROM cand
+           JOIN shs pa ON pa.doc_id = id_a
+           JOIN shs pb ON pb.doc_id = id_b AND pa.s = pb.s
+           GROUP BY 1, 2),
+         verified AS (
+           SELECT c.id_a, c.id_b,
+                  CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+                    / CAST(sa.n_sh + sb.n_sh - COALESCE(cm.n_common, 0) AS DOUBLE) AS jaccard
+           FROM cand c
+           LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+           JOIN sizes sa ON sa.doc_id = c.id_a
+           JOIN sizes sb ON sb.doc_id = c.id_b),
+         perdoc AS (
+           SELECT doc_id, count(*) AS n_candidates,
+                  sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS n_dups
+           FROM (SELECT id_a AS doc_id, jaccard FROM verified
+                 UNION ALL SELECT id_b AS doc_id, jaccard FROM verified) d
+           GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(COALESCE(s.n_sh, 0) AS BIGINT) AS n_shingles,
+                CAST(COALESCE(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+                CAST(COALESCE(p.n_dups, 0) AS BIGINT) AS n_dups
+         FROM (SELECT doc_id FROM documents) d
+         LEFT JOIN sizes s ON s.doc_id = d.doc_id
+         LEFT JOIN perdoc p ON p.doc_id = d.doc_id""",
+    // q26: full simhash replay — poly token hash, per-bit universal-
+    // hash parities, signature assembled as two 32-bit halves (DuckDB
+    // BIGINT can't shift into bit 63; HUGEINT reassembly converts to
+    // the same signed long Spark emits), pigeonhole chunks from the
+    // halves, Hamming filter via xor+bit_count (two's-complement
+    // bitwise, identical to the JVM).
+    "q26_dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS tok
+           FROM documents),
+         th AS (
+           SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(tok)+1),
+                      i -> CAST(unicode(substring(tok, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM toks),
+         bitsum AS (
+           SELECT doc_id, j,
+                  sum(CASE WHEN ((((1103515245*(2*(j+64)+1) + 12345) % 2147483648) * s
+                                 + ((1103515245*(2*(j+64)+2) + 12345) % 2147483648)) % 2147483647) % 2 = 1
+                           THEN 1 ELSE -1 END) AS sj
+           FROM th, range(0, 64) t(j)
+           GROUP BY 1, 2),
+         halves AS (
+           SELECT doc_id,
+                  sum(CASE WHEN sj > 0 AND j < 32 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS lo,
+                  sum(CASE WHEN sj > 0 AND j >= 32 THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS hi
+           FROM bitsum GROUP BY 1),
+         sigs AS (
+           SELECT doc_id, lo, hi,
+                  CAST(CASE WHEN v >= 9223372036854775808 THEN v - 18446744073709551616 ELSE v END AS BIGINT) AS simhash
+           FROM (SELECT doc_id, lo, hi, CAST(hi AS HUGEINT) * 4294967296 + lo AS v FROM halves) x),
+         chunks AS (
+           SELECT doc_id, simhash, c AS chunk_id,
+                  CASE c WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                         WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS chunk_val
+           FROM sigs, range(0, 4) t(c)),
+         near AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+           FROM chunks a JOIN chunks b
+             ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id),
+         nearf AS (SELECT id_a, id_b FROM near WHERE bit_count(xor(sh_a, sh_b)) <= 3),
+         perdoc AS (
+           SELECT doc_id, count(*) AS n_near
+           FROM (SELECT id_a AS doc_id FROM nearf UNION ALL SELECT id_b AS doc_id FROM nearf) d
+           GROUP BY 1)
+         SELECT s.doc_id, s.simhash, CAST(COALESCE(p.n_near, 0) AS BIGINT) AS n_near
+         FROM sigs s LEFT JOIN perdoc p ON p.doc_id = s.doc_id""",
     // q24: the stopword-hit argmax is plain SQL — DuckDB's max() over a
     // {hits, lang} struct compares fields in declaration order, exactly
     // like Spark's greatest(struct(hits, lang)).

@@ -239,6 +239,58 @@ case class QrhpSignatureExpr(child: Expression, nBits: Int)
     copy(child = newChild)
 }
 
+/** Base-31 polynomial rolling hash over code points, mod 1e9+7 — the
+  * q21 fingerprint contract, packaged as a codegen'd expression so
+  * dedup pipelines can hash shingles/tokens per ROW (the higher-order
+  * `aggregate` lambda form is CodegenFallback and cannot be nested
+  * inside another lambda without per-element re-evaluation). DuckDB
+  * replays it verbatim: `list_reduce(list_prepend(0, list_transform(
+  * range(1, length(s)+1), i -> unicode(substring(s, i, 1)))),
+  * (h, c) -> (h*31 + c) % 1000000007)` — so every operator keyed on
+  * this hash is oracle-checkable end to end.
+  */
+case class PolyHashExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"poly_hash needs string, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    PolyHashExpr.hash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.PolyHashExpr.hash($s.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyHashExpr {
+  final val Mod = 1000000007L
+  /** Iterates CODE POINTS (not UTF-16 units), matching DuckDB's
+    * per-character `unicode(substring(s, i, 1))`.
+    */
+  def hash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
 object VectorFunctions {
   /** Sequential-order double dot product of two float-array columns. */
   def dot_d(a: Column, b: Column): Column =
@@ -257,4 +309,10 @@ object VectorFunctions {
     */
   def qrhp_signature(emb: Column, nBits: Int): Column =
     Bridge.column(QrhpSignatureExpr(Bridge.expression(emb), nBits))
+
+  /** Base-31 mod-1e9+7 polynomial hash of a string column (the q21
+    * fingerprint contract; DuckDB-oracle-reproducible).
+    */
+  def poly_hash(s: Column): Column =
+    Bridge.column(PolyHashExpr(Bridge.expression(s)))
 }

@@ -23,23 +23,46 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** SQL-replayable hash constants shared by the minhash permutations
+    * (q25, indices 0..numPerm-1) and the simhash bit hashes (q26,
+    * indices 64..127): multiply-mod-prime universal hashing
+    * h(s) = (a·s + b) mod (2³¹−1) with LCG-derived a/b — every term a
+    * closed-form integer expression DuckDB evaluates without overflow,
+    * so the full dedup pipelines are oracle-checkable (the reason
+    * xxhash64, which needs 64-bit wrapping multiplies, is NOT used
+    * here).
+    */
+  private[operators] object ReplayableHash {
+    val P: Long = 2147483647L // 2^31 - 1, prime
+    val M: Long = 1000000007L
+    def a(i: Int): Long = (1103515245L * (2L * i + 1L) + 12345L) % 2147483648L
+    def b(i: Int): Long = (1103515245L * (2L * i + 2L) + 12345L) % 2147483648L
+  }
+
   /** Per-document distinct word n-gram postings: (doc_id, shingle),
-    * shingle = xxhash64 of the n-gram. Two deliberate choices:
+    * shingle = poly_hash (base-31 mod 1e9+7, the q21 fingerprint
+    * contract) of the n-gram string. Deliberate choices:
     * - the token array is materialized in a projection BEFORE the
     *   `transform` lambda (an expression referenced inside a
     *   higher-order lambda re-evaluates per element — inlining the
     *   split costs O(len × positions) per document instead of O(len));
-    * - shingles are carried as 64-bit hashes, never strings: set
-    *   semantics are identical (collisions are ~N²/2⁶⁴), while
-    *   distinct/shuffle/join keys shrink to 8 fixed bytes — at corpus
-    *   scale the posting shuffles are the whole cost of dedup.
+    * - shingles are carried as 64-bit integer keys, never strings:
+    *   set semantics survive (collisions ~N²/2e9, and both engines
+    *   collide IDENTICALLY because the hash is replayed in the
+    *   oracle), while distinct/shuffle/join keys shrink to 8 bytes;
+    * - the string shingles explode to rows BEFORE hashing (poly_hash
+    *   is per-row codegen; a hash inside the transform lambda would be
+    *   nested-lambda interpreted), with a distinct() after to collapse
+    *   hash collisions the same way the oracle's DISTINCT does.
     */
   private def postings(documents: DataFrame, n: Int): DataFrame =
     documents
       .select(col("doc_id"), split(lower(graft.operators.TextOps.wsTrim(col("text"))), "\\s+").as("toks"))
       .select(col("doc_id"), explode(array_distinct(
         expr(s"""transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)),
-                 i -> xxhash64(concat_ws(' ', slice(toks, i, $n))))"""))).as("shingle"))
+                 i -> concat_ws(' ', slice(toks, i, $n)))"""))).as("sh"))
+      .select(col("doc_id"), graft.functions.VectorFunctions.poly_hash(col("sh")).as("shingle"))
+      .distinct()
 
   /** Per-document distinct character n-gram postings: (doc_id, shingle
     * hash). Same materialize-before-lambda and hash-not-string rules.
@@ -71,15 +94,22 @@ object Dedup {
     val rows = numPerm / bands
 
     // signature: one min per permutation — a single hash-partitioned
-    // aggregation on doc_id with map-side partials.
+    // aggregation on doc_id with map-side partials. Permutation i is
+    // the universal hash (a_i·s + b_i) mod (2³¹−1): SQL-replayable,
+    // and a_i·s < 2⁶² never overflows in either engine.
     val minCols = (0 until numPerm).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+      min((lit(ReplayableHash.a(i)) * col("shingle") + lit(ReplayableHash.b(i)))
+        % lit(ReplayableHash.P)).as(s"m$i"))
     val sig = post.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
 
-    // band signatures: hash the r mins of each band into one 64-bit key.
+    // band signatures: fold the r mins of each band into one key with
+    // the base-131 polynomial combine (mod 1e9+7) — band collisions are
+    // rare AND identical across engines, so they cancel in the compare.
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
-      struct(lit(b).as("band_id"), xxhash64(cols: _*).as("band_sig"))
+      val sigCol = cols.foldLeft(lit(0L): org.apache.spark.sql.Column)(
+        (acc, m) => (acc * lit(131L) + m) % lit(ReplayableHash.M))
+      struct(lit(b).as("band_id"), sigCol.as("band_sig"))
     }
     val buckets = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bb"))
@@ -166,15 +196,19 @@ object Dedup {
   }
 
   /** Per-document 64-bit SimHash signature: bit j is the sign of
-    * Σ_tokens (±1 on bit j of xxhash64(token)) — 64 map-side-combinable
-    * sums in ONE aggregation (no 64× row blowup).
+    * Σ_tokens ±1, where the token's bit-j draw is the parity of the
+    * universal hash (a_{64+j}·poly(token) + b_{64+j}) mod (2³¹−1) —
+    * 64 map-side-combinable sums in ONE aggregation (no 64× row
+    * blowup), every term SQL-replayable so the whole signature (and
+    * therefore n_near) is oracle-checked.
     */
   def simHashSignatures(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"),
       explode(split(lower(graft.operators.TextOps.wsTrim(col("text"))), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", graft.functions.VectorFunctions.poly_hash(col("tok")))
     val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+      sum(when((lit(ReplayableHash.a(64 + j)) * col("h") + lit(ReplayableHash.b(64 + j)))
+          % lit(ReplayableHash.P) % lit(2L) === 1L, 1)
         .otherwise(-1)).as(s"s$j"))
     val summed = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val simhash = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
