@@ -87,6 +87,9 @@ object SparkEntry {
     "q36_label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
+    // -- LLM-data-pipeline: deterministic data mixing (q37) --
+    "q37_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(Tables.documents(s, d),
+      Map("en" -> 10000, "es" -> 5000, "de" -> 2500, "fr" -> 1250, "zh" -> 625))),
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
@@ -538,6 +541,23 @@ object SparkEntry {
                  list_transform(range(1, len(a.embedding)+1),
                    i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))),
                  (acc, x) -> acc + x) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.35""",
+    // q37: the keep decision replays exactly — poly hash of the same
+    // key string, the index-200 universal-hash post-mix, integer
+    // parts-per-myriad rates, no FP anywhere.
+    "q37_stratified_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+           SELECT doc_id, lang,
+                  ((((CAST(1103515245 AS BIGINT)*401 + 12345) % 2147483648) *
+                    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(k)+1),
+                         i -> CAST(unicode(substring(k, CAST(i AS INT), 1)) AS BIGINT))),
+                       (h, c) -> (h * 31 + c) % 1000000007))
+                    + ((CAST(1103515245 AS BIGINT)*402 + 12345) % 2147483648)) % 2147483647) % 10000 AS bucket
+           FROM (SELECT doc_id, lang, concat('strat:', CAST(doc_id AS VARCHAR)) AS k
+                 FROM documents) t) s
+         WHERE bucket < CASE lang WHEN 'en' THEN 10000 WHEN 'es' THEN 5000
+                                  WHEN 'de' THEN 2500 WHEN 'fr' THEN 1250
+                                  WHEN 'zh' THEN 625 ELSE 0 END""",
     // q30b: the signature (QrhpSignatureExpr) is pure 31-bit integer
     // arithmetic, replayed verbatim below — candidate sets and the
     // exact-cosine verify are engine-independent, so this approximate

@@ -53,16 +53,14 @@ object Multimodal {
   def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        img.setRGB(x, y,
-          (graft.functions.RhpPlanes.mix(seed * 1000003L + y.toLong * width + x) & 0xFFFFFF).toInt)
-        x += 1
-      }
-      y += 1
+    // one bulk raster write, not width×height setRGB round-trips
+    val px = new Array[Int](width * height)
+    var i = 0
+    while (i < px.length) {
+      px(i) = (graft.functions.RhpPlanes.mix(seed * 1000003L + i) & 0xFFFFFF).toInt
+      i += 1
     }
+    img.setRGB(0, 0, width, height, px, 0, width)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray

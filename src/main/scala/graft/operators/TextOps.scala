@@ -103,6 +103,40 @@ object TextOps {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(topK)
 
+  /** q37: deterministic stratified sampling — the data-mixing primitive
+    * of training-corpus construction (keep 100% of English, 50% of
+    * Spanish, …). The keep decision is a PURE FUNCTION of the row key:
+    * universal-hash(poly_hash("strat:" + doc_id)) mod 10000 < rate —
+    * the (a·s + b) mod (2³¹−1) post-mix matters because the raw
+    * polynomial hash of sequential id strings has no avalanche
+    * (consecutive ids land in consecutive buckets, starving whole
+    * strata). Rates are parts-per-myriad INTEGERS so no floating-point
+    * rate arithmetic can drift between engines. Reproducible across
+    * runs, partitionings,
+    * and cluster sizes — no RNG state, unlike `df.sample`/`sampleBy`
+    * whose per-partition seeds change under repartitioning. One narrow
+    * scan, no shuffle; at 100 TB this is the cheapest possible mixing
+    * pass and composes with any upstream filter pushdown.
+    */
+  def stratifiedSample(documents: DataFrame,
+                       ratesPerMyriad: Map[String, Int]): DataFrame = {
+    require(ratesPerMyriad.values.forall(r => r >= 0 && r <= 10000),
+      "rates are parts-per-myriad in [0, 10000]")
+    // deterministic fold order so the generated plan is stable
+    val rateCol = ratesPerMyriad.toSeq.sortBy(_._1)
+      .foldLeft(lit(0): Column) { case (acc, (lang, r)) =>
+        when(col("lang") === lang, lit(r)).otherwise(acc)
+      }
+    val s = graft.functions.VectorFunctions.poly_hash(
+      concat(lit("strat:"), col("doc_id").cast("string")))
+    documents
+      .withColumn("bucket",
+        (lit(Dedup.ReplayableHash.a(200)) * s + lit(Dedup.ReplayableHash.b(200)))
+          % lit(Dedup.ReplayableHash.P) % lit(10000L))
+      .filter(col("bucket") < rateCol)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+  }
+
   /** Per-language stopword marker lists for the n-gram/stopword
     * language-ID heuristic (q24). Tiny, broadcast as literals.
     */

@@ -68,4 +68,25 @@ class TextOpsSpec extends AnyFunSuite {
     val again = TextOps.langId(docs)
     assertSameRows(out, again)
   }
+
+  test("q37 stratified sample: rate-exact strata, deterministic, repartition-stable") {
+    val rates = Map("en" -> 10000, "es" -> 5000, "de" -> 2500, "fr" -> 1250, "zh" -> 625)
+    val out = TextOps.stratifiedSample(docs, rates)
+    // rate 10000 keeps everything; rate 0 (unlisted strata) keeps nothing
+    val en = docs.filter(col("lang") === "en").count()
+    assert(out.filter(col("lang") === "en").count() == en)
+    // per-stratum empirical rate within 4 binomial sigma of the target
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, r) <- rates if lang != "en"; n <- counts.get(lang)) {
+      val kept = out.filter(col("lang") === lang).count()
+      val p = r / 10000.0
+      val sigma = math.sqrt(n * p * (1 - p))
+      assert(math.abs(kept - n * p) <= 4 * sigma + 1,
+        s"$lang kept $kept of $n at rate $p")
+    }
+    // determinism: identical under a different partitioning (the property
+    // df.sample does NOT have)
+    assertSameRows(out, TextOps.stratifiedSample(docs.repartition(13), rates))
+  }
 }
