@@ -32,7 +32,7 @@ object Dedup {
     * xxhash64, which needs 64-bit wrapping multiplies, is NOT used
     * here).
     */
-  private[operators] object ReplayableHash {
+  private[graft] object ReplayableHash {
     val P: Long = 2147483647L // 2^31 - 1, prime
     val M: Long = 1000000007L
     def a(i: Int): Long = (1103515245L * (2L * i + 1L) + 12345L) % 2147483648L

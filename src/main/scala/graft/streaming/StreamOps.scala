@@ -275,6 +275,107 @@ object StreamOps {
       .join(part, col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
         col("l_quantity"), col("p_retailprice").as("price"))
+
+  /** A document with its minhash signature, exploded per LSH band —
+    * the streaming unit of s11. band_key packs (band_id, band_sig).
+    */
+  case class BandedDoc(band_key: Long, doc_id: Long, sig: Array[Long])
+
+  /** s11 output: one row per (document, band) group visit; downstream
+    * takes max per doc_id for the current dup verdict.
+    */
+  case class DupReport(doc_id: Long, n_candidates: Long, n_dups: Long,
+                       best_match: Long, best_est: Double)
+
+  /** Driver-side minhash of one text — IDENTICAL hashing to the batch
+    * q25 pipeline (PolyHashExpr.hash shingles, universal-hash
+    * permutations), so stream and batch agree exactly on signatures.
+    */
+  def minhashSignature(text: String, numPerm: Int = 32, shingleN: Int = 3): Array[Long] = {
+    import graft.operators.Dedup.ReplayableHash
+    // same normalization chain as the batch postings: wsTrim → lower → split
+    val toks = text.replaceAll("^\\s+|\\s+$", "").toLowerCase.split("\\s+")
+    val nSh = math.max(toks.length - (shingleN - 1), 1)
+    val shingles = (0 until nSh).iterator
+      .map(i => toks.slice(i, i + shingleN).mkString(" "))
+      .map(graft.functions.PolyHashExpr.hash).toSet
+    Array.tabulate(numPerm) { i =>
+      var m = Long.MaxValue
+      shingles.foreach { s =>
+        val h = (ReplayableHash.a(i) * s + ReplayableHash.b(i)) % ReplayableHash.P
+        if (h < m) m = h
+      }
+      m
+    }
+  }
+
+  /** s11: STREAMING MinHash near-duplicate detection — the q25
+    * pipeline as an online state machine (the shape a training-data
+    * ingest service runs: every arriving document is checked against
+    * everything already admitted, continuously).
+    *
+    * Per document: minhash signature (same bytes as batch q25) →
+    * explode to `bands` LSH band keys → groupByKey(band_key) →
+    * flatMapGroupsWithState where the state is this bucket's admitted
+    * signatures. A new arrival estimates Jaccard against each bucket
+    * member as matching-mins/numPerm (the classic unbiased minhash
+    * estimator — full shingle sets never enter state), reports
+    * candidates/dups, then joins the bucket.
+    *
+    * Scale: state is partitioned by band_key (RocksDB on a cluster);
+    * per-bucket membership is capped at `maxBucket` (admission beyond
+    * that reports against the cap window — ubiquitous-content buckets
+    * are exactly the df-cap trade-off q27 makes in batch). Emission is
+    * per (doc, band); take max(n_dups) per doc downstream.
+    */
+  def streamDedupMinHash(docs: Dataset[(Long, String)], numPerm: Int = 32,
+                         bands: Int = 8, tau: Double = 0.5,
+                         maxBucket: Int = 256): Dataset[DupReport] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup.ReplayableHash
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rows = numPerm / bands
+
+    val banded = docs.flatMap { case (id, text) =>
+      val sig = minhashSignature(text, numPerm)
+      (0 until bands).iterator.map { b =>
+        var c = 0L
+        var i = b * rows
+        while (i < (b + 1) * rows) { c = (c * 131L + sig(i)) % ReplayableHash.M; i += 1 }
+        BandedDoc(b.toLong * ReplayableHash.M + c, id, sig)
+      }
+    }
+
+    banded
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[List[(Long, Array[Long])], DupReport](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, docs: Iterator[BandedDoc], state: GroupState[List[(Long, Array[Long])]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[DupReport]
+          docs.foreach { d =>
+            if (!members.exists(_._1 == d.doc_id)) {
+              var nDups = 0L
+              var bestId = -1L
+              var bestEst = -1.0
+              members.foreach { case (mid, msig) =>
+                var same = 0
+                var i = 0
+                while (i < msig.length) { if (msig(i) == d.sig(i)) same += 1; i += 1 }
+                val est = same.toDouble / msig.length
+                if (est >= tau) nDups += 1
+                if (est > bestEst || (est == bestEst && mid < bestId)) {
+                  bestEst = est; bestId = mid
+                }
+              }
+              out += DupReport(d.doc_id, members.size.toLong, nDups, bestId, bestEst)
+              if (members.size < maxBucket) members = (d.doc_id, d.sig) :: members
+            }
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
 }
 
 /** s04: the Kafka source/sink config surface (Streams.java:35-49 —

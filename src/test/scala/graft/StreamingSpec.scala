@@ -360,6 +360,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("l_orderkey") === 2L).head().getAs[Double]("price") == 200.0)
   }
 
+  test("s11 streaming minhash signatures equal the batch q25 signatures") {
+    import spark.implicits._
+    // batch side: recompute the 32 mins with the relational pipeline's
+    // own building blocks over the same corpus
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val batchSig = {
+      import graft.operators.Dedup.ReplayableHash
+      val toksDf = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(lower(graft.operators.TextOps.wsTrim(col("text"))), "\\s+").as("toks"))
+        .select(col("doc_id"), explode(array_distinct(
+          expr("""transform(sequence(1, greatest(size(toks) - 2, 1)),
+                   i -> concat_ws(' ', slice(toks, i, 3)))"""))).as("sh"))
+        .select(col("doc_id"), graft.functions.VectorFunctions.poly_hash(col("sh")).as("s"))
+        .distinct()
+      val minCols = (0 until 32).map(i =>
+        min((lit(ReplayableHash.a(i)) * col("s") + lit(ReplayableHash.b(i)))
+          % lit(ReplayableHash.P)).as(s"m$i"))
+      toksDf.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        .collect().map(r => r.getLong(0) -> (1 to 32).map(r.getLong).toVector).toMap
+    }
+    for ((id, text) <- docs.take(50)) {
+      val streamSig = StreamOps.minhashSignature(text).toVector
+      assert(streamSig == batchSig(id), s"signature mismatch for doc $id")
+    }
+  }
+
+  test("s11 streaming minhash dedup flags planted clones online") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val clones = docs.take(10).map { case (id, text) => (id + 100000L, text) }
+
+    val source = MemoryStream[(Long, String)]
+    val q = StreamOps.streamDedupMinHash(source.toDS())
+      .writeStream.format("memory").queryName("s11_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      source.addData(docs.toSeq); q.processAllAvailable()   // originals admitted
+      source.addData(clones.toSeq); q.processAllAvailable() // clones arrive later
+    } finally q.stop()
+
+    val out = spark.table("s11_out")
+    // every clone must be flagged in at least one band bucket with a
+    // perfect estimate against its original
+    val flagged = out.filter(col("doc_id") >= 100000L)
+      .groupBy("doc_id")
+      .agg(max("n_dups").as("n_dups"), max("best_est").as("best_est"))
+    assert(flagged.count() == 10)
+    assert(flagged.filter(col("n_dups") < 1).count() == 0)
+    assert(flagged.filter(col("best_est") < 1.0).count() == 0)
+    // originals arrived FIRST, so they can only match OTHER ORIGINALS.
+    // This corpus carries ~11 natural near-identical pairs (measured
+    // true Jaccard up to 0.986, where an identical 32-perm signature
+    // is likely); only the later arrival of such a pair may see a
+    // perfect estimate — a bounded handful, never a broad smear.
+    val perfectOriginals = out.filter(col("doc_id") < 100000L && col("best_est") >= 1.0)
+      .select("doc_id").distinct().count()
+    assert(perfectOriginals <= 30, s"$perfectOriginals originals scored est 1.0")
+  }
+
   test("s04 kafka config surface builds; file substitution streams real rows") {
     // Kafka connector jar absent: builders must construct without loading
     val r = KafkaIO.reader(spark, "broker:9092", "purchase-orders")
