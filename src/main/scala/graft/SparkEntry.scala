@@ -80,6 +80,8 @@ object SparkEntry {
     "q30_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(Tables.embeddings(s, d))),
     "q30b_embedding_dedup_lsh" -> ((s, d) => Similarity.embeddingDedupLsh(Tables.embeddings(s, d))),
     "q32_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
+    "q32b_knn_ivf_refined" -> ((s, d) =>
+      Similarity.knnIvf(Tables.embeddings(s, d), lloydIters = 2)),
     "q33_vocabulary" -> ((s, d) => TextOps.vocabulary(Tables.documents(s, d))),
     "q34_asof_join" -> ((s, d) =>
       AsofJoin.eventsAsofOrders(Tables.events(s, d), Tables.orders(s, d))),

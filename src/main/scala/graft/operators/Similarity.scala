@@ -244,13 +244,56 @@ object Similarity {
     * Output one row per vector (null neighbor if its probed lists are
     * empty of others).
     */
-  def knnIvf(embeddings: DataFrame, nCentroids: Int = 32, nProbe: Int = 4,
-             k: Int = 5): DataFrame = {
+  /** Relational k-means: refine the hash-sampled seed centroids with
+    * `iters` Lloyd steps, entirely in DataFrame ops — assign each
+    * vector to its nearest centroid (broadcast, N×C scoring), then
+    * recompute each centroid as the element-wise mean of its members
+    * (posexplode + quantized exact sums, the q36 trick, so the result
+    * is deterministic under any partitioning). Empty clusters keep
+    * their previous centroid. This is IVF codebook training — the
+    * embedding-pipeline step that turns the cheap seed quantizer into
+    * one that actually follows the data distribution.
+    */
+  def trainCodebook(embeddings: DataFrame, nCentroids: Int = 32,
+                    iters: Int = 2): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"))
-    val centroids = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val seed = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("n2").as("cn2"))
+    (1 to iters).foldLeft(seed) { (cent, _) =>
+      val assign = e.join(broadcast(cent), lit(true))
+        .select(col("vec_id"), col("cid"),
+          cosine(col("embedding"), col("cvec"), col("n2"), col("cn2")).as("ccos"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tb"))).as("cid"))
+      val means = assign.join(e, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(floor(col("v").cast("double") * lit(1048576.0) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1048576.0) / count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cvec"))
+      // empty clusters fall back to their previous centroid
+      cent.select(col("cid"), col("cvec").as("prev"))
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cvec"), col("prev")).as("cvec"))
+        .select(col("cid"), col("cvec"), norm2(col("cvec")).as("cn2"))
+    }
+  }
+
+  def knnIvf(embeddings: DataFrame, nCentroids: Int = 32, nProbe: Int = 4,
+             k: Int = 5, lloydIters: Int = 0): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    val centroids =
+      if (lloydIters > 0) trainCodebook(embeddings, nCentroids, lloydIters)
+        .select(col("cid"), col("cvec"), col("cn2"))
+      else e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(nCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("n2").as("cn2"))
 
     // vector → (cosine to every centroid); reused for assignment + probes
     val vc = e.join(broadcast(centroids), lit(true))

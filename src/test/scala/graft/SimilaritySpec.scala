@@ -106,6 +106,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hit.toDouble / n > 0.3, s"recall ${hit.toDouble / n}")
   }
 
+  test("q32b Lloyd-refined codebook strictly improves IVF recall") {
+    def recall(iters: Int): Double = {
+      val ivf = Similarity.knnIvf(emb, nCentroids = 16, nProbe = 4, lloydIters = iters)
+        .filter(col("rank") === 1).select(col("vec_id"), col("neighbor_id").as("nn"))
+      val bf = Similarity.knnBruteForce(emb, 1)
+        .select(col("vec_id"), col("neighbor_id").as("bf_nn"))
+      val j = bf.join(ivf, Seq("vec_id"), "left")
+      j.filter(col("nn") === col("bf_nn")).count().toDouble / j.count()
+    }
+    val seed = recall(0)
+    val refined = recall(2)
+    // measured on this (deterministic) corpus: 0.514 -> 0.624
+    assert(refined > seed, s"refined $refined vs seed $seed")
+    assert(refined >= 0.55, s"refined recall $refined")
+  }
+
+  test("trainCodebook: stable centroid count, deterministic under repartitioning") {
+    val cb = Similarity.trainCodebook(emb, nCentroids = 16, iters = 2)
+    assert(cb.count() == 16)
+    val again = Similarity.trainCodebook(emb.repartition(7), nCentroids = 16, iters = 2)
+    assertSameRows(
+      cb.select(col("cid"), to_json(col("cvec")).as("v")),
+      again.select(col("cid"), to_json(col("cvec")).as("v")))
+  }
+
   test("q36 centroids: one row per (label, pos), n consistent per label") {
     val out = Similarity.labelCentroids(emb)
     val dims = 64
