@@ -18,9 +18,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JVM/codegen/parquet-footer costs land here, not on the
-    // alphabetically-first query.
-    SparkEntry.queries.get("q11_pricing_summary")
-      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
+    // measured queries. One representative per plan family — scan+agg,
+    // fact join, window, vector kernels — because cold whole-stage
+    // codegen/JIT of a FAMILY's first pipeline costs seconds (r1's
+    // "q12 = 6.1s" was exactly this: the first fact-fact join paid
+    // 7.3s cold vs 1.0s steady in an isolated JVM).
+    for (w <- Seq("q11_pricing_summary", "q12_top_unshipped",
+        "q14_window_running", "q28b_knn_blocked", "q25_dedup_minhash"))
+      SparkEntry.queries.get(w)
+        .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
     // two timed passes per query, report the min: single-JVM runs carry
     // multi-second JIT/GC noise that would mask real plan regressions.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -75,6 +75,67 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PolyHashExpr: codegen column equals the Scala model and the q21 lambda") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    val rnd = new Random(5)
+    val docs = Seq("", "a", "hello world", "  padded  ") ++
+      Seq.fill(60)(Random.alphanumeric.take(rnd.nextInt(120)).mkString)
+    import SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = docs.toDF("text")
+      .select(col("text"), graft.functions.VectorFunctions.poly_hash(col("text")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    docs.foreach(d => assert(got(d) == ref(d), s"text=$d"))
+    docs.foreach(d => assert(graft.functions.PolyHashExpr.hash(d) == ref(d), s"eval: $d"))
+  }
+
+  test("QrhpSignatureExpr: codegen column equals the interpreted Scala model") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.QrhpPlanes
+    val rnd = new Random(9)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextGaussian() / 8.0).toFloat)))
+    def model(v: Array[Float], nBits: Int): Long = {
+      var sig = 0L
+      for (j <- 0 until nBits) {
+        var acc = 0L
+        for (d <- v.indices) {
+          val q = math.floor(v(d).toDouble * 1048576.0 + 0.5).toLong
+          acc += QrhpPlanes.weight(j, d) * q
+        }
+        if (acc >= 0) sig |= (1L << j)
+      }
+      sig
+    }
+    val got = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.qrhp_signature(col("embedding"), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) => assert(got(id) == model(v, 64), s"vec $id") }
+  }
+
+  test("RhpSignatureExpr offset: disjoint plane ranges, stable per-offset bits") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(13)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextGaussian() / 8.0).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // bits [16, 32) of a 32-bit signature == a 16-bit signature at offset 16
+    val wide = df.select(col("vec_id"),
+      graft.functions.VectorFunctions.rhp_signature(col("embedding"), 32).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1) >>> 16) & 0xFFFFL)).toMap
+    val offs = df.select(col("vec_id"),
+      graft.functions.VectorFunctions.rhp_signature(col("embedding"), 16, 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, _) => assert(wide(id) == offs(id), s"vec $id") }
+  }
+
   test("polynomial fingerprint matches an independent reference impl") {
     // mirror of the q21 expression: (h*31 + codepoint) % 1e9+7, left fold
     def ref(s: String): Long =
