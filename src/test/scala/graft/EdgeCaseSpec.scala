@@ -42,7 +42,34 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.knnBruteForceBlocked(emptyLike(emb)).count() == 0)
     assert(Similarity.knnLsh(emptyLike(emb)).count() == 0)
     assert(Similarity.knnIvf(emptyLike(emb)).count() == 0)
+    assert(Similarity.knnIvf(emptyLike(emb), lloydIters = 2).count() == 0)
     assert(Similarity.embeddingDedup(emptyLike(emb)).count() == 0)
+    assert(Similarity.embeddingDedupLsh(emptyLike(emb)).count() == 0)
+  }
+
+  test("round-2 ops survive degenerate inputs") {
+    import spark.implicits._
+    // single vector: no pairs, no neighbors, codebook smaller than k
+    val one = emb.limit(1)
+    assert(Similarity.embeddingDedup(one, tau = 0.0).count() == 0)
+    assert(Similarity.embeddingDedupLsh(one, tau = 0.0).count() == 0)
+    assert(Similarity.knnBruteForceBlocked(one).count() == 0)
+    assert(Similarity.trainCodebook(emb.limit(5), nCentroids = 16, iters = 1).count() == 5)
+    // stratified sampling: unlisted language strata drop cleanly
+    val s = TextOps.stratifiedSample(docs, Map("nope" -> 10000))
+    assert(s.count() == 0)
+    val all = TextOps.stratifiedSample(docs,
+      docs.select("lang").distinct().collect().map(_.getString(0) -> 10000).toMap)
+    assert(all.count() == docs.count())
+    // streaming minhash signature: blank text degenerates to one shingle
+    assert(StreamingDeps.sigLen("") == 32)
+    assert(StreamingDeps.sigLen("   \t ") == 32)
+    assert(StreamingDeps.sigLen("one two three four") == 32)
+  }
+
+  private object StreamingDeps {
+    def sigLen(text: String): Int =
+      graft.streaming.StreamOps.minhashSignature(text).length
   }
 
   test("ops survive blank and single-char text") {
