@@ -585,9 +585,22 @@ object SparkEntry {
            SELECT vec_id, j, CASE WHEN sum(q * w) >= 0 THEN 1 ELSE 0 END AS bit
            FROM qv JOIN w USING (d)
            GROUP BY vec_id, j),
+         -- band width auto-sizes with the corpus exactly like the Spark
+         -- side: smallest b >= 4 with N <= 32*2^b, capped at 16
+         bw AS (
+           SELECT CASE WHEN n <= 512 THEN 4 WHEN n <= 1024 THEN 5
+                       WHEN n <= 2048 THEN 6 WHEN n <= 4096 THEN 7
+                       WHEN n <= 8192 THEN 8 WHEN n <= 16384 THEN 9
+                       WHEN n <= 32768 THEN 10 WHEN n <= 65536 THEN 11
+                       WHEN n <= 131072 THEN 12 WHEN n <= 262144 THEN 13
+                       WHEN n <= 524288 THEN 14 WHEN n <= 1048576 THEN 15
+                       ELSE 16 END AS bb
+           FROM (SELECT count(*) AS n FROM embeddings)),
          bands AS (
-           SELECT vec_id, j // 4 AS band_id, sum(bit * (1 << (j % 4))) AS band_sig
-           FROM bits GROUP BY 1, 2),
+           SELECT vec_id, j // bb AS band_id, sum(bit * (1 << (j % bb))) AS band_sig
+           FROM bits, bw
+           WHERE j < (64 // bb) * bb
+           GROUP BY 1, 2),
          cand AS (
            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
            FROM bands a JOIN bands b

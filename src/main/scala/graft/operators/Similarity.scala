@@ -415,20 +415,33 @@ object Similarity {
     * rows+schema+hash like the exact one.
     *
     * Scale: candidate cost is Σ_buckets |bucket|² per band — the
-    * equi-join-on-(band, sig) shape of q25/q26; bandBits tunes bucket
-    * occupancy (grow with log N), never an all-pairs join.
+    * equi-join-on-(band, sig) shape of q25/q26. bandBits ≤ 0
+    * auto-sizes from the input count with the same integer ladder the
+    * oracle replays (smallest b ≥ 4 with N ≤ 32·2^b, capped at 16):
+    * bucket OCCUPANCY stays ~32 at every scale, so candidate volume is
+    * ~nBands·32·N instead of drifting toward all-pairs as N outgrows a
+    * fixed bucket width. Band count is 64/bandBits (leftover signature
+    * bits unused) — fewer, deeper tables as N grows, the standard LSH
+    * budget trade.
     */
   def embeddingDedupLsh(embeddings: DataFrame, tau: Double = 0.35,
-                        nBits: Int = 64, bandBits: Int = 4): DataFrame = {
-    require(nBits % bandBits == 0, "bandBits must divide nBits")
-    val nBands = nBits / bandBits
+                        nBits: Int = 64, bandBits: Int = 0): DataFrame = {
+    val bb =
+      if (bandBits > 0) bandBits
+      else {
+        val n = embeddings.count()
+        var b = 4
+        while (b < 16 && n > 32L * (1L << b)) b += 1
+        b
+      }
+    val nBands = nBits / bb
     val e = embeddings.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"),
       graft.functions.VectorFunctions.qrhp_signature(col("embedding"), nBits).as("sig"))
     val bandStructs = (0 until nBands).map { band =>
       struct(lit(band).as("band_id"),
-        shiftrightunsigned(col("sig"), band * bandBits)
-          .bitwiseAND(lit((1L << bandBits) - 1)).as("band_sig"))
+        shiftrightunsigned(col("sig"), band * bb)
+          .bitwiseAND(lit((1L << bb) - 1)).as("band_sig"))
     }
     val bands = e.select(col("vec_id"),
         explode(array(bandStructs: _*)).as("bb"))
