@@ -24,13 +24,15 @@ object Bench {
     // "q12 = 6.1s" was exactly this: the first fact-fact join paid
     // 7.3s cold vs 1.0s steady in an isolated JVM).
     for (w <- Seq("q11_pricing_summary", "q12_top_unshipped",
-        "q14_window_running", "q28b_knn_blocked", "q25_dedup_minhash"))
+        "q14_window_running", "q28b_knn_blocked", "q25_dedup_minhash",
+        "q31_multimodal_meta"))
       SparkEntry.queries.get(w)
         .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
-    // two timed passes per query, report the min: single-JVM runs carry
-    // multi-second JIT/GC noise that would mask real plan regressions.
+    // three timed passes per query, report the min: single-JVM runs
+    // carry multi-second JIT/GC/load noise (measured ±4s across full
+    // runs) that would mask real plan regressions.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

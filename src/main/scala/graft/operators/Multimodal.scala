@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // round-trips a temp file, which is both slower and load-sensitive
+  // (measured multi-second q31 variance under concurrent I/O). The
+  // payloads here are all in-memory byte arrays — cache in heap.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A decoded media record — what a real decoder would emit. */
   case class DecodedMedia(doc_id: Long, blob_len: Long, width: Int, height: Int,
                           n_frames: Int, ok: Boolean)
