@@ -266,9 +266,11 @@ object SparkEntry {
                     t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
                   / CAST(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS DOUBLE) AS stopword_ratio
          FROM documents""",
-    // q15b: session_window sessionization — identical boundaries to the
-    // lag/cumsum formulation, so the oracle is q15's SQL without the
-    // per-user session ordinal in the output.
+    // q15b: session_window sessionization. NOT simply q15's SQL: the
+    // native session_window is HALF-OPEN [ts, ts+gap) — an event at
+    // exactly prev+gap starts a NEW session — so the oracle's gap test
+    // is >= where q15's lag formulation uses >. The two agree on any
+    // data without an exactly-gap-length inter-event interval.
     "q15b_sessionize_sw" ->
       """WITH x AS (
            SELECT user_id, ts, event_id, value,
@@ -276,7 +278,7 @@ object SparkEntry {
            FROM events),
          y AS (
            SELECT *, CASE WHEN prev_ts IS NULL
-                          OR (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 > 1800.0
+                          OR (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 >= 1800.0
                      THEN 1 ELSE 0 END AS new_session
            FROM x),
          z AS (

@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   *   frequency cap; ubiquitous shingles (which would quadratically blow
   *   up the join) carry no discriminative signal and are dropped, the
   *   classic posting-list pruning trade-off.
-  * Hashing is `xxhash64` everywhere — codegen'd, no UDFs.
+  * Hashing: q25/q26 use the SQL-replayable integer family
+  * (PolyHashExpr + ReplayableHash universal hashes) so their full
+  * pipelines are DuckDB-oracle-checked; q27 keeps xxhash64 shingle
+  * keys (membership-only, value-equivalent to the string-shingle
+  * oracle). All codegen'd column expressions, no UDFs.
   */
 object Dedup {
 
@@ -164,15 +168,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** q25 (rows-only): MinHash + LSH banded dedup.
+  /** q25 (oracle-checked): MinHash + LSH banded dedup.
     *
-    * numPerm minhash permutations (h_i(s) = xxhash64(i, s)), banded into
-    * `bands` bands of numPerm/bands rows; docs sharing any band
-    * signature become candidates (minHashPairs above); candidates are
-    * verified with EXACT shingle-set Jaccard and counted as duplicates
-    * at `tau`. Output: one row per document — doc_id, n_shingles,
-    * n_candidates, n_dups — so the result is non-empty even on a
-    * dup-free corpus.
+    * numPerm minhash permutations (h_i(s) = (a_i·s + b_i) mod (2³¹−1),
+    * ReplayableHash), banded into `bands` bands of numPerm/bands rows;
+    * docs sharing any band signature become candidates (minHashPairs
+    * above); candidates are verified with EXACT shingle-set Jaccard
+    * and counted as duplicates at `tau`. Output: one row per document
+    * — doc_id, n_shingles, n_candidates, n_dups — so the result is
+    * non-empty even on a dup-free corpus.
     */
   def dedupMinHash(documents: DataFrame, numPerm: Int = 32, bands: Int = 8,
                    shingleN: Int = 3, tau: Double = 0.5): DataFrame = {
@@ -244,7 +248,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** q26 (rows-only): 64-bit SimHash + Hamming-distance pairing —
+  /** q26 (oracle-checked): 64-bit SimHash + Hamming-distance pairing —
     * simHashSignatures + simHashNearPairs folded to one row per
     * document: doc_id, simhash, n_near.
     */

@@ -41,9 +41,13 @@ object Multimodal {
     if (payload == null || payload.isEmpty)
       DecodedMedia(docId, 0L, 0, 0, 0, ok = false)
     else {
+      // NonFatal, not just IOException: ImageIO plugins throw unchecked
+      // errors on some malformed-but-recognized payloads (CMMException
+      // on broken ICC profiles, IndexOutOfBounds on truncated headers);
+      // a corrupt blob must become an ok=false ROW, never a dead task.
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) DecodedMedia(docId, payload.length.toLong, 0, 0, 0, ok = false)
       else DecodedMedia(docId, payload.length.toLong, img.getWidth, img.getHeight,
         n_frames = 1, ok = true)

@@ -56,16 +56,36 @@ object ExactlyOnceSink {
 
   /** The idempotent keyed MERGE body for `foreachBatch`. Usage:
     *   stream.writeStream.foreachBatch(upsertBatch(dir, Seq("k")) _)
+    *
+    * Within-batch collapse: if a single trigger can carry SEVERAL rows
+    * per key (changelog/append producers), pass `versionCol` — the
+    * row with the greatest version wins, deterministically. Without
+    * it, the input contract is at-most-one-row-per-key-per-batch
+    * (update-mode aggregation output); violations throw rather than
+    * silently keeping an arbitrary row.
     */
-  def upsertBatch(dir: String, keyCols: Seq[String])
+  def upsertBatch(dir: String, keyCols: Seq[String],
+                  versionCol: Option[String] = None)
                  (batch: Dataset[Row], batchId: Long): Unit = {
     val spark = batch.sparkSession
     val last = committedVersions(spark, dir).lastOption.getOrElse(-1L)
     if (batchId <= last) return // duplicate delivery: already committed
 
-    // one row per key within the batch (multiple updates to a key in a
-    // single trigger collapse before the merge)
-    val deduped = batch.dropDuplicates(keyCols)
+    val deduped = versionCol match {
+      case Some(v) =>
+        val keyStruct = struct(keyCols.map(col): _*)
+        val rowStruct = struct(batch.columns.map(col): _*)
+        batch.groupBy(keyStruct.as("k"))
+          .agg(max_by(rowStruct, col(v)).as("r"))
+          .select(col("r.*"))
+      case None =>
+        val d = batch.dropDuplicates(keyCols)
+        if (d.count() != batch.count())
+          throw new IllegalArgumentException(
+            s"batch $batchId carries multiple rows per key ${keyCols.mkString(",")}; " +
+              "pass versionCol to define which row wins")
+        d
+    }
     val merged = snapshot(spark, dir) match {
       case None => deduped
       case Some(prev) =>
@@ -106,11 +126,15 @@ object RefreshingDim {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val dim = spark.read.parquet(dimDir) // fresh snapshot, fresh listing
+        // one directory per batchId, OVERWRITTEN on write: a batch
+        // replayed after checkpoint recovery rewrites its own partition
+        // instead of appending duplicates (blind append is not
+        // replay-idempotent; partition discovery on the read side
+        // exposes batch_id as a column)
         batch.join(broadcast(dim), col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
-            col("l_quantity"), col("p_retailprice").as("price"),
-            lit(batchId).as("batch_id"))
-          .write.mode("append").parquet(sinkDir)
+            col("l_quantity"), col("p_retailprice").as("price"))
+          .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
         ()
       }
       .start()

@@ -80,7 +80,7 @@ class KernelPropertySpec extends AnyFunSuite {
       s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
     val rnd = new Random(5)
     val docs = Seq("", "a", "hello world", "  padded  ") ++
-      Seq.fill(60)(Random.alphanumeric.take(rnd.nextInt(120)).mkString)
+      Seq.fill(60)(rnd.alphanumeric.take(rnd.nextInt(120)).mkString)
     import SparkTestSession.spark
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -142,7 +142,7 @@ class KernelPropertySpec extends AnyFunSuite {
       s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
     val rnd = new Random(3)
     val docs = Seq("", "a", "hello world") ++
-      Seq.fill(50)(Random.alphanumeric.take(rnd.nextInt(200)).mkString)
+      Seq.fill(50)(rnd.alphanumeric.take(rnd.nextInt(200)).mkString)
     import SparkTestSession.spark
     import spark.implicits._
     val df = docs.toDF("text")

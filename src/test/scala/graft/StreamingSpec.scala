@@ -299,6 +299,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap() == afterB1)
   }
 
+  test("s09 within-batch collapse: versionCol picks the newest row, bare dupes throw") {
+    import spark.implicits._
+    import graft.streaming.ExactlyOnceSink
+    val dir = freshDir("eos-ver")
+    // changelog-style batch: two updates for key 1 in ONE trigger
+    val b = Seq((1L, 10.0, 1L), (1L, 20.0, 2L), (2L, 5.0, 1L))
+      .toDF("o_orderkey", "total", "seq")
+    ExactlyOnceSink.upsertBatch(dir, Seq("o_orderkey"), versionCol = Some("seq"))(b, 0L)
+    val snap = ExactlyOnceSink.snapshot(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(snap == Map(1L -> 20.0, 2L -> 5.0)) // newest version won
+    // without a versionCol the same batch must fail loudly, not keep
+    // an arbitrary row
+    intercept[IllegalArgumentException] {
+      ExactlyOnceSink.upsertBatch(freshDir("eos-ver2"), Seq("o_orderkey"))(b, 0L)
+    }
+  }
+
   test("s09 end-to-end: streaming reassembly lands exactly once in the sink table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
