@@ -266,11 +266,11 @@ object SparkEntry {
                     t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
                   / CAST(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS DOUBLE) AS stopword_ratio
          FROM documents""",
-    // q15b: session_window sessionization. NOT simply q15's SQL: the
-    // native session_window is HALF-OPEN [ts, ts+gap) — an event at
-    // exactly prev+gap starts a NEW session — so the oracle's gap test
-    // is >= where q15's lag formulation uses >. The two agree on any
-    // data without an exactly-gap-length inter-event interval.
+    // q15b: session_window sessionization — the oracle is q15's SQL
+    // without the per-user session ordinal. Boundary rule verified
+    // empirically (AnalyticsSpec): an event at EXACTLY prev+gap MERGES
+    // into the running session in both the native session_window and
+    // the lag formulation, so the gap test is strictly '>' here too.
     "q15b_sessionize_sw" ->
       """WITH x AS (
            SELECT user_id, ts, event_id, value,
@@ -278,7 +278,7 @@ object SparkEntry {
            FROM events),
          y AS (
            SELECT *, CASE WHEN prev_ts IS NULL
-                          OR (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 >= 1800.0
+                          OR (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 > 1800.0
                      THEN 1 ELSE 0 END AS new_session
            FROM x),
          z AS (

@@ -45,6 +45,25 @@ class AnalyticsSpec extends AnyFunSuite {
     SparkTestSession.assertSameRows(a, b)
   }
 
+  test("q15 and q15b agree at the exactly-gap-length boundary (both merge)") {
+    import spark.implicits._
+    // pins the semantics the oracles encode: an event at EXACTLY
+    // prev+gap merges into the running session under BOTH the lag
+    // formulation ('>' gap test) and the native session_window
+    // (verified here — it is inclusive at the boundary, not
+    // half-open); one microsecond past the gap splits under both.
+    def ev(secondTs: String) = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0, "c", "{}"),
+      (1L, java.sql.Timestamp.valueOf(secondTs), 2L, 1.0, "c", "{}"))
+      .toDF("user_id", "ts", "event_id", "value", "event_type", "props")
+    val atGap = ev("2024-01-01 00:30:00")
+    assert(Analytics.sessionize(atGap).count() == 1)
+    assert(Analytics.sessionizeSW(atGap).count() == 1)
+    val pastGap = ev("2024-01-01 00:30:00.000001")
+    assert(Analytics.sessionize(pastGap).count() == 2)
+    assert(Analytics.sessionizeSW(pastGap).count() == 2)
+  }
+
   test("q15 sessions partition all events") {
     val out = Analytics.sessionize(events)
     val total = out.agg(sum("n_events")).collect()(0).getLong(0)
