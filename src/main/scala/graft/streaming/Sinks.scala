@@ -10,49 +10,129 @@ import org.apache.spark.sql.functions._
   * transactional publisher, publisher/src/main/java/dev/buesing/ksd/
   * publisher/Producer.java). Structured Streaming gives at-least-once
   * delivery into `foreachBatch` with a MONOTONIC batchId; exactly-once
-  * is recovered by making the batch commit idempotent:
+  * is recovered by making the batch commit idempotent.
   *
-  *  - every batch writes a full new SNAPSHOT version dir `v=<batchId>`
-  *    and marks it with a commit file only after the write succeeds
-  *    (write-then-commit, the miniature of the Delta/Iceberg log
-  *    protocol);
+  * The table is LOG-STRUCTURED (the dependency-free miniature of the
+  * Delta/Iceberg protocol — write data files, then commit them with a
+  * marker, readers only see marker-committed files):
+  *
+  *  - every batch appends ONLY ITS OWN ROWS as a keyed delta
+  *    `delta/v=<batchId>` and marks it committed after the write
+  *    succeeds — a microbatch costs O(batch), never O(table);
   *  - a replayed batchId ≤ the last committed version is SKIPPED —
   *    duplicate delivery after a checkpoint recovery changes nothing;
-  *  - readers only see marker-committed versions, so a crash mid-write
-  *    leaves no torn state (the orphan dir is overwritten on retry).
+  *  - readers resolve key→newest across the latest compacted base plus
+  *    the deltas committed after it (`max_by(row, version)` per key);
+  *  - every `compactEvery` committed deltas, the resolved table is
+  *    rewritten as a new base `base/v=<batchId>` under the same
+  *    write-then-commit marker, and folded deltas are garbage-collected
+  *    (one previous base + its trailing deltas are retained for lagging
+  *    readers) — the amortized O(table) work happens once per K
+  *    batches, not per trigger;
+  *  - a crash mid-write leaves an UNMARKED dir: readers never see it,
+  *    the retried batch overwrites it, an interrupted compaction is
+  *    simply re-attempted on the next commit.
   *
-  * Rows upsert by key: new keys append, re-sent keys replace — the
-  * idempotent keyed MERGE. At production scale the same foreachBatch
-  * body targets a real transactional table format (Delta MERGE INTO /
-  * Iceberg); the snapshot-rewrite here keeps the protocol visible and
-  * dependency-free.
+  * Rows upsert by key: new keys append, re-sent keys replace, and a
+  * TOMBSTONE deletes — the Kafka Streams KTable contract where a
+  * null-valued record removes the key from the store
+  * (Streams.java:102-115; the reference's dim topics are compacted
+  * tables built on exactly that). Tombstones are retained in deltas
+  * (they must shadow older versions of the key) and dropped at
+  * compaction, when nothing older remains to resurrect the key.
   */
 object ExactlyOnceSink {
 
   private val Marker = "_graft_committed"
+  private val MetaFile = "_graft_meta.json"
+  private val VCol = "__v"
+  private val DelCol = "__deleted"
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** batchIds of committed versions, ascending. */
-  def committedVersions(spark: SparkSession, dir: String): Seq[Long] = {
-    val f = fs(spark, dir)
-    val base = new Path(dir)
-    if (!f.exists(base)) Seq.empty
-    else f.listStatus(base).toSeq
+  private def committedUnder(spark: SparkSession, path: Path): Seq[Long] = {
+    val f = fs(spark, path.toString)
+    if (!f.exists(path)) Seq.empty
+    else f.listStatus(path).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .filter(s => f.exists(new Path(s.getPath, Marker)))
       .map(_.getPath.getName.stripPrefix("v=").toLong)
       .sorted
   }
 
-  /** The latest committed snapshot (empty-schema-less: caller must have
-    * committed at least one batch; returns None before that).
+  /** batchIds of committed delta versions, ascending. */
+  def committedDeltas(spark: SparkSession, dir: String): Seq[Long] =
+    committedUnder(spark, new Path(dir, "delta"))
+
+  /** batchIds of committed compacted-base versions, ascending. */
+  def committedBases(spark: SparkSession, dir: String): Seq[Long] =
+    committedUnder(spark, new Path(dir, "base"))
+
+  /** All committed versions (deltas and bases), ascending. */
+  def committedVersions(spark: SparkSession, dir: String): Seq[Long] =
+    (committedDeltas(spark, dir) ++ committedBases(spark, dir)).distinct.sorted
+
+  /** (keyCols, dataCols) recorded at first commit — the read side
+    * needs them to resolve key→newest and restore column order.
     */
-  def snapshot(spark: SparkSession, dir: String): Option[DataFrame] =
-    committedVersions(spark, dir).lastOption.map { v =>
-      spark.read.parquet(s"$dir/v=$v")
+  private def readMeta(spark: SparkSession, dir: String): (Seq[String], Seq[String]) = {
+    val f = fs(spark, dir)
+    val in = f.open(new Path(dir, MetaFile))
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    def field(name: String): Seq[String] =
+      s""""$name":\\[([^\\]]*)\\]""".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+    (field("keyCols"), field("dataCols"))
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String,
+                        keyCols: Seq[String], dataCols: Seq[String]): Unit = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, MetaFile)
+    if (!f.exists(p)) {
+      def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val out = f.create(p, true)
+      try out.write(
+        s"""{"keyCols":${arr(keyCols)},"dataCols":${arr(dataCols)}}""".getBytes("UTF-8"))
+      finally out.close()
     }
+  }
+
+  /** The resolved live table (base ∪ trailing deltas, newest version
+    * per key, tombstones applied), with the internal version/tombstone
+    * columns still attached — compaction writes exactly this.
+    */
+  private def resolved(spark: SparkSession, dir: String,
+                       keyCols: Seq[String]): Option[DataFrame] = {
+    val baseV = committedBases(spark, dir).lastOption
+    val deltaVs = committedDeltas(spark, dir).filter(v => baseV.forall(_ < v))
+    val paths = baseV.map(v => s"$dir/base/v=$v").toSeq ++
+      deltaVs.map(v => s"$dir/delta/v=$v")
+    if (paths.isEmpty) None
+    else {
+      val all = spark.read.parquet(paths: _*)
+      val keyStruct = struct(keyCols.map(col): _*)
+      val rowStruct = struct(all.columns.toIndexedSeq.map(col): _*)
+      Some(all.groupBy(keyStruct.as("k"))
+        .agg(max_by(rowStruct, col(VCol)).as("r"))
+        .select(col("r.*")))
+    }
+  }
+
+  /** The latest committed state of the table (None before the first
+    * commit). Deleted keys are absent; internal columns are stripped
+    * and the original column order restored.
+    */
+  def snapshot(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val (keyCols, dataCols) = try readMeta(spark, dir) catch {
+      case _: java.io.IOException => return None
+    }
+    resolved(spark, dir, keyCols)
+      .map(_.filter(!col(DelCol)).select(dataCols.map(col): _*))
+  }
 
   /** The idempotent keyed MERGE body for `foreachBatch`. Usage:
     *   stream.writeStream.foreachBatch(upsertBatch(dir, Seq("k")) _)
@@ -63,43 +143,80 @@ object ExactlyOnceSink {
     * it, the input contract is at-most-one-row-per-key-per-batch
     * (update-mode aggregation output); violations throw rather than
     * silently keeping an arbitrary row.
+    *
+    * Tombstones: rows where boolean `tombstoneCol` is true DELETE
+    * their key (the KTable null-value contract). The flag column is
+    * consumed by the sink — it does not appear in snapshots.
     */
   def upsertBatch(dir: String, keyCols: Seq[String],
-                  versionCol: Option[String] = None)
+                  versionCol: Option[String] = None,
+                  tombstoneCol: Option[String] = None,
+                  compactEvery: Int = 8)
                  (batch: Dataset[Row], batchId: Long): Unit = {
     val spark = batch.sparkSession
     val last = committedVersions(spark, dir).lastOption.getOrElse(-1L)
     if (batchId <= last) return // duplicate delivery: already committed
 
+    val flagged = tombstoneCol match {
+      case Some(t) => batch.withColumn(DelCol, coalesce(col(t), lit(false)))
+        .drop(t)
+      case None => batch.withColumn(DelCol, lit(false))
+    }
     val deduped = versionCol match {
       case Some(v) =>
         val keyStruct = struct(keyCols.map(col): _*)
-        val rowStruct = struct(batch.columns.map(col): _*)
-        batch.groupBy(keyStruct.as("k"))
+        val rowStruct = struct(flagged.columns.toIndexedSeq.map(col): _*)
+        flagged.groupBy(keyStruct.as("k"))
           .agg(max_by(rowStruct, col(v)).as("r"))
           .select(col("r.*"))
       case None =>
-        val d = batch.dropDuplicates(keyCols)
-        if (d.count() != batch.count())
+        val d = flagged.dropDuplicates(keyCols)
+        if (d.count() != flagged.count())
           throw new IllegalArgumentException(
             s"batch $batchId carries multiple rows per key ${keyCols.mkString(",")}; " +
               "pass versionCol to define which row wins")
         d
     }
-    val merged = snapshot(spark, dir) match {
-      case None => deduped
-      case Some(prev) =>
-        prev.join(deduped, keyCols, "left_anti").unionByName(deduped)
-    }
-    val target = s"$dir/v=$batchId"
-    merged.write.mode("overwrite").parquet(target)
+    val dataCols = deduped.columns.filterNot(_ == DelCol).toSeq
+    writeMeta(spark, dir, keyCols, dataCols)
+
+    // O(batch): only this trigger's rows are written
+    val target = s"$dir/delta/v=$batchId"
+    deduped.withColumn(VCol, lit(batchId))
+      .select((dataCols :+ VCol :+ DelCol).map(col): _*)
+      .write.mode("overwrite").parquet(target)
     fs(spark, dir).create(new Path(target, Marker), true).close()
 
-    // retention: keep the previous committed snapshot (reader may hold
-    // it) and drop older ones — state is 2 snapshots, not the history
-    val f = fs(spark, dir)
-    committedVersions(spark, dir).dropRight(2)
-      .foreach(v => f.delete(new Path(s"$dir/v=$v"), true))
+    maybeCompact(spark, dir, keyCols, batchId, compactEvery)
+  }
+
+  /** Fold the trailing deltas into a new base once `compactEvery` have
+    * accumulated — the amortized O(table) pass. Tombstones are dropped
+    * here: the new base is the oldest readable version, so no earlier
+    * row remains for a dropped tombstone to un-shadow. Retention keeps
+    * one previous base and the deltas newer than it (a lagging reader
+    * may still hold their listing); everything older is deleted.
+    */
+  private def maybeCompact(spark: SparkSession, dir: String, keyCols: Seq[String],
+                           batchId: Long, compactEvery: Int): Unit = {
+    val baseV = committedBases(spark, dir).lastOption
+    val pending = committedDeltas(spark, dir).count(v => baseV.forall(_ < v))
+    if (pending < compactEvery) return
+
+    val target = s"$dir/base/v=$batchId"
+    resolved(spark, dir, keyCols).foreach { r =>
+      r.filter(!col(DelCol))
+        .write.mode("overwrite").parquet(target)
+      fs(spark, dir).create(new Path(target, Marker), true).close()
+
+      val f = fs(spark, dir)
+      // previous base (if any) survives one more round for lagging readers
+      committedBases(spark, dir).dropRight(2)
+        .foreach(v => f.delete(new Path(s"$dir/base/v=$v"), true))
+      val keepAfter = committedBases(spark, dir).dropRight(1).lastOption.getOrElse(-1L)
+      committedDeltas(spark, dir).filter(_ <= keepAfter)
+        .foreach(v => f.delete(new Path(s"$dir/delta/v=$v"), true))
+    }
   }
 }
 

@@ -276,6 +276,60 @@ object StreamOps {
       .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
         col("l_quantity"), col("p_retailprice").as("price"))
 
+  /** One update to a keyed table: `value = None` is a TOMBSTONE — the
+    * Kafka Streams KTable contract where a null-valued record deletes
+    * the key from the store (the reference's dim topics are compacted
+    * tables built on exactly that; Streams.java:102-115 consumes them
+    * as KTables).
+    */
+  case class DimUpdate(p_partkey: Long, p_retailprice: Option[Double])
+
+  /** The KTable changelog row s12 emits: the key's current value, or
+    * `deleted = true` when a tombstone removed it. Feeds
+    * `ExactlyOnceSink.upsertBatch(..., tombstoneCol = Some("deleted"))`
+    * so the delete propagates to the committed table.
+    */
+  case class DimRow(p_partkey: Long, p_retailprice: Double, deleted: Boolean)
+
+  /** s12: KTable materialization with DELETE semantics — upserts set
+    * the key's state, tombstones `state.remove()` it (a re-arriving
+    * key after a delete is a fresh insert, exactly a compacted topic's
+    * behavior). Update-mode changelog: every input row emits the key's
+    * new state, tombstones emit a `deleted` marker row so downstream
+    * sinks can drop the key too.
+    *
+    * Scale: state is one scalar per LIVE key, hash-partitioned across
+    * executors; deletes free store space immediately rather than
+    * accumulating null sentinels.
+    */
+  def streamDimTable(updates: Dataset[DimUpdate]): Dataset[DimRow] = {
+    import updates.sparkSession.implicits._
+    updates
+      .groupByKey(_.p_partkey)
+      .flatMapGroupsWithState[Double, DimRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[DimUpdate], state: GroupState[Double]) =>
+          // apply in arrival order; only the key's final disposition
+          // this batch is emitted (a KTable changelog is compacted
+          // per commit interval)
+          var live = state.getOption
+          rows.foreach { u =>
+            u.p_retailprice match {
+              case Some(p) => live = Some(p)
+              case None => live = None // tombstone
+            }
+          }
+          live match {
+            case Some(p) =>
+              state.update(p)
+              Iterator.single(DimRow(key, p, deleted = false))
+            case None =>
+              if (state.exists) state.remove()
+              Iterator.single(DimRow(key, 0.0, deleted = true))
+          }
+      }
+  }
+
   /** A document with its minhash signature, exploded per LSH band —
     * the streaming unit of s11. band_key packs (band_id, band_sig).
     */
@@ -287,8 +341,9 @@ object StreamOps {
   case class DupReport(doc_id: Long, n_candidates: Long, n_dups: Long,
                        best_match: Long, best_est: Double)
 
-  /** Driver-side minhash of one text — IDENTICAL hashing to the batch
-    * q25 pipeline (PolyHashExpr.hash shingles, universal-hash
+  /** Minhash of one text, evaluated INSIDE executors (called from
+    * `Dataset.flatMap` below) — IDENTICAL hashing to the batch q25
+    * pipeline (PolyHashExpr.hash shingles, universal-hash
     * permutations), so stream and batch agree exactly on signatures.
     */
   def minhashSignature(text: String, numPerm: Int = 32, shingleN: Int = 3): Array[Long] = {

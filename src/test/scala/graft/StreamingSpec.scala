@@ -440,6 +440,168 @@ class StreamingSpec extends AnyFunSuite {
     assert(perfectOriginals <= 30, s"$perfectOriginals originals scored est 1.0")
   }
 
+  test("s09 log-structured: per-batch bytes scale with the batch, not the table") {
+    import spark.implicits._
+    import graft.streaming.ExactlyOnceSink
+    val dir = freshDir("eos-obatch")
+    def dirBytes(p: String): Long = {
+      val f = new java.io.File(p)
+      if (!f.exists()) 0L
+      else f.listFiles().map(c => if (c.isDirectory) dirBytes(c.getPath) else c.length()).sum
+    }
+    // batch 0 builds a 20k-row table; batch 1 upserts 20 rows
+    val big = spark.range(20000).select(col("id").as("k"),
+      (col("id") * 2).cast("double").as("v"))
+    val small = spark.range(20).select(col("id").as("k"), lit(-1.0).as("v"))
+    ExactlyOnceSink.upsertBatch(dir, Seq("k"), compactEvery = 100)(big, 0L)
+    ExactlyOnceSink.upsertBatch(dir, Seq("k"), compactEvery = 100)(small, 1L)
+    val bigBytes = dirBytes(s"$dir/delta/v=0")
+    val smallBytes = dirBytes(s"$dir/delta/v=1")
+    // the small trigger writes ~1/1000th of the data; parquet file
+    // overhead dominates it, so assert an order of magnitude, not a ratio
+    assert(smallBytes * 10 < bigBytes,
+      s"small batch wrote $smallBytes bytes vs table-build $bigBytes — not O(batch)")
+    // and the merge semantics are intact
+    val snap = ExactlyOnceSink.snapshot(spark, dir).get
+    assert(snap.count() == 20000)
+    assert(snap.filter(col("v") === -1.0).count() == 20)
+  }
+
+  test("s09 compaction folds deltas into a base and preserves the snapshot") {
+    import spark.implicits._
+    import graft.streaming.ExactlyOnceSink
+    val dir = freshDir("eos-compact")
+    // 5 batches at compactEvery=4: compaction fires on batch 3 (4
+    // pending deltas), batch 4 lands as a fresh delta on top
+    for (b <- 0L until 5L) {
+      val batch = Seq((b, s"val$b"), (100L + b, s"new$b")).toDF("k", "v")
+      ExactlyOnceSink.upsertBatch(dir, Seq("k"), compactEvery = 4)(batch, b)
+    }
+    assert(ExactlyOnceSink.committedBases(spark, dir) == Seq(3L))
+    assert(ExactlyOnceSink.committedDeltas(spark, dir).contains(4L))
+    val snap = ExactlyOnceSink.snapshot(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap.size == 10)
+    assert(snap(4L) == "val4" && snap(104L) == "new4" && snap(0L) == "val0")
+    // replay of an already-folded batch is still a no-op
+    ExactlyOnceSink.upsertBatch(dir, Seq("k"), compactEvery = 4)(
+      Seq((0L, "GHOST")).toDF("k", "v"), 2L)
+    assert(ExactlyOnceSink.snapshot(spark, dir).get
+      .filter(col("v") === "GHOST").count() == 0)
+  }
+
+  test("s09 tombstone deletes the key from the committed table (KTable contract)") {
+    import spark.implicits._
+    import graft.streaming.ExactlyOnceSink
+    val dir = freshDir("eos-tomb")
+    val up = Some("deleted")
+    val b0 = Seq((1L, 10.0, false), (2L, 20.0, false), (3L, 30.0, false))
+      .toDF("k", "v", "deleted")
+    val b1 = Seq((2L, 0.0, true)).toDF("k", "v", "deleted") // tombstone key 2
+    ExactlyOnceSink.upsertBatch(dir, Seq("k"), tombstoneCol = up)(b0, 0L)
+    ExactlyOnceSink.upsertBatch(dir, Seq("k"), tombstoneCol = up)(b1, 1L)
+    val snap = ExactlyOnceSink.snapshot(spark, dir).get
+    assert(snap.columns.toSeq == Seq("k", "v")) // flag consumed by the sink
+    assert(snap.count() == 2)
+    assert(snap.filter(col("k") === 2L).count() == 0)
+    // replayed tombstone batch: still exactly-once
+    ExactlyOnceSink.upsertBatch(dir, Seq("k"), tombstoneCol = up)(b1, 1L)
+    assert(ExactlyOnceSink.snapshot(spark, dir).get.count() == 2)
+    // re-insert after delete is a fresh insert (compacted-topic behavior)
+    ExactlyOnceSink.upsertBatch(dir, Seq("k"), tombstoneCol = up)(
+      Seq((2L, 25.0, false)).toDF("k", "v", "deleted"), 2L)
+    assert(ExactlyOnceSink.snapshot(spark, dir).get
+      .filter(col("k") === 2L).head().getDouble(1) == 25.0)
+    // tombstones survive compaction boundaries correctly: delete again,
+    // then force a compaction and confirm the key stays gone
+    ExactlyOnceSink.upsertBatch(dir, Seq("k"), tombstoneCol = up, compactEvery = 1)(
+      Seq((2L, 0.0, true)).toDF("k", "v", "deleted"), 3L)
+    assert(ExactlyOnceSink.committedBases(spark, dir).nonEmpty)
+    val afterCompact = ExactlyOnceSink.snapshot(spark, dir).get
+    assert(afterCompact.count() == 2)
+    assert(afterCompact.filter(col("k") === 2L).count() == 0)
+  }
+
+  test("s12 dim KTable: tombstone removes the key from state and sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{ExactlyOnceSink, StreamOps}
+    val dir = freshDir("s12-sink")
+    val source = MemoryStream[StreamOps.DimUpdate]
+    val q = StreamOps.streamDimTable(source.toDS())
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.DimRow], id: Long) =>
+        ExactlyOnceSink.upsertBatch(dir, Seq("p_partkey"),
+          tombstoneCol = Some("deleted"))(b.toDF(), id)
+      }
+      .start()
+    try {
+      source.addData(StreamOps.DimUpdate(7L, Some(100.0)),
+        StreamOps.DimUpdate(8L, Some(50.0)))
+      q.processAllAvailable()
+      source.addData(StreamOps.DimUpdate(7L, Some(200.0))) // price update
+      q.processAllAvailable()
+      source.addData(StreamOps.DimUpdate(8L, None)) // tombstone: delete 8
+      q.processAllAvailable()
+      // key 8 re-arrives after the delete: state was REMOVED, so this
+      // must behave as a fresh insert, then get deleted again
+      source.addData(StreamOps.DimUpdate(8L, Some(75.0)),
+        StreamOps.DimUpdate(9L, None)) // delete of a never-seen key: no-op row
+      q.processAllAvailable()
+      source.addData(StreamOps.DimUpdate(8L, None))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val snap = ExactlyOnceSink.snapshot(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(snap == Map(7L -> 200.0), s"got $snap")
+  }
+
+  test("s09+s04 source re-delivery lands exactly-once through the keyed sink") {
+    import spark.implicits._
+    import graft.streaming.{ExactlyOnceSink, KafkaIO}
+    // at-least-once source: the same file content is delivered TWICE
+    // (a new file with identical rows = a replayed Kafka segment); the
+    // keyed idempotent upsert makes the OUTPUT exactly-once
+    val srcDir = freshDir("redeliver-src")
+    val sinkDir = freshDir("redeliver-sink")
+    val ckpt = freshDir("redeliver-ckpt")
+    val rows = Seq((1L, 10.0, 1L), (2L, 20.0, 1L), (3L, 30.0, 1L))
+      .toDF("k", "v", "seq")
+    // stage one part-file, then deliver the SAME bytes under two names
+    // (the file source keys seen-ness on the file path)
+    val stage = freshDir("redeliver-stage")
+    rows.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    new java.io.File(srcDir).mkdirs()
+    def deliver(name: String): Unit = java.nio.file.Files.copy(
+      part, java.nio.file.Paths.get(srcDir, name))
+    deliver("f1.parquet")
+    val schema = spark.read.parquet(stage).schema
+
+    val stream = KafkaIO.fileSource(spark, srcDir, schema)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ExactlyOnceSink.upsertBatch(sinkDir, Seq("k"), versionCol = Some("seq"))(b, id)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // re-deliver the SAME records (new file, same content) — the
+      // file source treats it as new data; the sink must not duplicate
+      deliver("f2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val snap = ExactlyOnceSink.snapshot(spark, sinkDir).get
+    assert(snap.count() == 3)
+    assert(snap.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+  }
+
   test("s04 kafka config surface builds; file substitution streams real rows") {
     // Kafka connector jar absent: builders must construct without loading
     val r = KafkaIO.reader(spark, "broker:9092", "purchase-orders")
