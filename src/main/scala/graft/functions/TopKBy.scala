@@ -44,6 +44,25 @@ final class TopKBuffer(val k: Int) {
     var i = 0
     while (i < other.n) { insert(other.ords(i), other.ids(i)); i += 1 }
   }
+
+  /** insert, skipping ids already present — for inputs where the same
+    * (ord, id) candidate can arrive several times (e.g. a pair that
+    * collides in multiple LSH tables). Only valid when duplicates
+    * carry an IDENTICAL ord (true for re-scored candidate pairs): the
+    * first occurrence then already sits at the right rank, and a
+    * buffer never holds two entries for one id, so dedup survives
+    * partial-buffer merges too.
+    */
+  def insertDistinct(ord: Double, id: Long): Unit = {
+    var i = 0
+    while (i < n) { if (ids(i) == id) return; i += 1 }
+    insert(ord, id)
+  }
+
+  def mergeFromDistinct(other: TopKBuffer): Unit = {
+    var i = 0
+    while (i < other.n) { insertDistinct(other.ords(i), other.ids(i)); i += 1 }
+  }
 }
 
 /** `top_k_by(ord, id, k)` — per-group top-k as a TypedImperativeAggregate
@@ -56,6 +75,7 @@ final class TopKBuffer(val k: Int) {
   * formulation (and the DuckDB oracle) uses.
   */
 case class TopKBy(ordChild: Expression, idChild: Expression, k: Int,
+                  distinctIds: Boolean = false,
                   mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKBuffer] {
   require(k >= 1, "k >= 1")
@@ -71,13 +91,15 @@ case class TopKBy(ordChild: Expression, idChild: Expression, k: Int,
     val o = ordChild.eval(input)
     val i = idChild.eval(input)
     if (o != null && i != null) {
-      buf.insert(o.asInstanceOf[Double], i.asInstanceOf[Long])
+      if (distinctIds) buf.insertDistinct(o.asInstanceOf[Double], i.asInstanceOf[Long])
+      else buf.insert(o.asInstanceOf[Double], i.asInstanceOf[Long])
     }
     buf
   }
 
   override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
-    buf.mergeFrom(other); buf
+    if (distinctIds) buf.mergeFromDistinct(other) else buf.mergeFrom(other)
+    buf
   }
 
   override def eval(buf: TopKBuffer): Any = {
@@ -122,4 +144,12 @@ object TopKByFunctions {
   def top_k_by(ord: Column, id: Column, k: Int): Column =
     Bridge.column(TopKBy(Bridge.expression(ord), Bridge.expression(id), k)
       .toAggregateExpression())
+
+  /** top_k_by that also DEDUPLICATES by id — duplicate candidates
+    * (which must carry the same ord) count once, replacing a standalone
+    * `distinct()` exchange on the candidate set.
+    */
+  def top_k_by_distinct(ord: Column, id: Column, k: Int): Column =
+    Bridge.column(TopKBy(Bridge.expression(ord), Bridge.expression(id), k,
+      distinctIds = true).toAggregateExpression())
 }

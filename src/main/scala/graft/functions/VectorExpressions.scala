@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -148,6 +148,87 @@ case class RhpSignatureExpr(child: Expression, nBits: Int, offset: Int = 0)
     copy(child = newChild)
 }
 
+/** All `nTables` random-hyperplane signatures of one embedding in a
+  * SINGLE fused expression returning array<long> — table t's element
+  * is bit-identical to `RhpSignatureExpr(emb, nBits, t*nBits)` (same
+  * global plane indices), but the multi-table LSH projection evaluates
+  * one expression instead of nTables separate columns: one codegen'd
+  * loop nest, one projection, and the per-table struct assembly that
+  * q29 used to do with `array(struct(...)*16)` collapses into a
+  * `posexplode` of this array.
+  */
+case class RhpMultiSignatureExpr(child: Expression, nBits: Int, nTables: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nBits >= 1 && nBits <= 64, "nBits in [1, 64]")
+  require(nTables >= 1, "nTables >= 1")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rhp_multi_signature needs array<float>, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    val sigs = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var sig = 0L
+      var j = 0
+      while (j < nBits) {
+        var acc = 0.0
+        var d = 0
+        while (d < dim) {
+          acc += a.getFloat(d).toDouble * RhpPlanes.plane(t * nBits + j, d)
+          d += 1
+        }
+        if (acc > 0) sig |= (1L << j)
+        j += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val sig = ctx.freshName("sig")
+      val dim = ctx.freshName("dim")
+      val sigs = ctx.freshName("sigs")
+      s"""
+         |int $dim = $a.numElements();
+         |long[] $sigs = new long[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $sig = 0L;
+         |  for (int $j = 0; $j < $nBits; $j++) {
+         |    double $acc = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      $acc += (double) $a.getFloat($d)
+         |        * graft.functions.RhpPlanes.plane($t * $nBits + $j, $d);
+         |    }
+         |    if ($acc > 0) $sig |= (1L << $j);
+         |  }
+         |  $sigs[$t] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Hyperplane weights for the ORACLE-REPRODUCIBLE signature variant
   * (QrhpSignatureExpr): every operation is exact 31-bit integer
   * arithmetic — three multiply-mod-2³¹ rounds with xor-shift mixing in
@@ -239,6 +320,72 @@ case class QrhpSignatureExpr(child: Expression, nBits: Int)
     copy(child = newChild)
 }
 
+/** Packed per-token SimHash bit parities. For token hash h, bit j's
+  * draw is parity p_j = ((a_{64+j}·h + b_{64+j}) mod (2³¹−1)) mod 2 —
+  * the exact q26 hash family (Dedup.ReplayableHash, SQL-replayable).
+  * The 64 parities pack into 22 longs, 3 fields × 21 bits each:
+  * summing the packed longs per document sums every field
+  * independently (no cross-field carry below 2²¹ ≈ 2M tokens/doc), so
+  * the signature aggregation is 22 plain `sum` columns instead of 64
+  * `sum(when ...)` aggregates — the r2 version's 2.2× q26 cost. The
+  * signed bit-j sum is recovered as 2·Σp_j − n (n = token count), and
+  * bit j of the simhash is set iff 2·Σp_j > n, identical to the ±1
+  * formulation.
+  */
+object SimHashLanes {
+  final val FieldBits = 21
+  final val FieldsPerLane = 3
+  final val NBits = 64
+  final val NLanes = 22 // ceil(64 / 3)
+  final val MaxTokens = (1L << FieldBits) - 1 // per-doc bound, ~2M
+
+  def pack(h: Long): Array[Long] = {
+    val out = new Array[Long](NLanes)
+    var j = 0
+    while (j < NBits) {
+      // a/b indices 64..127 — the same stream Dedup.ReplayableHash
+      // draws for q26 (a(i) = (1103515245·(2i+1) + 12345) mod 2³¹)
+      val i = 64 + j
+      val a = (1103515245L * (2L * i + 1L) + 12345L) % 2147483648L
+      val b = (1103515245L * (2L * i + 2L) + 12345L) % 2147483648L
+      if (((a * h + b) % 2147483647L) % 2L == 1L)
+        out(j / FieldsPerLane) |= 1L << ((j % FieldsPerLane) * FieldBits)
+      j += 1
+    }
+    out
+  }
+}
+
+/** simhash_lanes(h): the 22 packed parity lanes of one token hash —
+  * a single fused evaluation per token where the unpacked form was 64
+  * expression trees.
+  */
+case class SimHashLanesExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_lanes needs bigint, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(SimHashLanes.pack(v.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.SimHashLanes.pack($h));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Base-31 polynomial rolling hash over code points, mod 1e9+7 — the
   * q21 fingerprint contract, packaged as a codegen'd expression so
   * dedup pipelines can hash shingles/tokens per ROW (the higher-order
@@ -304,6 +451,12 @@ object VectorFunctions {
   def rhp_signature(emb: Column, nBits: Int, offset: Int = 0): Column =
     Bridge.column(RhpSignatureExpr(Bridge.expression(emb), nBits, offset))
 
+  /** All nTables rhp signatures at once as array<long> — element t ==
+    * rhp_signature(emb, nBits, t*nBits), one fused evaluation.
+    */
+  def rhp_multi_signature(emb: Column, nBits: Int, nTables: Int): Column =
+    Bridge.column(RhpMultiSignatureExpr(Bridge.expression(emb), nBits, nTables))
+
   /** nBits-bit QUANTIZED random-hyperplane signature (integer-exact,
     * DuckDB-oracle-reproducible) of a float-array column.
     */
@@ -315,4 +468,8 @@ object VectorFunctions {
     */
   def poly_hash(s: Column): Column =
     Bridge.column(PolyHashExpr(Bridge.expression(s)))
+
+  /** The 22 packed SimHash parity lanes of a token-hash column. */
+  def simhash_lanes(h: Column): Column =
+    Bridge.column(SimHashLanesExpr(Bridge.expression(h)))
 }

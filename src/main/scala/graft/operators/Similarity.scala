@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate/exact similarity search over the `embeddings` table
@@ -21,6 +21,22 @@ import org.apache.spark.sql.functions._
   * smaller (projected) side when under the AQE threshold.
   */
 object Similarity {
+
+  /** Row count for LSH/IVF auto-sizing, cached per (session, analyzed
+    * plan) so repeated invocations of a query don't each pay a counting
+    * job (the count itself is cheap — parquet answers it from footer
+    * metadata — but it is still a scheduled job per call). The cache
+    * key is the ANALYZED plan's semantic hash: two reads of the same
+    * table hit the same entry. Auto-sizing only needs N's order of
+    * magnitude, so a stale entry after an underlying-file change is
+    * harmless to correctness of the output (pass bandBits/nCentroids
+    * explicitly to bypass sizing entirely).
+    */
+  private val nCache = new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Long]()
+  private def approxCount(df: DataFrame): Long =
+    nCache.computeIfAbsent(
+      (df.sparkSession, df.queryExecution.analyzed.semanticHash()),
+      _ => df.count())
 
   /** Sequential-order double dot product — a native codegen'd Catalyst
     * expression (graft.functions.DotProductD); same FP contract as the
@@ -91,29 +107,28 @@ object Similarity {
     val bb =
       if (bandBits > 0) bandBits
       else {
-        val n = embeddings.count()
+        val n = approxCount(embeddings)
         math.min(24, math.max(4,
           math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt))
       }
-    val sigCols = (0 until nTables).map { t =>
+    // all nTables signatures in ONE fused expression (element t is
+    // bit-identical to the per-table rhp_signature at offset t*bb);
+    // posexplode replaces the 16-column projection + array(struct(...))
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"),
       graft.functions.VectorFunctions
-        .rhp_signature(col("embedding"), bb, t * bb).as(s"sig$t")
-    }
-    val e = embeddings.select(
-      Seq(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2")) ++ sigCols: _*)
-    val bandStructs = (0 until nTables).map { t =>
-      struct(lit(t).as("band_id"), col(s"sig$t").as("band_sig"))
-    }
-    val bands = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band_id").as("band_id"),
-        col("bb.band_sig").as("band_sig"))
-    // directed candidate pairs deduped across tables, then scored once
+        .rhp_multi_signature(col("embedding"), bb, nTables).as("sigs"))
+    val bands = e.select(col("vec_id"), posexplode(col("sigs")).as(Seq("band_id", "band_sig")))
+    // directed candidate pairs; a pair colliding in several tables is
+    // scored per collision and deduped INSIDE the top-k aggregate
+    // (top_k_by_distinct) — no standalone distinct() exchange over the
+    // candidate set, and duplicates carry the identical cosine so the
+    // result is unchanged
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_sig") === col("b.band_sig") &&
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
-      .distinct()
     val pairs = cand
       .join(e.select(col("vec_id"), col("embedding").as("ea"), col("n2").as("na2")), Seq("vec_id"))
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
@@ -121,7 +136,8 @@ object Similarity {
       .select(col("vec_id"), col("neighbor_id"),
         cosine(col("ea"), col("eb"), col("na2"), col("nb2")).as("cos"))
     val ranked = pairs.groupBy(col("vec_id"))
-      .agg(graft.functions.TopKByFunctions.top_k_by(col("cos"), col("neighbor_id"), k).as("top"))
+      .agg(graft.functions.TopKByFunctions
+        .top_k_by_distinct(col("cos"), col("neighbor_id"), k).as("top"))
       .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("vec_id"), col("t.id").as("neighbor_id"),
         (col("pos") + 1).as("rank"), col("t.ord").as("cos"))
@@ -245,43 +261,72 @@ object Similarity {
     * empty of others).
     */
   /** Relational k-means: refine the hash-sampled seed centroids with
-    * `iters` Lloyd steps, entirely in DataFrame ops — assign each
-    * vector to its nearest centroid (broadcast, N×C scoring), then
-    * recompute each centroid as the element-wise mean of its members
-    * (posexplode + quantized exact sums, the q36 trick, so the result
-    * is deterministic under any partitioning). Empty clusters keep
-    * their previous centroid. This is IVF codebook training — the
-    * embedding-pipeline step that turns the cheap seed quantizer into
-    * one that actually follows the data distribution.
+    * `iters` Lloyd steps — assign each vector to its nearest centroid
+    * (broadcast, N×C scoring), then recompute each centroid as the
+    * element-wise mean of its members (posexplode + quantized exact
+    * sums, the q36 trick, so the result is deterministic under any
+    * partitioning). Empty clusters keep their previous centroid. This
+    * is IVF codebook training — the embedding-pipeline step that turns
+    * the cheap seed quantizer into one that actually follows the data
+    * distribution.
+    *
+    * Iteration protocol (the MLlib KMeans shape): the embeddings
+    * projection is persisted ONCE and re-scanned from cache per step,
+    * and each step's C centroids are COLLECTED to the driver and
+    * re-broadcast — C × dim floats, a few KB. The r2 version instead
+    * folded each iteration's centroid frame lazily into the next
+    * iteration's plan; each step referenced the previous one twice, so
+    * the plan (and the recompute work) doubled per iteration and `e`
+    * was re-derived from parquet at every reference — q32b spent 2.5 s
+    * where this spends ~1 s.
     */
   def trainCodebook(embeddings: DataFrame, nCentroids: Int = 32,
                     iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val e = embeddings.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"))
-    val seed = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("n2").as("cn2"))
-    (1 to iters).foldLeft(seed) { (cent, _) =>
-      val assign = e.join(broadcast(cent), lit(true))
-        .select(col("vec_id"), col("cid"),
-          cosine(col("embedding"), col("cvec"), col("n2"), col("cn2")).as("ccos"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tb"))).as("cid"))
-      val means = assign.join(e, Seq("vec_id"))
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(floor(col("v").cast("double") * lit(1048576.0) + lit(0.5)).cast("long"))
-          .cast("double") / lit(1048576.0) / count(lit(1))).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"),
-          expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cvec"))
-      // empty clusters fall back to their previous centroid
-      cent.select(col("cid"), col("cvec").as("prev"))
-        .join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("cvec"), col("prev")).as("cvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seed centroids: the hash-smallest vectors (deterministic, no RNG)
+      var cents: Seq[(Long, Seq[Float])] = e
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(nCentroids)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      for (_ <- 1 to iters) {
+        val cent = cents.toDF("cid", "cvec")
+          .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+          .select(col("cid"), col("cvec"), norm2(col("cvec")).as("cn2"))
+        // the embedding rides through the assignment aggregate (one
+        // value per vec_id, so first() is deterministic) — map-side
+        // partials shrink the N×C frame to N rows before the exchange,
+        // and the join back to `e` that a bare argmax would need
+        // disappears
+        val assign = e.join(broadcast(cent), lit(true))
+          .select(col("vec_id"), col("cid"),
+            cosine(col("embedding"), col("cvec"), col("n2"), col("cn2")).as("ccos"),
+            col("embedding"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tb"))).as("cid"),
+            first(col("embedding")).as("embedding"))
+        val means = assign
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg((sum(floor(col("v").cast("double") * lit(1048576.0) + lit(0.5)).cast("long"))
+            .cast("double") / lit(1048576.0) / count(lit(1))).as("m"))
+          .groupBy(col("cid"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cid"),
+            expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cvec"))
+          .as[(Long, Seq[Float])].collect().toMap
+        // empty clusters fall back to their previous centroid
+        cents = cents.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
+      }
+      cents.toDF("cid", "cvec")
+        .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
         .select(col("cid"), col("cvec"), norm2(col("cvec")).as("cn2"))
-    }
+    } finally e.unpersist()
   }
 
   def knnIvf(embeddings: DataFrame, nCentroids: Int = 32, nProbe: Int = 4,
@@ -295,19 +340,26 @@ object Similarity {
         .limit(nCentroids)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("n2").as("cn2"))
 
-    // vector → (cosine to every centroid); reused for assignment + probes
-    val vc = e.join(broadcast(centroids), lit(true))
+    // ONE aggregation over the N×C scoring frame serves both roles:
+    // the nProbe nearest centroids per vector are the probe lists, and
+    // element 0 IS the inverted-list assignment — top_k_by's
+    // (ccos DESC, cid ASC) order is exactly the max_by(ccos, -cid)
+    // tie-break the former separate assignment pass used. The tiny
+    // result (N × nProbe ids) is persisted so the two consumers don't
+    // re-run the scoring pass.
+    val top = e.join(broadcast(centroids), lit(true))
       .select(col("vec_id"), col("cid"),
         cosine(col("embedding"), col("cvec"), col("n2"), col("cn2")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKByFunctions
+        .top_k_by(col("ccos"), col("cid"), nProbe).as("top"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // inverted lists: each vector in exactly one centroid's list
-    val assign = vc.groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tb"))).as("cid"))
+    val assign = top.select(col("vec_id"), col("top")(0)("id").as("cid"))
 
     // each query probes its nProbe nearest centroids
-    val probes = vc.groupBy(col("vec_id"))
-      .agg(graft.functions.TopKByFunctions.top_k_by(col("ccos"), col("cid"), nProbe).as("top"))
-      .select(col("vec_id"), explode(col("top.id")).as("probe_cid"))
+    val probes = top.select(col("vec_id"), explode(col("top.id")).as("probe_cid"))
 
     val candidates = probes
       .join(assign.select(col("vec_id").as("neighbor_id"), col("cid").as("probe_cid")),
@@ -429,7 +481,7 @@ object Similarity {
     val bb =
       if (bandBits > 0) bandBits
       else {
-        val n = embeddings.count()
+        val n = approxCount(embeddings)
         var b = 4
         while (b < 16 && n > 32L * (1L << b)) b += 1
         b
