@@ -32,11 +32,28 @@ object Similarity {
     * harmless to correctness of the output (pass bandBits/nCentroids
     * explicitly to bypass sizing entirely).
     */
-  private val nCache = new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Long]()
-  private def approxCount(df: DataFrame): Long =
-    nCache.computeIfAbsent(
-      (df.sparkSession, df.queryExecution.analyzed.semanticHash()),
+  private val nCache =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, Long]]()
+  private def approxCount(df: DataFrame): Long = {
+    // WEAK session key: a retired session's entry map is GC-reclaimed
+    // with it (the map's values are plain strings/longs, so nothing in
+    // the entry pins the session). Keys are the full canonicalized
+    // plan text, not its 32-bit semanticHash — two different tables
+    // can never alias to one cached N. The per-session map is bounded:
+    // it only ever holds counts, so dropping it on overflow costs one
+    // re-count, never correctness.
+    val per = nCache.synchronized {
+      var m = nCache.get(df.sparkSession)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+        nCache.put(df.sparkSession, m)
+      }
+      m
+    }
+    if (per.size > 256) per.clear()
+    per.computeIfAbsent(df.queryExecution.analyzed.canonicalized.toString,
       _ => df.count())
+  }
 
   /** Sequential-order double dot product — a native codegen'd Catalyst
     * expression (graft.functions.DotProductD); same FP contract as the
@@ -345,15 +362,20 @@ object Similarity {
     // element 0 IS the inverted-list assignment — top_k_by's
     // (ccos DESC, cid ASC) order is exactly the max_by(ccos, -cid)
     // tie-break the former separate assignment pass used. The tiny
-    // result (N × nProbe ids) is persisted so the two consumers don't
-    // re-run the scoring pass.
+    // result (N × nProbe ids) is materialized EAGERLY with a local
+    // checkpoint so the two consumers don't re-run the scoring pass:
+    // unlike persist(), no CacheManager entry outlives the returned
+    // frame (the r3 version leaked one cached RDD per invocation, and
+    // logged `Asked to cache already cached data` on every repeat) —
+    // the ContextCleaner releases the checkpoint blocks as soon as the
+    // result becomes unreachable.
     val top = e.join(broadcast(centroids), lit(true))
       .select(col("vec_id"), col("cid"),
         cosine(col("embedding"), col("cvec"), col("n2"), col("cn2")).as("ccos"))
       .groupBy(col("vec_id"))
       .agg(graft.functions.TopKByFunctions
         .top_k_by(col("ccos"), col("cid"), nProbe).as("top"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // inverted lists: each vector in exactly one centroid's list
     val assign = top.select(col("vec_id"), col("top")(0)("id").as("cid"))
