@@ -320,6 +320,25 @@ case class QrhpSignatureExpr(child: Expression, nBits: Int)
     copy(child = newChild)
 }
 
+/** SQL-replayable hash constants shared by the minhash permutations
+  * (q25, indices 0..numPerm-1), the simhash bit hashes (q26, indices
+  * 64..127 — SimHashLanes below), and the sampling hash (q37, index
+  * 200): multiply-mod-prime universal hashing h(s) = (a·s + b) mod
+  * (2³¹−1) with LCG-derived a/b — every term a closed-form integer
+  * expression DuckDB evaluates without overflow, so every pipeline
+  * keyed on it is oracle-checkable (the reason xxhash64, which needs
+  * 64-bit wrapping multiplies, is NOT used here). Exposed to operators
+  * as `Dedup.ReplayableHash`; defined here so the fused kernels in
+  * this file draw the SAME a/b stream instead of duplicating the
+  * derivation.
+  */
+object ReplayableHash {
+  val P: Long = 2147483647L // 2^31 - 1, prime
+  val M: Long = 1000000007L
+  def a(i: Int): Long = (1103515245L * (2L * i + 1L) + 12345L) % 2147483648L
+  def b(i: Int): Long = (1103515245L * (2L * i + 2L) + 12345L) % 2147483648L
+}
+
 /** Packed per-token SimHash bit parities. For token hash h, bit j's
   * draw is parity p_j = ((a_{64+j}·h + b_{64+j}) mod (2³¹−1)) mod 2 —
   * the exact q26 hash family (Dedup.ReplayableHash, SQL-replayable).
@@ -343,12 +362,10 @@ object SimHashLanes {
     val out = new Array[Long](NLanes)
     var j = 0
     while (j < NBits) {
-      // a/b indices 64..127 — the same stream Dedup.ReplayableHash
-      // draws for q26 (a(i) = (1103515245·(2i+1) + 12345) mod 2³¹)
+      // a/b indices 64..127 — the same ReplayableHash stream the q26
+      // oracle replays (indices 0..63 belong to the q25 permutations)
       val i = 64 + j
-      val a = (1103515245L * (2L * i + 1L) + 12345L) % 2147483648L
-      val b = (1103515245L * (2L * i + 2L) + 12345L) % 2147483648L
-      if (((a * h + b) % 2147483647L) % 2L == 1L)
+      if (((ReplayableHash.a(i) * h + ReplayableHash.b(i)) % ReplayableHash.P) % 2L == 1L)
         out(j / FieldsPerLane) |= 1L << ((j % FieldsPerLane) * FieldBits)
       j += 1
     }

@@ -27,21 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** SQL-replayable hash constants shared by the minhash permutations
-    * (q25, indices 0..numPerm-1) and the simhash bit hashes (q26,
-    * indices 64..127): multiply-mod-prime universal hashing
-    * h(s) = (a·s + b) mod (2³¹−1) with LCG-derived a/b — every term a
-    * closed-form integer expression DuckDB evaluates without overflow,
-    * so the full dedup pipelines are oracle-checkable (the reason
-    * xxhash64, which needs 64-bit wrapping multiplies, is NOT used
-    * here).
+  /** The SQL-replayable universal-hash family (see
+    * graft.functions.ReplayableHash, where it lives so the fused
+    * kernels share the exact a/b stream): q25 draws indices
+    * 0..numPerm-1, q26 indices 64..127, q37 index 200.
     */
-  private[graft] object ReplayableHash {
-    val P: Long = 2147483647L // 2^31 - 1, prime
-    val M: Long = 1000000007L
-    def a(i: Int): Long = (1103515245L * (2L * i + 1L) + 12345L) % 2147483648L
-    def b(i: Int): Long = (1103515245L * (2L * i + 2L) + 12345L) % 2147483648L
-  }
+  private[graft] val ReplayableHash = graft.functions.ReplayableHash
 
   /** Per-document distinct word n-gram postings: (doc_id, shingle),
     * shingle = poly_hash (base-31 mod 1e9+7, the q21 fingerprint

@@ -136,6 +136,136 @@ class KernelPropertySpec extends AnyFunSuite {
     vecs.foreach { case (id, _) => assert(wide(id) == offs(id), s"vec $id") }
   }
 
+  test("RhpMultiSignatureExpr: element t equals rhp_signature at offset t*nBits, codegen and interpreted") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(17)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(48)((rnd.nextGaussian() / 8.0).toFloat)))
+    // repartition breaks the LocalRelation collapse so the projection
+    // actually executes in tasks under whole-stage codegen
+    val df = vecs.toDF("vec_id", "embedding").repartition(3)
+    for ((nBits, nTables) <- Seq((4, 16), (7, 5), (24, 3))) {
+      val multi = df.select(col("vec_id"),
+        graft.functions.VectorFunctions
+          .rhp_multi_signature(col("embedding"), nBits, nTables).as("sigs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      for (t <- 0 until nTables) {
+        val single = df.select(col("vec_id"),
+          graft.functions.VectorFunctions
+            .rhp_signature(col("embedding"), nBits, t * nBits).as("s"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        vecs.foreach { case (id, _) =>
+          assert(multi(id)(t) == single(id), s"nBits=$nBits t=$t vec=$id")
+        }
+      }
+      // interpreted path (Expression.eval on a Literal, no codegen)
+      // must agree bit-for-bit with the executed column
+      vecs.take(8).foreach { case (id, v) =>
+        val litArr = org.apache.spark.sql.catalyst.expressions.Literal.create(
+          v, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+        val got = graft.functions.RhpMultiSignatureExpr(litArr, nBits, nTables)
+          .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray.toVector
+        assert(got == multi(id), s"interpreted nBits=$nBits vec=$id")
+        val gotSingles = (0 until nTables).map(t =>
+          graft.functions.RhpSignatureExpr(litArr, nBits, t * nBits)
+            .eval(null).asInstanceOf[Long]).toVector
+        assert(gotSingles == multi(id), s"interpreted single nBits=$nBits vec=$id")
+      }
+    }
+  }
+
+  test("SimHashLanes.pack equals the unpacked 64-parity ReplayableHash model, incl. summed lanes") {
+    import graft.functions.{ReplayableHash, SimHashLanes}
+    import graft.functions.SimHashLanes.{FieldBits, FieldsPerLane, MaxTokens, NLanes}
+    // the q26 oracle's unpacked formulation: bit j's parity for token
+    // hash h, drawn from ReplayableHash indices 64..127
+    def parity(h: Long, j: Int): Long =
+      ((ReplayableHash.a(64 + j) * h + ReplayableHash.b(64 + j)) % ReplayableHash.P) % 2L
+    val rnd = new Random(23)
+    val hashes = Seq(0L, 1L, 999999999L) ++
+      Seq.fill(200)(math.abs(rnd.nextLong()) % 1000000007L)
+    // per-token: each packed field is exactly that bit's parity
+    hashes.foreach { h =>
+      val lanes = SimHashLanes.pack(h)
+      assert(lanes.length == NLanes)
+      for (j <- 0 until 64) {
+        val field = (lanes(j / FieldsPerLane) >>> ((j % FieldsPerLane) * FieldBits)) &
+          ((1L << FieldBits) - 1)
+        assert(field == parity(h, j), s"h=$h j=$j")
+      }
+    }
+    // per-document: summing packed lanes sums every field independently
+    // (the property the q26 aggregation relies on), and the recovered
+    // sign bit matches the ±1-sum model, up to the documented bound
+    for (_ <- 1 to 30) {
+      val n = 1 + rnd.nextInt(500)
+      val doc = Seq.fill(n)(hashes(rnd.nextInt(hashes.size)))
+      assert(n <= MaxTokens)
+      val laneSums = new Array[Long](NLanes)
+      doc.foreach { h =>
+        val lanes = SimHashLanes.pack(h)
+        for (t <- 0 until NLanes) laneSums(t) += lanes(t)
+      }
+      for (j <- 0 until 64) {
+        val sumP = (laneSums(j / FieldsPerLane) >>> ((j % FieldsPerLane) * FieldBits)) &
+          ((1L << FieldBits) - 1)
+        val model = doc.map(parity(_, j)).sum
+        assert(sumP == model, s"j=$j n=$n")
+        // bit set iff 2·Σp > n  ==  sign of Σ(2p−1) > 0
+        val signed = doc.map(h => 2 * parity(h, j) - 1).sum
+        assert((2 * sumP > n) == (signed > 0), s"sign j=$j")
+      }
+    }
+  }
+
+  test("TopKBuffer insertDistinct/mergeFromDistinct equal the distinct top-k model") {
+    // contract: duplicates of one id always carry the IDENTICAL ord
+    // (re-scored candidate pairs) — so the model is: distinct ids,
+    // ranked by (ord DESC, id ASC), take k
+    val rnd = new Random(31)
+    for (trial <- 1 to 400) {
+      val k = 1 + rnd.nextInt(6)
+      val idSpace = 1 + rnd.nextInt(25)
+      val ordOf: Long => Double = id => ((id * 2654435761L) % 17).toDouble - 8.0
+      // heavy duplication: ids repeat, including after eviction
+      val stream = Seq.fill(rnd.nextInt(80))(rnd.nextInt(idSpace).toLong)
+      val model = stream.distinct.map(id => (ordOf(id), id))
+        .sortBy { case (o, i) => (-o, i) }.take(k)
+
+      val direct = new TopKBuffer(k)
+      stream.foreach(id => direct.insertDistinct(ordOf(id), id))
+      val gotDirect = (0 until direct.n).map(i => (direct.ords(i), direct.ids(i)))
+      assert(gotDirect == model, s"trial=$trial k=$k stream=$stream")
+
+      // partial-buffer merges: split into chunks (so the same id can
+      // appear in several partials AND be evicted from some), merge in
+      // shuffled order
+      if (stream.nonEmpty) {
+        val nChunks = 1 + rnd.nextInt(4)
+        val partials = stream.grouped(math.max(1, stream.size / nChunks)).map { chunk =>
+          val b = new TopKBuffer(k)
+          chunk.foreach(id => b.insertDistinct(ordOf(id), id))
+          b
+        }.toSeq
+        val merged = new TopKBuffer(k)
+        rnd.shuffle(partials).foreach(merged.mergeFromDistinct)
+        val gotMerged = (0 until merged.n).map(i => (merged.ords(i), merged.ids(i)))
+        assert(gotMerged == model, s"merge trial=$trial k=$k stream=$stream")
+      }
+    }
+    // the eviction edge, pinned explicitly: a duplicate arriving after
+    // its first occurrence was evicted must not re-enter above rank
+    val b = new TopKBuffer(2)
+    b.insertDistinct(5.0, 10L)
+    b.insertDistinct(6.0, 11L)
+    b.insertDistinct(7.0, 12L) // evicts (5.0, 10)
+    b.insertDistinct(5.0, 10L) // duplicate of the evicted entry
+    assert((0 until b.n).map(i => (b.ords(i), b.ids(i))) == Seq((7.0, 12L), (6.0, 11L)))
+  }
+
   test("polynomial fingerprint matches an independent reference impl") {
     // mirror of the q21 expression: (h*31 + codepoint) % 1e9+7, left fold
     def ref(s: String): Long =
