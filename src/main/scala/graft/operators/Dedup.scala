@@ -214,7 +214,12 @@ object Dedup {
       // the dedup pipelines follow)
       .select(col("doc_id"), graft.functions.VectorFunctions.simhash_lanes(
         graft.functions.VectorFunctions.poly_hash(col("tok"))).as("lanes"))
-    val laneSums = (0 until NLanes).map(t => sum(col("lanes")(t)).as(s"L$t"))
+    // try_sum, not sum: at the MaxTokens bound the worst-case lane sum
+    // is exactly 2⁶³−1 (the packing is sized to it), so one token more
+    // can overflow Long mid-aggregation — try_sum yields NULL instead
+    // of an ANSI throw, and the n-guard below turns it into the real
+    // diagnostic. n ≤ MaxTokens can never overflow, so NULL ⇒ guarded.
+    val laneSums = (0 until NLanes).map(t => try_sum(col("lanes")(t)).as(s"L$t"))
     val summed = toks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), laneSums: _*)
     val simhash = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
@@ -223,7 +228,17 @@ object Dedup {
         .bitwiseAND(lit((1L << FieldBits) - 1))
       acc.bitwiseOR(when(field * lit(2L) > col("n"), lit(1L << j)).otherwise(lit(0L)))
     }
-    summed.select(col("doc_id"), simhash.as("simhash"))
+    // Packing bound, ENFORCED: a doc with more than MaxTokens (2²¹−1)
+    // tokens would carry a lane field into its neighbor and corrupt
+    // the signature silently — fail loudly instead (n is already in
+    // the aggregate, so the guard costs one comparison per doc).
+    val guarded = when(col("n") > lit(graft.functions.SimHashLanes.MaxTokens),
+      raise_error(format_string(
+        "simhash: doc_id %s has %s tokens, over SimHashLanes.MaxTokens (%s); " +
+          "packed 21-bit lane sums would overflow — split the document first",
+        col("doc_id"), col("n"), lit(graft.functions.SimHashLanes.MaxTokens))))
+      .otherwise(simhash)
+    summed.select(col("doc_id"), guarded.as("simhash"))
   }
 
   /** Near pairs (Hamming ≤ maxDist < 4) by pigeonhole blocking on the

@@ -72,6 +72,25 @@ class EdgeCaseSpec extends AnyFunSuite {
       graft.streaming.StreamOps.minhashSignature(text).length
   }
 
+  test("simhash enforces the packed-lane token bound loudly") {
+    import graft.functions.SimHashLanes.MaxTokens
+    // build the oversized doc executor-side (repeat column, not a 4MB
+    // driver literal): MaxTokens+1 single-char tokens
+    val over = spark.range(1).select(lit(1L).as("doc_id"),
+      repeat(lit("a "), (MaxTokens + 1).toInt).as("text"))
+    val ex = intercept[Exception] {
+      Dedup.simHashSignatures(over).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("MaxTokens"))), s"got: $ex")
+    // exactly at the bound: no error, signature produced
+    val at = spark.range(1).select(lit(2L).as("doc_id"),
+      repeat(lit("b "), MaxTokens.toInt).as("text"))
+    assert(Dedup.simHashSignatures(at).count() == 1)
+  }
+
   test("ops survive blank and single-char text") {
     import spark.implicits._
     val weird = Seq(
