@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   *    batches, not per trigger;
   *  - a crash mid-write leaves an UNMARKED dir: readers never see it,
   *    the retried batch overwrites it, an interrupted compaction is
-  *    simply re-attempted on the next commit.
+  *    simply re-attempted on the next commit and its orphaned output
+  *    swept before the next base is written.
   *
   * Rows upsert by key: new keys append, re-sent keys replace, and a
   * TOMBSTONE deletes — the Kafka Streams KTable contract where a
@@ -75,16 +76,21 @@ object ExactlyOnceSink {
 
   /** (keyCols, dataCols) recorded at first commit — the read side
     * needs them to resolve key→newest and restore column order.
+    * Jackson (on the Spark classpath) does the JSON both ways, so
+    * column names containing quotes/commas/braces round-trip exactly.
     */
   private def readMeta(spark: SparkSession, dir: String): (Seq[String], Seq[String]) = {
     val f = fs(spark, dir)
     val in = f.open(new Path(dir, MetaFile))
     val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    def field(name: String): Seq[String] =
-      s""""$name":\\[([^\\]]*)\\]""".r.findFirstMatchIn(txt)
-        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSeq)
-        .getOrElse(Seq.empty)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    def field(name: String): Seq[String] = Option(node.get(name)) match {
+      case Some(arr) =>
+        val it = arr.elements(); val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().asText()
+        b.result()
+      case None => Seq.empty
+    }
     (field("keyCols"), field("dataCols"))
   }
 
@@ -93,11 +99,14 @@ object ExactlyOnceSink {
     val f = fs(spark, dir)
     val p = new Path(dir, MetaFile)
     if (!f.exists(p)) {
-      def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = m.createObjectNode()
+      def arr(name: String, xs: Seq[String]): Unit = {
+        val a = root.putArray(name); xs.foreach(a.add)
+      }
+      arr("keyCols", keyCols); arr("dataCols", dataCols)
       val out = f.create(p, true)
-      try out.write(
-        s"""{"keyCols":${arr(keyCols)},"dataCols":${arr(dataCols)}}""".getBytes("UTF-8"))
-      finally out.close()
+      try out.write(m.writeValueAsBytes(root)) finally out.close()
     }
   }
 
@@ -170,12 +179,21 @@ object ExactlyOnceSink {
           .agg(max_by(rowStruct, col(v)).as("r"))
           .select(col("r.*"))
       case None =>
-        val d = flagged.dropDuplicates(keyCols)
-        if (d.count() != flagged.count())
-          throw new IllegalArgumentException(
-            s"batch $batchId carries multiple rows per key ${keyCols.mkString(",")}; " +
-              "pass versionCol to define which row wins")
-        d
+        // contract check folded into the write job itself (zero extra
+        // jobs, was two counts): the guard lives INSIDE the expression
+        // producing the row, so pruning can't drop it, and a violation
+        // aborts the write before the commit marker — the partial
+        // delta dir is unmarked, invisible, and overwritten on retry
+        val keyStruct = struct(keyCols.map(col): _*)
+        val rowStruct = struct(flagged.columns.toIndexedSeq.map(col): _*)
+        flagged.groupBy(keyStruct.as("k"))
+          .agg(count(lit(1)).as("c"), first(rowStruct).as("r"))
+          .select(when(col("c") > 1, raise_error(format_string(
+              s"batch $batchId carries %s rows for key %s " +
+                s"(${keyCols.mkString(",")}); pass versionCol to define " +
+                "which row wins", col("c"), to_json(col("k")))))
+            .otherwise(col("r")).as("r"))
+          .select(col("r.*"))
     }
     val dataCols = deduped.columns.filterNot(_ == DelCol).toSeq
     writeMeta(spark, dir, keyCols, dataCols)
@@ -202,6 +220,19 @@ object ExactlyOnceSink {
     val baseV = committedBases(spark, dir).lastOption
     val pending = committedDeltas(spark, dir).count(v => baseV.forall(_ < v))
     if (pending < compactEvery) return
+
+    // GC crashed compactions first: an unmarked base dir (crash between
+    // the data write and its marker) is invisible to readers and its
+    // batchId is never reused — without this sweep orphans accumulate
+    // forever (the single-writer foreachBatch contract makes the sweep
+    // race-free).
+    val f0 = fs(spark, dir)
+    val basePath = new Path(dir, "base")
+    if (f0.exists(basePath))
+      f0.listStatus(basePath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .filterNot(s => f0.exists(new Path(s.getPath, Marker)))
+        .foreach(s => f0.delete(s.getPath, true))
 
     val target = s"$dir/base/v=$batchId"
     resolved(spark, dir, keyCols).foreach { r =>

@@ -311,10 +311,17 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(snap == Map(1L -> 20.0, 2L -> 5.0)) // newest version won
     // without a versionCol the same batch must fail loudly, not keep
-    // an arbitrary row
-    intercept[IllegalArgumentException] {
-      ExactlyOnceSink.upsertBatch(freshDir("eos-ver2"), Seq("o_orderkey"))(b, 0L)
+    // an arbitrary row — the check rides inside the write job (one job,
+    // not two extra counts), so the error surfaces wrapped
+    val dupDir = freshDir("eos-ver2")
+    val ex = intercept[Exception] {
+      ExactlyOnceSink.upsertBatch(dupDir, Seq("o_orderkey"))(b, 0L)
     }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(c => Option(c.getMessage)).mkString(" | ")
+    assert(msgs.contains("versionCol"), s"got: $msgs")
+    // the aborted write left no committed version — nothing to read
+    assert(ExactlyOnceSink.committedVersions(spark, dupDir).isEmpty)
   }
 
   test("s09 end-to-end: streaming reassembly lands exactly once in the sink table") {
@@ -520,6 +527,66 @@ class StreamingSpec extends AnyFunSuite {
     val afterCompact = ExactlyOnceSink.snapshot(spark, dir).get
     assert(afterCompact.count() == 2)
     assert(afterCompact.filter(col("k") === 2L).count() == 0)
+  }
+
+  test("s09 crash mid-compaction: unmarked base is invisible, re-attempted, and swept") {
+    import spark.implicits._
+    import graft.streaming.ExactlyOnceSink
+    val dir = freshDir("eos-crash")
+    // two committed deltas, below the compaction threshold of 3
+    ExactlyOnceSink.upsertBatch(dir, Seq("k"), compactEvery = 3)(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    ExactlyOnceSink.upsertBatch(dir, Seq("k"), compactEvery = 3)(
+      Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), 1L)
+    // simulate a crash between the compaction's data write and its
+    // marker: a base dir with plausible-but-WRONG content, unmarked
+    Seq((9L, "GARBAGE")).toDF("k", "v")
+      .withColumn("__v", lit(1L)).withColumn("__deleted", lit(false))
+      .write.parquet(s"$dir/base/v=1")
+    assert(ExactlyOnceSink.committedBases(spark, dir).isEmpty)
+    val snap1 = ExactlyOnceSink.snapshot(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap1 == Map(1L -> "a", 2L -> "b2", 3L -> "c"),
+      s"snapshot read the unmarked base: $snap1")
+    // next upsert crosses the threshold: compaction re-attempts cleanly
+    // and sweeps the orphan
+    ExactlyOnceSink.upsertBatch(dir, Seq("k"), compactEvery = 3)(
+      Seq((4L, "d")).toDF("k", "v"), 2L)
+    assert(ExactlyOnceSink.committedBases(spark, dir) == Seq(2L))
+    assert(!new java.io.File(s"$dir/base/v=1").exists(), "orphan base not swept")
+    val snap2 = ExactlyOnceSink.snapshot(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap2 == Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"))
+    // retention across further compactions never deletes the newest
+    // committed base
+    for (b <- 3L until 10L)
+      ExactlyOnceSink.upsertBatch(dir, Seq("k"), compactEvery = 3)(
+        Seq((b * 10, s"x$b")).toDF("k", "v"), b)
+    val bases = ExactlyOnceSink.committedBases(spark, dir)
+    assert(bases.nonEmpty &&
+      new java.io.File(s"$dir/base/v=${bases.last}/_graft_committed").exists())
+    assert(ExactlyOnceSink.snapshot(spark, dir).get.count() == 4 + 7)
+  }
+
+  test("s09 meta round-trips column names containing quotes and commas") {
+    import graft.streaming.ExactlyOnceSink
+    val dir = freshDir("eos-meta")
+    // adversarial names: an embedded double-quote and a comma — the old
+    // regex parser split on exactly these
+    val kCol = "or\"der,key"
+    val vCol = "to,ta\"l"
+    val df = spark.range(3).select(col("id").as(kCol),
+      (col("id") * 2).cast("double").as(vCol))
+    ExactlyOnceSink.upsertBatch(dir, Seq(kCol))(df, 0L)
+    val snap = ExactlyOnceSink.snapshot(spark, dir).get
+    assert(snap.columns.toSeq == Seq(kCol, vCol))
+    assert(snap.count() == 3)
+    // and upserts still merge by that key
+    ExactlyOnceSink.upsertBatch(dir, Seq(kCol))(
+      spark.range(2, 5).select(col("id").as(kCol), lit(-1.0).as(vCol)), 1L)
+    val m = ExactlyOnceSink.snapshot(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m == Map(0L -> 0.0, 1L -> 2.0, 2L -> -1.0, 3L -> -1.0, 4L -> -1.0))
   }
 
   test("s12 dim KTable: tombstone removes the key from state and sink") {
