@@ -281,8 +281,25 @@ object StreamOps {
     * the key from the store (the reference's dim topics are compacted
     * tables built on exactly that; Streams.java:102-115 consumes them
     * as KTables).
+    *
+    * `seq` is the per-key changelog position (a Kafka offset, a CDC
+    * LSN, an ingest timestamp): Kafka Streams gets apply-order for
+    * free from per-partition consumption, but Spark's shuffle into
+    * `groupByKey` does NOT preserve intra-group arrival order across a
+    * multi-partition source, so the winner within a batch must be
+    * determined by data, not iterator position. The greatest seq wins;
+    * on a seq tie a tombstone shadows an upsert. Sources without a
+    * natural sequence can leave the default 0 ONLY if they guarantee
+    * one update per key per batch.
     */
-  case class DimUpdate(p_partkey: Long, p_retailprice: Option[Double])
+  case class DimUpdate(p_partkey: Long, p_retailprice: Option[Double],
+                       seq: Long = 0L)
+
+  /** KTable state per live key: the current value and the seq that set
+    * it, so a stale cross-batch replay (seq below what state already
+    * holds) can never regress the table.
+    */
+  case class DimState(seq: Long, price: Double)
 
   /** The KTable changelog row s12 emits: the key's current value, or
     * `deleted = true` when a tombstone removed it. Feeds
@@ -306,24 +323,35 @@ object StreamOps {
     import updates.sparkSession.implicits._
     updates
       .groupByKey(_.p_partkey)
-      .flatMapGroupsWithState[Double, DimRow](
+      .flatMapGroupsWithState[DimState, DimRow](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (key: Long, rows: Iterator[DimUpdate], state: GroupState[Double]) =>
-          // apply in arrival order; only the key's final disposition
-          // this batch is emitted (a KTable changelog is compacted
-          // per commit interval)
-          var live = state.getOption
+        (key: Long, rows: Iterator[DimUpdate], state: GroupState[DimState]) =>
+          // max-by-seq fold, NOT iterator order: the group iterator's
+          // order is a shuffle artifact (see DimUpdate doc). Only the
+          // key's final disposition this batch is emitted (a KTable
+          // changelog is compacted per commit interval). Ties go to
+          // the tombstone — deletes shadow same-seq upserts.
+          var win: DimUpdate = null
           rows.foreach { u =>
-            u.p_retailprice match {
-              case Some(p) => live = Some(p)
-              case None => live = None // tombstone
-            }
+            if (win == null || u.seq > win.seq ||
+                (u.seq == win.seq && u.p_retailprice.isEmpty)) win = u
           }
-          live match {
+          // a batch entirely below the seq state already holds is a
+          // stale replay: keep state, re-emit the current disposition
+          val stale = state.getOption.exists(_.seq > win.seq)
+          if (stale) {
+            val s = state.get
+            Iterator.single(DimRow(key, s.price, deleted = false))
+          } else win.p_retailprice match {
             case Some(p) =>
-              state.update(p)
+              state.update(DimState(win.seq, p))
               Iterator.single(DimRow(key, p, deleted = false))
             case None =>
+              // remove() frees the store immediately (no null
+              // sentinels); a pre-tombstone seq arriving in a LATER
+              // batch is indistinguishable from a fresh insert — that
+              // cross-batch case is covered by checkpointed replay
+              // determinism, not by state (documented contract)
               if (state.exists) state.remove()
               Iterator.single(DimRow(key, 0.0, deleted = true))
           }

@@ -625,6 +625,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap == Map(7L -> 200.0), s"got $snap")
   }
 
+  test("s12 dim KTable: within-batch winner is by seq, not arrival order; stale replay never regresses") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val source = MemoryStream[StreamOps.DimUpdate]
+    // latest changelog row per key, as a downstream sink would hold it
+    val rows = collection.mutable.Map[Long, (Double, Boolean)]()
+    val q = StreamOps.streamDimTable(source.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.DimRow], _: Long) =>
+        b.collect().foreach(r => rows(r.p_partkey) = (r.p_retailprice, r.deleted))
+        ()
+      }.start()
+    try {
+      // ONE batch per key with adversarial arrival order — after the
+      // groupByKey shuffle the iterator order is an artifact, so only
+      // the seq may decide:
+      source.addData(
+        StreamOps.DimUpdate(5L, None, seq = 3L), // tombstone is newest…
+        StreamOps.DimUpdate(5L, Some(5.0), seq = 1L),
+        StreamOps.DimUpdate(5L, Some(10.0), seq = 2L), // …upsert arrives later
+        StreamOps.DimUpdate(6L, None, seq = 1L), // stale tombstone first
+        StreamOps.DimUpdate(6L, Some(42.0), seq = 2L),
+        StreamOps.DimUpdate(4L, Some(7.0), seq = 5L),
+        StreamOps.DimUpdate(4L, None, seq = 5L)) // seq TIE: tombstone shadows
+      q.processAllAvailable()
+      assert(rows(5L)._2, s"key 5 should be deleted, got ${rows(5L)}")
+      assert(rows(6L) == ((42.0, false)), s"got ${rows(6L)}")
+      assert(rows(4L)._2, s"tie must go to the tombstone, got ${rows(4L)}")
+      // stale cross-batch replay: a seq below what state holds must not
+      // regress the table
+      source.addData(StreamOps.DimUpdate(6L, Some(1.0), seq = 1L))
+      q.processAllAvailable()
+      assert(rows(6L) == ((42.0, false)), s"stale replay regressed: ${rows(6L)}")
+    } finally q.stop()
+  }
+
   test("s09+s04 source re-delivery lands exactly-once through the keyed sink") {
     import spark.implicits._
     import graft.streaming.{ExactlyOnceSink, KafkaIO}
