@@ -118,9 +118,25 @@ object Similarity {
     * vectors, LSH's worst case (median top-1 cosine is only 0.36
     * there; real embedding corpora cluster, so the same budget buys
     * far smaller buckets at equal recall). SimilaritySpec pins it.
+    *
+    * SKEW CAP (`bucketCap`): occupancy-target sizing keeps the MEAN
+    * bucket small, but a tight cluster shares every hyperplane bit, so
+    * its bucket never splits no matter how many bits are added — on
+    * cluster-skewed corpora candidate volume drifts toward
+    * Σ cluster² ≈ N² (BenchScale measured exactly that on the test
+    * embeddings: row-traffic exponent 1.98 before the cap). Buckets
+    * over `bucketCap` are therefore SALTED into ceil(occ/cap) slices —
+    * each vector lands in one pseudorandom slice per (table, bucket),
+    * and only same-slice pairs join, bounding per-bucket pairs at
+    * ~occ·cap. Top-k recall survives because the salts are independent
+    * across the nTables tables: a specific pair co-bucketed in an
+    * occ=4·cap cluster still co-slices somewhere with probability
+    * 1 − (1 − 1/4)^16 ≈ 0.99. (This cap is sound for TOP-K, whose
+    * output is N·k; the all-pairs emitters q30b/q27 are output-bound
+    * instead — see embeddingDedupLsh.)
     */
   def knnLsh(embeddings: DataFrame, nTables: Int = 16, bandBits: Int = 0,
-             k: Int = 5): DataFrame = {
+             k: Int = 5, bucketCap: Int = 128): DataFrame = {
     val bb =
       if (bandBits > 0) bandBits
       else {
@@ -135,7 +151,19 @@ object Similarity {
       norm2(col("embedding")).as("n2"),
       graft.functions.VectorFunctions
         .rhp_multi_signature(col("embedding"), bb, nTables).as("sigs"))
-    val bands = e.select(col("vec_id"), posexplode(col("sigs")).as(Seq("band_id", "band_sig")))
+    val rawBands = e.select(col("vec_id"), posexplode(col("sigs")).as(Seq("band_id", "band_sig")))
+    // occupancy-aware salting (see scaladoc): a window count over the
+    // bucket key — one linear shuffle — sizes the slice count; buckets
+    // at or under the cap get slice 0 on both sides, i.e. the plain
+    // uncapped join
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_id"), col("band_sig"))
+    val bands = rawBands
+      .withColumn("nsalt",
+        ceil(count(lit(1)).over(w) / lit(bucketCap.toDouble)).cast("long"))
+      .withColumn("salt",
+        when(col("nsalt") <= 1L, lit(0L))
+          .otherwise(pmod(xxhash64(col("vec_id"), col("band_id")), col("nsalt"))))
+      .select(col("vec_id"), col("band_id"), col("band_sig"), col("salt"))
     // directed candidate pairs; a pair colliding in several tables is
     // scored per collision and deduped INSIDE the top-k aggregate
     // (top_k_by_distinct) — no standalone distinct() exchange over the
@@ -144,6 +172,7 @@ object Similarity {
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_sig") === col("b.band_sig") &&
+        col("a.salt") === col("b.salt") &&
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
     val pairs = cand
@@ -346,15 +375,23 @@ object Similarity {
     } finally e.unpersist()
   }
 
-  def knnIvf(embeddings: DataFrame, nCentroids: Int = 32, nProbe: Int = 4,
+  def knnIvf(embeddings: DataFrame, nCentroids: Int = 0, nProbe: Int = 4,
              k: Int = 5, lloydIters: Int = 0): DataFrame = {
+    // nCentroids ≤ 0 auto-sizes C ≈ √N (floor 16) — the balance point
+    // of the cost model in the scaladoc: assignment N·C + probing
+    // N²·nProbe/C is minimized at C ~ √(N·nProbe), and a FIXED C turns
+    // the probe term quadratic as N outgrows it (BenchScale measured
+    // row-traffic exponent 1.94 at the old fixed default of 32)
+    val c =
+      if (nCentroids > 0) nCentroids
+      else math.max(16, math.ceil(math.sqrt(approxCount(embeddings).toDouble)).toInt)
     val e = embeddings.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"))
     val centroids =
-      if (lloydIters > 0) trainCodebook(embeddings, nCentroids, lloydIters)
+      if (lloydIters > 0) trainCodebook(embeddings, c, lloydIters)
         .select(col("cid"), col("cvec"), col("cn2"))
       else e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-        .limit(nCentroids)
+        .limit(c)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("n2").as("cn2"))
 
     // ONE aggregation over the N×C scoring frame serves both roles:
@@ -377,14 +414,35 @@ object Similarity {
         .top_k_by(col("ccos"), col("cid"), nProbe).as("top"))
       .localCheckpoint(true)
 
-    // inverted lists: each vector in exactly one centroid's list
-    val assign = top.select(col("vec_id"), col("top")(0)("id").as("cid"))
+    // inverted lists: each vector in exactly one centroid's list.
+    // LIST CAP: uniform lists are ~N/C, but a tight cluster's list
+    // grows with the cluster (≈ linearly in N) — probing it turns the
+    // N²·nProbe/C model term back into ~N² on skewed corpora
+    // (BenchScale measured work exponent 1.95 uncapped). Each list
+    // keeps only its 2·ceil(N/C) members NEAREST the centroid (ccos is
+    // already in the aggregate); with that bound candidates ≤
+    // 2·nProbe·N²/C = O(N^1.5) at C ≈ √N, provably. Truncated members
+    // remain queries — they lose only retrievability through an
+    // oversized list, exactly where candidates are plentiful.
+    val assign = top.select(col("vec_id"), col("top")(0)("id").as("cid"),
+      col("top")(0)("ord").as("ccos"))
+    // the cap applies to the PROBE side only — every vector keeps its
+    // assignment (and its output row); an over-cap vector just can't be
+    // RETRIEVED through the oversized list
+    val listCap = 2 * math.ceil(
+      math.max(1.0, approxCount(embeddings).toDouble) / c).toInt
+    val byList = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("ccos").desc, col("vec_id"))
+    val listed = assign
+      .withColumn("rn", row_number().over(byList))
+      .filter(col("rn") <= listCap)
+      .select(col("vec_id"), col("cid"))
 
     // each query probes its nProbe nearest centroids
     val probes = top.select(col("vec_id"), explode(col("top.id")).as("probe_cid"))
 
     val candidates = probes
-      .join(assign.select(col("vec_id").as("neighbor_id"), col("cid").as("probe_cid")),
+      .join(listed.select(col("vec_id").as("neighbor_id"), col("cid").as("probe_cid")),
         Seq("probe_cid"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"))

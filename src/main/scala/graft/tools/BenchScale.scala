@@ -1,0 +1,173 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import graft.SparkEntry
+
+/** Scaling-curve measurement for the heavy LLM-pipeline operators —
+  * the empirical check behind the 100 TB design claims. Usage:
+  *
+  *   runMain graft.tools.BenchScale <sfDir> [passes]
+  *
+  * Method: scale points n/4, n/2, n are materialized by subsetting the
+  * input tables (every point rewritten through the SAME
+  * limit→repartition→parquet path, so file layout and scan parallelism
+  * are uniform across sizes). Per query and point, three measurements;
+  * exponents are the log-log slope between the two LARGEST points:
+  *
+  *  - ROW TRAFFIC: Σ numOutputRows over every executed-plan node (AQE
+  *    stages included) — deterministic and overhead-free. Catches
+  *    quadratic candidate/pair generation (q28's N² join rows).
+  *  - OUTPUT ROWS: the final result count — for an all-pairs emitter
+  *    like q30 the answer set IS the work, and its quadratic growth
+  *    shows here even though the pair loop runs INSIDE the join node
+  *    (the cosine predicate folds into the join condition, so rejected
+  *    pairs are invisible to row metrics).
+  *  - EXECUTOR CPU and WALL TIME: reported for reference, NOT
+  *    asserted — at test scale a ~0.3 s scheduler/codegen floor (and
+  *    listener-bus jitter) swamps the compute; the earlier wall-only
+  *    version of this tool showed NO family separation at all.
+  *
+  * The asserted "work exponent" is max(rowExp, outExp) — both
+  * deterministic. Families:
+  *
+  *  - scalable (q25/q26/q29/q32): output is ~N rows (signatures,
+  *    top-k) and the candidate machinery is occupancy-bounded
+  *    (banding, salted bucket caps, √N centroids) → work exponent
+  *    must stay < 1.6 (q32's N^1.5 assignment is the family max by
+  *    design).
+  *  - quadratic (q28/q30): declared exact all-pairs baselines → work
+  *    exponent must read > 1.7, validating that the harness actually
+  *    detects quadratic growth (and keeping the baselines honest).
+  *  - output-bound (q27/q30b): they emit ALL qualifying pairs, and on
+  *    cluster-skewed corpora the TRUE answer set is itself
+  *    superlinear — no sub-quadratic candidate bound exists without
+  *    changing semantics, so these are reported (with the final
+  *    output-row count per point) but not asserted.
+  *
+  * Prints one JSON line (redirect to SCALING.json for the artifact);
+  * exit 1 if the asserted families fail to separate.
+  */
+object BenchScale {
+
+  private val Scalable = Seq(
+    "q25_dedup_minhash",
+    "q26_dedup_simhash",
+    "q29_knn_lsh",
+    "q32_knn_ivf")
+  private val Quadratic = Seq(
+    "q28_knn_bruteforce",
+    "q30_embedding_dedup")
+  private val OutputBound = Seq(
+    "q27_ngram_jaccard",
+    "q30b_embedding_dedup_lsh")
+
+  /** Σ numOutputRows over the executed tree, descending into
+    * materialized AQE query stages (QueryStageExec is a leaf whose
+    * real plan hangs off `plan`).
+    */
+  private def rowTraffic(p: SparkPlan): Long = {
+    val here = p.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here + kids.map(rowTraffic).sum
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val passes = args.lift(1).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+    })
+
+    val work = java.nio.file.Files.createTempDirectory("benchscale").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nd = docs.count(); val ne = embs.count()
+    val divs = Seq(4, 2, 1)
+    val dirs = divs.map { div =>
+      val dir = s"$work/div$div"
+      docs.limit((nd / div).toInt).repartition(cpus.toInt)
+        .write.parquet(s"$dir/documents.parquet")
+      embs.limit((ne / div).toInt).repartition(cpus.toInt)
+        .write.parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+
+    case class M(wall: Double, rows: Long, cpu: Double, out: Long)
+    def measure(name: String, dir: String): M = {
+      val fn = SparkEntry.queries(name)
+      fn(spark, dir).count() // warm: codegen + JIT + file listing
+      System.gc() // keep major GCs out of the timed region (Bench.scala rationale)
+      val ms = (1 to passes).map { _ =>
+        val qe = fn(spark, dir).queryExecution
+        val cpu0 = cpuNs.get()
+        val t0 = System.nanoTime()
+        val out = qe.executedPlan.execute().count() // runs THIS plan → its metrics populate
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200) // listener bus settle for the CPU counter
+        M(dt, rowTraffic(qe.executedPlan), (cpuNs.get() - cpu0) / 1e9, out)
+      }
+      ms.minBy(_.wall).copy(cpu = ms.map(_.cpu).min)
+    }
+
+    def slope(big: Double, half: Double): Double =
+      math.log(big / half) / math.log(2.0)
+
+    case class R(name: String, family: String, m: Seq[M],
+                 rExp: Double, oExp: Double, workExp: Double)
+    val results =
+      (Scalable.map((_, "scalable")) ++ Quadratic.map((_, "quadratic")) ++
+        OutputBound.map((_, "output_bound"))).map { case (name, fam) =>
+        val m = dirs.map(measure(name, _)) // ascending size: n/4, n/2, n
+        val rExp = slope(m(2).rows.toDouble, m(1).rows.toDouble)
+        val oExp = slope(m(2).out.toDouble, m(1).out.toDouble)
+        val workExp = math.max(rExp, oExp)
+        System.err.println(f"[scale] $name%-24s $fam%-12s " +
+          f"rows=${m(0).rows}/${m(1).rows}/${m(2).rows} rowExp=$rExp%.2f " +
+          f"out=${m(0).out}/${m(1).out}/${m(2).out} outExp=$oExp%.2f " +
+          f"cpu=${m(0).cpu}%.2f/${m(1).cpu}%.2f/${m(2).cpu}%.2f s " +
+          f"t=${m(0).wall}%.3f/${m(1).wall}%.3f/${m(2).wall}%.3f s")
+        R(name, fam, m, rExp, oExp, workExp)
+      }
+
+    val scalExps = results.filter(_.family == "scalable").map(_.workExp)
+    val quadExps = results.filter(_.family == "quadratic").map(_.workExp)
+    val gap = quadExps.min - scalExps.max
+    val ok = scalExps.forall(_ < 1.6) && quadExps.forall(_ > 1.7) && gap > 0.2
+
+    val qjson = results.map { r =>
+      f""""${r.name}":{"family":"${r.family}",""" +
+      f""""rows":[${r.m.map(_.rows).mkString(",")}],"row_exponent":${r.rExp}%.2f,""" +
+      f""""output_rows":[${r.m.map(_.out).mkString(",")}],""" +
+      f""""output_exponent":${r.oExp}%.2f,"work_exponent":${r.workExp}%.2f,""" +
+      f""""cpu_sec":[${r.m.map(x => f"${x.cpu}%.3f").mkString(",")}],""" +
+      f""""t_sec":[${r.m.map(x => f"${x.wall}%.3f").mkString(",")}]}"""
+    }.mkString(",")
+    println(f"""{"metric":"scaling_exponents","sf_dir":"$sfDir","passes":$passes,""" +
+      f""""doc_rows":$nd,"emb_rows":$ne,"queries":{$qjson},""" +
+      f""""scalable_max_work_exp":${scalExps.max}%.2f,""" +
+      f""""quadratic_min_work_exp":${quadExps.min}%.2f,""" +
+      f""""separation":$gap%.2f,"ok":$ok}""")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
