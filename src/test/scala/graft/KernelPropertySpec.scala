@@ -266,6 +266,34 @@ class KernelPropertySpec extends AnyFunSuite {
     assert((0 until b.n).map(i => (b.ords(i), b.ids(i))) == Seq((7.0, 12L), (6.0, 11L)))
   }
 
+  test("CharShingleSetExpr equals the substring/xxhash64 formulation's distinct set") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val rnd = new Random(41)
+    val alphabet = "abc d\né日本語🙂  xyz"
+    val docs = Seq("", " ", "x", "abcdef", "abcdefg", "日本語のテキストです", "🙂🙂🙂🙂🙂🙂🙂🙂") ++
+      Seq.fill(40)((0 until rnd.nextInt(300)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "norm").repartition(3)
+    for (n <- Seq(3, 7)) {
+      val fused = df.select(col("id"), graft.functions.VectorFunctions
+          .char_shingle_set(col("norm"), n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      // the formulation it replaced: per-position substring + xxhash64
+      // (Spark's xxhash64 hashes the string's UTF-8 bytes, seed 42 —
+      // the exact hash the fused kernel computes over each window)
+      val old = df.select(col("id"), expr(
+          s"""transform(sequence(1, greatest(length(norm) - ${n - 1}, 1)),
+              i -> xxhash64(substring(norm, i, $n)))""").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      docs.indices.foreach { i =>
+        assert(fused(i.toLong) == old(i.toLong), s"n=$n doc=$i '${docs(i)}'")
+      }
+    }
+  }
+
   test("polynomial fingerprint matches an independent reference impl") {
     // mirror of the q21 expression: (h*31 + codepoint) % 1e9+7, left fold
     def ref(s: String): Long =
