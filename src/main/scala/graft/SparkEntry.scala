@@ -92,6 +92,16 @@ object SparkEntry {
     // -- LLM-data-pipeline: deterministic data mixing (q37) --
     "q37_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(Tables.documents(s, d),
       Map("en" -> 10000, "es" -> 5000, "de" -> 2500, "fr" -> 1250, "zh" -> 625))),
+    // -- LLM-data-pipeline: decontamination / quality / salience (q38-q40) --
+    "q38_decontamination" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      // deterministic stand-in eval set: every 97th doc
+      TextOps.decontaminate(docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+    }),
+    "q39_repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
+    "q40_keywords" -> ((s, d) => TextOps.keywords(Tables.documents(s, d))),
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
@@ -627,5 +637,102 @@ object SparkEntry {
                 CAST(1 + n_chars % 64 AS BIGINT) AS width,
                 CAST(1 + doc_id % 48 AS BIGINT) AS height
          FROM documents""",
+    // q38: the q25 posting replay (word 4-grams, poly_hash keys) split
+    // into corpus vs the deterministic every-97th-doc eval set.
+    "q38_decontamination" ->
+      """WITH ctoks AS (
+           SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
+           FROM documents WHERE doc_id % 97 <> 0),
+         btoks AS (
+           SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
+           FROM documents WHERE doc_id % 97 = 0),
+         csh AS (
+           SELECT DISTINCT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(sh)+1),
+                      i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 3, 1) + 1),
+                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS sh
+                 FROM ctoks) x),
+         bsh AS (
+           SELECT DISTINCT
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(sh)+1),
+                      i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 3, 1) + 1),
+                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS sh
+                 FROM btoks) x),
+         sizes AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY 1),
+         ov AS (SELECT doc_id, count(*) AS n_overlap FROM csh JOIN bsh USING (s) GROUP BY 1)
+         SELECT d.doc_id,
+                COALESCE(sizes.n_shingles, 0) AS n_shingles,
+                COALESCE(ov.n_overlap, 0) AS n_overlap,
+                CAST(COALESCE(ov.n_overlap, 0) >= 1 AS BIGINT) AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+         LEFT JOIN sizes USING (doc_id)
+         LEFT JOIN ov USING (doc_id)""",
+    // q39: every ratio is integer-count / integer-count in IEEE double
+    // — bit-identical across engines. DuckDB range() is end-EXCLUSIVE
+    // vs Spark sequence()'s inclusive, hence the +1s.
+    "q39_repetition_stats" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'),
+                    t -> length(t) > 0) AS toks
+           FROM documents),
+         tok AS (
+           SELECT doc_id, count(*) AS n_tokens, count(DISTINCT t) AS n_distinct
+           FROM (SELECT doc_id, unnest(toks) AS t FROM toks) x GROUP BY 1),
+         g2 AS (
+           SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top2gram_frac
+           FROM (SELECT doc_id, g, count(*) AS c
+                 FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1 + 1),
+                         i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 1 AS INT)), ' '))) AS g
+                       FROM toks WHERE len(toks) >= 2) y
+                 GROUP BY 1, 2) z
+           GROUP BY 1),
+         g3 AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup3gram_frac
+           FROM (SELECT doc_id, g, count(*) AS c
+                 FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2 + 1),
+                         i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 2 AS INT)), ' '))) AS g
+                       FROM toks WHERE len(toks) >= 3) y
+                 GROUP BY 1, 2) z
+           GROUP BY 1)
+         SELECT d.doc_id,
+                COALESCE(tok.n_tokens, 0) AS n_tokens,
+                COALESCE(tok.n_distinct, 0) AS n_distinct,
+                CASE WHEN COALESCE(tok.n_tokens, 0) > 0
+                     THEN CAST(tok.n_distinct AS DOUBLE) / CAST(tok.n_tokens AS DOUBLE)
+                     ELSE 0.0 END AS distinct_ratio,
+                COALESCE(g2.top2gram_frac, 0.0) AS top2gram_frac,
+                COALESCE(g3.dup3gram_frac, 0.0) AS dup3gram_frac
+         FROM (SELECT doc_id FROM documents) d
+         LEFT JOIN tok USING (doc_id)
+         LEFT JOIN g2 USING (doc_id)
+         LEFT JOIN g3 USING (doc_id)""",
+    // q40: tf-idf ORDER without tf-idf's log() (not bit-stable across
+    // engines); (tf DESC, df ASC, token ASC) is integer/byte-exact.
+    "q40_keywords" ->
+      """WITH tf AS (
+           SELECT doc_id, t AS token, count(*) AS tf
+           FROM (SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'),
+                   t -> length(t) > 0)) AS t
+                 FROM documents) x
+           GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         ranked AS (
+           SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                  row_number() OVER (PARTITION BY tf.doc_id
+                    ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rank
+           FROM tf JOIN df USING (token))
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df
+         FROM ranked WHERE rank <= 3""",
   )
 }

@@ -175,4 +175,108 @@ object TextOps {
         col("g.hits").cast("long").as("stopword_hits"),
         col("claimed_lang"))
   }
+
+  /** q38: train/eval DECONTAMINATION — the overlap check every
+    * training-data pipeline runs before a model ships: flag corpus
+    * documents sharing word n-grams with a benchmark/eval set (the
+    * GPT-3/PaLM data papers use exactly this n-gram membership test).
+    * Reuses the q25 posting machinery (distinct word n-grams as
+    * SQL-replayable poly_hash keys), so the full pipeline is
+    * oracle-checked.
+    *
+    * Scale: benchmark shingle sets are small next to the corpus (eval
+    * sets are thousands of docs, the corpus billions) — the overlap
+    * join broadcasts the benchmark side below the AQE threshold and
+    * shuffle-joins above it; per-doc counting is one map-side-partial
+    * aggregation. Output one row per corpus doc: n_shingles,
+    * n_overlap, contaminated (0/1).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    shingleN: Int = 4, minOverlap: Int = 1): DataFrame = {
+    val corpusSh = Dedup.postings(corpus, shingleN)
+    val benchSh = Dedup.postings(benchmark, shingleN)
+      .select(col("shingle")).distinct()
+    val overlap = corpusSh.join(benchSh, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    val sizes = corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    corpus.select(col("doc_id"))
+      .join(sizes, Seq("doc_id"), "left")
+      .join(overlap, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shingles", "n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap") >= minOverlap).cast("long").as("contaminated"))
+  }
+
+  /** q39: repetition-based quality stats — the Gopher/C4 family of
+    * repetitiousness filters: distinct-token ratio, the fraction of
+    * 2-gram occurrences claimed by the single most frequent 2-gram,
+    * and the fraction of 3-gram occurrences that are duplicates.
+    * Every ratio is a division of two exactly-computed integer counts
+    * (IEEE double division of small integers is bit-identical across
+    * engines), so the operator is fully oracle-checked. One explode +
+    * aggregation per gram width, no joins wider than doc_id.
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      filter(split(lower(wsTrim(col("text"))), "\\s+"), t => length(t) > 0).as("toks"))
+
+    val tokStats = toks.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("t")).as("n_distinct"))
+
+    def gramStats(n: Int, top: String, dup: String) = {
+      val grams = toks.filter(size(col("toks")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(toks) - ${n - 1}),
+              i -> concat_ws(' ', slice(toks, i, $n)))""")).as("g"))
+      grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("total"),
+          max(col("c")).as("mx"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dups"))
+        .select(col("doc_id"),
+          (col("mx").cast("double") / col("total").cast("double")).as(top),
+          (col("dups").cast("double") / col("total").cast("double")).as(dup))
+    }
+    val g2 = gramStats(2, "top2gram_frac", "dup2gram_frac")
+      .select(col("doc_id"), col("top2gram_frac"))
+    val g3 = gramStats(3, "top3gram_frac", "dup3gram_frac")
+      .select(col("doc_id"), col("dup3gram_frac"))
+
+    documents.select(col("doc_id"))
+      .join(tokStats, Seq("doc_id"), "left")
+      .join(g2, Seq("doc_id"), "left")
+      .join(g3, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens", "n_distinct"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") > 0,
+          col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("distinct_ratio"),
+        coalesce(col("top2gram_frac"), lit(0.0)).as("top2gram_frac"),
+        coalesce(col("dup3gram_frac"), lit(0.0)).as("dup3gram_frac"))
+  }
+
+  /** q40: per-document salient terms — top-k tokens ranked by
+    * (tf DESC, df ASC, token ASC): high in-document frequency, low
+    * corpus frequency, the tf-idf ORDER without tf-idf's
+    * transcendental math (log() is not bit-stable across engines;
+    * integer ranks are). The topic-tagging primitive of corpus
+    * curation. df comes from one corpus-wide aggregation of the same
+    * (doc, token) tf frame — exchange reuse, no second scan.
+    */
+  def keywords(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(split(lower(wsTrim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("token"), col("tf"), col("df"))
+  }
 }

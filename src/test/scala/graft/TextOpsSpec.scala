@@ -89,4 +89,70 @@ class TextOpsSpec extends AnyFunSuite {
     // df.sample does NOT have)
     assertSameRows(out, TextOps.stratifiedSample(docs.repartition(13), rates))
   }
+
+  test("q38 decontamination flags a doc copying benchmark text, not a disjoint one") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words then alpha beta gamma delta epsilon and more"), // contains a bench 4-gram
+      (2L, "totally different vocabulary nothing shared here at all"),
+      (3L, "alpha beta gamma delta")) // exactly one bench 4-gram
+      .toDF("doc_id", "text")
+    val out = TextOps.decontaminate(corpus, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._2 == 1L && out(1L)._1 >= 2L, s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((0L, 0L)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((1L, 1L)), s"doc 3: ${out(3L)}")
+    // one row per corpus doc, benchmark docs excluded from the output
+    assert(TextOps.decontaminate(corpus, bench).count() == 3)
+    // corpus-side full table: every doc present exactly once
+    val full = TextOps.decontaminate(docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0))
+    assert(full.count() == docs.filter(col("doc_id") % 97 =!= 0).count())
+  }
+
+  test("q39 repetition stats separate a repetitive doc from a varied one") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"), // one token repeated
+      (2L, "one two three four five six"),   // all distinct
+      (3L, ""), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // repetitive: distinct ratio 1/6, ALL 2-grams identical, all 3-grams dups
+    assert(out(1L).getDouble(3) == 1.0 / 6.0)
+    assert(out(1L).getDouble(4) == 1.0)
+    assert(out(1L).getDouble(5) == 1.0)
+    // varied: distinct ratio 1.0, every gram unique
+    assert(out(2L).getDouble(3) == 1.0)
+    assert(out(2L).getDouble(4) == 1.0 / 5.0)
+    assert(out(2L).getDouble(5) == 0.0)
+    // empty + single-token degenerate rows exist with zero ratios
+    assert(out(3L).getLong(1) == 0L && out(3L).getDouble(3) == 0.0)
+    assert(out(4L).getLong(1) == 1L && out(4L).getDouble(4) == 0.0)
+    assert(TextOps.repetitionStats(docs).count() == docs.count())
+  }
+
+  test("q40 keywords rank dominant-rare tokens first, deterministically") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "rareword rareword rareword common common stuff"),
+      (2L, "common common common other other things"))
+      .toDF("doc_id", "text")
+    val out = TextOps.keywords(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // doc 1: rareword has tf 3 (max) and df 1 (only doc 1) — rank 1
+    assert(out((1L, 1L)) == "rareword")
+    // doc 2: common tf 3 — rank 1 despite df 2
+    assert(out((2L, 1L)) == "common")
+    // at most k rows per doc, ranks contiguous from 1
+    val full = TextOps.keywords(docs)
+    val perDoc = full.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("c"), max(col("rank")).as("mx"), min(col("rank")).as("mn"))
+    assert(perDoc.filter(col("c") > 3 || col("mx") =!= col("c") || col("mn") =!= 1).count() == 0)
+    // deterministic under repartitioning
+    assertSameRows(full, TextOps.keywords(docs.repartition(13)))
+  }
 }
