@@ -295,29 +295,50 @@ object Dedup {
     * Output: one row per document with its best neighbor (nullable) —
     * doc_id, n_shingles, best_neighbor, best_common, best_jaccard.
     */
-  def ngramJaccard(documents: DataFrame, shingleN: Int = 7, maxDf: Int = 256): DataFrame = {
-    val post = charPostings(documents, shingleN)
+  def ngramJaccard(documents: DataFrame, shingleN: Int = 7, maxDf: Int = 256,
+                   maxBlacklist: Int = 65536): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // Per-doc distinct shingle sets, ONE fused map pass, materialized
+    // eagerly (localCheckpoint, not persist — a persist here has no
+    // release hook and leaked a cached frame per invocation; the
+    // checkpoint's blocks die with the frame). Everything downstream
+    // derives from this compact one-row-per-doc frame.
+    val shSets = documents
+      .select(col("doc_id"),
+        regexp_replace(lower(graft.operators.TextOps.wsTrim(col("text"))), "\\s+", " ").as("norm"))
+      .select(col("doc_id"), graft.functions.VectorFunctions
+        .char_shingle_set(col("norm"), shingleN).as("shs"))
+      .localCheckpoint(true)
+    val post = shSets.select(col("doc_id"), explode(col("shs")).as("shingle"))
     // df cap bounds the self-join at Σ min(df,maxDf)² — without it a
     // ubiquitous shingle contributes df² pairs and the join is O(N²).
     // Jaccard is computed over the PRUNED sets on both sides (sizes
     // below also come from `pruned`), so pruning stays symmetric: exact
     // duplicates still score 1.0 and shared-rare-shingle pairs rank
     // first — the standard posting-list pruning trade-off.
-    val df = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // Materialize the per-doc pruned sets ONCE (one compact row per doc)
-    // — postings, set sizes, and both self-join sides all derive from
-    // it; without it each consumer re-runs the whole explode→df→prune
-    // chain (the same intermediate-reuse pattern Spark MLlib uses in
-    // ALS/MinHashLSH). EAGER localCheckpoint, not persist(): a persist
-    // here is never released (the returned frame is lazy, so there is
-    // no "after the consumers ran" hook) and every re-invocation
-    // leaked a cached frame + logged `Asked to cache already cached
-    // data` — the exact knnIvf defect the r3 verdict flagged, at a
-    // second site. The checkpoint's blocks die with the frame.
-    val docSets = post.join(df.filter(col("df") <= maxDf), Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("shs"))
-      .localCheckpoint(true)
+    //
+    // The over-cap shingles are the BLACKLIST, and it is small (the
+    // ubiquitous-content tail — 3k entries on the test corpus): when it
+    // fits `maxBlacklist`, pruning is a map-side array_except against a
+    // broadcast list, erasing the posting⋈df shuffle AND the
+    // collect_set re-aggregation the old path paid (q27 1.03 s →
+    // map-only). A corpus whose blacklist outgrows the bound (per-row
+    // array_except builds a hash set of the list, so it must stay
+    // modest) falls back to the shuffle-pruning join.
+    val dfc = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val blackArr = dfc.filter(col("df") > maxDf).select(col("shingle"))
+      .limit(maxBlacklist + 1).collect().map(_.getLong(0))
+    val docSets =
+      if (blackArr.length <= maxBlacklist) {
+        val bl = Seq(blackArr.toSeq).toDF("bl")
+        shSets.crossJoin(broadcast(bl))
+          .select(col("doc_id"), array_except(col("shs"), col("bl")).as("shs"))
+      } else {
+        post.join(dfc.filter(col("df") <= maxDf), Seq("shingle"))
+          .groupBy(col("doc_id"))
+          .agg(collect_set(col("shingle")).as("shs"))
+      }
     val pruned = docSets.select(col("doc_id"), explode(col("shs")).as("shingle"))
     val sizes = docSets.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
 
