@@ -102,6 +102,7 @@ object SparkEntry {
     }),
     "q39_repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
     "q40_keywords" -> ((s, d) => TextOps.keywords(Tables.documents(s, d))),
+    "q41_audio_meta" -> ((s, d) => Multimodal.audioMeta(Tables.documents(s, d))),
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
@@ -734,5 +735,18 @@ object SparkEntry {
            FROM tf JOIN df USING (token))
          SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df
          FROM ranked WHERE rank <= 3""",
+    // q41: rate/channels/samples on the Spark side are read from a
+    // REAL javax.sound WAV parse; the oracle predicts them from the
+    // same metadata the synthesizer used — a codec defect breaks this
+    // hash match (the q31 contract, for audio).
+    "q41_audio_meta" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
+                md5(text) AS blob_md5,
+                CAST(8000 * (1 + doc_id % 2) AS BIGINT) AS sample_rate,
+                CAST(1 AS BIGINT) AS channels,
+                CAST(1 + n_chars % 4096 AS BIGINT) AS n_samples,
+                CAST(((1 + n_chars % 4096) * 1000) // (8000 * (1 + doc_id % 2)) AS BIGINT) AS duration_ms
+         FROM documents""",
   )
 }

@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * The STILL-IMAGE path is REAL: `decodeImage` runs javax.imageio
   * (PNG/JPEG/BMP/GIF readers ship in the JDK — no external dependency)
   * and `encodePng` produces genuine PNG bytes, so q31's width/height
-  * come from actual decoded pixels. Only the learned-model stages
-  * (feature embedding, pixel resampling, keyframe selection) remain
-  * deterministic stubs with real mapPartitions plumbing around them.
+  * come from actual decoded pixels. The AUDIO path is REAL too:
+  * `encodeWav`/`decodeAudio` run javax.sound.sampled (java.desktop,
+  * also JDK-core) over genuine RIFF/WAVE containers — q41's
+  * rate/channels/samples come from the parsed stream. Only the
+  * learned-model stages (feature embedding, pixel resampling, keyframe
+  * selection) remain deterministic stubs with real mapPartitions
+  * plumbing around them.
   */
 object Multimodal {
 
@@ -213,6 +217,113 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, payload) => decodeImage(id, payload) }
+        }
+      }
+  }
+
+  // ---------------------------------------------------------------- audio
+
+  /** A decoded audio record: container-level facts a real pipeline
+    * filters on before any model runs (resample? mono-ize? too short?).
+    */
+  case class DecodedAudio(doc_id: Long, blob_len: Long, sample_rate: Long,
+                          channels: Long, n_samples: Long, duration_ms: Long,
+                          ok: Boolean)
+
+  /** Output row of the q41 audio metadata pass. */
+  case class AudioMeta(doc_id: Long, blob_len: Long, blob_md5: String,
+                       sample_rate: Long, channels: Long, n_samples: Long,
+                       duration_ms: Long)
+
+  /** REAL WAV encode via the JDK's javax.sound.sampled (java.desktop
+    * module — no external dependency, the audio analog of ImageIO):
+    * 16-bit signed little-endian mono PCM, samples a pure function of
+    * `seed` (splitmix stream), wrapped in a genuine RIFF/WAVE container
+    * by AudioSystem.write.
+    */
+  def encodeWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (graft.functions.RhpPlanes.mix(seed * 9176L + i) & 0xFFFF).toInt - 32768
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: AudioSystem parses the container and reports
+    * format + frame count from the actual stream. ok=false for null,
+    * empty, or unparseable payloads — same failure contract as
+    * decodeImage.
+    */
+  def decodeAudio(docId: Long, payload: Array[Byte]): DecodedAudio = {
+    if (payload == null || payload.isEmpty)
+      DecodedAudio(docId, 0L, 0L, 0L, 0L, 0L, ok = false)
+    else {
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (ais == null)
+        DecodedAudio(docId, payload.length.toLong, 0L, 0L, 0L, 0L, ok = false)
+      else {
+        val fmt = ais.getFormat
+        val n = ais.getFrameLength
+        val rate = fmt.getSampleRate.toLong
+        DecodedAudio(docId, payload.length.toLong, rate,
+          fmt.getChannels.toLong, n,
+          if (rate > 0) n * 1000L / rate else 0L, ok = true)
+      }
+    }
+  }
+
+  /** q41: audio payload + typed metadata, with rate/channels/samples
+    * from a REAL WAV encode→decode round-trip (javax.sound both ways).
+    * Each doc synthesizes (1 + n_chars mod 4096) samples at
+    * 8 or 16 kHz by doc parity — parameters are metadata-derived so
+    * the DuckDB oracle can predict them, but the emitted VALUES are
+    * read back from the parsed container: a codec defect, not a
+    * formula, breaks the hash match. Narrow mapPartitions, no shuffle.
+    */
+  def audioMeta(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text, nChars) =>
+          val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          md.reset()
+          val hex = md.digest(payload).map("%02x".format(_)).mkString
+          val wav = encodeWav((1L + nChars % 4096L).toInt,
+            (8000L * (1L + id % 2L)).toInt, id)
+          val dec = decodeAudio(id, wav)
+          AudioMeta(id, payload.length.toLong, hex, dec.sample_rate,
+            dec.channels, dec.n_samples, dec.duration_ms)
+        }
+      }
+      .toDF()
+  }
+
+  /** Partition-batched real audio decode — decodeBatch's audio twin. */
+  def decodeAudioBatch(media: DataFrame, batchSize: Int = 64): Dataset[DecodedAudio] = {
+    val withPayload = media.select(col("doc_id").cast("long"), col("payload"))
+    implicit val enc = Encoders.product[DecodedAudio]
+    withPayload.as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) => decodeAudio(id, payload) }
         }
       }
   }

@@ -90,6 +90,55 @@ class MultimodalSpec extends AnyFunSuite {
     assertSameRows(decoded.toDF(), again.toDF())
   }
 
+  test("q41 wav round-trip: decoded rate/channels/samples equal the encoded stream") {
+    import graft.operators.Multimodal
+    for ((n, rate) <- Seq((1, 8000), (777, 16000), (4096, 8000))) {
+      val wav = Multimodal.encodeWav(n, rate, seed = n * 31L)
+      // genuine RIFF/WAVE container
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+      assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+      val dec = Multimodal.decodeAudio(7L, wav)
+      assert(dec.ok)
+      assert(dec.sample_rate == rate && dec.channels == 1L && dec.n_samples == n.toLong)
+      assert(dec.duration_ms == n.toLong * 1000L / rate)
+    }
+    // determinism: same seed, same bytes
+    assert(java.util.Arrays.equals(
+      Multimodal.encodeWav(100, 8000, 5L), Multimodal.encodeWav(100, 8000, 5L)))
+  }
+
+  test("q41 audioMeta: one row per doc, values from the real parse") {
+    import graft.operators.Multimodal
+    val out = Multimodal.audioMeta(docs)
+    assert(out.count() == docs.count())
+    val bad = out.filter(
+      col("channels") =!= 1L ||
+      col("sample_rate") =!= (lit(8000L) * (lit(1L) + col("doc_id") % 2L)) ||
+      col("n_samples") < 1L || col("duration_ms") < 0L)
+    assert(bad.count() == 0)
+  }
+
+  test("decodeAudio failure path: garbage, empty, and PNG payloads report ok=false") {
+    import graft.operators.Multimodal
+    assert(!Multimodal.decodeAudio(1L, null).ok)
+    assert(!Multimodal.decodeAudio(2L, Array.emptyByteArray).ok)
+    assert(!Multimodal.decodeAudio(3L, Array.fill[Byte](64)(0x5A)).ok)
+    assert(!Multimodal.decodeAudio(4L, Multimodal.encodePng(4, 4, 9L)).ok)
+    // and batched: mixed wav/garbage corpus, no dead tasks
+    import SparkTestSession.spark
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.encodeWav(50, 8000, 1L)),
+      (2L, Array.fill[Byte](10)(1)),
+      (3L, Multimodal.encodeWav(60, 16000, 3L)))
+      .toDF("doc_id", "payload")
+    val decs = Multimodal.decodeAudioBatch(media).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(decs(1L).ok && decs(1L).n_samples == 50L)
+    assert(!decs(2L).ok)
+    assert(decs(3L).ok && decs(3L).sample_rate == 16000L)
+  }
+
   test("decodeBatch surfaces non-image payloads as ok=false rows, no failures") {
     import org.apache.spark.sql.functions.encode
     val textPayloads = docs
