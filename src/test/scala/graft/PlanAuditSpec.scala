@@ -205,6 +205,46 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q38 decontamination: benchmark shingles broadcast, corpus never re-shuffled for them") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val df = graft.operators.TextOps.decontaminate(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0))
+    df.count() // let AQE finalize join strategies
+    val s = finalPlanStr(df)
+    // the small eval-set side must ship as a broadcast, not shuffle the corpus postings
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q27 pruning is map-side: no collect_set aggregation, blacklist broadcast") {
+    val df = graft.operators.Dedup.ngramJaccard(Tables.documents(spark, sfDir))
+    val s = finalPlanStr(df)
+    // the old shape shuffled 20M postings into a collect_set re-aggregation
+    assert(!s.contains("collect_set"), s)
+    assert(s.contains("array_except"), s)
+  }
+
+  test("q29 salted LSH keeps equi-join candidate generation (salt in the keys)") {
+    val df = graft.operators.Similarity.knnLsh(Tables.embeddings(spark, sfDir))
+    val s = finalPlanStr(df)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("salt"), s)
+  }
+
+  test("q40 keywords: tf and df branches stay within two scans, reuse when AQE allows") {
+    val df = graft.operators.TextOps.keywords(Tables.documents(spark, sfDir))
+    val s = finalPlanStr(df)
+    // the tf exchange feeds both the join side and the df aggregation;
+    // AQE reuses the materialized stage when timing allows (shows as
+    // ReusedExchange), and even without it the plan is bounded at one
+    // scan per branch
+    val scans = "FileScan parquet".r.findAllIn(s).length
+    assert(scans <= 2, s"scans=$scans\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q21 fingerprint scan reads only doc_id and text") {
     val s = planStr(graft.operators.TextOps.docFingerprint(Tables.documents(spark, sfDir)))
     assert(!s.contains("n_chars"), "scan should not read n_chars")
