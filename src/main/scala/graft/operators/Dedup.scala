@@ -50,7 +50,7 @@ object Dedup {
     *   nested-lambda interpreted), with a distinct() after to collapse
     *   hash collisions the same way the oracle's DISTINCT does.
     */
-  private[operators] def postings(documents: DataFrame, n: Int): DataFrame =
+  private[graft] def postings(documents: DataFrame, n: Int): DataFrame =
     documents
       .select(col("doc_id"), split(lower(graft.operators.TextOps.wsTrim(col("text"))), "\\s+").as("toks"))
       .select(col("doc_id"), explode(array_distinct(

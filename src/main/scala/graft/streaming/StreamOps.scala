@@ -374,14 +374,23 @@ object StreamOps {
     * pipeline (PolyHashExpr.hash shingles, universal-hash
     * permutations), so stream and batch agree exactly on signatures.
     */
-  def minhashSignature(text: String, numPerm: Int = 32, shingleN: Int = 3): Array[Long] = {
-    import graft.operators.Dedup.ReplayableHash
-    // same normalization chain as the batch postings: wsTrim → lower → split
+  /** Distinct word n-gram poly-hashes of one text, evaluated INSIDE
+    * executors — IDENTICAL normalization + hashing to the batch
+    * `Dedup.postings` (wsTrim → lower → split → n-gram join → base-31
+    * poly hash), asserted in specs, so stream and batch agree on
+    * shingle sets exactly.
+    */
+  def wordShingleHashes(text: String, shingleN: Int): Set[Long] = {
     val toks = text.replaceAll("^\\s+|\\s+$", "").toLowerCase.split("\\s+")
     val nSh = math.max(toks.length - (shingleN - 1), 1)
-    val shingles = (0 until nSh).iterator
+    (0 until nSh).iterator
       .map(i => toks.slice(i, i + shingleN).mkString(" "))
       .map(graft.functions.PolyHashExpr.hash).toSet
+  }
+
+  def minhashSignature(text: String, numPerm: Int = 32, shingleN: Int = 3): Array[Long] = {
+    import graft.operators.Dedup.ReplayableHash
+    val shingles = wordShingleHashes(text, shingleN)
     Array.tabulate(numPerm) { i =>
       var m = Long.MaxValue
       shingles.foreach { s =>
@@ -389,6 +398,45 @@ object StreamOps {
         if (h < m) m = h
       }
       m
+    }
+  }
+
+  /** s13 output: one row per streamed document — the q38 columns. */
+  case class ContamReport(doc_id: Long, n_shingles: Long, n_overlap: Long,
+                          contaminated: Long)
+
+  /** Collect a benchmark's distinct shingle hashes to the driver —
+    * eval sets are small by definition (thousands of docs against a
+    * corpus of billions), so the set broadcasts; the same assumption
+    * the batch q38 broadcast join makes, made explicit here.
+    */
+  def benchmarkShingleSet(benchmark: org.apache.spark.sql.DataFrame,
+                          shingleN: Int = 4): Set[Long] = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.Dedup.postings(benchmark, shingleN)
+      .select(col("shingle")).distinct()
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  /** s13: STREAMING train/eval decontamination — q38 as an online
+    * admission check (the shape an ingest service runs: score each
+    * arriving document against the frozen eval set BEFORE it enters
+    * the training corpus). Stateless: the benchmark set rides as a
+    * broadcast value, each doc maps to its overlap report — no state
+    * store, no shuffle, scales with input rate. Shingle bytes are
+    * IDENTICAL to batch q38 (shared wordShingleHashes), so the spec
+    * asserts row-exact parity with `TextOps.decontaminate`.
+    */
+  def streamDecontaminate(docs: Dataset[(Long, String)], benchShingles: Set[Long],
+                          shingleN: Int = 4, minOverlap: Int = 1): Dataset[ContamReport] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(benchShingles)
+    docs.map { case (id, text) =>
+      val shs = wordShingleHashes(text, shingleN)
+      val bench = bc.value
+      val overlap = shs.count(bench.contains)
+      ContamReport(id, shs.size.toLong, overlap.toLong,
+        if (overlap >= minOverlap) 1L else 0L)
     }
   }
 

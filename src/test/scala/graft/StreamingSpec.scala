@@ -662,6 +662,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s13 streaming decontamination is row-exact vs batch q38") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val docsAll = Tables.documents(spark, sfDir)
+    val bench = docsAll.filter(col("doc_id") % 97 === 0)
+    val corpus = docsAll.filter(col("doc_id") % 97 =!= 0)
+
+    val batch = graft.operators.TextOps.decontaminate(corpus, bench)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    val benchSet = StreamOps.benchmarkShingleSet(bench)
+    val source = MemoryStream[(Long, String)]
+    val got = collection.mutable.Map[Long, (Long, Long, Long)]()
+    val q = StreamOps.streamDecontaminate(source.toDS(), benchSet)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.ContamReport], _: Long) =>
+        b.collect().foreach(r =>
+          got(r.doc_id) = (r.n_shingles, r.n_overlap, r.contaminated))
+        ()
+      }.start()
+    try {
+      val rows = corpus.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      // stream in two uneven batches
+      source.addData(rows.take(rows.length / 3).toSeq: _*)
+      q.processAllAvailable()
+      source.addData(rows.drop(rows.length / 3).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.size == batch.size, s"stream ${got.size} vs batch ${batch.size}")
+    val mismatches = batch.collect {
+      case (id, b) if got(id) != b => s"$id: stream ${got(id)} batch $b"
+    }
+    assert(mismatches.isEmpty, mismatches.take(5).mkString("; "))
+    // and some contamination actually occurred, so the parity is non-vacuous
+    assert(got.values.exists(_._3 == 1L))
+  }
+
   test("s09+s04 source re-delivery lands exactly-once through the keyed sink") {
     import spark.implicits._
     import graft.streaming.{ExactlyOnceSink, KafkaIO}
