@@ -103,6 +103,8 @@ object SparkEntry {
     "q39_repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
     "q40_keywords" -> ((s, d) => TextOps.keywords(Tables.documents(s, d))),
     "q41_audio_meta" -> ((s, d) => Multimodal.audioMeta(Tables.documents(s, d))),
+    "q42_dedup_groups" -> ((s, d) =>
+      graft.operators.Components.dedupGroups(Tables.embeddings(s, d))),
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
@@ -748,5 +750,33 @@ object SparkEntry {
                 CAST(1 + n_chars % 4096 AS BIGINT) AS n_samples,
                 CAST(((1 + n_chars % 4096) * 1000) // (8000 * (1 + doc_id % 2)) AS BIGINT) AS duration_ms
          FROM documents""",
+    // q42: the q30 pair predicate + a recursive-CTE transitive closure
+    // — a sequential ground truth for the distributed label-propagation
+    // iteration (min reachable vec_id per component).
+    "q42_dedup_groups" ->
+      """WITH RECURSIVE e AS (
+           SELECT vec_id, embedding,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (acc, x) -> acc + x) AS n2
+           FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, len(a.embedding)+1),
+                     i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))),
+                   (acc, x) -> acc + x) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.35),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION ALL
+           SELECT id_b AS u, id_a AS v FROM pairs),
+         rec AS (
+           SELECT vec_id AS id, vec_id AS label FROM embeddings
+           UNION
+           SELECT edges.v AS id, rec.label FROM rec JOIN edges ON edges.u = rec.id)
+         SELECT id AS vec_id, min(label) AS group_rep,
+                CAST(id = min(label) AS BIGINT) AS keep
+         FROM rec GROUP BY id""",
   )
 }

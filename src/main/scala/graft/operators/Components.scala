@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair graph — the step that turns
+  * near-duplicate PAIRS (q30/q30b/q25 output) into dedup GROUPS with a
+  * canonical representative, i.e. the actual keep/drop decision a
+  * training-corpus pipeline executes. Reference analog: none (the
+  * reference stops at per-key aggregation); this is the standard
+  * map-reduce CC problem (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond").
+  *
+  * Algorithm: iterative min-label propagation with POINTER JUMPING —
+  * each round a node takes the minimum label among itself and its
+  * neighbors (one edge-join + aggregation), then compresses paths by
+  * adopting its label's label (one self-join). Neighbor propagation
+  * alone converges in O(diameter) rounds; the jump makes label trees
+  * logarithmic, so rounds ≈ O(log diameter) — and near-dup clusters
+  * have tiny diameters to begin with. Each round's frame is
+  * localCheckpoint'ed: lineage stays flat (no exponential plan
+  * growth), blocks die with the loop.
+  *
+  * Scale: every round is one shuffle of |E| (neighbor min) plus one of
+  * |V| (jump + convergence count). No driver-side graph state — only
+  * the per-round `changed` COUNT comes back to the driver. At 100 TB,
+  * rounds are bounded by log(largest component diameter), not
+  * component count.
+  */
+object Components {
+
+  /** Label every node of `nodes` (single column `id`) with the MINIMUM
+    * node id reachable through `pairs` (columns `id_a`, `id_b`).
+    * Output: (id, label). Throws if not converged in `maxIters`
+    * rounds (pathological diameter — raise the bound explicitly
+    * rather than returning silently-wrong labels).
+    */
+  def minLabel(nodes: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("vlabel")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min(col("vlabel")).as("nlabel"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jump: adopt the label OF my label (labels are node ids,
+      // so the lookup is a self-join); compresses chains exponentially
+      val jumped = stepped
+        .join(stepped.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = jumped
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = jumped
+      it += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds; " +
+          "raise maxIters for graphs with pathological diameter")
+    labels
+  }
+
+  /** q42: semantic dedup groups over the EXACT near-dup pairs (q30).
+    * One row per vector: its component representative (minimum vec_id
+    * reachable through cosine ≥ tau pairs) and the keep flag — keep
+    * exactly the representative of each group, drop the rest. The
+    * entire chain (pairs + closure) replays in the DuckDB oracle as a
+    * recursive CTE, so the distributed iteration is hash-checked
+    * against a sequential ground truth.
+    */
+  def dedupGroups(embeddings: DataFrame, tau: Double = 0.35): DataFrame = {
+    val pairs = Similarity.embeddingDedup(embeddings, tau)
+    val nodes = embeddings.select(col("vec_id").as("id"))
+    minLabel(nodes, pairs)
+      .select(col("id").as("vec_id"), col("label").as("group_rep"),
+        (col("id") === col("label")).cast("long").as("keep"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Connected-components labeling (q42): the pairs→groups step of
+  * semantic dedup. Value-level gate is the DuckDB recursive-CTE
+  * oracle; these pin the algorithm against a sequential union-find on
+  * adversarial shapes (chains, stars, singletons, random graphs).
+  */
+class ComponentsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.operators.Components
+
+  private def run(nodes: Seq[Long], pairs: Seq[(Long, Long)],
+                  maxIters: Int = 20): Map[Long, Long] = {
+    import spark.implicits._
+    Components.minLabel(nodes.toDF("id"), pairs.toDF("id_a", "id_b"), maxIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def unionFind(nodes: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("chains, stars, and singletons label to the component minimum") {
+    // chain 1-2-3-4, star 10-{11,12,13}, singleton 99
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 99L)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (10L, 13L))
+    val got = run(nodes, pairs)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 99L -> 99L))
+  }
+
+  test("a long chain converges within the pointer-jumping bound") {
+    // diameter 63: plain propagation needs 63 rounds, jumping ~log
+    val nodes = (0L to 63L)
+    val pairs = (0L until 63L).map(i => (i, i + 1))
+    val got = run(nodes, pairs, maxIters = 10)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("random graphs match a sequential union-find") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val nodes = (0 until n).map(_.toLong)
+      val pairs = Seq.fill(rnd.nextInt(n))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      assert(run(nodes, pairs) == unionFind(nodes, pairs), s"trial $trial")
+    }
+  }
+
+  test("q42 dedup groups: reps are self-kept minima, groups cover near-dup pairs") {
+    import graft.sources.Tables
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Components.dedupGroups(emb)
+    assert(out.count() == emb.count())
+    // keep flag is exactly "I am my own representative"
+    assert(out.filter((col("vec_id") === col("group_rep")) =!=
+      (col("keep") === 1L)).count() == 0)
+    // the representative is a member of its own group and minimal in it
+    val viol = out.as("a").join(out.as("b"),
+        col("a.group_rep") === col("b.vec_id"))
+      .filter(col("b.group_rep") =!= col("a.group_rep") ||
+        col("b.vec_id") > col("a.vec_id"))
+    assert(viol.count() == 0)
+    // every near-dup pair landed in one group
+    val pairs = Similarity.embeddingDedup(emb)
+    val crossGroup = pairs
+      .join(out.select(col("vec_id").as("id_a"), col("group_rep").as("ga")), Seq("id_a"))
+      .join(out.select(col("vec_id").as("id_b"), col("group_rep").as("gb")), Seq("id_b"))
+      .filter(col("ga") =!= col("gb"))
+    assert(crossGroup.count() == 0)
+  }
+}
