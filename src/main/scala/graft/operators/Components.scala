@@ -46,20 +46,20 @@ object Components {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("vlabel")), Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("vlabel")).as("nlabel"))
+      // carry the previous label through the round so the convergence
+      // count is a filter over the checkpointed result, not a third join
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // pointer jump: adopt the label OF my label (labels are node ids,
       // so the lookup is a self-join); compresses chains exponentially
       val jumped = stepped
         .join(stepped.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
-        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
+        .select(col("id"), col("old"), coalesce(col("ll"), col("label")).as("label"))
         .localCheckpoint(true)
-      changed = jumped
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = jumped
+      changed = jumped.filter(col("label") =!= col("old")).count()
+      labels = jumped.select(col("id"), col("label"))
       it += 1
     }
     if (changed > 0)
@@ -70,6 +70,9 @@ object Components {
   }
 
   /** q42: semantic dedup groups over the EXACT near-dup pairs (q30).
+    * `minLabel` is pair-source agnostic — at 100 TB swap in the
+    * sub-quadratic q30b LSH pairs (same groups up to LSH recall); the
+    * exact pairs here keep the oracle chain closed.
     * One row per vector: its component representative (minimum vec_id
     * reachable through cosine ≥ tau pairs) and the keep flag — keep
     * exactly the representative of each group, drop the rest. The
