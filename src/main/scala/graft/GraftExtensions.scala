@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductD, HllEstimate, HllSketchAgg, QrhpSignatureExpr, RhpSignatureExpr}
+import graft.functions.{CharShingleSetExpr, DotProductD, HllEstimate, HllSketchAgg,
+  PolyHashExpr, QrhpSignatureExpr, RhpMultiSignatureExpr, RhpSignatureExpr, SimHashLanesExpr}
 
 /** Session extension registering graft's native Catalyst functions for
   * SQL use — `spark.sql.extensions=graft.GraftExtensions` on a cluster,
@@ -65,6 +66,33 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "hll_estimate(sketch)")
         HllEstimate(exprs(0))
+      }),
+    ("poly_hash",
+      new ExpressionInfo(classOf[PolyHashExpr].getName, "poly_hash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "poly_hash(string)")
+        PolyHashExpr(exprs(0))
+      }),
+    ("rhp_multi_signature",
+      new ExpressionInfo(classOf[RhpMultiSignatureExpr].getName, "rhp_multi_signature"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "rhp_multi_signature(arrayFloat, nBitsLiteral, nTablesLiteral)")
+        RhpMultiSignatureExpr(exprs(0),
+          intLit(exprs(1), "rhp_multi_signature nBits"),
+          intLit(exprs(2), "rhp_multi_signature nTables"))
+      }),
+    ("simhash_lanes",
+      new ExpressionInfo(classOf[SimHashLanesExpr].getName, "simhash_lanes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash_lanes(longCol)")
+        SimHashLanesExpr(exprs(0))
+      }),
+    ("char_shingle_set",
+      new ExpressionInfo(classOf[CharShingleSetExpr].getName, "char_shingle_set"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "char_shingle_set(string, nLiteral)")
+        CharShingleSetExpr(exprs(0), intLit(exprs(1), "char_shingle_set n"))
       }))
 
   /** Programmatic registration into an existing session (tests, REPLs —

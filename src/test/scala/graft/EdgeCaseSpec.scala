@@ -72,6 +72,23 @@ class EdgeCaseSpec extends AnyFunSuite {
       graft.streaming.StreamOps.minhashSignature(text).length
   }
 
+  test("round-4 ops survive empty and degenerate inputs") {
+    import spark.implicits._
+    val noDocs = emptyLike(docs)
+    assert(TextOps.decontaminate(noDocs, docs).count() == 0)
+    assert(TextOps.decontaminate(docs, noDocs).filter(col("contaminated") =!= 0L).count() == 0)
+    assert(TextOps.repetitionStats(noDocs).count() == 0)
+    assert(TextOps.keywords(noDocs).count() == 0)
+    assert(Multimodal.audioMeta(noDocs).count() == 0)
+    assert(Components.dedupGroups(emptyLike(emb)).count() == 0)
+    // a pair-free graph: everyone their own representative
+    val lonely = Components.dedupGroups(emb.limit(3), tau = 1.1)
+    assert(lonely.filter(col("keep") =!= 1L).count() == 0)
+    // streaming decontamination helpers on blank text
+    assert(graft.streaming.StreamOps.wordShingleHashes("", 4).size == 1)
+    assert(graft.streaming.StreamOps.benchmarkShingleSet(noDocs).isEmpty)
+  }
+
   test("simhash enforces the packed-lane token bound loudly") {
     import graft.functions.SimHashLanes.MaxTokens
     // build the oversized doc executor-side (repeat column, not a 4MB

@@ -43,6 +43,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     // builder-level smoke: definitions registered without throwing
     assert(GraftExtensions.definitions.map(_._1).toSet ==
-      Set("dot_d", "rhp_signature", "qrhp_signature", "hll_sketch", "hll_estimate"))
+      Set("dot_d", "rhp_signature", "qrhp_signature", "hll_sketch", "hll_estimate",
+        "poly_hash", "rhp_multi_signature", "simhash_lanes", "char_shingle_set"))
+  }
+
+  test("round-4 kernels are callable from SQL and agree with the DSL") {
+    import org.apache.spark.sql.functions.col
+    GraftExtensions.register(spark)
+    graft.sources.Tables.documents(spark, sfDir).createOrReplaceTempView("docs_sql")
+    val row = spark.sql(
+      """SELECT poly_hash(text) AS ph,
+                size(char_shingle_set(text, 7)) AS nsh,
+                simhash_lanes(poly_hash(text)) AS lanes
+         FROM docs_sql WHERE length(text) > 20 LIMIT 1""").head()
+    assert(row.getLong(0) >= 0L && row.getLong(0) < 1000000007L)
+    assert(row.getInt(1) > 0)
+    assert(row.getSeq[Long](2).length == graft.functions.SimHashLanes.NLanes)
+    // multi-signature from SQL == per-table DSL signatures
+    graft.sources.Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_sql")
+    val multi = spark.sql(
+      "SELECT vec_id, rhp_multi_signature(embedding, 8, 4) AS s FROM emb_sql")
+    val dsl = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), graft.functions.VectorFunctions
+        .rhp_multi_signature(col("embedding"), 8, 4).as("s"))
+    assertSameRows(
+      multi.selectExpr("vec_id", "cast(s as string) AS s"),
+      dsl.selectExpr("vec_id", "cast(s as string) AS s"))
   }
 }
