@@ -105,6 +105,7 @@ object SparkEntry {
     "q41_audio_meta" -> ((s, d) => Multimodal.audioMeta(Tables.documents(s, d))),
     "q42_dedup_groups" -> ((s, d) =>
       graft.operators.Components.dedupGroups(Tables.embeddings(s, d))),
+    "q43_video_meta" -> ((s, d) => Multimodal.videoMeta(Tables.documents(s, d))),
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
@@ -778,5 +779,17 @@ object SparkEntry {
          SELECT id AS vec_id, min(label) AS group_rep,
                 CAST(id = min(label) AS BIGINT) AS keep
          FROM rec GROUP BY id""",
+    // q43: frame count and dims on the Spark side come from a REAL
+    // multi-frame GIF parse; the oracle predicts them from the same
+    // metadata the synthesizer used (the q31/q41 contract, third
+    // modality).
+    "q43_video_meta" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
+                md5(text) AS blob_md5,
+                CAST(1 + n_chars % 32 AS BIGINT) AS width,
+                CAST(1 + doc_id % 24 AS BIGINT) AS height,
+                CAST(1 + doc_id % 7 AS BIGINT) AS n_frames
+         FROM documents""",
   )
 }

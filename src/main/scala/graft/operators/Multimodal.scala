@@ -327,4 +327,130 @@ object Multimodal {
         }
       }
   }
+
+  // ---------------------------------------------------------------- video
+
+  /** REAL multi-frame container via the JDK's GIF writer (ImageIO
+    * supports sequence writes) — the video analog of encodePng: every
+    * frame's pixels are a pure function of (seed, frame index).
+    */
+  def encodeGif(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val px = new Array[Int](width * height)
+        var i = 0
+        while (i < px.length) {
+          px(i) = (graft.functions.RhpPlanes.mix(seed * 7349L + f * 1048583L + i)
+            & 0xFFFFFF).toInt
+          i += 1
+        }
+        img.setRGB(0, 0, width, height, px, 0, width)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      out.close()
+    }
+    bos.toByteArray
+  }
+
+  /** REAL video-container decode: ImageIO parses the GIF and reports
+    * the true frame count and dimensions. ok=false for null/empty/
+    * unparseable payloads.
+    */
+  def decodeVideo(docId: Long, payload: Array[Byte]): DecodedMedia = {
+    if (payload == null || payload.isEmpty)
+      DecodedMedia(docId, 0L, 0, 0, 0, ok = false)
+    else {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) DecodedMedia(docId, payload.length.toLong, 0, 0, 0, ok = false)
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val n = r.getNumImages(true) // forces a full container scan
+          DecodedMedia(docId, payload.length.toLong,
+            r.getWidth(0), r.getHeight(0), n, ok = n > 0)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            DecodedMedia(docId, payload.length.toLong, 0, 0, 0, ok = false)
+        } finally { r.dispose(); in.close() }
+      }
+    }
+  }
+
+  /** REAL keyframe sampling (replaces the byte-slicing stub for
+    * payloads that are genuine containers): decode the GIF, pick
+    * `nFrames` evenly spaced frames, re-encode each as PNG. 1→N rows,
+    * narrow, batched — the decode-transform-reencode shape of a video
+    * ingest pipeline.
+    */
+  def sampleFramesReal(media: DataFrame, nFrames: Int = 4,
+                       batchSize: Int = 16): Dataset[MediaFrames] = {
+    val withPayload = media.select(col("doc_id").cast("long"), col("payload"))
+    implicit val enc = Encoders.product[MediaFrames]
+    withPayload.as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { case (id, p) =>
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(if (p == null) Array.emptyByteArray else p))
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) { in.close(); Iterator.empty }
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val total = r.getNumImages(true)
+            val take = math.min(nFrames, total)
+            (0 until take).iterator.map { k =>
+              val idx = if (take == 1) 0 else k * (total - 1) / (take - 1)
+              val img = r.read(idx)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              MediaFrames(id, k, bos.toByteArray)
+            }.toVector.iterator
+          } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+          finally { r.dispose(); in.close() }
+        }
+      }))
+  }
+
+  /** q43: video payload + typed metadata via a REAL GIF encode→decode
+    * round-trip (multi-frame ImageIO both ways). Frame count and dims
+    * derive from doc metadata so the oracle predicts them; the emitted
+    * values come from the PARSED container — the q31/q41 contract for
+    * the third modality.
+    */
+  def videoMeta(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text, nChars) =>
+          val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          md.reset()
+          val hex = md.digest(payload).map("%02x".format(_)).mkString
+          val gif = encodeGif((1L + nChars % 32L).toInt, (1L + id % 24L).toInt,
+            (1L + id % 7L).toInt, id)
+          val dec = decodeVideo(id, gif)
+          (id, payload.length.toLong, hex, dec.width.toLong, dec.height.toLong,
+            dec.n_frames.toLong)
+        }
+      }
+      .toDF("doc_id", "blob_len", "blob_md5", "width", "height", "n_frames")
+  }
 }

@@ -139,6 +139,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decs(3L).ok && decs(3L).sample_rate == 16000L)
   }
 
+  test("q43 gif round-trip: decoded frame count and dims equal the encoded sequence") {
+    import graft.operators.Multimodal
+    for ((w, h, n) <- Seq((1, 1, 1), (16, 12, 3), (32, 24, 7))) {
+      val gif = Multimodal.encodeGif(w, h, n, seed = n * 17L)
+      assert(new String(gif.take(3), "US-ASCII") == "GIF")
+      val dec = Multimodal.decodeVideo(5L, gif)
+      assert(dec.ok, s"w=$w h=$h n=$n")
+      assert(dec.width == w && dec.height == h && dec.n_frames == n)
+    }
+    assert(!Multimodal.decodeVideo(1L, null).ok)
+    assert(!Multimodal.decodeVideo(2L, Array.fill[Byte](32)(7)).ok)
+  }
+
+  test("q43 real frame sampling: evenly spaced frames, decodable as PNG") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Seq(
+      (1L, Multimodal.encodeGif(8, 6, 7, 1L)), // 7 frames, sample 4
+      (2L, Multimodal.encodeGif(8, 6, 2, 2L)), // fewer frames than asked
+      (3L, Array.fill[Byte](16)(3)))           // garbage: contributes no rows
+      .toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFramesReal(media, nFrames = 4).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc(1L).length == 4 && byDoc(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(byDoc(2L).length == 2)
+    assert(!byDoc.contains(3L))
+    // every sampled frame is a real decodable PNG with the source dims
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 6)
+    }
+  }
+
   test("decodeBatch surfaces non-image payloads as ok=false rows, no failures") {
     import org.apache.spark.sql.functions.encode
     val textPayloads = docs
