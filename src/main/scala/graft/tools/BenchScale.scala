@@ -56,13 +56,16 @@ object BenchScale {
     "q25_dedup_minhash",
     "q26_dedup_simhash",
     "q29_knn_lsh",
-    "q32_knn_ivf")
+    "q32_knn_ivf",
+    "q38_decontamination",
+    "q40_keywords")
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")
   private val OutputBound = Seq(
     "q27_ngram_jaccard",
-    "q30b_embedding_dedup_lsh")
+    "q30b_embedding_dedup_lsh",
+    "q42_dedup_groups") // closure work tracks the (quadratic) pair graph
 
   /** Σ numOutputRows over the executed tree, descending into
     * materialized AQE query stages (QueryStageExec is a leaf whose
@@ -118,9 +121,13 @@ object BenchScale {
       fn(spark, dir).count() // warm: codegen + JIT + file listing
       System.gc() // keep major GCs out of the timed region (Bench.scala rationale)
       val ms = (1 to passes).map { _ =>
-        val qe = fn(spark, dir).queryExecution
         val cpu0 = cpuNs.get()
         val t0 = System.nanoTime()
+        // construction INSIDE the timed region: iterative operators
+        // (q42's label-propagation loop) run driver-side jobs while
+        // building the frame — wall and the CPU listener capture them;
+        // row traffic still reflects only the returned plan
+        val qe = fn(spark, dir).queryExecution
         val out = qe.executedPlan.execute().count() // runs THIS plan → its metrics populate
         val dt = (System.nanoTime() - t0) / 1e9
         Thread.sleep(200) // listener bus settle for the CPU counter
