@@ -149,9 +149,44 @@ object Multimodal {
       }))
   }
 
-  /** Resize stub: deterministic truncation standing in for a pixel
-    * resample — output payload is a prefix of the input (a real codec
-    * would re-encode), with the claimed output dims carried beside it.
+  /** REAL pixel resample: decode → Graphics2D bilinear scale →
+    * re-encode PNG (all JDK; the standard thumbnailing pass of an
+    * image-corpus pipeline). Undecodable payloads yield an empty
+    * payload with the claimed dims — the ok=false analog for a
+    * transform that must stay 1→1.
+    */
+  def resizeReal(media: DataFrame, width: Int = 16, height: Int = 12,
+                 batchSize: Int = 64): Dataset[ResizedMedia] = {
+    val withPayload = media.select(col("doc_id").cast("long"), col("payload"))
+    implicit val enc = Encoders.product[ResizedMedia]
+    withPayload.as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
+        val src =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            if (p == null) Array.emptyByteArray else p))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (src == null) ResizedMedia(id, Array.emptyByteArray, width, height)
+        else {
+          val dst = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, width, height, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          ResizedMedia(id, bos.toByteArray, width, height)
+        }
+      }))
+  }
+
+  /** Resize stub for NON-image payloads (kept for the generic binary
+    * path): deterministic truncation standing in for a pixel
+    * resample — output payload is a prefix of the input, with the
+    * claimed output dims carried beside it. Image payloads should use
+    * `resizeReal`.
     */
   def resize(documents: DataFrame, width: Int = 64, height: Int = 48,
              batchSize: Int = 64): Dataset[ResizedMedia] = {

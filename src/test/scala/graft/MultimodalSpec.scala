@@ -139,6 +139,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decs(3L).ok && decs(3L).sample_rate == 16000L)
   }
 
+  test("resizeReal: decoded thumbnails have the target dims; garbage passes through empty") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Seq(
+      (1L, Multimodal.encodePng(40, 30, 1L)),
+      (2L, Multimodal.encodePng(3, 2, 2L)), // upscale path
+      (3L, Array.fill[Byte](9)(1)))         // undecodable
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resizeReal(media, 16, 12).collect().map(r => r.doc_id -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(id).payload))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 12, s"doc $id")
+    }
+    assert(out(3L).payload.isEmpty && out(3L).width == 16)
+  }
+
   test("q43 gif round-trip: decoded frame count and dims equal the encoded sequence") {
     import graft.operators.Multimodal
     for ((w, h, n) <- Seq((1, 1, 1), (16, 12, 3), (32, 24, 7))) {
