@@ -371,6 +371,16 @@ object Multimodal {
     */
   def encodeGif(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try encodeGifWith(writer, width, height, nFrames, seed)
+    finally writer.dispose()
+  }
+
+  /** encodeGif against a CALLER-OWNED writer — the per-partition reuse
+    * path (writer lookup + plugin init amortize across a partition's
+    * docs; `ImageWriter.reset()` makes it reusable).
+    */
+  def encodeGifWith(writer: javax.imageio.ImageWriter,
+                    width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
@@ -393,7 +403,7 @@ object Multimodal {
       }
       writer.endWriteSequence()
     } finally {
-      writer.dispose()
+      writer.reset()
       out.close()
     }
     bos.toByteArray
@@ -475,15 +485,27 @@ object Multimodal {
       .as[(Long, String, Long)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, text, nChars) =>
+        // ONE writer per partition (the codec-init amortization the
+        // batch boundary exists for), reset between docs
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val mapped = it.map { case (id, text, nChars) =>
           val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           md.reset()
           val hex = md.digest(payload).map("%02x".format(_)).mkString
-          val gif = encodeGif((1L + nChars % 32L).toInt, (1L + id % 24L).toInt,
-            (1L + id % 7L).toInt, id)
+          val gif = encodeGifWith(writer, (1L + nChars % 32L).toInt,
+            (1L + id % 24L).toInt, (1L + id % 7L).toInt, id)
           val dec = decodeVideo(id, gif)
           (id, payload.length.toLong, hex, dec.width.toLong, dec.height.toLong,
             dec.n_frames.toLong)
+        }
+        // dispose after the partition drains (iterator wrapper)
+        new Iterator[(Long, Long, String, Long, Long, Long)] {
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h) writer.dispose()
+            h
+          }
+          def next() = mapped.next()
         }
       }
       .toDF("doc_id", "blob_len", "blob_md5", "width", "height", "n_frames")
