@@ -106,6 +106,7 @@ object SparkEntry {
     "q42_dedup_groups" -> ((s, d) =>
       graft.operators.Components.dedupGroups(Tables.embeddings(s, d))),
     "q43_video_meta" -> ((s, d) => Multimodal.videoMeta(Tables.documents(s, d))),
+    "q44_range_join" -> ((s, d) => Analytics.rangeJoinBursts(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
@@ -791,5 +792,17 @@ object SparkEntry {
                 CAST(1 + doc_id % 24 AS BIGINT) AS height,
                 CAST(1 + doc_id % 7 AS BIGINT) AS n_frames
          FROM documents""",
+    // q44: the oracle states the range predicate DIRECTLY (DuckDB's
+    // optimizer handles the small case); the Spark side must produce
+    // identical rows through the binned equi-join.
+    "q44_range_join" ->
+      """WITH err AS (
+           SELECT event_id, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'error')
+         SELECT err.event_id,
+                CAST(count(f.event_id) AS BIGINT) AS n_follow
+         FROM err LEFT JOIN (SELECT event_id, epoch_us(ts) AS us FROM events) f
+           ON f.us > err.us AND f.us <= err.us + 300000000
+         GROUP BY 1""",
   )
 }

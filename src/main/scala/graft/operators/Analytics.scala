@@ -186,4 +186,37 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
         dsum(col("value")).as("total_value"),
         countDistinct(col("user_id")).as("n_users"))
+
+  /** q44: RANGE JOIN with no equi key — for every error event, count
+    * events strictly inside the following `windowSec` seconds (burst
+    * correlation: "what cascades after an error"). A naive
+    * `f.ts > e.ts AND f.ts <= e.ts + w` join has no equi conjunct, so
+    * Spark plans BroadcastNestedLoopJoin — one task owning |err|×|all|
+    * predicate evaluations and a broadcast ceiling. The standard fix
+    * Spark lacks natively is INTERVAL BINNING: bucket time into
+    * `windowSec`-wide bins, probe each error's bin and its successor
+    * (a half-open (t, t+w] window spans at most two bins), equi-join
+    * on the bin, and verify the exact predicate after. Candidate
+    * volume is Σ per-bin |err|·|events| — shuffle-friendly,
+    * skew-bounded by the bin width, and each follower matches in
+    * EXACTLY one probed bin (its own), so no dedup is needed.
+    * All comparisons run in integer micros (exact in both engines).
+    */
+  def rangeJoinBursts(events: DataFrame, windowSec: Int = 300): DataFrame = {
+    val w = windowSec * 1000000L
+    val all = events.select(col("event_id").as("fid"),
+      unix_micros(col("ts")).as("fus"),
+      floor(unix_micros(col("ts")) / w).as("bin"))
+    val err = events.filter(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        floor(unix_micros(col("ts")) / w).as("bin0"))
+    val probes = err.select(col("event_id"), col("us"),
+      explode(array(col("bin0"), col("bin0") + 1)).as("bin"))
+    val matched = probes.join(all, Seq("bin"))
+      .filter(col("fus") > col("us") && col("fus") <= col("us") + w)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_follow"))
+    err.select(col("event_id"))
+      .join(matched, Seq("event_id"), "left")
+      .na.fill(0L, Seq("n_follow"))
+  }
 }

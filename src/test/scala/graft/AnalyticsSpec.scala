@@ -80,4 +80,23 @@ class AnalyticsSpec extends AnyFunSuite {
     val plan = Analytics.pricingSummary(li).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)
   }
+
+  test("q44 binned range join equals the naive non-equi join, without its plan") {
+    val w = 300L * 1000000L
+    val binned = Analytics.rangeJoinBursts(events)
+    // ground truth: state the range predicate directly (BNLJ — fine at
+    // test scale, the exact plan the binned form exists to avoid)
+    val e = events.filter(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val f = events.select(col("event_id").as("fid"), unix_micros(col("ts")).as("fus"))
+    val naive = e.join(f, col("fus") > col("us") && col("fus") <= col("us") + w, "left")
+      .groupBy(col("event_id")).agg(count(col("fid")).as("n_follow"))
+    assertSameRows(binned, naive)
+    // non-vacuous: bursts exist, and so do followerless errors
+    assert(binned.filter(col("n_follow") > 0).count() > 0)
+    // the binned PLAN has no nested-loop/cartesian — the point of the op
+    binned.collect()
+    val s = binned.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s)
+  }
 }
