@@ -107,6 +107,7 @@ object SparkEntry {
       graft.operators.Components.dedupGroups(Tables.embeddings(s, d))),
     "q43_video_meta" -> ((s, d) => Multimodal.videoMeta(Tables.documents(s, d))),
     "q44_range_join" -> ((s, d) => Analytics.rangeJoinBursts(Tables.events(s, d))),
+    "q45_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(Tables.documents(s, d))),
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
@@ -804,5 +805,40 @@ object SparkEntry {
          FROM err LEFT JOIN (SELECT event_id, epoch_us(ts) AS us FROM events) f
            ON f.us > err.us AND f.us <= err.us + 300000000
          GROUP BY 1""",
+    // q45: an ORACLE-CHECKED sketch — the CMS row hashes are the
+    // ReplayableHash family (indices 400..403), so every counter
+    // (count of tokens landing in bucket (i, b)) and therefore every
+    // min-over-rows estimate reproduces exactly in SQL.
+    "q45_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT t AS token,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(t)+1),
+                      i -> CAST(unicode(substring(t, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM (SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'),
+                   t -> length(t) > 0)) AS t
+                 FROM documents) x),
+         counters AS (
+           SELECT i,
+                  ((((1103515245*(2*(400+i)+1) + 12345) % 2147483648) * s
+                    + ((1103515245*(2*(400+i)+2) + 12345) % 2147483648))
+                   % 2147483647) % 1024 AS b,
+                  count(*) AS c
+           FROM tok, range(0, 4) r(i)
+           GROUP BY 1, 2),
+         topk AS (
+           SELECT token, count(*) AS tf, min(s) AS s
+           FROM tok GROUP BY 1
+           ORDER BY tf DESC, token ASC LIMIT 20)
+         SELECT topk.token, topk.tf, min(counters.c) AS tf_est
+         FROM topk, range(0, 4) r(i)
+         JOIN counters
+           ON counters.i = r.i
+          AND counters.b = ((((1103515245*(2*(400+r.i)+1) + 12345) % 2147483648) * topk.s
+                             + ((1103515245*(2*(400+r.i)+2) + 12345) % 2147483648))
+                            % 2147483647) % 1024
+         GROUP BY 1, 2""",
   )
 }

@@ -265,6 +265,36 @@ object TextOps {
     * curation. df comes from one corpus-wide aggregation of the same
     * (doc, token) tf frame — exchange reuse, no second scan.
     */
+  /** q45: heavy hitters through a Count-Min sketch — the top-k tokens'
+    * exact counts beside their SKETCH estimates, from ONE fixed-memory
+    * mergeable aggregate (CmsSketchAgg: width·depth counters, map-side
+    * partials summing counter-wise). At 100 TB the sketch replaces the
+    * full token aggregation wherever an εN-bounded overestimate
+    * suffices (admission control, hot-key detection, stream state);
+    * here the exact tf rides beside it so the bound is ASSERTED, and —
+    * because the row hashes are the SQL-replayable family — the DuckDB
+    * oracle reproduces every counter and every estimate exactly. The
+    * sketch estimate can only overestimate: tf_est ≥ tf always, within
+    * εN ≈ (e/width)·N w.h.p.
+    */
+  def heavyHitters(documents: DataFrame, k: Int = 20,
+                   width: Int = 1024, depth: Int = 4): DataFrame = {
+    val tok = documents
+      .select(explode(split(lower(wsTrim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("token"), graft.functions.VectorFunctions.poly_hash(col("token")).as("s"))
+    val sketch = tok.agg(
+      graft.functions.CmsFunctions.cms_sketch(col("s"), width, depth).as("sk"))
+    val topk = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), min(col("s")).as("s"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(k)
+    topk.crossJoin(sketch) // one sketch row — broadcastable by construction
+      .select(col("token"), col("tf"),
+        graft.functions.CmsFunctions.cms_estimate(col("sk"), col("s"), width, depth)
+          .as("tf_est"))
+  }
+
   def keywords(documents: DataFrame, k: Int = 3): DataFrame = {
     val tf = documents
       .select(col("doc_id"), explode(split(lower(wsTrim(col("text"))), "\\s+")).as("token"))

@@ -294,6 +294,38 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CMS sketch: estimate upper-bounds the truth, merge equals single-pass, serde round-trips") {
+    import graft.functions.Cms
+    val rnd = new Random(61)
+    val (w, d) = (256, 4)
+    for (trial <- 1 to 20) {
+      // zipfish key stream over a modest key space
+      val keys = Seq.fill(500 + rnd.nextInt(1500))(
+        math.abs(rnd.nextGaussian() * 50).toLong % 200)
+      val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+      val single = Cms.empty(w, d)
+      keys.foreach(Cms.add(single, _, w, d))
+      // estimate >= truth for EVERY key (CMS can only overestimate)
+      truth.foreach { case (k, tf) =>
+        assert(Cms.estimate(single, k, w, d) >= tf, s"trial=$trial key=$k")
+      }
+      // absent keys estimate within the eps*N collision bound, never negative
+      assert(Cms.estimate(single, 999999L, w, d) >= 0L)
+
+      // partial merge == single pass, counter-exact
+      val parts = keys.grouped(math.max(1, keys.size / (1 + rnd.nextInt(5)))).map { chunk =>
+        val b = Cms.empty(w, d); chunk.foreach(Cms.add(b, _, w, d)); b
+      }.toSeq
+      val merged = Cms.empty(w, d)
+      rnd.shuffle(parts).foreach(Cms.merge(merged, _))
+      assert(merged.toSeq == single.toSeq, s"trial=$trial merge mismatch")
+
+      // serialization round-trip is identity
+      assert(Cms.deserialize(Cms.serialize(single)).toSeq == single.toSeq)
+    }
+  }
+
   test("polynomial fingerprint matches an independent reference impl") {
     // mirror of the q21 expression: (h*31 + codepoint) % 1e9+7, left fold
     def ref(s: String): Long =

@@ -135,6 +135,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.repetitionStats(docs).count() == docs.count())
   }
 
+  test("q45 heavy hitters: sketch estimates upper-bound exact counts, stable under repartitioning") {
+    val out = TextOps.heavyHitters(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 20)
+    // the CMS can only overestimate, and on this corpus (vocab << width)
+    // collisions are rare — estimates should sit close to exact
+    out.foreach { case (tok, (tf, est)) =>
+      assert(est >= tf, s"$tok: est $est < exact $tf")
+      assert(est <= tf * 2, s"$tok: est $est implausibly far above $tf")
+    }
+    // deterministic under repartitioning (partials merge counter-wise)
+    assertSameRows(TextOps.heavyHitters(docs),
+      TextOps.heavyHitters(docs.repartition(13)))
+  }
+
   test("q40 keywords rank dominant-rare tokens first, deterministically") {
     import spark.implicits._
     val d = Seq(
