@@ -51,8 +51,10 @@ object GraftExtensions {
     ("qrhp_signature",
       new ExpressionInfo(classOf[QrhpSignatureExpr].getName, "qrhp_signature"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, "qrhp_signature(arrayFloat, nBitsLiteral)")
-        QrhpSignatureExpr(exprs(0), intLit(exprs(1), "qrhp_signature nBits"))
+        require(exprs.length == 2 || exprs.length == 3,
+          "qrhp_signature(arrayFloat, nBitsLiteral[, planeOffsetLiteral])")
+        val off = if (exprs.length == 3) intLit(exprs(2), "qrhp_signature planeOffset") else 0
+        QrhpSignatureExpr(exprs(0), intLit(exprs(1), "qrhp_signature nBits"), off)
       }),
     ("hll_sketch",
       new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
@@ -93,6 +95,14 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "char_shingle_set(string, nLiteral)")
         CharShingleSetExpr(exprs(0), intLit(exprs(1), "char_shingle_set n"))
+      }),
+    ("top_k_lex",
+      new ExpressionInfo(classOf[graft.functions.TopKLex].getName, "top_k_lex"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          "top_k_lex(ordDescLong, ordAscLong, keyString, kLiteral)")
+        graft.functions.TopKLex(exprs(0), exprs(1), exprs(2),
+          intLit(exprs(3), "top_k_lex k")).toAggregateExpression()
       }))
 
   /** Programmatic registration into an existing session (tests, REPLs —

@@ -105,6 +105,8 @@ object SparkEntry {
     "q41_audio_meta" -> ((s, d) => Multimodal.audioMeta(Tables.documents(s, d))),
     "q42_dedup_groups" -> ((s, d) =>
       graft.operators.Components.dedupGroups(Tables.embeddings(s, d))),
+    "q42b_dedup_groups_lsh" -> ((s, d) =>
+      graft.operators.Components.dedupGroupsLsh(Tables.embeddings(s, d))),
     "q43_video_meta" -> ((s, d) => Multimodal.videoMeta(Tables.documents(s, d))),
     "q44_range_join" -> ((s, d) => Analytics.rangeJoinBursts(Tables.events(s, d))),
     "q45_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(Tables.documents(s, d))),
@@ -594,7 +596,7 @@ object SparkEntry {
              SELECT j, d, (1103515245 * xor(s3, s3 // 2048) + 12345) % 2147483648 AS s5 FROM (
                SELECT j, d, (1103515245 * xor(s1, s1 // 65536) + 12345) % 2147483648 AS s3 FROM (
                  SELECT j, d, (1103515245 * (j*67 + d) + 12345) % 2147483648 AS s1
-                 FROM range(0, 64) t1(j), range(0, 64) t2(d))))),
+                 FROM range(0, 128) t1(j), range(0, 64) t2(d))))),
          qv AS (
            SELECT vec_id, d,
                   CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS q
@@ -614,10 +616,15 @@ object SparkEntry {
                        WHEN n <= 524288 THEN 14 WHEN n <= 1048576 THEN 15
                        ELSE 16 END AS bb
            FROM (SELECT count(*) AS n FROM embeddings)),
+         -- two independent 64-plane signature tables (j//64) with
+         -- per-table leftover-bit trimming; band ids are globally
+         -- numbered table-major, matching the Spark side's
+         -- t*(64//bb)+band
          bands AS (
-           SELECT vec_id, j // bb AS band_id, sum(bit * (1 << (j % bb))) AS band_sig
+           SELECT vec_id, (j // 64) * (64 // bb) + (j % 64) // bb AS band_id,
+                  sum(bit * (1 << ((j % 64) % bb))) AS band_sig
            FROM bits, bw
-           WHERE j < (64 // bb) * bb
+           WHERE (j % 64) < (64 // bb) * bb
            GROUP BY 1, 2),
          cand AS (
            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -770,6 +777,75 @@ object SparkEntry {
                    list_transform(range(1, len(a.embedding)+1),
                      i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))),
                    (acc, x) -> acc + x) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.35),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION ALL
+           SELECT id_b AS u, id_a AS v FROM pairs),
+         rec AS (
+           SELECT vec_id AS id, vec_id AS label FROM embeddings
+           UNION
+           SELECT edges.v AS id, rec.label FROM rec JOIN edges ON edges.u = rec.id)
+         SELECT id AS vec_id, min(label) AS group_rep,
+                CAST(id = min(label) AS BIGINT) AS keep
+         FROM rec GROUP BY id""",
+    // q42b: the q30b LSH pair CTE (signatures, auto-sized bands,
+    // exact-cosine verify — all SQL-replayable) feeding the SAME
+    // recursive-CTE closure as q42: the sub-quadratic dedup-groups
+    // path is hash-checked end to end, not just recall-gated.
+    "q42b_dedup_groups_lsh" ->
+      """WITH RECURSIVE e AS (
+           SELECT vec_id, embedding,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (acc, x) -> acc + x) AS n2
+           FROM embeddings),
+         w AS (
+           SELECT j, d, (s5 // 65536 - 16384) AS w FROM (
+             SELECT j, d, (1103515245 * xor(s3, s3 // 2048) + 12345) % 2147483648 AS s5 FROM (
+               SELECT j, d, (1103515245 * xor(s1, s1 // 65536) + 12345) % 2147483648 AS s3 FROM (
+                 SELECT j, d, (1103515245 * (j*67 + d) + 12345) % 2147483648 AS s1
+                 FROM range(0, 128) t1(j), range(0, 64) t2(d))))),
+         qv AS (
+           SELECT vec_id, d,
+                  CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS q
+           FROM e, range(0, 64) t(d)),
+         bits AS (
+           SELECT vec_id, j, CASE WHEN sum(q * w) >= 0 THEN 1 ELSE 0 END AS bit
+           FROM qv JOIN w USING (d)
+           GROUP BY vec_id, j),
+         bw AS (
+           SELECT CASE WHEN n <= 512 THEN 4 WHEN n <= 1024 THEN 5
+                       WHEN n <= 2048 THEN 6 WHEN n <= 4096 THEN 7
+                       WHEN n <= 8192 THEN 8 WHEN n <= 16384 THEN 9
+                       WHEN n <= 32768 THEN 10 WHEN n <= 65536 THEN 11
+                       WHEN n <= 131072 THEN 12 WHEN n <= 262144 THEN 13
+                       WHEN n <= 524288 THEN 14 WHEN n <= 1048576 THEN 15
+                       ELSE 16 END AS bb
+           FROM (SELECT count(*) AS n FROM embeddings)),
+         -- two independent 64-plane signature tables (j//64) with
+         -- per-table leftover-bit trimming; band ids are globally
+         -- numbered table-major, matching the Spark side's
+         -- t*(64//bb)+band
+         bands AS (
+           SELECT vec_id, (j // 64) * (64 // bb) + (j % 64) // bb AS band_id,
+                  sum(bit * (1 << ((j % 64) % bb))) AS band_sig
+           FROM bits, bw
+           WHERE (j % 64) < (64 // bb) * bb
+           GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+            AND a.vec_id < b.vec_id),
+         pairs AS (
+           SELECT id_a, id_b
+           FROM cand
+           JOIN e ea ON ea.vec_id = id_a
+           JOIN e eb ON eb.vec_id = id_b
+           WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, len(ea.embedding)+1),
+                     i -> CAST(ea.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(eb.embedding[CAST(i AS INT)] AS DOUBLE))),
+                   (acc, x) -> acc + x) / (sqrt(ea.n2) * sqrt(eb.n2)) >= 0.35),
          edges AS (
            SELECT id_a AS u, id_b AS v FROM pairs
            UNION ALL

@@ -106,6 +106,17 @@ case class CmsSketchAgg(child: Expression, width: Int = 1024, depth: Int = 4,
 /** `cms_estimate(sketch, keyCol, width, depth)` — upper-bound count of
   * the key in a serialized sketch. Scalar; width/depth must match the
   * sketch that produced the bytes (checked against the byte length).
+  *
+  * The deserialized counters are MEMOIZED per task: the common shape
+  * is many keys probed against one sketch (q45: k rows × one 32 KiB
+  * sketch), and each row's `sk` arrives as a fresh byte-array copy out
+  * of its UnsafeRow, so the cache keys on CONTENT (identity fast path
+  * first, then length + Arrays.equals — a read-only scan that
+  * early-exits on the first differing byte). A repeated sketch costs
+  * one comparison scan instead of a 32 KiB allocation + copy per row;
+  * a genuinely different sketch pays one extra scan before
+  * deserializing. The expression is single-threaded per task (Catalyst
+  * eval contract), so plain transient fields suffice.
   */
 case class CmsEstimate(left: Expression, right: Expression,
                        width: Int = 1024, depth: Int = 4)
@@ -113,12 +124,20 @@ case class CmsEstimate(left: Expression, right: Expression,
 
   override def dataType: DataType = LongType
 
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedCounters: Array[Long] = _
+
   override def nullSafeEval(sk: Any, key: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
     require(bytes.length == width * depth * 8,
       s"cms_estimate: sketch is ${bytes.length} bytes, expected ${width * depth * 8} " +
         s"(width=$width depth=$depth)")
-    Cms.estimate(Cms.deserialize(bytes), key.asInstanceOf[Long], width, depth)
+    if (cachedCounters == null ||
+        !((bytes eq cachedBytes) || java.util.Arrays.equals(bytes, cachedBytes))) {
+      cachedCounters = Cms.deserialize(bytes)
+      cachedBytes = bytes
+    }
+    Cms.estimate(cachedCounters, key.asInstanceOf[Long], width, depth)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -259,10 +259,16 @@ object QrhpPlanes {
   * so a DuckDB oracle computes the IDENTICAL signature in SQL and
   * LSH-candidate sets match exactly across engines. |Σ| ≤ 64·2¹⁴·|q|
   * stays far under 2⁶³ for any sane embedding scale.
+  *
+  * `planeOffset` selects plane indices planeOffset..planeOffset+nBits−1
+  * — independent signatures for multi-table banding (the seeding
+  * x = j·67 + d is injective for dim < 67, so offset tables share no
+  * hyperplanes), replayed in SQL by simply extending the plane range.
   */
-case class QrhpSignatureExpr(child: Expression, nBits: Int)
+case class QrhpSignatureExpr(child: Expression, nBits: Int, planeOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(nBits >= 1 && nBits <= 64, "nBits in [1, 64]")
+  require(planeOffset >= 0, "planeOffset >= 0")
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -284,7 +290,7 @@ case class QrhpSignatureExpr(child: Expression, nBits: Int)
       var d = 0
       while (d < dim) {
         val q = math.floor(a.getFloat(d).toDouble * 1048576.0 + 0.5).toLong
-        acc += QrhpPlanes.weight(j, d) * q
+        acc += QrhpPlanes.weight(planeOffset + j, d) * q
         d += 1
       }
       if (acc >= 0) sig |= (1L << j)
@@ -308,7 +314,7 @@ case class QrhpSignatureExpr(child: Expression, nBits: Int)
          |  long $acc = 0L;
          |  for (int $d = 0; $d < $dim; $d++) {
          |    long $q = (long) java.lang.Math.floor((double) $a.getFloat($d) * 1048576.0 + 0.5);
-         |    $acc += graft.functions.QrhpPlanes.weight($j, $d) * $q;
+         |    $acc += graft.functions.QrhpPlanes.weight($planeOffset + $j, $d) * $q;
          |  }
          |  if ($acc >= 0L) $sig |= (1L << $j);
          |}
@@ -553,8 +559,8 @@ object VectorFunctions {
   /** nBits-bit QUANTIZED random-hyperplane signature (integer-exact,
     * DuckDB-oracle-reproducible) of a float-array column.
     */
-  def qrhp_signature(emb: Column, nBits: Int): Column =
-    Bridge.column(QrhpSignatureExpr(Bridge.expression(emb), nBits))
+  def qrhp_signature(emb: Column, nBits: Int, planeOffset: Int = 0): Column =
+    Bridge.column(QrhpSignatureExpr(Bridge.expression(emb), nBits, planeOffset))
 
   /** Base-31 mod-1e9+7 polynomial hash of a string column (the q21
     * fingerprint contract; DuckDB-oracle-reproducible).

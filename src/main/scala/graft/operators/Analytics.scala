@@ -193,30 +193,71 @@ object Analytics {
     * `f.ts > e.ts AND f.ts <= e.ts + w` join has no equi conjunct, so
     * Spark plans BroadcastNestedLoopJoin — one task owning |err|×|all|
     * predicate evaluations and a broadcast ceiling. The standard fix
-    * Spark lacks natively is INTERVAL BINNING: bucket time into
-    * `windowSec`-wide bins, probe each error's bin and its successor
-    * (a half-open (t, t+w] window spans at most two bins), equi-join
-    * on the bin, and verify the exact predicate after. Candidate
-    * volume is Σ per-bin |err|·|events| — shuffle-friendly,
-    * skew-bounded by the bin width, and each follower matches in
-    * EXACTLY one probed bin (its own), so no dedup is needed.
-    * All comparisons run in integer micros (exact in both engines).
+    * Spark lacks natively is INTERVAL BINNING — but the r4 version's
+    * window-wide bins had a quadratic failure mode on exactly the data
+    * shape this operator targets: a burst of B events inside one bin
+    * makes that bin's candidate product |err_bin|·B, i.e. Θ(B²) for a
+    * burst of errors, and AQE's skew splitting only spreads that work,
+    * it doesn't shrink it.
+    *
+    * Because n_follow is a pure COUNT, the window decomposes: split
+    * time into MICRO-bins of width w/s; every micro-bin strictly
+    * inside (t, t+w] contributes its PRE-AGGREGATED count (one row),
+    * and only the two boundary micro-bins are probed against raw
+    * events under the exact predicate. Per-error cost falls from
+    * Θ(occupancy) to s + 2·occupancy/s, minimized at s ≈ √(2·occ) —
+    * the auto-sizing below — so a burst of B costs Θ(B·√B) total
+    * instead of Θ(B²). Integer-count decomposition is exact, so the
+    * oracle (the direct range predicate) still matches cell-for-cell.
+    * All bin arithmetic is integer `div` on micros — no double
+    * rounding can shift a boundary.
     */
-  def rangeJoinBursts(events: DataFrame, windowSec: Int = 300): DataFrame = {
+  def rangeJoinBursts(events: DataFrame, windowSec: Int = 300,
+                      subBins: Int = 0): DataFrame = {
     val w = windowSec * 1000000L
-    val all = events.select(col("event_id").as("fid"),
-      unix_micros(col("ts")).as("fus"),
-      floor(unix_micros(col("ts")) / w).as("bin"))
-    val err = events.filter(col("event_type") === "error")
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        floor(unix_micros(col("ts")) / w).as("bin0"))
-    val probes = err.select(col("event_id"), col("us"),
-      explode(array(col("bin0"), col("bin0") + 1)).as("bin"))
-    val matched = probes.join(all, Seq("bin"))
+    val ev = events.select(col("event_id"), unix_micros(col("ts")).as("us"),
+      col("event_type"))
+    // densest w-wide bin → sub-bin factor s ≈ √(2·occ) (one coarse
+    // count-aggregate job; the collect is a single long)
+    val s =
+      if (subBins > 0) subBins.toLong
+      else {
+        val occRow = ev.groupBy(expr(s"us div $w")).count()
+          .agg(max(col("count"))).head()
+        val occ = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
+        math.min(4096L, math.max(8L, math.ceil(math.sqrt(2.0 * occ)).toLong))
+      }
+    val mw = math.max(1L, w / s) // micro-bin width in µs
+
+    val binned = ev.select(col("event_id").as("fid"), col("us").as("fus"),
+      expr(s"us div $mw").as("mbin"))
+    val micro = binned.groupBy(col("mbin")).agg(count(lit(1)).as("cnt"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("us"),
+        expr(s"us div $mw").as("lo"), expr(s"(us + ${w}L) div $mw").as("hi"))
+
+    // micro-bins strictly inside (us, us+w]: every event in
+    // [m·mw, (m+1)·mw) qualifies iff m ≥ lo+1 and m ≤ hi−1 (micro-bin
+    // hi holds us+w itself but also later events; lo holds events ≤ us)
+    val fullCnt = err
+      .filter(col("hi") - col("lo") >= lit(2L))
+      .select(col("event_id"), explode(sequence(col("lo") + 1, col("hi") - 1)).as("mbin"))
+      .join(micro, Seq("mbin"))
+      .groupBy(col("event_id")).agg(sum(col("cnt")).as("n_full"))
+
+    // boundary micro-bins under the exact predicate (w ≥ 8·mw, so
+    // lo < hi always — no dedup needed)
+    val boundCnt = err
+      .select(col("event_id"), col("us"), explode(array(col("lo"), col("hi"))).as("mbin"))
+      .join(binned, Seq("mbin"))
       .filter(col("fus") > col("us") && col("fus") <= col("us") + w)
-      .groupBy(col("event_id")).agg(count(lit(1)).as("n_follow"))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_bound"))
+
     err.select(col("event_id"))
-      .join(matched, Seq("event_id"), "left")
-      .na.fill(0L, Seq("n_follow"))
+      .join(fullCnt, Seq("event_id"), "left")
+      .join(boundCnt, Seq("event_id"), "left")
+      .select(col("event_id"),
+        (coalesce(col("n_full"), lit(0L)) + coalesce(col("n_bound"), lit(0L)))
+          .as("n_follow"))
   }
 }

@@ -301,12 +301,17 @@ object TextOps {
       .filter(length(col("token")) > 0)
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    // top-k per doc through the bounded top_k_lex aggregate, NOT a
+    // row_number window (SURVEY §8): the window would shuffle + sort
+    // EVERY (doc, token, tf, df) row; the aggregate's map-side partials
+    // carry k rows per doc per partition and nothing sorts the full set
     tf.join(df, Seq("token"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("doc_id"), col("rank").cast("long").as("rank"),
-        col("token"), col("tf"), col("df"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.TopKLexFunctions
+        .top_k_lex(col("tf"), col("df"), col("token"), k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.key").as("token"), col("t.ord_desc").as("tf"),
+        col("t.ord_asc").as("df"))
   }
 }

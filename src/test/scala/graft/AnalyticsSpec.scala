@@ -99,4 +99,27 @@ class AnalyticsSpec extends AnyFunSuite {
     val s = binned.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s)
   }
+
+  test("q44 stays exact on a one-bin burst (the shape the micro-bins exist for)") {
+    import spark.implicits._
+    val w = 300L * 1000000L
+    // 3000 events crammed into ONE 300-second window (every follower of
+    // every error), deterministic µs jitter, 10% errors — the r4
+    // verdict's adversarial shape where window-wide bins went Θ(B²)
+    val base = 1700000000000000L - (1700000000000000L % w) // bin-aligned
+    val burst = (0 until 3000).map { i =>
+      val us = base + (i.toLong * 99991L) % w // dense, irregular, in-bin
+      (i.toLong, us, if (i % 10 == 0) "error" else "view")
+    }.toDF("event_id", "us", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val got = Analytics.rangeJoinBursts(burst)
+    val e = burst.filter(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val f = burst.select(col("event_id").as("fid"), unix_micros(col("ts")).as("fus"))
+    val naive = e.join(f, col("fus") > col("us") && col("fus") <= col("us") + w, "left")
+      .groupBy(col("event_id")).agg(count(col("fid")).as("n_follow"))
+    assertSameRows(got, naive)
+    // the burst is real: errors see hundreds-to-thousands of followers
+    assert(got.agg(max(col("n_follow"))).head().getLong(0) > 1000)
+  }
 }

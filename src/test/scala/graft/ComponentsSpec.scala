@@ -83,4 +83,39 @@ class ComponentsSpec extends AnyFunSuite {
       .filter(col("ga") =!= col("gb"))
     assert(crossGroup.count() == 0)
   }
+
+  test("q42b LSH groups refine the exact groups with recall >= 0.9") {
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Components.dedupGroups(emb)
+      .select(col("vec_id"), col("group_rep").as("exact_rep"))
+    val lsh = Components.dedupGroupsLsh(emb)
+      .select(col("vec_id"), col("group_rep").as("lsh_rep"))
+    val joined = exact.join(lsh, Seq("vec_id")).localCheckpoint(true)
+
+    // REFINEMENT (deterministic, not statistical): every LSH pair is an
+    // exact-cosine-verified true pair, so an LSH group can never span
+    // two exact groups — zero rows may share an lsh_rep across
+    // different exact_reps
+    val merges = joined.as("a").join(joined.as("b"),
+        col("a.lsh_rep") === col("b.lsh_rep") &&
+        col("a.exact_rep") =!= col("b.exact_rep"))
+    assert(merges.count() == 0, "LSH groups must never merge across exact groups")
+
+    // GROUP RECALL: of the rows the exact pass dedups away (members
+    // that are not their group's representative), >= 0.9 must still be
+    // grouped with their exact representative under LSH — i.e. the LSH
+    // pass makes the same keep/drop call
+    val members = joined.filter(col("vec_id") =!= col("exact_rep"))
+    val total = members.count()
+    val correct = members.as("m").join(
+        joined.select(col("vec_id").as("exact_rep"),
+          col("lsh_rep").as("rep_lsh_rep")), Seq("exact_rep"))
+      .filter(col("lsh_rep") === col("rep_lsh_rep"))
+      .count()
+    assert(total > 0, "corpus has near-dup members to measure recall on")
+    val recall = correct.toDouble / total
+    info(f"q42b group recall: $correct/$total = $recall%.3f")
+    assert(recall >= 0.9, f"group recall $recall%.3f < 0.9")
+  }
 }

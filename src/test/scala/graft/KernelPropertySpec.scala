@@ -44,6 +44,53 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  private def modelTopKLex(xs: Seq[(Long, Long, String)], k: Int): Seq[(Long, Long, String)] =
+    xs.sortBy { case (d, a, key) => (-d, a, key) }.take(k)
+
+  test("TopKLexBuffer equals sort-based top-k under (desc, asc, key) for arbitrary inputs") {
+    import graft.functions.TopKLexBuffer
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new Random(13)
+    for (_ <- 1 to 300) {
+      val k = 1 + rnd.nextInt(8)
+      // dense value ranges force ties at every level of the ordering
+      val xs = Seq.fill(rnd.nextInt(60))((rnd.nextInt(5).toLong,
+        rnd.nextInt(5).toLong, ('a' + rnd.nextInt(4)).toChar.toString * (1 + rnd.nextInt(2))))
+      val buf = new TopKLexBuffer(k)
+      xs.foreach { case (d, a, key) => buf.insert(d, a, UTF8String.fromString(key)) }
+      val got = (0 until buf.n).map(i => (buf.ds(i), buf.as(i), buf.keys(i).toString))
+      assert(got == modelTopKLex(xs, k), s"k=$k xs=$xs")
+    }
+  }
+
+  test("TopKLexBuffer merge equals top-k of the concatenation, incl. serde round-trip") {
+    import graft.functions.{TopKLex, TopKLexBuffer}
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val rnd = new Random(17)
+    val agg = TopKLex(BoundReference(0, LongType, nullable = true),
+      BoundReference(1, LongType, nullable = true),
+      BoundReference(2, StringType, nullable = true), 5)
+    for (_ <- 1 to 200) {
+      val k = 1 + rnd.nextInt(6)
+      def mk() = Seq.fill(rnd.nextInt(40))((rnd.nextInt(4).toLong,
+        rnd.nextInt(4).toLong, ('a' + rnd.nextInt(3)).toChar.toString))
+      val (a, b) = (mk(), mk())
+      def fill(xs: Seq[(Long, Long, String)]) = {
+        val buf = new TopKLexBuffer(k)
+        xs.foreach { case (d, s, key) => buf.insert(d, s, UTF8String.fromString(key)) }
+        buf
+      }
+      val ba = fill(a)
+      // the merge path always crosses serde in a real exchange
+      val bb = agg.deserialize(agg.serialize(fill(b)))
+      ba.mergeFrom(bb)
+      val got = (0 until ba.n).map(i => (ba.ds(i), ba.as(i), ba.keys(i).toString))
+      assert(got == modelTopKLex(a ++ b, k), s"k=$k a=$a b=$b")
+    }
+  }
+
   test("Hll add/merge order never changes the registers") {
     val rnd = new Random(11)
     for (_ <- 1 to 50) {

@@ -243,6 +243,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val scans = "FileScan parquet".r.findAllIn(s).length
     assert(scans <= 2, s"scans=$scans\n$s")
     assert(!s.contains("CartesianProduct"), s)
+    // top-k per doc runs through the bounded top_k_lex hash aggregate,
+    // not a row_number window: nothing may sort the full (doc, token)
+    // set (SURVEY §8 rule; the r4 verdict's q40 finding)
+    assert(!s.contains("Window"), s)
+    assert(s.contains("topklex"), s)
   }
 
   test("q21 fingerprint scan reads only doc_id and text") {
