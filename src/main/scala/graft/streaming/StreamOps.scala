@@ -380,6 +380,13 @@ object StreamOps {
     * poly hash), asserted in specs, so stream and batch agree on
     * shingle sets exactly.
     */
+  /** The batch tokenization (wsTrim → lower → split → drop empties),
+    * evaluated INSIDE executors — byte-identical to the q39/q40/q45
+    * token stream (asserted by the s14/s15 parity specs).
+    */
+  def normTokens(text: String): Array[String] =
+    text.replaceAll("^\\s+|\\s+$", "").toLowerCase.split("\\s+").filter(_.nonEmpty)
+
   def wordShingleHashes(text: String, shingleN: Int): Set[Long] = {
     val toks = text.replaceAll("^\\s+|\\s+$", "").toLowerCase.split("\\s+")
     val nSh = math.max(toks.length - (shingleN - 1), 1)
@@ -438,6 +445,110 @@ object StreamOps {
       ContamReport(id, shs.size.toLong, overlap.toLong,
         if (overlap >= minOverlap) 1L else 0L)
     }
+  }
+
+  /** s14 output: one row per streamed document — the q39 columns. */
+  case class RepetitionReport(doc_id: Long, n_tokens: Long, n_distinct: Long,
+                              distinct_ratio: Double, top2gram_frac: Double,
+                              dup3gram_frac: Double)
+
+  /** s14: STREAMING repetition/quality stats — q39 as an online
+    * admission filter (the Gopher/C4 repetitiousness gates applied to
+    * each document BEFORE it enters the corpus). Stateless: every
+    * ratio is intra-document, so this is a pure map — no state store,
+    * no shuffle, scales with input rate. Tokenization and the
+    * integer-count ratios are IDENTICAL to batch q39 (shared
+    * normTokens; IEEE double division of small ints), so the spec
+    * asserts row-exact parity vs `TextOps.repetitionStats`.
+    */
+  def streamRepetitionStats(docs: Dataset[(Long, String)]): Dataset[RepetitionReport] = {
+    import docs.sparkSession.implicits._
+    docs.map { case (id, text) =>
+      val toks = normTokens(text)
+      val n = toks.length.toLong
+      val nDistinct = toks.toSet.size.toLong
+      def gramFracs(g: Int): (Double, Double) = {
+        if (toks.length < g) (0.0, 0.0)
+        else {
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          var i = 0
+          while (i <= toks.length - g) {
+            val key = toks.slice(i, i + g).mkString(" ")
+            counts.update(key, counts.getOrElse(key, 0L) + 1L)
+            i += 1
+          }
+          val total = (toks.length - g + 1).toLong
+          val mx = counts.values.max
+          val dups = counts.values.filter(_ > 1L).sum
+          (mx.toDouble / total.toDouble, dups.toDouble / total.toDouble)
+        }
+      }
+      val top2 = gramFracs(2)._1
+      val dup3 = gramFracs(3)._2
+      RepetitionReport(id, n, nDistinct,
+        if (n > 0) nDistinct.toDouble / n.toDouble else 0.0, top2, dup3)
+    }
+  }
+
+  /** One hashed token routed to its sketch shard — the s15 input unit. */
+  case class TokenShard(shard: Int, s: Long)
+
+  /** s15 output: a shard's current serialized CMS after each batch. */
+  case class ShardSketch(shard: Int, sketch: Array[Byte])
+
+  /** s15 state machine: one Count-Min sketch per shard key on Spark 4's
+    * transformWithState (requires the RocksDB state store provider, as
+    * s08). State is the serialized counter array — FIXED width·depth·8
+    * bytes per shard regardless of stream volume, the bounded-state
+    * property that makes the sketch the right streaming frequency
+    * primitive (vs the unbounded per-token counts the reference's
+    * V1 stats carry; Streams.java:205-259 is the same
+    * accumulate-and-emit-changelog shape).
+    */
+  class CmsShardProcessor(width: Int, depth: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, TokenShard, ShardSketch] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    import graft.functions.Cms
+    @transient private var state: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Array[Byte]]("cms", Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[TokenShard],
+                                 timers: TimerValues): Iterator[ShardSketch] = {
+      val counters =
+        if (state.exists()) Cms.deserialize(state.get()) else Cms.empty(width, depth)
+      rows.foreach(r => Cms.add(counters, r.s, width, depth))
+      val bytes = Cms.serialize(counters)
+      state.update(bytes)
+      Iterator.single(ShardSketch(key, bytes))
+    }
+  }
+
+  /** s15: STREAMING heavy-hitter sketch — q45's CMS maintained
+    * continuously. Tokens are hashed with the SAME SQL-replayable
+    * poly_hash as batch and sharded by hash; each shard accumulates
+    * its own sketch (update-mode changelog of serialized sketches).
+    * Because CMS partials merge by counter-wise ADDITION and the
+    * shards partition the token stream, summing the final shard
+    * sketches counter-wise reproduces the batch q45 sketch EXACTLY —
+    * the spec asserts byte-equality. At scale: nShards spreads hot
+    * token traffic across executors; state is nShards × 32 KiB total.
+    */
+  def streamHeavyHittersCms(docs: Dataset[(Long, String)], nShards: Int = 8,
+                            width: Int = 1024, depth: Int = 4): Dataset[ShardSketch] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    docs.flatMap { case (_, text) =>
+      normTokens(text).iterator.map { t =>
+        val s = graft.functions.PolyHashExpr.hash(t)
+        TokenShard(math.floorMod(s, nShards.toLong).toInt, s)
+      }
+    }
+      .groupByKey(_.shard)
+      .transformWithState(new CmsShardProcessor(width, depth),
+        TimeMode.None(), OM.Update())
   }
 
   /** s11: STREAMING MinHash near-duplicate detection — the q25

@@ -58,14 +58,18 @@ object BenchScale {
     "q29_knn_lsh",
     "q32_knn_ivf",
     "q38_decontamination",
-    "q40_keywords")
+    "q39_repetition_stats",
+    "q40_keywords",
+    "q44_range_join",
+    "q45_heavy_hitters")
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")
   private val OutputBound = Seq(
     "q27_ngram_jaccard",
     "q30b_embedding_dedup_lsh",
-    "q42_dedup_groups") // closure work tracks the (quadratic) pair graph
+    "q42_dedup_groups", // closure work tracks the (quadratic) pair graph
+    "q42b_dedup_groups_lsh") // LSH pairs: tracks the TRUE pair set, not N²
 
   /** Σ numOutputRows over the executed tree, descending into
     * materialized AQE query stages (QueryStageExec is a leaf whose
@@ -104,7 +108,8 @@ object BenchScale {
     val work = java.nio.file.Files.createTempDirectory("benchscale").toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val nd = docs.count(); val ne = embs.count()
+    val evs = graft.sources.Tables.events(spark, sfDir)
+    val nd = docs.count(); val ne = embs.count(); val nv = evs.count()
     val divs = Seq(4, 2, 1)
     val dirs = divs.map { div =>
       val dir = s"$work/div$div"
@@ -112,6 +117,23 @@ object BenchScale {
         .write.parquet(s"$dir/documents.parquet")
       embs.limit((ne / div).toInt).repartition(cpus.toInt)
         .write.parquet(s"$dir/embeddings.parquet")
+      evs.limit((nv / div).toInt).repartition(cpus.toInt)
+        .write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // adversarial q44 shape: EVERY event of the subset remapped into a
+    // single window-width bin (ts' = base + us mod w) — the r4
+    // verdict's burst scenario, where window-wide bins cost Θ(B²).
+    // Scale points grow the burst itself, so the measured exponent IS
+    // the per-burst bound (micro-bin design: ~B^1.5).
+    val burstDirs = divs.map { div =>
+      val dir = s"$work/burst$div"
+      evs.limit((nv / div).toInt)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "timestamp_micros(1700000000000000 + pmod(unix_micros(ts), 300000000))"))
+        .repartition(cpus.toInt)
+        .write.parquet(s"$dir/events.parquet")
       dir
     }
 
@@ -141,25 +163,33 @@ object BenchScale {
 
     case class R(name: String, family: String, m: Seq[M],
                  rExp: Double, oExp: Double, workExp: Double)
-    val results =
-      (Scalable.map((_, "scalable")) ++ Quadratic.map((_, "quadratic")) ++
-        OutputBound.map((_, "output_bound"))).map { case (name, fam) =>
-        val m = dirs.map(measure(name, _)) // ascending size: n/4, n/2, n
-        val rExp = slope(m(2).rows.toDouble, m(1).rows.toDouble)
-        val oExp = slope(m(2).out.toDouble, m(1).out.toDouble)
-        val workExp = math.max(rExp, oExp)
-        System.err.println(f"[scale] $name%-24s $fam%-12s " +
-          f"rows=${m(0).rows}/${m(1).rows}/${m(2).rows} rowExp=$rExp%.2f " +
-          f"out=${m(0).out}/${m(1).out}/${m(2).out} outExp=$oExp%.2f " +
-          f"cpu=${m(0).cpu}%.2f/${m(1).cpu}%.2f/${m(2).cpu}%.2f s " +
-          f"t=${m(0).wall}%.3f/${m(1).wall}%.3f/${m(2).wall}%.3f s")
-        R(name, fam, m, rExp, oExp, workExp)
-      }
+    val entries =
+      Scalable.map(q => (q, q, "scalable", dirs)) ++
+      Quadratic.map(q => (q, q, "quadratic", dirs)) ++
+      OutputBound.map(q => (q, q, "output_bound", dirs)) ++
+      // q44 on the pure-burst corpora: asserted < 1.7 — the micro-bin
+      // decomposition's B^1.5 design bound, clearly separated from the
+      // Θ(B²) a window-wide binning measures on this shape
+      Seq(("q44_range_join_burst", "q44_range_join", "skew_bounded", burstDirs))
+    val results = entries.map { case (report, query, fam, ds) =>
+      val m = ds.map(measure(query, _)) // ascending size: n/4, n/2, n
+      val rExp = slope(m(2).rows.toDouble, m(1).rows.toDouble)
+      val oExp = slope(m(2).out.toDouble, m(1).out.toDouble)
+      val workExp = math.max(rExp, oExp)
+      System.err.println(f"[scale] $report%-24s $fam%-12s " +
+        f"rows=${m(0).rows}/${m(1).rows}/${m(2).rows} rowExp=$rExp%.2f " +
+        f"out=${m(0).out}/${m(1).out}/${m(2).out} outExp=$oExp%.2f " +
+        f"cpu=${m(0).cpu}%.2f/${m(1).cpu}%.2f/${m(2).cpu}%.2f s " +
+        f"t=${m(0).wall}%.3f/${m(1).wall}%.3f/${m(2).wall}%.3f s")
+      R(report, fam, m, rExp, oExp, workExp)
+    }
 
     val scalExps = results.filter(_.family == "scalable").map(_.workExp)
     val quadExps = results.filter(_.family == "quadratic").map(_.workExp)
+    val skewExps = results.filter(_.family == "skew_bounded").map(_.workExp)
     val gap = quadExps.min - scalExps.max
-    val ok = scalExps.forall(_ < 1.6) && quadExps.forall(_ > 1.7) && gap > 0.2
+    val ok = scalExps.forall(_ < 1.6) && quadExps.forall(_ > 1.7) &&
+      skewExps.forall(_ < 1.7) && gap > 0.2
 
     val qjson = results.map { r =>
       f""""${r.name}":{"family":"${r.family}",""" +

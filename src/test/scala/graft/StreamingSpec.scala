@@ -746,6 +746,95 @@ class StreamingSpec extends AnyFunSuite {
       Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
   }
 
+  test("s14 streaming repetition stats are row-exact vs batch q39") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val docs = Tables.documents(spark, sfDir)
+    val batch = graft.operators.TextOps.repetitionStats(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+
+    val source = MemoryStream[(Long, String)]
+    val got = collection.mutable.Map[Long, (Long, Long, Double, Double, Double)]()
+    val q = StreamOps.streamRepetitionStats(source.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.RepetitionReport], _: Long) =>
+        b.collect().foreach(r => got(r.doc_id) =
+          (r.n_tokens, r.n_distinct, r.distinct_ratio, r.top2gram_frac, r.dup3gram_frac))
+        ()
+      }.start()
+    try {
+      val rows = docs.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      source.addData(rows.take(rows.length / 3).toSeq: _*)
+      q.processAllAvailable()
+      source.addData(rows.drop(rows.length / 3).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.size == batch.size, s"stream ${got.size} vs batch ${batch.size}")
+    // row-exact INCLUDING the double ratios: both sides divide the same
+    // integer counts in IEEE double, so == is the right comparison
+    val mismatches = batch.collect {
+      case (id, b) if got(id) != b => s"$id: stream ${got(id)} batch $b"
+    }
+    assert(mismatches.isEmpty, mismatches.take(5).mkString("; "))
+    // non-vacuous: repetitious docs exist
+    assert(batch.values.exists(_._5 > 0.0))
+  }
+
+  test("s15 streaming CMS shards merge to the exact batch q45 sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    import graft.functions.{Cms, CmsFunctions, VectorFunctions}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      // batch ground truth: the q45 sketch over the same token stream
+      val batchBytes = docs
+        .select(explode(split(lower(graft.operators.TextOps.wsTrim(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .select(VectorFunctions.poly_hash(col("token")).as("s"))
+        .agg(CmsFunctions.cms_sketch(col("s"), 1024, 4).as("sk"))
+        .head().getAs[Array[Byte]](0)
+
+      val source = MemoryStream[(Long, String)]
+      val latest = collection.mutable.Map[Int, Array[Byte]]()
+      val q = StreamOps.streamHeavyHittersCms(source.toDS())
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.ShardSketch], _: Long) =>
+          b.collect().foreach(r => latest(r.shard) = r.sketch)
+          ()
+        }.start()
+      try {
+        val rows = docs.select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        source.addData(rows.take(rows.length / 2).toSeq: _*)
+        q.processAllAvailable()
+        source.addData(rows.drop(rows.length / 2).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // shards partition the token stream and CMS partials add
+      // counter-wise, so the shard-sum must equal the batch sketch
+      // EXACTLY, byte for byte
+      val merged = Cms.empty(1024, 4)
+      latest.values.foreach(b => Cms.merge(merged, Cms.deserialize(b)))
+      assert(latest.nonEmpty)
+      assert(java.util.Arrays.equals(Cms.serialize(merged), batchBytes),
+        "merged shard sketches != batch sketch")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("s04 kafka config surface builds; file substitution streams real rows") {
     // Kafka connector jar absent: builders must construct without loading
     val r = KafkaIO.reader(spark, "broker:9092", "purchase-orders")
