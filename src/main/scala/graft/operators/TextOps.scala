@@ -296,10 +296,19 @@ object TextOps {
   }
 
   def keywords(documents: DataFrame, k: Int = 3): DataFrame = {
+    // Materialize tf ONCE (eager localCheckpoint, SURVEY §8): df derives
+    // from tf and then joins back to it, and the two subtrees do NOT
+    // share an exchange — Catalyst plans the df branch's inner aggregate
+    // as distinct-only (functions=[]) vs tf's count(1), so the
+    // (doc_id, token) exchanges are not structurally identical and
+    // ReuseExchange never fires. Without the checkpoint the corpus is
+    // scanned, exploded and shuffled TWICE (plan-verified r6); with it,
+    // once — at 100 TB that halves the dominant cost of the query.
     val tf = documents
       .select(col("doc_id"), explode(split(lower(wsTrim(col("text"))), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // top-k per doc through the bounded top_k_lex aggregate, NOT a
     // row_number window (SURVEY §8): the window would shuffle + sort

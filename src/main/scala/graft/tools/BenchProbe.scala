@@ -32,7 +32,7 @@ object BenchProbe {
     if (warm) {
       for (w <- Seq("q11_pricing_summary", "q12_top_unshipped",
           "q14_window_running", "q28b_knn_blocked", "q25_dedup_minhash",
-          "q31_multimodal_meta"))
+          "q31_multimodal_meta", "q42b_dedup_groups_lsh"))
         SparkEntry.queries.get(w)
           .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
       println("[probe] warmup done")

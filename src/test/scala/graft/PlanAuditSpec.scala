@@ -233,15 +233,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("salt"), s)
   }
 
-  test("q40 keywords: tf and df branches stay within two scans, reuse when AQE allows") {
+  test("q40 keywords: corpus is scanned and exploded exactly once") {
     val df = graft.operators.TextOps.keywords(Tables.documents(spark, sfDir))
     val s = finalPlanStr(df)
-    // the tf exchange feeds both the join side and the df aggregation;
-    // AQE reuses the materialized stage when timing allows (shows as
-    // ReusedExchange), and even without it the plan is bounded at one
-    // scan per branch
+    // tf is materialized once (eager localCheckpoint) and BOTH the df
+    // aggregation and the join side read the checkpoint — Catalyst
+    // plans the two (doc_id, token) aggregates with different partial
+    // functions (count vs distinct-only) so ReuseExchange can never
+    // unify them; without the checkpoint the corpus scans twice
+    // (plan-verified r6). The final plan must contain NO parquet scan
+    // of documents at all.
     val scans = "FileScan parquet".r.findAllIn(s).length
-    assert(scans <= 2, s"scans=$scans\n$s")
+    assert(scans == 0, s"scans=$scans\n$s")
+    assert(s.contains("Scan ExistingRDD"), s)
     assert(!s.contains("CartesianProduct"), s)
     // top-k per doc runs through the bounded top_k_lex hash aggregate,
     // not a row_number window: nothing may sort the full (doc, token)
