@@ -112,12 +112,20 @@ class AnalyticsSpec extends AnyFunSuite {
       (i.toLong, us, if (i % 10 == 0) "error" else "view")
     }.toDF("event_id", "us", "event_type")
       .select(col("event_id"), timestamp_micros(col("us")).as("ts"), col("event_type"))
-    val got = Analytics.rangeJoinBursts(burst)
     val e = burst.filter(col("event_type") === "error")
       .select(col("event_id"), unix_micros(col("ts")).as("us"))
     val f = burst.select(col("event_id").as("fid"), unix_micros(col("ts")).as("fus"))
     val naive = e.join(f, col("fus") > col("us") && col("fus") <= col("us") + w, "left")
       .groupBy(col("event_id")).agg(count(col("fid")).as("n_follow"))
+    // the MICRO-BIN path, forced (subBins): this corpus is small enough
+    // that auto-sizing's uniform fallback would pick window-wide bins —
+    // the r6 fallback bounds worst-case probe volume by 2·maxOcc·nErr,
+    // and 2·3000·300 fits the budget — so pin the decomposition
+    // explicitly to keep it covered
+    val micro = Analytics.rangeJoinBursts(burst, subBins = 78)
+    assertSameRows(micro, naive)
+    // and the AUTO path (fallback selected here) must be exact too
+    val got = Analytics.rangeJoinBursts(burst)
     assertSameRows(got, naive)
     // the burst is real: errors see hundreds-to-thousands of followers
     assert(got.agg(max(col("n_follow"))).head().getLong(0) > 1000)
