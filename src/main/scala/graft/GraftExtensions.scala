@@ -103,6 +103,13 @@ object GraftExtensions {
           "top_k_lex(ordDescLong, ordAscLong, keyString, kLiteral)")
         graft.functions.TopKLex(exprs(0), exprs(1), exprs(2),
           intLit(exprs(3), "top_k_lex k")).toAggregateExpression()
+      }),
+    ("quantile_sketch",
+      new ExpressionInfo(classOf[graft.functions.QuantileSketchAgg].getName, "quantile_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "quantile_sketch(hashLong, valueDouble, kLiteral)")
+        graft.functions.QuantileSketchAgg(exprs(0), exprs(1),
+          intLit(exprs(2), "quantile_sketch k")).toAggregateExpression()
       }))
 
   /** Programmatic registration into an existing session (tests, REPLs —

@@ -110,6 +110,10 @@ object SparkEntry {
     "q43_video_meta" -> ((s, d) => Multimodal.videoMeta(Tables.documents(s, d))),
     "q44_range_join" -> ((s, d) => Analytics.rangeJoinBursts(Tables.events(s, d))),
     "q45_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(Tables.documents(s, d))),
+    // k = 256 < the sf0.01 row count, so the oracle comparison
+    // exercises the bottom-k-by-hash SELECTION, not just the
+    // keep-everything degenerate case (the library default is 1024)
+    "q46_quantile_gate" -> ((s, d) => TextOps.quantileGate(Tables.documents(s, d), k = 256)),
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
@@ -916,5 +920,50 @@ object SparkEntry {
                              + ((1103515245*(2*(400+r.i)+2) + 12345) % 2147483648))
                             % 2147483647) % 1024
          GROUP BY 1, 2""",
+    // q46: an ORACLE-CHECKED quantile sketch — the sample is the
+    // bottom-k rows by a 62-bit ReplayableHash key (indices 210/211,
+    // h1·P + h2), so `ORDER BY h, v LIMIT k` reproduces it exactly and
+    // every percentile cutoff (pure integer rank arithmetic) matches
+    // cell-for-cell. k = 256 here to match the registered query.
+    "q46_quantile_gate" ->
+      """WITH scored AS (
+           SELECT doc_id,
+                  CAST(length(text) AS BIGINT) AS n_chars,
+                  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    / CAST(length(text) AS DOUBLE) AS alpha_ratio
+           FROM documents),
+         hashed AS (
+           SELECT n_chars, alpha_ratio,
+                  ((((CAST(1103515245 AS BIGINT)*421 + 12345) % 2147483648) * s
+                    + ((CAST(1103515245 AS BIGINT)*422 + 12345) % 2147483648)) % 2147483647)
+                  * 2147483647
+                  + ((((CAST(1103515245 AS BIGINT)*423 + 12345) % 2147483648) * s
+                      + ((CAST(1103515245 AS BIGINT)*424 + 12345) % 2147483648)) % 2147483647) AS h
+           FROM (
+             SELECT n_chars, alpha_ratio,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(kk)+1),
+                        i -> CAST(unicode(substring(kk, CAST(i AS INT), 1)) AS BIGINT))),
+                      (h, c) -> (h * 31 + c) % 1000000007) AS s
+             FROM (SELECT n_chars, alpha_ratio,
+                          concat('q46:', CAST(doc_id AS VARCHAR)) AS kk
+                   FROM scored) t0) t1),
+         samp_len AS (
+           SELECT CAST(n_chars AS DOUBLE) AS v FROM hashed
+           ORDER BY h, CAST(n_chars AS DOUBLE) LIMIT 256),
+         samp_alpha AS (
+           SELECT alpha_ratio AS v FROM hashed
+           ORDER BY h, alpha_ratio LIMIT 256),
+         arr AS (
+           SELECT 'n_chars' AS metric, list(v ORDER BY v) AS sample, count(*) AS n
+           FROM samp_len
+           UNION ALL
+           SELECT 'alpha_ratio' AS metric, list(v ORDER BY v) AS sample, count(*) AS n
+           FROM samp_alpha),
+         p(pct) AS (VALUES (1),(5),(10),(25),(50),(75),(90),(95),(99))
+         SELECT arr.metric, CAST(p.pct AS BIGINT) AS pct,
+                arr.sample[CAST(p.pct * (arr.n - 1) // 100 AS INT) + 1] AS cutoff,
+                CAST(arr.n AS BIGINT) AS n_sample
+         FROM arr, p""",
   )
 }

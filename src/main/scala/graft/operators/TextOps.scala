@@ -295,6 +295,60 @@ object TextOps {
           .as("tf_est"))
   }
 
+  /** q46: percentile-based quality gating — the distribution cutoffs a
+    * corpus filter is actually specified with ("drop documents below
+    * the p5 length / above the p99 punctuation ratio"). HLL answers
+    * distinct-count, CMS answers frequency; this answers QUANTILES —
+    * the last of the three standard mergeable sketches an LLM-data
+    * pipeline needs, and the one that turns q23's per-document scores
+    * into corpus-level admission thresholds.
+    *
+    * The sketch is the deterministic bottom-k-by-hash sample
+    * (functions/QuantileSketch.scala): one scan, map-side-combinable
+    * partials of ≤ k rows, no shuffle wider than partitions×k — and,
+    * because the row-key hash is the SQL-replayable family, the DuckDB
+    * oracle reproduces the sample (and every cutoff) EXACTLY. Rank
+    * error vs the true quantile is O(1/√k) (property-gated in
+    * QuantileSpec); with N ≤ k the sample IS the data and cutoffs are
+    * exact order statistics.
+    *
+    * The hash is 62-bit (two independent 31-bit universal hashes of
+    * the row key, h₁·P + h₂ — products stay < 2⁶³ for the oracle): a
+    * single 31-bit draw collides at the bottom of the order for
+    * corpus-scale N, and the value tie-break would then bias the
+    * boundary of the sample toward SMALL values. Indices 210/211 of
+    * the ReplayableHash stream are reserved for q46.
+    *
+    * Output: (metric, pct, cutoff, n_sample) — cutoff for percentile p
+    * is sample[p·(n−1) div 100 + 1], pure integer rank arithmetic on
+    * both engines. Both metrics sample the SAME rows (same hash), so
+    * the two sketches describe one consistent row sample.
+    */
+  def quantileGate(documents: DataFrame, k: Int = 1024,
+                   percentiles: Seq[Int] = Seq(1, 5, 10, 25, 50, 75, 90, 95, 99)): DataFrame = {
+    import graft.operators.Dedup.ReplayableHash.{a, b, P}
+    val s = graft.functions.VectorFunctions.poly_hash(
+      concat(lit("q46:"), col("doc_id").cast("string")))
+    val h1 = (lit(a(210)) * s + lit(b(210))) % lit(P)
+    val h2 = (lit(a(211)) * s + lit(b(211))) % lit(P)
+    val scored = qualityScore(documents)
+    val sk = scored
+      .select((h1 * lit(P) + h2).as("h"),
+        col("n_chars").cast("double").as("len_v"), col("alpha_ratio").as("alpha_v"))
+      .agg(
+        graft.functions.QuantileFunctions.quantile_sketch(col("h"), col("len_v"), k).as("len_s"),
+        graft.functions.QuantileFunctions.quantile_sketch(col("h"), col("alpha_v"), k).as("alpha_s"))
+    sk.select(explode(array(
+        struct(lit("n_chars").as("metric"), col("len_s").as("sample")),
+        struct(lit("alpha_ratio").as("metric"), col("alpha_s").as("sample")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.sample").as("sample"),
+        explode(array(percentiles.map(p => lit(p.toLong)): _*)).as("pct"))
+      .select(col("metric"), col("pct"),
+        element_at(col("sample"),
+          expr("CAST(pct * (size(sample) - 1) DIV 100 AS INT) + 1")).as("cutoff"),
+        size(col("sample")).cast("long").as("n_sample"))
+  }
+
   def keywords(documents: DataFrame, k: Int = 3): DataFrame = {
     // Materialize tf ONCE (eager localCheckpoint, SURVEY §8): df derives
     // from tf and then joins back to it, and the two subtrees do NOT

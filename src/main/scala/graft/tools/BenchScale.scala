@@ -61,7 +61,8 @@ object BenchScale {
     "q39_repetition_stats",
     "q40_keywords",
     "q44_range_join",
-    "q45_heavy_hitters")
+    "q45_heavy_hitters",
+    "q46_quantile_gate")
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")

@@ -45,7 +45,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(GraftExtensions.definitions.map(_._1).toSet ==
       Set("dot_d", "rhp_signature", "qrhp_signature", "hll_sketch", "hll_estimate",
         "poly_hash", "rhp_multi_signature", "simhash_lanes", "char_shingle_set",
-        "top_k_lex"))
+        "top_k_lex", "quantile_sketch"))
   }
 
   test("round-4 kernels are callable from SQL and agree with the DSL") {
