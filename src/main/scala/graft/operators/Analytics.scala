@@ -15,13 +15,17 @@ import CoreOps.{dec, dsum}
 object Analytics {
 
   /** (maxOcc, nErr) sizing stats for rangeJoinBursts, cached per
-    * (session, analyzed plan, window) — the nCache pattern
+    * (session, SizingKey, window) — the nCache pattern
     * (Similarity.approxCount): repeated invocations of the same query
-    * don't each pay the sizing job. Staleness after an
-    * underlying-file change is harmless to CORRECTNESS here by
-    * construction: the stat only selects between two exact plans
-    * (window-wide vs micro-bin), never changes the answer — the worst
-    * a stale entry costs is a slower exact plan until re-sizing.
+    * don't each pay the sizing job. The key MUST carry the leaf file
+    * paths (SizingKey), not just the canonicalized plan: same-schema
+    * reads of different directories canonicalize identically, and a
+    * collision here hands a burst corpus the window-wide plan sized
+    * for a uniform one — exact but Θ(B²), the precise failure the
+    * micro-bin path exists to prevent (caught by BenchScale r6).
+    * Staleness after an in-place file change is harmless to
+    * CORRECTNESS by construction: the stat only selects between two
+    * exact plans (window-wide vs micro-bin), never changes the answer.
     */
   private val occCache =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
@@ -37,7 +41,7 @@ object Analytics {
     }
     if (per.size > 256) per.clear()
     per.computeIfAbsent(
-      s"w=$w#" + ev.queryExecution.analyzed.canonicalized.toString,
+      s"w=$w#" + SizingKey(ev),
       _ => {
         val r = ev.groupBy(expr(s"us div $w"))
           .agg(count(lit(1)).as("c"),

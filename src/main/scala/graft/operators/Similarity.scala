@@ -37,11 +37,13 @@ object Similarity {
   private def approxCount(df: DataFrame): Long = {
     // WEAK session key: a retired session's entry map is GC-reclaimed
     // with it (the map's values are plain strings/longs, so nothing in
-    // the entry pins the session). Keys are the full canonicalized
-    // plan text, not its 32-bit semanticHash — two different tables
-    // can never alias to one cached N. The per-session map is bounded:
-    // it only ever holds counts, so dropping it on overflow costs one
-    // re-count, never correctness.
+    // the entry pins the session). Keys are SizingKey(df) — leaf file
+    // paths + canonicalized plan text. Canonicalized text ALONE is not
+    // enough: it strips the file listing, so two directories with the
+    // same schema collide (the r6 BenchScale burst bug — see SizingKey
+    // scaladoc). The per-session map is bounded: it only ever holds
+    // counts, so dropping it on overflow costs one re-count, never
+    // correctness.
     val per = nCache.synchronized {
       var m = nCache.get(df.sparkSession)
       if (m == null) {
@@ -51,8 +53,7 @@ object Similarity {
       m
     }
     if (per.size > 256) per.clear()
-    per.computeIfAbsent(df.queryExecution.analyzed.canonicalized.toString,
-      _ => df.count())
+    per.computeIfAbsent(SizingKey(df), _ => df.count())
   }
 
   /** Sequential-order double dot product — a native codegen'd Catalyst

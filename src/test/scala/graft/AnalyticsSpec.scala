@@ -100,6 +100,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s)
   }
 
+  test("sizing caches key on data location, not canonicalized shape (r6 burst regression)") {
+    // THE TRAP: same-schema reads of two different directories
+    // canonicalize to byte-identical plan text — a sizing cache keyed
+    // on that text returns the first dataset's stats for every
+    // same-shaped dataset in the session. That handed r6's BenchScale
+    // burst corpus the window-wide q44 plan sized for the uniform
+    // corpus (work exponent ~2.0 instead of the micro-bin ~1.4).
+    val a = spark.read.parquet(s"$sfDir/events.parquet")
+    val b = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    assert(a.queryExecution.analyzed.canonicalized.toString ==
+      b.queryExecution.analyzed.canonicalized.toString)
+    // SizingKey separates them...
+    assert(graft.operators.SizingKey(a) != graft.operators.SizingKey(b))
+    // ...while staying stable across repeated reads of the same dir,
+    // so the cache still serves its purpose
+    assert(graft.operators.SizingKey(a) ==
+      graft.operators.SizingKey(spark.read.parquet(s"$sfDir/events.parquet")))
+    // and distinct plans over the same files stay distinct
+    assert(graft.operators.SizingKey(a.select(col("event_id"))) !=
+      graft.operators.SizingKey(a.select(col("user_id"))))
+  }
+
   test("q44 stays exact on a one-bin burst (the shape the micro-bins exist for)") {
     import spark.implicits._
     val w = 300L * 1000000L
