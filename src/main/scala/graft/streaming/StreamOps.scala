@@ -618,6 +618,80 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** One (doc, token) term-frequency row — s16's unit, batch q40's tf
+    * frame emitted statelessly per arriving document.
+    */
+  case class TokenTf(doc_id: Long, token: String, tf: Long)
+
+  /** s16 intermediate: a (doc, token, tf) row enriched with the corpus
+    * document frequency as of the END of the row's arrival batch.
+    */
+  case class TokenTfDf(doc_id: Long, token: String, tf: Long, df: Long)
+
+  /** s16 output: one ranked keyword row — exactly batch q40's schema. */
+  case class KeywordRow(doc_id: Long, rank: Long, token: String, tf: Long, df: Long)
+
+  /** s16: STREAMING salient terms — q40 as an online topic tagger: each
+    * arriving document is ranked against the corpus-so-far, the shape an
+    * ingest pipeline tags with (a doc's keywords are assigned ONCE, on
+    * admission — re-ranking history against every later df change would
+    * mean unbounded retraction traffic; see the contract below).
+    *
+    * Two chained stateful stages, both Append-mode fMGWS (Spark permits
+    * chaining only when every fMGWS is Append — Update-mode chains are
+    * rejected by the unsupported-operations check):
+    *
+    *  1. keyed by token: ValueState one Long — the running corpus df.
+    *     Each batch adds the group's row count (one row per (doc,token)
+    *     by construction) and emits every row with the UPDATED df, so
+    *     docs arriving in the same batch see each other — df is
+    *     exactly batch q40's df over all documents arrived so far.
+    *  2. keyed by doc_id: the SAME TopKLexBuffer kernel as batch q40
+    *     ranks the doc's complete token set under (tf DESC, df ASC,
+    *     token ASC). Stateless (all of a doc's tokens arrive in one
+    *     batch with it); state type Byte is a placeholder.
+    *
+    * CONTRACT (df-as-of-arrival): a document's emitted keywords use the
+    * corpus df at the end of its arrival batch. Therefore feeding the
+    * whole corpus in ONE batch reproduces batch q40 row-exactly, and a
+    * multi-batch run reproduces, for each batch's documents, batch q40
+    * over the PREFIX corpus — both asserted in StreamingSpec.
+    *
+    * Scale: stage-1 state is one Long per distinct token (vocabulary-
+    * bounded, hash-partitioned; RocksDB on a cluster); stage-2 holds no
+    * state. Traffic is two shuffles of the (doc, token) frame — the
+    * same two exchanges batch q40 pays.
+    */
+  def streamKeywords(docs: Dataset[(Long, String)], k: Int = 3): Dataset[KeywordRow] = {
+    import docs.sparkSession.implicits._
+    // per-doc tf, stateless — tokenization identical to batch q40
+    // (lower + trim + \s+ split, empty tokens dropped)
+    val tf = docs.flatMap { case (id, text) =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      normTokens(text).foreach(t => counts.update(t, counts.getOrElse(t, 0L) + 1L))
+      counts.iterator.map { case (t, c) => TokenTf(id, t, c) }
+    }
+    val withDf = tf.groupByKey(_.token)
+      .flatMapGroupsWithState[Long, TokenTfDf](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[TokenTf], state: GroupState[Long]) =>
+          val rs = rows.toList
+          val df = state.getOption.getOrElse(0L) + rs.size
+          state.update(df)
+          rs.iterator.map(r => TokenTfDf(r.doc_id, r.token, r.tf, df))
+      }
+    withDf.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Byte, KeywordRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (doc: Long, rows: Iterator[TokenTfDf], _: GroupState[Byte]) =>
+          val buf = new graft.functions.TopKLexBuffer(k)
+          rows.foreach(r => buf.insert(r.tf, r.df,
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.token)))
+          (0 until buf.n).iterator.map(i =>
+            KeywordRow(doc, i + 1L, buf.keys(i).toString, buf.ds(i), buf.as(i)))
+      }
+  }
 }
 
 /** s04: the Kafka source/sink config surface (Streams.java:35-49 —

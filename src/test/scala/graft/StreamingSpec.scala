@@ -835,6 +835,60 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s16 streaming keywords: single batch row-exact vs q40; prefixes exact vs prefix q40") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+
+    def q40On(rows: Seq[(Long, String)]): Set[(Long, Long, String, Long, Long)] =
+      graft.operators.TextOps.keywords(rows.toDF("doc_id", "text"), k = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSet
+
+    def drive(batches: Seq[Seq[(Long, String)]]): Seq[Set[(Long, Long, String, Long, Long)]] = {
+      val source = MemoryStream[(Long, String)]
+      val perBatch = collection.mutable.ArrayBuffer.empty[Set[(Long, Long, String, Long, Long)]]
+      val q = StreamOps.streamKeywords(source.toDS(), k = 3)
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.KeywordRow], _: Long) =>
+          val rows = b.collect().map(r => (r.doc_id, r.rank, r.token, r.tf, r.df)).toSet
+          if (rows.nonEmpty) perBatch.synchronized { perBatch += rows }
+          ()
+        }.start()
+      try batches.foreach { batch =>
+        source.addData(batch: _*); q.processAllAvailable()
+      } finally q.stop()
+      perBatch.toSeq
+    }
+
+    // one batch = the whole corpus: row-exact against batch q40
+    assert(drive(Seq(all.toSeq)) == Seq(q40On(all.toSeq)))
+
+    // three batches: each batch's emissions equal batch q40 run on the
+    // PREFIX corpus, restricted to that batch's documents (the
+    // df-as-of-arrival contract — df counts everything arrived so far)
+    val thirds = Seq(all.take(all.length / 3).toSeq,
+      all.slice(all.length / 3, 2 * all.length / 3).toSeq,
+      all.drop(2 * all.length / 3).toSeq)
+    val got = drive(thirds)
+    assert(got.length == 3)
+    var prefix = Seq.empty[(Long, String)]
+    thirds.zip(got).foreach { case (batch, emitted) =>
+      prefix = prefix ++ batch
+      val ids = batch.map(_._1).toSet
+      val expect = q40On(prefix).filter(t => ids.contains(t._1))
+      assert(emitted == expect,
+        s"batch of ${batch.size}: ${emitted.size} emitted vs ${expect.size} expected")
+    }
+    // non-vacuous: early-batch ranks really differ from full-corpus ranks
+    // (df drift changes the df column at minimum, usually order too)
+    val fullForFirst = q40On(all.toSeq).filter(t => thirds.head.map(_._1).toSet.contains(t._1))
+    assert(got.head != fullForFirst, "prefix semantics untested: first batch matches full corpus")
+  }
+
   test("s04 kafka config surface builds; file substitution streams real rows") {
     // Kafka connector jar absent: builders must construct without loading
     val r = KafkaIO.reader(spark, "broker:9092", "purchase-orders")
