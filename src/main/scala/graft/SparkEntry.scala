@@ -114,6 +114,15 @@ object SparkEntry {
     // exercises the bottom-k-by-hash SELECTION, not just the
     // keep-everything degenerate case (the library default is 1024)
     "q46_quantile_gate" -> ((s, d) => TextOps.quantileGate(Tables.documents(s, d), k = 256)),
+    // capacity 512 (not the 2048 library default) so docs straddle
+    // chunk boundaries at sf0.01 — the comparison exercises the
+    // span-splitting arithmetic, not just whole-doc assignment
+    "q47_pack_sequences" -> ((s, d) =>
+      TextOps.packSequences(Tables.documents(s, d), capacity = 512, shards = 8)),
+    // uniform target over the 5 corpus languages: the scarcest language
+    // binds the feasible total, the rest downsample to match
+    "q48_mixture_solve" -> ((s, d) => TextOps.mixtureSolve(Tables.documents(s, d),
+      Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000))),
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
@@ -965,5 +974,64 @@ object SparkEntry {
                 arr.sample[CAST(p.pct * (arr.n - 1) // 100 AS INT) + 1] AS cutoff,
                 CAST(arr.n AS BIGINT) AS n_sample
          FROM arr, p""",
+    // q47: the whole packing — hash order, within-shard running
+    // offsets, chunk spans — is integer arithmetic on the index-212
+    // universal hash, replayed verbatim: every chunk assignment is
+    // engine-independent.
+    "q47_pack_sequences" ->
+      """WITH base AS (
+           SELECT doc_id,
+             ((((CAST(1103515245 AS BIGINT)*425 + 12345) % 2147483648) *
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, length(k)+1),
+                    i -> CAST(unicode(substring(k, CAST(i AS INT), 1)) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 1000000007))
+               + ((CAST(1103515245 AS BIGINT)*426 + 12345) % 2147483648)) % 2147483647) AS h,
+             CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_tok
+           FROM (SELECT doc_id, text, concat('pack:', CAST(doc_id AS VARCHAR)) AS k
+                 FROM documents) t),
+         offs AS (
+           SELECT h % 8 AS shard, doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off -- windowed SUM(BIGINT) is HUGEINT in DuckDB
+           FROM base WHERE n_tok > 0),
+         chunks AS (
+           SELECT shard, doc_id, n_tok, off,
+             unnest(generate_series(off // 512, (off + n_tok - 1) // 512)) AS chunk
+           FROM offs)
+         SELECT shard, chunk, doc_id,
+                GREATEST(CAST(0 AS BIGINT), chunk*512 - off) AS tok_start,
+                LEAST(n_tok, (chunk+1)*512 - off)
+                  - GREATEST(CAST(0 AS BIGINT), chunk*512 - off) AS n_toks
+         FROM chunks""",
+    // q48: rate derivation (integer parts-per-myriad) + the q37
+    // admission rule at index 213 — admitted rows replay exactly.
+    "q48_mixture_solve" ->
+      """WITH counts AS (
+           SELECT t.lang, t.t_myriad, COALESCE(g.cnt, 0) AS cnt
+           FROM (VALUES ('de', 2000), ('en', 2000), ('es', 2000),
+                        ('fr', 2000), ('zh', 2000)) t(lang, t_myriad)
+           LEFT JOIN (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang) g
+             USING (lang)),
+         feas AS (SELECT MIN(cnt * 10000 // t_myriad) AS t_total FROM counts),
+         rates AS (
+           SELECT lang, CASE WHEN cnt = 0 THEN CAST(0 AS BIGINT)
+                        ELSE (t_total * t_myriad // 10000) * 10000 // cnt END AS rate_myriad
+           FROM counts, feas)
+         SELECT doc_id, lang, rate_myriad, bucket
+         FROM (
+           SELECT doc_id, lang,
+             ((((CAST(1103515245 AS BIGINT)*427 + 12345) % 2147483648) *
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, length(k)+1),
+                    i -> CAST(unicode(substring(k, CAST(i AS INT), 1)) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 1000000007))
+               + ((CAST(1103515245 AS BIGINT)*428 + 12345) % 2147483648)) % 2147483647) % 10000 AS bucket
+           FROM (SELECT doc_id, lang, concat('mix:', CAST(doc_id AS VARCHAR)) AS k
+                 FROM documents) t) d
+         JOIN rates USING (lang)
+         WHERE bucket < rate_myriad""",
   )
 }

@@ -377,4 +377,115 @@ object TextOps {
         col("t.key").as("token"), col("t.ord_desc").as("tf"),
         col("t.ord_asc").as("df"))
   }
+
+  /** q47: sequence packing — the step that turns a cleaned corpus into
+    * fixed-capacity training sequences: shuffle the corpus into a
+    * deterministic order, concatenate, and split every `capacity`
+    * tokens (the standard concat-then-chunk batching of LM training).
+    * A document that straddles a boundary emits one row per chunk it
+    * touches, with its in-document token span — the exact assignment a
+    * loader needs to materialize sequences.
+    *
+    * The global order is replaced by SHARD-local orders: docs route to
+    * `shards` shards by avalanche-mixed hash and are packed within
+    * their shard by (hash, doc_id). A single global concatenation
+    * would serialize the whole corpus through one task's sort; sharded
+    * packing gives the same statistical shuffle (the hash IS the
+    * shuffle) with `shards` as the parallelism knob — at 100 TB, set
+    * shards so one shard's tokens fit a task's sort budget; each shard
+    * sorts independently after one exchange. The within-shard running
+    * offset is the one inherently order-dependent quantity, so the
+    * window is unavoidable — but it partitions by shard, never a
+    * global sort.
+    *
+    * Everything is integer arithmetic on the SQL-replayable hash
+    * family (index 212), so the DuckDB oracle reproduces every chunk
+    * assignment exactly. Output: (shard, chunk, doc_id, tok_start,
+    * n_toks) — chunk is shard-local; (chunk·capacity) is the chunk's
+    * global token offset within its shard's stream.
+    */
+  def packSequences(documents: DataFrame, capacity: Int = 2048,
+                    shards: Int = 32): DataFrame = {
+    require(capacity >= 1 && shards >= 1)
+    import Dedup.ReplayableHash.{a, b, P}
+    val s = graft.functions.VectorFunctions.poly_hash(
+      concat(lit("pack:"), col("doc_id").cast("string")))
+    val base = documents
+      .select(col("doc_id"),
+        ((lit(a(212)) * s + lit(b(212))) % lit(P)).as("h"),
+        wsTokens(col("text")).as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("shard", col("h") % lit(shards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base
+      .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("shard"), col("doc_id"), col("off"), col("n_tok"),
+        explode(sequence(expr(s"off div $capacity"),
+          expr(s"(off + n_tok - 1) div $capacity"))).as("chunk"))
+      .select(col("shard"), col("chunk"), col("doc_id"),
+        greatest(lit(0L), col("chunk") * capacity - col("off")).as("tok_start"),
+        (least(col("n_tok"), (col("chunk") + 1) * capacity - col("off")) -
+          greatest(lit(0L), col("chunk") * capacity - col("off"))).as("n_toks"))
+  }
+
+  /** q48: mixture solving — q37 computes a sample for GIVEN rates;
+    * this DERIVES the rates: given a target language mixture, find the
+    * largest corpus satisfying it without upsampling (every per-lang
+    * admission rate ≤ 1), then admit documents with the q37 hash rule
+    * at those rates. This is how a mixture spec ("20% per language")
+    * becomes an executable sampling plan: the scarcest language binds
+    * the total, everything else downsamples to match.
+    *
+    * All rate arithmetic is INTEGER (parts-per-myriad targets and
+    * rates; feasible total T = min over langs of c_l·10000 div t_l;
+    * rate_l = (T·t_l div 10000)·10000 div c_l), so the DuckDB oracle
+    * reproduces every admitted row exactly. The plan stays fully
+    * distributed: one tiny per-lang count aggregate, a broadcast join
+    * of the L-row rate table back onto the corpus, and a narrow
+    * hash-threshold filter (index 213) — no collect, no second scan of
+    * the corpus; at 100 TB the cost is one aggregation plus the q37
+    * admission pass. Hash admission hits each target count to within
+    * sampling noise (|Δ|/n_l ~ 1/√n_l) — the price of a single-pass,
+    * order-free, replayable rule; exact-count selection would need a
+    * per-lang bottom-k of corpus-sized k.
+    *
+    * Output: admitted (doc_id, lang, rate_myriad, bucket).
+    */
+  def mixtureSolve(documents: DataFrame,
+                   targetMyriad: Map[String, Int]): DataFrame = {
+    require(targetMyriad.nonEmpty &&
+      targetMyriad.values.forall(t => t > 0 && t <= 10000) &&
+      targetMyriad.values.sum <= 10000,
+      "targets are positive parts-per-myriad summing to <= 10000")
+    import Dedup.ReplayableHash.{a, b, P}
+    val sp = documents.sparkSession
+    import sp.implicits._
+    val targets = targetMyriad.toSeq.sortBy(_._1).toDF("lang", "t_myriad")
+    // LEFT join from the TARGETS: a target language absent from the
+    // corpus must bind the feasible total to 0 (no corpus satisfies a
+    // mixture that demands a language it doesn't have) — an inner join
+    // would silently drop the constraint instead. Langs outside the
+    // target get rate 0 implicitly (the final join is inner on rates).
+    val counts = targets
+      .join(documents.groupBy(col("lang")).agg(count(lit(1)).as("c")),
+        Seq("lang"), "left")
+      .select(col("lang"), coalesce(col("c"), lit(0L)).as("c"), col("t_myriad"))
+    // feasible total: lang l alone caps T at c_l·10000/t_l
+    val feas = counts.agg(min(expr("c * 10000 div t_myriad")).as("t_total"))
+    val rates = counts.join(broadcast(feas), lit(true))
+      .select(col("lang"),
+        when(col("c") === 0, lit(0L)) // 0 div 0 would throw under ANSI
+          .otherwise(expr("(t_total * t_myriad div 10000) * 10000 div c"))
+          .as("rate_myriad"))
+    val s = graft.functions.VectorFunctions.poly_hash(
+      concat(lit("mix:"), col("doc_id").cast("string")))
+    documents
+      .withColumn("bucket",
+        (lit(a(213)) * s + lit(b(213))) % lit(P) % lit(10000L))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("bucket") < col("rate_myriad"))
+      .select(col("doc_id"), col("lang"), col("rate_myriad"), col("bucket"))
+  }
 }

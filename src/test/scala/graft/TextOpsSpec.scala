@@ -170,4 +170,64 @@ class TextOpsSpec extends AnyFunSuite {
     // deterministic under repartitioning
     assertSameRows(full, TextOps.keywords(docs.repartition(13)))
   }
+
+  test("q47 packing partitions every doc's tokens into exact contiguous chunk spans") {
+    val cap = 128
+    val out = TextOps.packSequences(docs, capacity = cap, shards = 4)
+    out.persist()
+    try {
+      // per doc: the spans cover [0, n_tok) exactly — total tokens match
+      val perDoc = out.groupBy(col("doc_id"))
+        .agg(sum(col("n_toks")).as("tot"), min(col("tok_start")).as("mn"))
+      val withN = perDoc.join(docs.select(col("doc_id"),
+        TextOps.wsTokens(col("text")).as("n_tok")), "doc_id")
+      assert(withN.filter(col("tot") =!= col("n_tok") || col("mn") =!= 0).count() == 0)
+      // per (shard, chunk): exactly `cap` tokens except each shard's last chunk
+      val perChunk = out.groupBy(col("shard"), col("chunk"))
+        .agg(sum(col("n_toks")).as("tot"))
+      val lastChunk = out.groupBy(col("shard")).agg(max(col("chunk")).as("last"))
+      val bad = perChunk.join(lastChunk, "shard")
+        .filter((col("chunk") =!= col("last") && col("tot") =!= cap) ||
+          col("tot") > cap)
+      assert(bad.count() == 0)
+      // chunk ids are contiguous from 0 within each shard
+      val chunkSeq = perChunk.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), (max(col("chunk")) + 1).as("span"), min(col("chunk")).as("mn"))
+      assert(chunkSeq.filter(col("n") =!= col("span") || col("mn") =!= 0).count() == 0)
+      // non-vacuous: straddling docs exist (a doc in >1 chunk)
+      assert(out.groupBy(col("doc_id")).count().filter(col("count") > 1).count() > 0)
+      // deterministic under repartitioning
+      assertSameRows(out, TextOps.packSequences(docs.repartition(13), capacity = cap, shards = 4))
+    } finally out.unpersist()
+  }
+
+  test("q48 mixture solve: scarcest lang binds, admitted counts track the target") {
+    val target = Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000)
+    val out = TextOps.mixtureSolve(docs, target)
+    out.persist()
+    try {
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tTotal = target.map { case (l, t) => counts(l) * 10000L / t }.min
+      val admitted = out.groupBy(col("lang")).agg(count(lit(1)).as("a"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      target.foreach { case (l, t) =>
+        val goal = tTotal * t / 10000
+        // hash admission: binomial noise around the goal (≤ ~4σ + floor slack)
+        val tol = 4 * math.sqrt(goal.toDouble) + 2
+        assert(math.abs(admitted.getOrElse(l, 0L) - goal) <= tol,
+          s"$l: admitted ${admitted.getOrElse(l, 0L)} vs goal $goal ± $tol")
+      }
+      // the scarcest language keeps (essentially) everything: its rate
+      // is within one floor step of 10000
+      val scarcest = target.keys.minBy(counts)
+      val rates = out.select(col("lang"), col("rate_myriad")).distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rates(scarcest) >= 10000 - (10000 / counts(scarcest) + 1))
+      assert(rates.values.forall(_ <= 10000))
+      // a target lang missing from the corpus makes the mixture infeasible
+      assert(TextOps.mixtureSolve(docs,
+        Map("en" -> 5000, "xx" -> 5000)).count() == 0)
+    } finally out.unpersist()
+  }
 }
