@@ -367,7 +367,10 @@ object TextOps {
     // top-k per doc through the bounded top_k_lex aggregate, NOT a
     // row_number window (SURVEY §8): the window would shuffle + sort
     // EVERY (doc, token, tf, df) row; the aggregate's map-side partials
-    // carry k rows per doc per partition and nothing sorts the full set
+    // carry k rows per doc per partition and nothing sorts the full set.
+    // (A fused alternative — df riding a collect_list postings
+    // aggregate, no join — measured within noise of this shape and
+    // trades whole-stage codegen for an object aggregate; see §8.)
     tf.join(df, Seq("token"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.TopKLexFunctions
