@@ -123,6 +123,17 @@ object SparkEntry {
     // binds the feasible total, the rest downsample to match
     "q48_mixture_solve" -> ((s, d) => TextOps.mixtureSolve(Tables.documents(s, d),
       Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000))),
+    // every 7th doc is the stand-in benchmark set — denser than q38's
+    // %97 split so natural near-dup pairs CROSS the boundary at
+    // sf0.01 (9 crossing pairs measured) and the oracle compare
+    // exercises real contamination rows, not an all-zero frame
+    "q49_decontaminate_fuzzy" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      graft.operators.Dedup.decontaminateFuzzy(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+    }),
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
@@ -1033,5 +1044,67 @@ object SparkEntry {
                  FROM documents) t) d
          JOIN rates USING (lang)
          WHERE bucket < rate_myriad""",
+    // q49: the q25 replay pointed across the corpus/benchmark split —
+    // shared shingle/minhash/band CTEs parameterized by the %97 split,
+    // cross-set candidate join, exact-Jaccard verify, struct-max
+    // attribution (the q27 pattern).
+    "q49_decontaminate_fuzzy" ->
+      """WITH toks AS (
+           SELECT doc_id, doc_id % 7 = 0 AS is_bench,
+                  regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
+           FROM documents),
+         shs AS (
+           SELECT DISTINCT doc_id, is_bench,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(sh)+1),
+                      i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM (SELECT doc_id, is_bench, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')))) AS sh
+                 FROM toks) x),
+         sig AS (
+           SELECT doc_id, is_bench, i,
+                  min((((1103515245*(2*i+1) + 12345) % 2147483648) * s
+                       + ((1103515245*(2*i+2) + 12345) % 2147483648)) % 2147483647) AS m
+           FROM shs, range(0, 32) t(i)
+           GROUP BY 1, 2, 3),
+         bands AS (
+           SELECT doc_id, is_bench, i // 4 AS band_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT), list(m ORDER BY i)),
+                    (acc, x) -> (acc * 131 + x) % 1000000007) AS band_sig
+           FROM sig GROUP BY 1, 2, 3),
+         cand AS (
+           SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+           FROM bands c JOIN bands b
+             ON NOT c.is_bench AND b.is_bench
+            AND c.band_id = b.band_id AND c.band_sig = b.band_sig),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY 1),
+         common AS (
+           SELECT cd.doc_id, cd.bench_id, count(*) AS n_common
+           FROM cand cd
+           JOIN shs pa ON pa.doc_id = cd.doc_id
+           JOIN shs pb ON pb.doc_id = cd.bench_id AND pa.s = pb.s
+           GROUP BY 1, 2),
+         verified AS (
+           SELECT cd.doc_id, cd.bench_id,
+                  CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+                    / CAST(sa.n_sh + sb.n_sh - COALESCE(cm.n_common, 0) AS DOUBLE) AS jaccard
+           FROM cand cd
+           LEFT JOIN common cm ON cm.doc_id = cd.doc_id AND cm.bench_id = cd.bench_id
+           JOIN sizes sa ON sa.doc_id = cd.doc_id
+           JOIN sizes sb ON sb.doc_id = cd.bench_id),
+         per AS (
+           SELECT doc_id, count(*) AS n_candidates,
+                  sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS n_contaminated,
+                  max({'jaccard': jaccard, 'tb': -bench_id, 'bench_id': bench_id}) AS w
+           FROM verified GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(COALESCE(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+                CAST(COALESCE(p.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+                p.w['bench_id'] AS worst_bench,
+                p.w['jaccard'] AS worst_jaccard
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+         LEFT JOIN per p ON p.doc_id = d.doc_id""",
   )
 }

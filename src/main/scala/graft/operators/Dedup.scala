@@ -87,32 +87,36 @@ object Dedup {
     * minHashPairs and dedupMinHash so the per-doc fold reuses the SAME
     * postings subtree it verified against.
     */
-  private def minHashVerified(post: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+  /** (doc_id, band_id, band_sig) LSH band buckets for a postings
+    * frame — the minhash signature aggregation + banded fold shared
+    * by the same-set pipeline (minHashVerified / q25) and the
+    * cross-set one (decontaminateFuzzy / q49). Permutation i is the
+    * universal hash (a_i·s + b_i) mod (2³¹−1): SQL-replayable, and
+    * a_i·s < 2⁶² never overflows in either engine. Band signatures
+    * fold the r mins of a band with the base-131 polynomial combine
+    * (mod 1e9+7) — band collisions are rare AND identical across
+    * engines, so they cancel in the compare.
+    */
+  private def bandBuckets(post: DataFrame, numPerm: Int, bands: Int): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rows = numPerm / bands
-
-    // signature: one min per permutation — a single hash-partitioned
-    // aggregation on doc_id with map-side partials. Permutation i is
-    // the universal hash (a_i·s + b_i) mod (2³¹−1): SQL-replayable,
-    // and a_i·s < 2⁶² never overflows in either engine.
     val minCols = (0 until numPerm).map(i =>
       min((lit(ReplayableHash.a(i)) * col("shingle") + lit(ReplayableHash.b(i)))
         % lit(ReplayableHash.P)).as(s"m$i"))
+    // one hash-partitioned aggregation on doc_id with map-side partials
     val sig = post.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-
-    // band signatures: fold the r mins of each band into one key with
-    // the base-131 polynomial combine (mod 1e9+7) — band collisions are
-    // rare AND identical across engines, so they cancel in the compare.
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
       val sigCol = cols.foldLeft(lit(0L): org.apache.spark.sql.Column)(
         (acc, m) => (acc * lit(131L) + m) % lit(ReplayableHash.M))
       struct(lit(b).as("band_id"), sigCol.as("band_sig"))
     }
-    val buckets = sig.select(col("doc_id"),
-        explode(array(bandStructs: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band_id").as("band_id"), col("bb.band_sig").as("band_sig"))
+  }
 
+  private def minHashVerified(post: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+    val buckets = bandBuckets(post, numPerm, bands)
     val a = buckets.as("a")
     val b = buckets.as("b")
     val candidates = a.join(b,
@@ -375,5 +379,74 @@ object Dedup {
       .na.fill(0L, Seq("n_sh"))
       .select(col("doc_id"), col("n_sh").as("n_shingles"),
         col("best_neighbor"), col("best_common"), col("best_jaccard"))
+  }
+
+  /** q49: FUZZY decontamination — near-duplicate detection of corpus
+    * documents against a benchmark/eval set, with attribution. q38's
+    * exact n-gram membership flags ANY shared shingle (maximum
+    * sensitivity, no ranking); this ranks by exact shingle-set Jaccard
+    * over banded-MinHash candidates and names the closest benchmark
+    * document — the audit view a contamination review actually needs
+    * ("which eval doc is this a paraphrase of, and how close"), the
+    * doc-level complement the GPT-3/PaLM-style n-gram test lacks.
+    *
+    * Mechanics are q25's (same postings, same ReplayableHash minhash
+    * permutations, same band fold — shared `bandBuckets`), pointed
+    * ACROSS two sets: corpus buckets equi-join benchmark buckets on
+    * (band_id, band_sig); candidates are exact-verified. Fully
+    * SQL-replayable, so the operator is rows+schema+hash
+    * oracle-checked like q25. Recall is banded-LSH recall at the pair
+    * level; an identical document pair shares EVERY band, so exact
+    * copies of benchmark docs are flagged with probability 1.
+    *
+    * Scale: the benchmark side is tiny next to the corpus (thousands
+    * of eval docs vs billions) — its buckets and postings broadcast;
+    * candidate volume is bounded by band-bucket occupancy products,
+    * never the corpus×bench cross product; the per-candidate verify
+    * join touches only candidate postings. Output one row per corpus
+    * doc: n_candidates, n_contaminated (jaccard ≥ tau), plus the
+    * worst (highest-jaccard, tie → smallest id) benchmark partner.
+    */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
+                         numPerm: Int = 32, bands: Int = 8,
+                         shingleN: Int = 3, tau: Double = 0.5): DataFrame = {
+    val postC = postings(corpus, shingleN)
+    val postB = postings(benchmark, shingleN)
+    val candidates = bandBuckets(postC, numPerm, bands).as("ca")
+      .join(broadcast(bandBuckets(postB, numPerm, bands).as("cb")),
+        col("ca.band_id") === col("cb.band_id") &&
+        col("ca.band_sig") === col("cb.band_sig"))
+      .select(col("ca.doc_id").as("doc_id"), col("cb.doc_id").as("bench_id"))
+      .distinct()
+    val sizesC = postC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_c"))
+    val sizesB = postB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
+    val common = candidates.as("cd")
+      .join(postC.as("pa"), col("cd.doc_id") === col("pa.doc_id"))
+      .join(broadcast(postB.as("pb")),
+        col("cd.bench_id") === col("pb.doc_id") &&
+        col("pa.shingle") === col("pb.shingle"))
+      .groupBy(col("cd.doc_id").as("doc_id"), col("cd.bench_id").as("bench_id"))
+      .agg(count(lit(1)).as("n_common"))
+    val verified = candidates
+      .join(common, Seq("doc_id", "bench_id"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(sizesC, Seq("doc_id"))
+      .join(broadcast(sizesB.withColumnRenamed("doc_id", "bench_id")), Seq("bench_id"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_c") + col("n_b") - col("n_common")).cast("double"))
+    // attribution via max_by hash aggregate, not a window (SURVEY §8);
+    // tie-break (jaccard DESC, bench_id ASC) — the q27 pattern, which
+    // the DuckDB struct-max replays exactly
+    val per = verified.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= tau, 1L).otherwise(0L)).as("n_contaminated"),
+        max_by(struct(col("bench_id"), col("jaccard")),
+          struct(col("jaccard"), (-col("bench_id")).as("tb"))).as("w"))
+    corpus.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        col("w.bench_id").as("worst_bench"),
+        col("w.jaccard").as("worst_jaccard"))
   }
 }

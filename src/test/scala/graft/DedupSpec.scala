@@ -21,6 +21,37 @@ class DedupSpec extends AnyFunSuite {
     docs.unionAll(clones)
   }
 
+  test("q49 fuzzy decontamination flags planted bench copies with attribution") {
+    // bench = first 5 docs; corpus = the rest PLUS exact copies of the
+    // bench docs under fresh ids — the planted contamination
+    val bench = docs.filter(col("doc_id") < 5)
+    val copies = bench.withColumn("doc_id", col("doc_id") + 200000)
+    val corpus = docs.filter(col("doc_id") >= 5).unionAll(copies)
+    val out = Dedup.decontaminateFuzzy(corpus, bench)
+    out.persist()
+    try {
+      // one row per corpus doc; counts consistent; jaccard in [0, 1]
+      assert(out.count() == corpus.count())
+      assert(out.filter(col("n_contaminated") > col("n_candidates")).count() == 0)
+      assert(out.filter(col("worst_jaccard") < 0.0 || col("worst_jaccard") > 1.0).count() == 0)
+      // every planted copy is caught (identical docs share ALL bands —
+      // recall 1 by construction), at jaccard exactly 1.0, attributed
+      // to its source bench doc
+      val caught = out.filter(col("doc_id") >= 200000).collect()
+      assert(caught.length == 5)
+      caught.foreach { r =>
+        assert(r.getAs[Long]("n_contaminated") >= 1, r.toString)
+        assert(r.getAs[Double]("worst_jaccard") == 1.0, r.toString)
+        assert(r.getAs[Long]("worst_bench") == r.getAs[Long]("doc_id") - 200000, r.toString)
+      }
+      // untouched docs exist and dominate (the flagging is selective)
+      assert(out.filter(col("n_contaminated") === 0).count() >
+        out.filter(col("n_contaminated") > 0).count())
+      // deterministic under repartitioning
+      assertSameRows(out, Dedup.decontaminateFuzzy(corpus.repartition(13), bench))
+    } finally out.unpersist()
+  }
+
   test("q25 minhash finds every planted exact duplicate") {
     val out = Dedup.dedupMinHash(planted)
     assert(out.count() == planted.count())
