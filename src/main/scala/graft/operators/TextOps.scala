@@ -344,8 +344,12 @@ object TextOps {
       .select(col("m.metric").as("metric"), col("m.sample").as("sample"),
         explode(array(percentiles.map(p => lit(p.toLong)): _*)).as("pct"))
       .select(col("metric"), col("pct"),
-        element_at(col("sample"),
-          expr("CAST(pct * (size(sample) - 1) DIV 100 AS INT) + 1")).as("cutoff"),
+        // try_element_at: an EMPTY corpus yields a 0-element sample,
+        // where the rank expression indexes position 1 — emit a null
+        // cutoff (the empty distribution has no percentiles), don't
+        // throw (EdgeCaseSpec)
+        expr("try_element_at(sample, CAST(pct * (size(sample) - 1) DIV 100 AS INT) + 1)")
+          .as("cutoff"),
         size(col("sample")).cast("long").as("n_sample"))
   }
 
@@ -475,9 +479,18 @@ object TextOps {
       .join(documents.groupBy(col("lang")).agg(count(lit(1)).as("c")),
         Seq("lang"), "left")
       .select(col("lang"), coalesce(col("c"), lit(0L)).as("c"), col("t_myriad"))
-    // feasible total: lang l alone caps T at c_l·10000/t_l
-    val feas = counts.agg(min(expr("c * 10000 div t_myriad")).as("t_total"))
-    val rates = counts.join(broadcast(feas), lit(true))
+    // feasible total: lang l alone caps T at c_l·10000/t_l. Attached
+    // per-row through an empty-partition window over the L-row counts
+    // frame — L is the number of target languages (tiny by
+    // construction), so the single-partition window is free, and no
+    // cross join ever appears (a broadcast cross join of the 1-row
+    // aggregate plans BroadcastNestedLoopJoin, banned repo-wide
+    // outside declared kernels; a literal-key equi-join constant-folds
+    // straight back into one)
+    val rates = counts
+      .withColumn("t_total",
+        min(expr("c * 10000 div t_myriad"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("lang"),
         when(col("c") === 0, lit(0L)) // 0 div 0 would throw under ANSI
           .otherwise(expr("(t_total * t_myriad div 10000) * 10000 div c"))

@@ -89,6 +89,36 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.streaming.StreamOps.benchmarkShingleSet(noDocs).isEmpty)
   }
 
+  test("round-6 ops survive empty and degenerate inputs") {
+    val noDocs = emptyLike(docs)
+    // q46: empty corpus → the full (metric, pct) grid with an EMPTY
+    // distribution: n_sample 0, null cutoffs — never NaN, never a throw
+    val qg = TextOps.quantileGate(noDocs).collect()
+    assert(qg.length == 18)
+    assert(qg.forall(r => r.getAs[Long]("n_sample") == 0L && r.isNullAt(r.fieldIndex("cutoff"))))
+    // q47: empty corpus and all-blank corpus both pack to nothing
+    assert(TextOps.packSequences(noDocs).count() == 0)
+    val blank = docs.limit(3).withColumn("text", lit("   "))
+    assert(TextOps.packSequences(blank).count() == 0)
+    // q47: a single doc fills chunk 0 from offset 0
+    val one = TextOps.packSequences(docs.limit(1), capacity = 1000000)
+    assert(one.count() == 1 &&
+      one.head().getLong(1) == 0L && one.head().getLong(3) == 0L)
+    // q48: empty corpus → infeasible → empty; empty target rejected
+    assert(TextOps.mixtureSolve(noDocs, Map("en" -> 2000)).count() == 0)
+    intercept[IllegalArgumentException] {
+      TextOps.mixtureSolve(docs, Map.empty[String, Int])
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.mixtureSolve(docs, Map("en" -> 20000))
+    }
+    // q49: empty corpus → empty report; empty benchmark → all clean
+    assert(Dedup.decontaminateFuzzy(noDocs, docs).count() == 0)
+    val clean = Dedup.decontaminateFuzzy(docs.limit(5), noDocs)
+    assert(clean.count() == 5 &&
+      clean.filter(col("n_candidates") =!= 0L).count() == 0)
+  }
+
   test("simhash enforces the packed-lane token bound loudly") {
     import graft.functions.SimHashLanes.MaxTokens
     // build the oversized doc executor-side (repeat column, not a 4MB

@@ -217,6 +217,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("q47 packing: one partial->final window per shard, no global sort") {
+    val docs = Tables.documents(spark, sfDir)
+    val df = graft.operators.TextOps.packSequences(docs, capacity = 256, shards = 8)
+    val s = finalPlanStr(df)
+    // the running offset partitions by shard — a global (single-
+    // partition) sort would appear as an Exchange SinglePartition or
+    // rangepartitioning; neither may exist
+    assert(s.contains("Window"), s)
+    assert(!s.contains("Exchange SinglePartition"), s)
+    assert(!s.contains("rangepartitioning"), s)
+  }
+
+  test("q48 mixture: rate table broadcasts, corpus scanned once, never re-shuffled") {
+    val docs = Tables.documents(spark, sfDir)
+    val df = graft.operators.TextOps.mixtureSolve(docs,
+      Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000))
+    val s = finalPlanStr(df)
+    // the L-row rates frame joins the corpus as a broadcast — a
+    // shuffled join here would re-partition the whole corpus by lang
+    // (5 partitions at 100 TB: a disaster). The tiny counts/feas
+    // subtree may shuffle among its L rows; the CORPUS side must not:
+    // in the printed tree the streamed side sits between the
+    // BroadcastHashJoin line and its build-side Broadcast node, and
+    // that span must be exchange-free.
+    val joinAt = s.indexOf("BroadcastHashJoin")
+    assert(joinAt >= 0, s)
+    val buildAt = s.indexOf("Broadcast", joinAt + 1)
+    assert(buildAt > joinAt, s)
+    val streamedSide = s.substring(joinAt, buildAt)
+    assert(!streamedSide.contains("Exchange"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q49 fuzzy decontamination: bench side broadcasts, candidate join is equi") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val df = graft.operators.Dedup.decontaminateFuzzy(
+      docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0))
+    val s = finalPlanStr(df)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q27 pruning is map-side: no collect_set aggregation, blacklist broadcast") {
     val df = graft.operators.Dedup.ngramJaccard(Tables.documents(spark, sfDir))
     val s = finalPlanStr(df)
