@@ -619,6 +619,70 @@ object StreamOps {
       }
   }
 
+  /** One routed document for s17: its pack shard, avalanche hash,
+    * doc id and token count (batch q47's `base` row).
+    */
+  case class RoutedDoc(shard: Int, h: Long, doc_id: Long, n_tok: Long)
+
+  /** s17 output: one doc-chunk span — exactly batch q47's schema. */
+  case class PackedSpan(shard: Long, chunk: Long, doc_id: Long,
+                        tok_start: Long, n_toks: Long)
+
+  /** s17: STREAMING sequence packing — q47 maintained continuously:
+    * every arriving document is appended to its shard's token stream
+    * and split into fixed-capacity chunks AS IT ARRIVES, the shape a
+    * training-data ingest service runs (sequences become available the
+    * moment their tokens do, no end-of-corpus re-pack).
+    *
+    * One stateful stage keyed by shard: ValueState holds a single Long
+    * — the shard's running token offset. Within a batch the shard's
+    * docs pack in (hash, doc_id) order, exactly batch q47's order, so
+    * a single-batch run reproduces batch q47 row-exactly (asserted).
+    * Across batches the contract is PACK-ON-ARRIVAL: earlier batches'
+    * docs occupy earlier offsets (batch q47 on the union would
+    * interleave them differently — re-sorting history on every arrival
+    * is precisely what a continuous packer must not do). Chunk
+    * boundaries are preserved across batches: a batch ending mid-chunk
+    * leaves the offset mid-chunk, and the next batch's first doc
+    * continues the same chunk — every chunk except each shard's last
+    * still gets exactly `capacity` tokens (asserted across batches).
+    *
+    * Scale: state is ONE Long per shard; each batch shuffles its docs
+    * once by shard; per-shard work is linear in the batch's tokens.
+    */
+  def streamPackSequences(docs: Dataset[(Long, String)], capacity: Int = 2048,
+                          shards: Int = 32): Dataset[PackedSpan] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup.ReplayableHash.{a, b, P}
+    require(capacity >= 1 && shards >= 1)
+    val routed = docs.map { case (id, text) =>
+      val s = graft.functions.PolyHashExpr.hash("pack:" + id)
+      val h = (a(212) * s + b(212)) % P
+      RoutedDoc((h % shards).toInt, h, id, normTokens(text).length.toLong)
+    }.filter(_.n_tok > 0)
+    routed.groupByKey(_.shard)
+      .flatMapGroupsWithState[Long, PackedSpan](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[RoutedDoc], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ListBuffer.empty[PackedSpan]
+          // batch-internal order = batch q47's (hash, doc_id) order
+          rows.toSeq.sortBy(r => (r.h, r.doc_id)).foreach { r =>
+            var chunk = off / capacity
+            val last = (off + r.n_tok - 1) / capacity
+            while (chunk <= last) {
+              val start = math.max(0L, chunk * capacity - off)
+              val end = math.min(r.n_tok, (chunk + 1) * capacity - off)
+              out += PackedSpan(shard.toLong, chunk, r.doc_id, start, end - start)
+              chunk += 1
+            }
+            off += r.n_tok
+          }
+          state.update(off)
+          out.iterator
+      }
+  }
+
   /** One (doc, token) term-frequency row — s16's unit, batch q40's tf
     * frame emitted statelessly per arriving document.
     */

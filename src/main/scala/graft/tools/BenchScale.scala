@@ -62,7 +62,10 @@ object BenchScale {
     "q40_keywords",
     "q44_range_join",
     "q45_heavy_hitters",
-    "q46_quantile_gate")
+    "q46_quantile_gate",
+    "q47_pack_sequences",
+    "q48_mixture_solve",
+    "q49_decontaminate_fuzzy")
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")

@@ -889,6 +889,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.head != fullForFirst, "prefix semantics untested: first batch matches full corpus")
   }
 
+  test("s17 streaming packing: single batch row-exact vs q47; chunks stay full across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val cap = 128
+    val sh = 4
+    val all = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+
+    def drive(batches: Seq[Seq[(Long, String)]]): Seq[(Long, Long, Long, Long, Long)] = {
+      val source = MemoryStream[(Long, String)]
+      val rowsOut = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+      val q = StreamOps.streamPackSequences(source.toDS(), capacity = cap, shards = sh)
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.PackedSpan], _: Long) =>
+          rowsOut.synchronized {
+            rowsOut ++= b.collect().map(r => (r.shard, r.chunk, r.doc_id, r.tok_start, r.n_toks))
+          }
+          ()
+        }.start()
+      try batches.foreach { batch =>
+        source.addData(batch: _*); q.processAllAvailable()
+      } finally q.stop()
+      rowsOut.toSeq
+    }
+
+    // single batch: row-exact vs batch q47 (same order within shard)
+    val batch47 = graft.operators.TextOps
+      .packSequences(Tables.documents(spark, sfDir), capacity = cap, shards = sh)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(drive(Seq(all.toSeq)).toSet == batch47.toSet)
+    assert(batch47.nonEmpty)
+
+    // three batches: pack-on-arrival — spans still partition every doc,
+    // and chunk boundaries carry across batch edges (all chunks except
+    // each shard's LAST hold exactly `cap` tokens)
+    val thirds = Seq(all.take(all.length / 3).toSeq,
+      all.slice(all.length / 3, 2 * all.length / 3).toSeq,
+      all.drop(2 * all.length / 3).toSeq)
+    val got = drive(thirds)
+    val nTokByDoc = all.map { case (id, t) =>
+      id -> StreamOps.normTokens(t).length.toLong
+    }.toMap.filter(_._2 > 0)
+    // every non-empty doc fully covered from offset 0
+    val byDoc = got.groupBy(_._3)
+    assert(byDoc.keySet == nTokByDoc.keySet)
+    byDoc.foreach { case (id, spans) =>
+      assert(spans.map(_._5).sum == nTokByDoc(id), s"doc $id")
+      assert(spans.map(_._4).min == 0L, s"doc $id")
+    }
+    // full chunks everywhere but each shard's tail — across batch edges
+    val byChunk = got.groupBy(s => (s._1, s._2)).view.mapValues(_.map(_._5).sum)
+    val lastChunk = got.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    byChunk.foreach { case ((shard, chunk), tot) =>
+      if (chunk != lastChunk(shard)) assert(tot == cap, s"shard $shard chunk $chunk: $tot")
+      else assert(tot <= cap, s"shard $shard tail: $tot")
+    }
+  }
+
   test("s04 kafka config surface builds; file substitution streams real rows") {
     // Kafka connector jar absent: builders must construct without loading
     val r = KafkaIO.reader(spark, "broker:9092", "purchase-orders")
