@@ -123,6 +123,11 @@ object SparkEntry {
     // binds the feasible total, the rest downsample to match
     "q48_mixture_solve" -> ((s, d) => TextOps.mixtureSolve(Tables.documents(s, d),
       Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000))),
+    // NO oracle entry (rows-only by declared design, the q29/q32
+    // pattern): the signature passes through PNG decode + Graphics2D
+    // resampling, which no SQL replays — gated by MultimodalSpec's
+    // planted-duplicate + perturbation properties instead
+    "q50_image_dedup" -> ((s, d) => Multimodal.imageDedup(Tables.documents(s, d))),
     // every 7th doc is the stand-in benchmark set — denser than q38's
     // %97 split so natural near-dup pairs CROSS the boundary at
     // sf0.01 (9 crossing pairs measured) and the oracle compare

@@ -510,4 +510,86 @@ object Multimodal {
       }
       .toDF("doc_id", "blob_len", "blob_md5", "width", "height", "n_frames")
   }
+
+  /** 64-bit average-hash (aHash) of a decoded image: bilinear-resample
+    * to 8×8, integer luma per cell (299r + 587g + 114b, the BT.601
+    * weights ×1000 — no floating point), threshold strictly above the
+    * integer mean. All arithmetic after the resample is integer, so
+    * the hash is deterministic for a given decoded raster.
+    */
+  def aHash(src: java.awt.image.BufferedImage): Long = {
+    val dst = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, 8, 8, null)
+    } finally g.dispose()
+    val px = dst.getRGB(0, 0, 8, 8, null, 0, 8)
+    val luma = new Array[Long](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      val p = px(i)
+      luma(i) = 299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) + 114L * (p & 0xFF)
+      sum += luma(i)
+      i += 1
+    }
+    val mean = sum / 64L
+    var h = 0L
+    i = 0
+    while (i < 64) { if (luma(i) > mean) h |= (1L << i); i += 1 }
+    h
+  }
+
+  /** q50: IMAGE near-duplicate grouping by perceptual hash — the
+    * multimodal member of the dedup family: an image corpus dedups on
+    * pixel CONTENT (the same photo re-encoded, resized, or touched up
+    * hashes alike), not on byte checksums. Classic average-hash:
+    * decode → 8×8 bilinear downsample → 64-bit mean-threshold
+    * signature (`aHash` above); byte-identical payloads agree in all
+    * 64 bits by construction, mild pixel perturbations move few bits
+    * (both property-gated in MultimodalSpec), and grouping is exact
+    * aHash equality — one hash aggregation after the codec pass.
+    *
+    * Payloads are synthesized from the NORMALIZED text (q20's dedup
+    * identity: trim/lower/collapse-whitespace) — documents that are
+    * exact-text duplicates carry byte-identical images, giving the
+    * corpus the planted-duplicate structure of a real image corpus.
+    * No DuckDB oracle is possible (the values pass through PNG codec
+    * + Graphics2D resampling, not SQL) — declared rows-only, gated by
+    * the planted/perturbation specs instead, the q29/q32 pattern.
+    *
+    * Scale: one narrow mapPartitions codec pass (no shuffle), one
+    * hash-partitioned aggregation on the 8-byte signature, one
+    * broadcast-or-shuffle join back — the q20 plan shape with a codec
+    * front end. Output: (doc_id, ahash, group_rep, keep, group_size).
+    */
+  def imageDedup(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val hashed = documents
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val norm = text.replaceAll("^\\s+|\\s+$", "").toLowerCase
+          .replaceAll("\\s+", " ")
+        val seed = graft.functions.PolyHashExpr.hash(norm)
+        // dims derive from the TEXT hash, not doc_id: identical texts
+        // must produce identical payloads end to end
+        val w = 8 + (seed % 56L).toInt
+        val h = 8 + ((seed / 64L) % 40L).toInt
+        val png = encodePng(w, h, seed)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        (id, aHash(img))
+      }).toDF("doc_id", "ahash")
+    val groups = hashed.groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("group_rep"), count(lit(1)).as("group_size"))
+    hashed.join(groups, Seq("ahash"))
+      .select(col("doc_id"), col("ahash"), col("group_rep"),
+        (col("doc_id") === col("group_rep")).cast("long").as("keep"),
+        col("group_size"))
+  }
 }

@@ -190,6 +190,63 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("q50 image dedup: planted byte-identical images group; ranks are consistent") {
+    // clone 8 docs' TEXT under fresh ids: normalized-text-identical docs
+    // synthesize byte-identical payloads, so their aHash MUST agree
+    val clones = docs.filter(col("doc_id") < 8)
+      .withColumn("doc_id", col("doc_id") + 300000)
+    val planted = docs.unionAll(clones)
+    val out = Multimodal.imageDedup(planted)
+    out.persist()
+    try {
+      assert(out.count() == planted.count())
+      // each planted clone shares a group with its source (rep = source
+      // id, the group minimum)
+      val cloneRows = out.filter(col("doc_id") >= 300000).collect()
+      assert(cloneRows.length == 8)
+      cloneRows.foreach { r =>
+        assert(r.getAs[Long]("group_rep") == r.getAs[Long]("doc_id") - 300000, r.toString)
+        assert(r.getAs[Long]("keep") == 0L, r.toString)
+        assert(r.getAs[Long]("group_size") >= 2L, r.toString)
+      }
+      // exactly one keep per group; group sizes consistent
+      val perGroup = out.groupBy(col("ahash"))
+        .agg(sum(col("keep")).as("keeps"), count(lit(1)).as("n"),
+          max(col("group_size")).as("gs"), min(col("group_size")).as("gs2"))
+      assert(perGroup.filter(col("keeps") =!= 1L || col("n") =!= col("gs") ||
+        col("gs") =!= col("gs2")).count() == 0)
+      // the hash is selective: most original docs are singletons
+      assert(out.filter(col("doc_id") < 300000 && col("group_size") === 1L).count() >
+        docs.count() / 2)
+      // deterministic under repartitioning
+      assertSameRows(out, Multimodal.imageDedup(planted.repartition(13)))
+    } finally out.unpersist()
+  }
+
+  test("q50 aHash: byte-identical rasters agree in all 64 bits; mild perturbation moves few") {
+    val seed = 123456789L
+    val png = Multimodal.encodePng(40, 30, seed)
+    def read(b: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val base = Multimodal.aHash(read(png))
+    assert(base == Multimodal.aHash(read(Multimodal.encodePng(40, 30, seed))))
+    // perturb: darken a 3×3 corner patch slightly — a "touch-up", not a
+    // different image; aHash must move only a few of its 64 bits
+    val img = read(png)
+    for (x <- 0 until 3; y <- 0 until 3) {
+      val p = img.getRGB(x, y)
+      img.setRGB(x, y, (p & 0xFF000000) | ((p >> 1) & 0x7F7F7F))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val perturbed = Multimodal.aHash(read(bos.toByteArray))
+    val dist = java.lang.Long.bitCount(base ^ perturbed)
+    assert(dist <= 8, s"perturbation moved $dist bits")
+    // a DIFFERENT image (different seed) is far away
+    val other = Multimodal.aHash(read(Multimodal.encodePng(40, 30, seed + 1)))
+    assert(java.lang.Long.bitCount(base ^ other) > 8)
+  }
+
   test("decodeBatch surfaces non-image payloads as ok=false rows, no failures") {
     import org.apache.spark.sql.functions.encode
     val textPayloads = docs
