@@ -108,23 +108,11 @@ case class QuantileSketchAgg(hashChild: Expression, valueChild: Expression, k: I
   override def eval(buf: BottomKByHashBuffer): Any =
     new GenericArrayData(buf.sortedValues)
 
-  override def serialize(buf: BottomKByHashBuffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.k); out.writeInt(buf.n)
-    var i = 0
-    while (i < buf.n) { out.writeLong(buf.hs(i)); out.writeDouble(buf.vs(i)); i += 1 }
-    out.flush(); bos.toByteArray
-  }
+  override def serialize(buf: BottomKByHashBuffer): Array[Byte] =
+    BottomKByHash.serialize(buf)
 
-  override def deserialize(bytes: Array[Byte]): BottomKByHashBuffer = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = new BottomKByHashBuffer(in.readInt())
-    val n = in.readInt()
-    var i = 0
-    while (i < n) { buf.insert(in.readLong(), in.readDouble()); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): BottomKByHashBuffer =
+    BottomKByHash.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -139,4 +127,29 @@ object QuantileFunctions {
   def quantile_sketch(hash: Column, value: Column, k: Int): Column =
     Bridge.column(QuantileSketchAgg(Bridge.expression(hash),
       Bridge.expression(value), k).toAggregateExpression())
+}
+
+/** Buffer wire format, shared by the batch aggregate and the s18
+  * streaming state (the `Cms` object precedent): (k, n, then n
+  * (hash, value) pairs). Deserialization re-inserts, so a truncated
+  * or over-k payload can never corrupt the invariants.
+  */
+object BottomKByHash {
+  def serialize(buf: BottomKByHashBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k); out.writeInt(buf.n)
+    var i = 0
+    while (i < buf.n) { out.writeLong(buf.hs(i)); out.writeDouble(buf.vs(i)); i += 1 }
+    out.flush(); bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): BottomKByHashBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new BottomKByHashBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.insert(in.readLong(), in.readDouble()); i += 1 }
+    buf
+  }
 }

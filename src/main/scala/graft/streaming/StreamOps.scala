@@ -551,6 +551,79 @@ object StreamOps {
         TimeMode.None(), OM.Update())
   }
 
+  /** One scored document routed to its quantile shard — the s18 input
+    * unit: the q46 row hash and the two gated metrics.
+    */
+  case class DocScore(shard: Int, h: Long, len_v: Double, alpha_v: Double)
+
+  /** s18 output: a shard's current serialized bottom-k sample for one
+    * metric, after each batch.
+    */
+  case class ShardQuantiles(shard: Int, metric: String, sample: Array[Byte])
+
+  /** s18 state machine: one bottom-k-by-hash sample per (shard ×
+    * metric) on transformWithState — state is the serialized buffer,
+    * FIXED ≤ 16·k bytes per shard regardless of stream volume.
+    */
+  class QuantileShardProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, DocScore, ShardQuantiles] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    import graft.functions.{BottomKByHash, BottomKByHashBuffer}
+    @transient private var lenState: ValueState[Array[Byte]] = _
+    @transient private var alphaState: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      lenState = getHandle.getValueState[Array[Byte]]("len", Encoders.BINARY, TTLConfig.NONE)
+      alphaState = getHandle.getValueState[Array[Byte]]("alpha", Encoders.BINARY, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int, rows: Iterator[DocScore],
+                                 timers: TimerValues): Iterator[ShardQuantiles] = {
+      val len =
+        if (lenState.exists()) BottomKByHash.deserialize(lenState.get())
+        else new BottomKByHashBuffer(k)
+      val alpha =
+        if (alphaState.exists()) BottomKByHash.deserialize(alphaState.get())
+        else new BottomKByHashBuffer(k)
+      rows.foreach { r => len.insert(r.h, r.len_v); alpha.insert(r.h, r.alpha_v) }
+      val lenB = BottomKByHash.serialize(len)
+      val alphaB = BottomKByHash.serialize(alpha)
+      lenState.update(lenB); alphaState.update(alphaB)
+      Iterator(ShardQuantiles(key, "n_chars", lenB),
+        ShardQuantiles(key, "alpha_ratio", alphaB))
+    }
+  }
+
+  /** s18: STREAMING quantile gate — q46 maintained continuously,
+    * completing the sketch trio's streaming twins (HLL s01b, CMS s15,
+    * quantiles here): a corpus filter's length/alpha cutoffs stay
+    * current as documents arrive, with FIXED per-shard state. Rows
+    * hash with the SAME q46 key (indices 210/211, 62-bit) and shard by
+    * hash; each shard keeps its own bottom-k-by-(hash, value) sample.
+    * Because the sample is a deterministic function of the SET of
+    * rows, merging the final shard buffers reproduces the batch q46
+    * sample EXACTLY — the spec asserts value-for-value equality, the
+    * s15 parity statement for the quantile sketch. Per-shard metrics
+    * mirror qualityScore's columns bit-for-bit (integer counts cast to
+    * IEEE double, same division).
+    */
+  def streamQuantileGate(docs: Dataset[(Long, String)], k: Int = 1024,
+                         nShards: Int = 8): Dataset[ShardQuantiles] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    import graft.operators.Dedup.ReplayableHash.{a, b, P}
+    docs.map { case (id, text) =>
+      val s = graft.functions.PolyHashExpr.hash("q46:" + id)
+      val h = ((a(210) * s + b(210)) % P) * P + ((a(211) * s + b(211)) % P)
+      val nAlpha = text.count(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
+      DocScore(math.floorMod(h, nShards.toLong).toInt, h,
+        text.length.toDouble, nAlpha.toDouble / text.length.toDouble)
+    }
+      .groupByKey(_.shard)
+      .transformWithState(new QuantileShardProcessor(k), TimeMode.None(), OM.Update())
+  }
+
   /** s11: STREAMING MinHash near-duplicate detection — the q25
     * pipeline as an online state machine (the shape a training-data
     * ingest service runs: every arriving document is checked against

@@ -835,6 +835,71 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s18 streaming quantile shards merge to the exact batch q46 sample") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.{BottomKByHash, BottomKByHashBuffer, QuantileFunctions}
+    import graft.operators.Dedup.ReplayableHash.{a, b, P}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      val k = 64 // < corpus size so the bottom-k SELECTION is exercised
+      // batch ground truth: the q46 sample over the same rows (same
+      // 62-bit row hash, same metric columns)
+      val s = graft.functions.VectorFunctions.poly_hash(
+        concat(lit("q46:"), col("doc_id").cast("string")))
+      val h = ((lit(a(210)) * s + lit(b(210))) % lit(P)) * lit(P) +
+        ((lit(a(211)) * s + lit(b(211))) % lit(P))
+      val scored = graft.operators.TextOps.qualityScore(docs)
+      val batch = docs.select(col("doc_id"), h.as("h"))
+        .join(scored.select(col("doc_id"), col("n_chars"), col("alpha_ratio")), "doc_id")
+        .agg(
+          QuantileFunctions.quantile_sketch(col("h"), col("n_chars").cast("double"), k).as("len_s"),
+          QuantileFunctions.quantile_sketch(col("h"), col("alpha_ratio"), k).as("alpha_s"))
+        .head()
+      val batchLen = batch.getSeq[Double](0)
+      val batchAlpha = batch.getSeq[Double](1)
+
+      val source = MemoryStream[(Long, String)]
+      val latest = collection.mutable.Map[(Int, String), Array[Byte]]()
+      val q = StreamOps.streamQuantileGate(source.toDS(), k = k)
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (bt: org.apache.spark.sql.Dataset[StreamOps.ShardQuantiles], _: Long) =>
+          bt.collect().foreach(r => latest((r.shard, r.metric)) = r.sample)
+          ()
+        }.start()
+      try {
+        val rows = docs.select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        source.addData(rows.take(rows.length / 2).toSeq: _*)
+        q.processAllAvailable()
+        source.addData(rows.drop(rows.length / 2).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // shards partition the row stream and bottom-k merges to the
+      // bottom-k of the union, so shard-merge == batch sample EXACTLY
+      def mergedFor(metric: String): Seq[Double] = {
+        val buf = new BottomKByHashBuffer(k)
+        latest.collect { case ((_, m), bytes) if m == metric =>
+          buf.mergeFrom(BottomKByHash.deserialize(bytes))
+        }
+        buf.sortedValues.toSeq
+      }
+      assert(latest.nonEmpty)
+      assert(mergedFor("n_chars") == batchLen, "n_chars sample mismatch")
+      assert(mergedFor("alpha_ratio") == batchAlpha, "alpha_ratio sample mismatch")
+      assert(batchLen.size == k) // selection exercised, not keep-everything
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("s16 streaming keywords: single batch row-exact vs q40; prefixes exact vs prefix q40") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
