@@ -65,7 +65,8 @@ object BenchScale {
     "q46_quantile_gate",
     "q47_pack_sequences",
     "q48_mixture_solve",
-    "q49_decontaminate_fuzzy")
+    "q49_decontaminate_fuzzy",
+    "q50_image_dedup")
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")
