@@ -27,30 +27,16 @@ object Analytics {
     * CORRECTNESS by construction: the stat only selects between two
     * exact plans (window-wide vs micro-bin), never changes the answer.
     */
-  private val occCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]]()
-  private def occStats(ev: DataFrame, w: Long): (Long, Long) = {
-    val per = occCache.synchronized {
-      var m = occCache.get(ev.sparkSession)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
-        occCache.put(ev.sparkSession, m)
-      }
-      m
+  private val occCache = new SessionCache[(Long, Long)]
+  private def occStats(ev: DataFrame, w: Long): (Long, Long) =
+    occCache.getOrCompute(ev.sparkSession, s"w=$w#" + SizingKey(ev)) {
+      val r = ev.groupBy(expr(s"us div $w"))
+        .agg(count(lit(1)).as("c"),
+          count_if(col("event_type") === "error").as("e"))
+        .agg(max(col("c")), sum(col("e"))).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    if (per.size > 256) per.clear()
-    per.computeIfAbsent(
-      s"w=$w#" + SizingKey(ev),
-      _ => {
-        val r = ev.groupBy(expr(s"us div $w"))
-          .agg(count(lit(1)).as("c"),
-            count_if(col("event_type") === "error").as("e"))
-          .agg(max(col("c")), sum(col("e"))).head()
-        (if (r.isNullAt(0)) 0L else r.getLong(0),
-          if (r.isNullAt(1)) 0L else r.getLong(1))
-      })
-  }
 
   /** q11: TPC-H Q1-style pricing summary. Pure scan→partial-agg→final:
     * at scale this is bound by parquet scan throughput; the projection
@@ -277,12 +263,23 @@ object Analytics {
       }
     val mw = math.max(1L, w / s) // micro-bin width in µs (s = 1 ⇒ mw = w)
 
+    // FLOOR division, not `div` (which truncates toward zero): with
+    // truncation, every bin at a negative timestamp is a half-open
+    // interval on the WRONG side and bin 0 spans (−mw, mw) — twice the
+    // width — so for pre-epoch events (bad clocks, sentinel dates)
+    // lo == hi becomes possible and the s = 1 branch would count bin-0
+    // followers TWICE. Floor-binning keeps every bin [m·mw, (m+1)·mw)
+    // for all m, so hi = lo + s exactly and both branches stay exact
+    // on any timestamp sign (r6 review finding; negative-ts parity
+    // spec in AnalyticsSpec). (us − pmod(us, mw)) is exactly divisible,
+    // so the integer arithmetic is exact in both engines.
+    def fdiv(e: String): String = s"(($e - pmod($e, $mw)) div $mw)"
     val binned = ev.select(col("event_id").as("fid"), col("us").as("fus"),
-      expr(s"us div $mw").as("mbin"))
+      expr(fdiv("us")).as("mbin"))
     val micro = binned.groupBy(col("mbin")).agg(count(lit(1)).as("cnt"))
     val err = ev.filter(col("event_type") === "error")
       .select(col("event_id"), col("us"),
-        expr(s"us div $mw").as("lo"), expr(s"(us + ${w}L) div $mw").as("hi"))
+        expr(fdiv("us")).as("lo"), expr(fdiv(s"(us + ${w}L)")).as("hi"))
 
     if (s == 1) {
       // window-wide bins: hi = lo+1 exactly, no interior micro-bins

@@ -585,6 +585,12 @@ object Multimodal {
           new java.io.ByteArrayInputStream(png))
         (id, aHash(img))
       }).toDF("doc_id", "ahash")
+      // materialize ONCE (eager localCheckpoint, SURVEY §8 — the q40
+      // mechanism): groups derives from hashed and joins back, and the
+      // two subtrees plan structurally different exchanges, so without
+      // this every document would be PNG-encoded, decoded, resampled
+      // and hashed TWICE — the codec pass is the dominant cost
+      .localCheckpoint(true)
     val groups = hashed.groupBy(col("ahash"))
       .agg(min(col("doc_id")).as("group_rep"), count(lit(1)).as("group_size"))
     hashed.join(groups, Seq("ahash"))

@@ -22,39 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Row count for LSH/IVF auto-sizing, cached per (session, analyzed
-    * plan) so repeated invocations of a query don't each pay a counting
-    * job (the count itself is cheap — parquet answers it from footer
-    * metadata — but it is still a scheduled job per call). The cache
-    * key is the ANALYZED plan's semantic hash: two reads of the same
-    * table hit the same entry. Auto-sizing only needs N's order of
-    * magnitude, so a stale entry after an underlying-file change is
-    * harmless to correctness of the output (pass bandBits/nCentroids
-    * explicitly to bypass sizing entirely).
+  /** Row count for LSH/IVF auto-sizing, cached per (session,
+    * SizingKey) so repeated invocations of a query don't each pay a
+    * counting job (the count itself is cheap — parquet answers it from
+    * footer metadata — but it is still a scheduled job per call).
+    * SizingKey, not canonicalized plan text alone: canonicalization
+    * strips the file listing, so two directories with the same schema
+    * collide (the r6 BenchScale burst bug — see SizingKey scaladoc).
+    * Auto-sizing only needs N's order of magnitude, so a stale entry
+    * after an in-place file change is harmless to correctness of the
+    * output (pass bandBits/nCentroids explicitly to bypass sizing
+    * entirely). Cache mechanics live in SessionCache (shared with
+    * Analytics.occStats).
     */
-  private val nCache =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, Long]]()
-  private def approxCount(df: DataFrame): Long = {
-    // WEAK session key: a retired session's entry map is GC-reclaimed
-    // with it (the map's values are plain strings/longs, so nothing in
-    // the entry pins the session). Keys are SizingKey(df) — leaf file
-    // paths + canonicalized plan text. Canonicalized text ALONE is not
-    // enough: it strips the file listing, so two directories with the
-    // same schema collide (the r6 BenchScale burst bug — see SizingKey
-    // scaladoc). The per-session map is bounded: it only ever holds
-    // counts, so dropping it on overflow costs one re-count, never
-    // correctness.
-    val per = nCache.synchronized {
-      var m = nCache.get(df.sparkSession)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-        nCache.put(df.sparkSession, m)
-      }
-      m
-    }
-    if (per.size > 256) per.clear()
-    per.computeIfAbsent(SizingKey(df), _ => df.count())
-  }
+  private val nCache = new graft.operators.SessionCache[Long]
+  private def approxCount(df: DataFrame): Long =
+    nCache.getOrCompute(df.sparkSession, graft.operators.SizingKey(df))(df.count())
 
   /** Sequential-order double dot product — a native codegen'd Catalyst
     * expression (graft.functions.DotProductD); same FP contract as the

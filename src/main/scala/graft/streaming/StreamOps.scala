@@ -617,8 +617,15 @@ object StreamOps {
       val s = graft.functions.PolyHashExpr.hash("q46:" + id)
       val h = ((a(210) * s + b(210)) % P) * P + ((a(211) * s + b(211)) % P)
       val nAlpha = text.count(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
+      // CODE POINTS, not String.length: Spark's length() counts code
+      // points, and a supplementary-plane char (emoji, CJK ext-B —
+      // routine in web corpora) is 2 UTF-16 units but 1 code point —
+      // String.length would silently break the asserted parity with
+      // batch q46 (r6 review finding). The alpha numerator is safe
+      // either way: surrogate units are never in [A-Za-z].
+      val nChars = text.codePointCount(0, text.length)
       DocScore(math.floorMod(h, nShards.toLong).toInt, h,
-        text.length.toDouble, nAlpha.toDouble / text.length.toDouble)
+        nChars.toDouble, nAlpha.toDouble / nChars.toDouble)
     }
       .groupByKey(_.shard)
       .transformWithState(new QuantileShardProcessor(k), TimeMode.None(), OM.Update())

@@ -100,6 +100,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s)
   }
 
+  test("q44 stays exact across the epoch boundary (negative timestamps)") {
+    import spark.implicits._
+    val w = 300L * 1000000L
+    // events straddling t=0: with truncating `div`, bin 0 spans
+    // (−mw, mw) — double width — and an error with lo == hi counts
+    // bin-0 followers twice on the s=1 path. Floor-binning keeps it
+    // exact; both paths asserted against the naive join.
+    val ev = (0 until 800).map { i =>
+      val us = -w + (i.toLong * 773123L) % (2 * w) // dense around 0
+      (i.toLong, us, if (i % 7 == 0) "error" else "view")
+    }.toDF("event_id", "us", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val f = ev.select(col("event_id").as("fid"), unix_micros(col("ts")).as("fus"))
+    val naive = e.join(f, col("fus") > col("us") && col("fus") <= col("us") + w, "left")
+      .groupBy(col("event_id")).agg(count(col("fid")).as("n_follow"))
+    // the tiny corpus selects the s=1 window-wide path automatically
+    assertSameRows(Analytics.rangeJoinBursts(ev), naive)
+    // and the forced micro-bin path must agree too
+    assertSameRows(Analytics.rangeJoinBursts(ev, subBins = 13), naive)
+    // non-vacuous: pre-epoch errors with followers exist
+    assert(naive.filter(col("event_id") % 7 === 0 && col("n_follow") > 0).count() > 0)
+  }
+
   test("sizing caches key on data location, not canonicalized shape (r6 burst regression)") {
     // THE TRAP: same-schema reads of two different directories
     // canonicalize to byte-identical plan text — a sizing cache keyed

@@ -844,7 +844,12 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val docs = Tables.documents(spark, sfDir)
+      // corpus plus one supplementary-plane doc: Spark length() counts
+      // CODE POINTS — the streaming metric must agree (an emoji is 2
+      // UTF-16 units, 1 code point; String.length would break parity)
+      val extra = Seq((999999L, "hello 😀 world 😀"))
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        .unionAll(extra.toDF("doc_id", "text"))
       val k = 64 // < corpus size so the bottom-k SELECTION is exercised
       // batch ground truth: the q46 sample over the same rows (same
       // 62-bit row hash, same metric columns)
@@ -892,6 +897,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(mergedFor("n_chars") == batchLen, "n_chars sample mismatch")
       assert(mergedFor("alpha_ratio") == batchAlpha, "alpha_ratio sample mismatch")
       assert(batchLen.size == k) // selection exercised, not keep-everything
+
+      // keep-everything pass over a tiny corpus INCLUDING the emoji
+      // doc: sample == all rows, so the parity is sensitive to every
+      // document's metrics — the code-point counting in particular
+      val tiny = docs.filter(col("doc_id") < 8 || col("doc_id") === 999999L)
+      val tinyBatch = tiny.select(col("doc_id"), h.as("h"))
+        .join(graft.operators.TextOps.qualityScore(tiny)
+          .select(col("doc_id"), col("n_chars"), col("alpha_ratio")), "doc_id")
+        .agg(
+          QuantileFunctions.quantile_sketch(col("h"), col("n_chars").cast("double"), 2048).as("ls"),
+          QuantileFunctions.quantile_sketch(col("h"), col("alpha_ratio"), 2048).as("as2"))
+        .head()
+      val latest2 = collection.mutable.Map[(Int, String), Array[Byte]]()
+      val source2 = MemoryStream[(Long, String)]
+      val q2 = StreamOps.streamQuantileGate(source2.toDS(), k = 2048, nShards = 2)
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (bt: org.apache.spark.sql.Dataset[StreamOps.ShardQuantiles], _: Long) =>
+          bt.collect().foreach(r => latest2((r.shard, r.metric)) = r.sample)
+          ()
+        }.start()
+      try {
+        source2.addData(tiny.select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      def merged2(metric: String): Seq[Double] = {
+        val buf = new BottomKByHashBuffer(2048)
+        latest2.collect { case ((_, m), bytes) if m == metric =>
+          buf.mergeFrom(BottomKByHash.deserialize(bytes))
+        }
+        buf.sortedValues.toSeq
+      }
+      assert(merged2("n_chars") == tinyBatch.getSeq[Double](0), "emoji-doc n_chars parity")
+      assert(merged2("alpha_ratio") == tinyBatch.getSeq[Double](1), "emoji-doc alpha parity")
+      assert(merged2("n_chars").size == 9) // all rows kept, incl. the emoji doc
     } finally {
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
