@@ -1054,6 +1054,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s16/s17 blank docs and empty batches: no rows, no crash, state intact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(Long, String)]
+    val kwRows = collection.mutable.ArrayBuffer.empty[StreamOps.KeywordRow]
+    val q = StreamOps.streamKeywords(source.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.KeywordRow], _: Long) =>
+        kwRows.synchronized { kwRows ++= b.collect() }; ()
+      }.start()
+    try {
+      source.addData((1L, "alpha beta"), (2L, "   "), (3L, ""))
+      q.processAllAvailable()
+      // an entirely blank batch advances cleanly
+      source.addData((4L, " \t "))
+      q.processAllAvailable()
+      // and a later real doc still ranks against intact df state
+      source.addData((5L, "alpha gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(!kwRows.exists(r => r.doc_id == 2L || r.doc_id == 3L || r.doc_id == 4L))
+    // doc 5's "alpha" sees df = 2 (docs 1 and 5) — blank docs never
+    // touched the token state
+    val a5 = kwRows.filter(r => r.doc_id == 5L && r.token == "alpha")
+    assert(a5.map(_.df) == Seq(2L), kwRows.mkString("; "))
+
+    val source2 = MemoryStream[(Long, String)]
+    val spans = collection.mutable.ArrayBuffer.empty[StreamOps.PackedSpan]
+    val q2 = StreamOps.streamPackSequences(source2.toDS(), capacity = 4, shards = 2)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.PackedSpan], _: Long) =>
+        spans.synchronized { spans ++= b.collect() }; ()
+      }.start()
+    try {
+      source2.addData((1L, "a b c"), (2L, "   "))
+      q2.processAllAvailable()
+      source2.addData((3L, "d e f g h"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // blank doc contributes no spans; offsets stay contiguous per shard
+    assert(!spans.exists(_.doc_id == 2L))
+    assert(spans.filter(_.doc_id == 1L).map(_.n_toks).sum == 3L)
+    assert(spans.filter(_.doc_id == 3L).map(_.n_toks).sum == 5L)
+    spans.groupBy(s => (s.shard, s.chunk)).foreach { case (_, ss) =>
+      assert(ss.map(_.n_toks).sum <= 4L)
+    }
+  }
+
   test("s04 kafka config surface builds; file substitution streams real rows") {
     // Kafka connector jar absent: builders must construct without loading
     val r = KafkaIO.reader(spark, "broker:9092", "purchase-orders")
