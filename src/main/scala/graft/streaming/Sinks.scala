@@ -94,20 +94,61 @@ object ExactlyOnceSink {
     (field("keyCols"), field("dataCols"))
   }
 
-  private def writeMeta(spark: SparkSession, dir: String,
-                        keyCols: Seq[String], dataCols: Seq[String]): Unit = {
+  /** Read-modify-write of the meta JSON (single-writer contract). */
+  private def updateMeta(spark: SparkSession, dir: String)(
+      mutate: com.fasterxml.jackson.databind.node.ObjectNode => Boolean): Unit = {
     val f = fs(spark, dir)
     val p = new Path(dir, MetaFile)
-    if (!f.exists(p)) {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      val root = m.createObjectNode()
-      def arr(name: String, xs: Seq[String]): Unit = {
-        val a = root.putArray(name); xs.foreach(a.add)
-      }
-      arr("keyCols", keyCols); arr("dataCols", dataCols)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root =
+      if (f.exists(p)) {
+        val in = f.open(p)
+        val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        m.readTree(txt).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      } else m.createObjectNode()
+    if (mutate(root)) {
       val out = f.create(p, true)
       try out.write(m.writeValueAsBytes(root)) finally out.close()
     }
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String,
+                        keyCols: Seq[String], dataCols: Seq[String]): Unit =
+    updateMeta(spark, dir) { root =>
+      if (root.has("keyCols")) false
+      else {
+        def arr(name: String, xs: Seq[String]): Unit = {
+          val a = root.putArray(name); xs.foreach(a.add)
+        }
+        arr("keyCols", keyCols); arr("dataCols", dataCols)
+        true
+      }
+    }
+
+  /** The internal version offset for a writer lineage (`txnId`):
+    * version = offset + batchId. A lineage FIRST seen gets offset =
+    * (last committed version + 1), persisted in the meta BEFORE its
+    * first write — so after a checkpoint reset (batchIds restart at 0)
+    * the replayed stream lands as NEW monotonically-increasing
+    * versions and upserts idempotently by key, instead of being
+    * silently skipped forever by the `batchId <= last` check (the
+    * Delta (txnAppId, txnVersion) idempotency design). Crash ordering
+    * is safe either way: offset persisted + batch uncommitted ⇒ the
+    * retry recomputes the same version and writes; batch committed ⇒
+    * the retry's version is ≤ last and skips.
+    */
+  private def txnOffset(spark: SparkSession, dir: String, txnId: String,
+                        lastCommitted: Long): Long = {
+    var off = -1L
+    updateMeta(spark, dir) { root =>
+      val txns =
+        if (root.has("txns"))
+          root.get("txns").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        else root.putObject("txns")
+      if (txns.has(txnId)) { off = txns.get(txnId).asLong(); false }
+      else { off = lastCommitted + 1; txns.put(txnId, off); true }
+    }
+    off
   }
 
   /** The resolved live table (base ∪ trailing deltas, newest version
@@ -160,11 +201,22 @@ object ExactlyOnceSink {
   def upsertBatch(dir: String, keyCols: Seq[String],
                   versionCol: Option[String] = None,
                   tombstoneCol: Option[String] = None,
-                  compactEvery: Int = 8)
+                  compactEvery: Int = 8,
+                  txnId: Option[String] = None)
                  (batch: Dataset[Row], batchId: Long): Unit = {
     val spark = batch.sparkSession
     val last = committedVersions(spark, dir).lastOption.getOrElse(-1L)
-    if (batchId <= last) return // duplicate delivery: already committed
+    // `txnId` identifies the writer LINEAGE (use the streaming query's
+    // checkpoint path or query id): versions are offset per lineage,
+    // so a restart with a FRESH checkpoint — batchIds restarting at
+    // 0 — replays into new versions instead of being skipped forever.
+    // Without txnId the raw batchId is the version: replay-idempotent
+    // within one checkpoint lineage only (documented contract).
+    val version = txnId match {
+      case None => batchId
+      case Some(t) => txnOffset(spark, dir, t, last) + batchId
+    }
+    if (version <= last) return // duplicate delivery: already committed
 
     val flagged = tombstoneCol match {
       case Some(t) => batch.withColumn(DelCol, coalesce(col(t), lit(false)))
@@ -175,8 +227,16 @@ object ExactlyOnceSink {
       case Some(v) =>
         val keyStruct = struct(keyCols.map(col): _*)
         val rowStruct = struct(flagged.columns.toIndexedSeq.map(col): _*)
+        // tie-break on the full row struct after the version: max_by on
+        // the version alone picks an ARBITRARY row among version ties
+        // (coarse timestamps, default seqs), so a retried batch could
+        // commit a different winner than its first attempt — breaking
+        // the documented "wins, deterministically". Struct comparison
+        // is field-wise, so (version, row) is a total order over the
+        // batch's rows for a key; tombstones sort via DelCol like any
+        // other field.
         flagged.groupBy(keyStruct.as("k"))
-          .agg(max_by(rowStruct, col(v)).as("r"))
+          .agg(max_by(rowStruct, struct(col(v), rowStruct)).as("r"))
           .select(col("r.*"))
       case None =>
         // contract check folded into the write job itself (zero extra
@@ -199,13 +259,13 @@ object ExactlyOnceSink {
     writeMeta(spark, dir, keyCols, dataCols)
 
     // O(batch): only this trigger's rows are written
-    val target = s"$dir/delta/v=$batchId"
-    deduped.withColumn(VCol, lit(batchId))
+    val target = s"$dir/delta/v=$version"
+    deduped.withColumn(VCol, lit(version))
       .select((dataCols :+ VCol :+ DelCol).map(col): _*)
       .write.mode("overwrite").parquet(target)
     fs(spark, dir).create(new Path(target, Marker), true).close()
 
-    maybeCompact(spark, dir, keyCols, batchId, compactEvery)
+    maybeCompact(spark, dir, keyCols, version, compactEvery)
   }
 
   /** Fold the trailing deltas into a new base once `compactEvery` have

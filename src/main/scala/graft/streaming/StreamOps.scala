@@ -68,8 +68,7 @@ object StreamOps {
   def streamProductStatsApprox(events: Dataset[SkuEvent]): Dataset[SkuStats] = {
     import events.sparkSession.implicits._
     import graft.functions.Hll
-    case class HllState(quantity: BigDecimal, regs: Array[Byte])
-    events
+      events
       .groupByKey(_.l_partkey)
       .flatMapGroupsWithState[(BigDecimal, Array[Byte]), SkuStats](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -231,8 +230,17 @@ object StreamOps {
 
   /** The full topology, streaming end-to-end (Streams.java:99-169):
     * order-item stream → static dim joins (product prices) → stateful
-    * reassembly → all-priced filter. Returns the update-mode changelog
-    * of completed orders.
+    * reassembly. Returns the update-mode changelog of ALL orders with
+    * their completion disposition (`all_priced`) — NOT pre-filtered to
+    * completed orders: the KTable-filter contract the reference
+    * applies (Streams.java:152-169) forwards a TOMBSTONE when a key
+    * stops matching, and a plain `.filter(_.all_priced)` here would
+    * swallow exactly that true→false retraction (an order that
+    * completed, then received an unpriced item) and leave the sink
+    * showing a stale completed order forever. Apply the filter AT THE
+    * SINK: upsert where all_priced, delete where not —
+    * `ExactlyOnceSink.upsertBatch(..., tombstoneCol = Some(...))` with
+    * `!all_priced` as the flag (retraction spec in StreamingSpec).
     */
   def pickupPipelineStream(lineitemStream: DataFrame, part: DataFrame): Dataset[OrderState] = {
     import lineitemStream.sparkSession.implicits._
@@ -241,7 +249,7 @@ object StreamOps {
       .select(col("l_orderkey").cast("long"), col("l_linenumber").cast("int"),
         col("l_quantity").cast("double"), col("p_retailprice").cast("double").as("price"))
       .as[OrderItem]
-    streamOrderReassembly(enriched).filter(_.all_priced)
+    streamOrderReassembly(enriched)
   }
 
   /** s07: streaming exact deduplication — the streaming analog of the
@@ -385,7 +393,11 @@ object StreamOps {
     * token stream (asserted by the s14/s15 parity specs).
     */
   def normTokens(text: String): Array[String] =
-    text.replaceAll("^\\s+|\\s+$", "").toLowerCase.split("\\s+").filter(_.nonEmpty)
+    // null-safe: the batch twins evaluate split(lower(NULL)) to NULL
+    // and explode nothing — one bad record must degrade the same way
+    // here, not kill the query with an NPE
+    if (text == null) Array.empty
+    else text.replaceAll("^\\s+|\\s+$", "").toLowerCase.split("\\s+").filter(_.nonEmpty)
 
   def wordShingleHashes(text: String, shingleN: Int): Set[Long] = {
     val toks = text.replaceAll("^\\s+|\\s+$", "").toLowerCase.split("\\s+")
@@ -613,7 +625,10 @@ object StreamOps {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
     import graft.operators.Dedup.ReplayableHash.{a, b, P}
-    docs.map { case (id, text) =>
+    docs.flatMap { case (id, text) =>
+      if (text == null) Iterator.empty // batch: length(NULL) is NULL, both sketches skip the row
+      else Iterator.single { (id, text) }
+    }.map { case (id, text) =>
       val s = graft.functions.PolyHashExpr.hash("q46:" + id)
       val h = ((a(210) * s + b(210)) % P) * P + ((a(211) * s + b(211)) % P)
       val nAlpha = text.count(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
@@ -675,7 +690,13 @@ object StreamOps {
         (_: Long, docs: Iterator[BandedDoc], state: GroupState[List[(Long, Array[Long])]]) =>
           var members = state.getOption.getOrElse(Nil)
           val out = scala.collection.mutable.ListBuffer.empty[DupReport]
-          docs.foreach { d =>
+          // deterministic within-batch order: the group iterator''s
+          // order is a shuffle-fetch artifact (see DimUpdate doc), so
+          // folding in arrival order makes the emitted reports — and,
+          // at the maxBucket admission edge, the STATE — differ
+          // between a task retry and the rows already delivered to the
+          // sink. Sorting by doc_id pins both (the s12 class of fix).
+          docs.toSeq.sortBy(_.doc_id).foreach { d =>
             if (!members.exists(_._1 == d.doc_id)) {
               var nDups = 0L
               var bestId = -1L

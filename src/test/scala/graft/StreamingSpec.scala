@@ -1054,6 +1054,66 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s09 sink survives a checkpoint reset: new lineage applies, old skips (txnId)") {
+    import spark.implicits._
+    val dir = freshDir("eos-txn")
+    def up(txn: String, rows: Seq[(Long, Double)], batchId: Long): Unit =
+      graft.streaming.ExactlyOnceSink.upsertBatch(dir, Seq("k"), txnId = Some(txn))(
+        rows.toDF("k", "v"), batchId)
+    def snap(): Map[Long, Double] =
+      graft.streaming.ExactlyOnceSink.snapshot(spark, dir).get
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // lineage A: two batches
+    up("A", Seq((1L, 10.0)), 0L)
+    up("A", Seq((2L, 20.0)), 1L)
+    assert(snap() == Map(1L -> 10.0, 2L -> 20.0))
+    // duplicate re-delivery within A: skipped
+    up("A", Seq((1L, 99.0)), 1L)
+    assert(snap() == Map(1L -> 10.0, 2L -> 20.0))
+    // CHECKPOINT RESET: lineage B replays from batchId 0 with newer
+    // data — without lineage-offset versions, `batchId <= last` would
+    // silently discard every batch forever and freeze the table
+    up("B", Seq((1L, 11.0)), 0L)
+    assert(snap() == Map(1L -> 11.0, 2L -> 20.0))
+    // duplicate re-delivery within B: skipped (idempotence preserved)
+    up("B", Seq((1L, 77.0)), 0L)
+    assert(snap() == Map(1L -> 11.0, 2L -> 20.0))
+    up("B", Seq((3L, 30.0)), 1L)
+    assert(snap() == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+  }
+
+  test("s06 completion retraction: an order that un-completes is deleted at the sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = freshDir("pickup-retract")
+    val part = Seq((100L, 5.0)).toDF("p_partkey", "p_retailprice")
+    val source = MemoryStream[(Long, Long, Int, Double)]
+    val stream = source.toDF().toDF("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    // KTable-filter contract AT THE SINK: upsert completed orders,
+    // tombstone the key when it stops matching
+    val q = StreamOps.pickupPipelineStream(stream, part)
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.OrderState], id: Long) =>
+        graft.streaming.ExactlyOnceSink.upsertBatch(dir, Seq("l_orderkey"),
+          tombstoneCol = Some("not_priced"))(
+          b.withColumn("not_priced", !col("all_priced")).toDF(), id)
+      }.start()
+    try {
+      // batch 1: order 7's only item is priced — order completes
+      source.addData((7L, 100L, 1, 2.0)); q.processAllAvailable()
+      val s1 = graft.streaming.ExactlyOnceSink.snapshot(spark, dir).get
+      assert(s1.filter(col("l_orderkey") === 7L).count() == 1)
+      // batch 2: an item with NO price match arrives — the order is no
+      // longer all-priced; the old filter(_.all_priced) swallowed this
+      // retraction and left the sink stale forever
+      source.addData((7L, 999L, 2, 1.0)); q.processAllAvailable()
+      val s2 = graft.streaming.ExactlyOnceSink.snapshot(spark, dir).get
+      assert(s2.filter(col("l_orderkey") === 7L).count() == 0,
+        "retraction lost: order 7 still shows completed")
+    } finally q.stop()
+  }
+
   test("s16/s17 blank docs and empty batches: no rows, no crash, state intact") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
