@@ -277,8 +277,16 @@ object ExactlyOnceSink {
     */
   private def maybeCompact(spark: SparkSession, dir: String, keyCols: Seq[String],
                            batchId: Long, compactEvery: Int): Unit = {
-    val baseV = committedBases(spark, dir).lastOption
-    val pending = committedDeltas(spark, dir).count(v => baseV.forall(_ < v))
+    // list bases and deltas ONCE at entry; the single-writer contract
+    // means nothing else mutates them, and the one version this call
+    // adds is known locally — on an object store each committedUnder
+    // is a listing plus one exists() RPC per version dir, so the old
+    // shape (bases listed 3x, deltas 2x, three FileSystem lookups) was
+    // dozens of redundant metadata RPCs per compaction.
+    val bases0 = committedBases(spark, dir)
+    val deltas0 = committedDeltas(spark, dir)
+    val baseV = bases0.lastOption
+    val pending = deltas0.count(v => baseV.forall(_ < v))
     if (pending < compactEvery) return
 
     // GC crashed compactions first: an unmarked base dir (crash between
@@ -298,15 +306,17 @@ object ExactlyOnceSink {
     resolved(spark, dir, keyCols).foreach { r =>
       r.filter(!col(DelCol))
         .write.mode("overwrite").parquet(target)
-      fs(spark, dir).create(new Path(target, Marker), true).close()
+      f0.create(new Path(target, Marker), true).close()
 
-      val f = fs(spark, dir)
+      // bases after this commit = the entry listing plus the version
+      // just written (no re-listing needed under single-writer)
+      val bases = (bases0 :+ batchId).distinct.sorted
       // previous base (if any) survives one more round for lagging readers
-      committedBases(spark, dir).dropRight(2)
-        .foreach(v => f.delete(new Path(s"$dir/base/v=$v"), true))
-      val keepAfter = committedBases(spark, dir).dropRight(1).lastOption.getOrElse(-1L)
-      committedDeltas(spark, dir).filter(_ <= keepAfter)
-        .foreach(v => f.delete(new Path(s"$dir/delta/v=$v"), true))
+      bases.dropRight(2)
+        .foreach(v => f0.delete(new Path(s"$dir/base/v=$v"), true))
+      val keepAfter = bases.dropRight(1).lastOption.getOrElse(-1L)
+      deltas0.filter(_ <= keepAfter)
+        .foreach(v => f0.delete(new Path(s"$dir/delta/v=$v"), true))
     }
   }
 }
