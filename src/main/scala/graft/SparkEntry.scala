@@ -624,7 +624,7 @@ object SparkEntry {
            SELECT j, d, (s5 // 65536 - 16384) AS w FROM (
              SELECT j, d, (1103515245 * xor(s3, s3 // 2048) + 12345) % 2147483648 AS s5 FROM (
                SELECT j, d, (1103515245 * xor(s1, s1 // 65536) + 12345) % 2147483648 AS s3 FROM (
-                 SELECT j, d, (1103515245 * (j*67 + d) + 12345) % 2147483648 AS s1
+                 SELECT j, d, (1103515245 * (j*1000003 + d) + 12345) % 2147483648 AS s1
                  FROM range(0, 128) t1(j), range(0, 64) t2(d))))),
          qv AS (
            SELECT vec_id, d,
@@ -832,7 +832,7 @@ object SparkEntry {
            SELECT j, d, (s5 // 65536 - 16384) AS w FROM (
              SELECT j, d, (1103515245 * xor(s3, s3 // 2048) + 12345) % 2147483648 AS s5 FROM (
                SELECT j, d, (1103515245 * xor(s1, s1 // 65536) + 12345) % 2147483648 AS s3 FROM (
-                 SELECT j, d, (1103515245 * (j*67 + d) + 12345) % 2147483648 AS s1
+                 SELECT j, d, (1103515245 * (j*1000003 + d) + 12345) % 2147483648 AS s1
                  FROM range(0, 128) t1(j), range(0, 64) t2(d))))),
          qv AS (
            SELECT vec_id, d,

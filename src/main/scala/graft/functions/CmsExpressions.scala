@@ -27,8 +27,14 @@ object Cms {
   final val HashBase = 400 // ReplayableHash index block reserved for CMS
 
   def rowBucket(s: Long, i: Int, width: Int): Int =
-    (((ReplayableHash.a(HashBase + i) * (s % ReplayableHash.P) +
-      ReplayableHash.b(HashBase + i)) % ReplayableHash.P) % width).toInt
+    // floorMod at both reductions: the documented domain is poly_hash
+    // keys (non-negative), but the SQL surface accepts any BIGINT — a
+    // negative key (e.g. xxhash64 output) under JVM `%` yields a
+    // negative bucket: AIOOBE at row 0, silent aliasing into the row
+    // above otherwise. floorMod is identical for non-negative keys,
+    // so the oracle replay is unchanged.
+    (Math.floorMod(Math.floorMod(ReplayableHash.a(HashBase + i) * Math.floorMod(s, ReplayableHash.P) +
+      ReplayableHash.b(HashBase + i), ReplayableHash.P), width.toLong)).toInt
 
   def empty(width: Int, depth: Int): Array[Long] = new Array[Long](width * depth)
 
@@ -71,7 +77,11 @@ object Cms {
   */
 case class CmsSketchAgg(child: Expression, width: Int = 1024, depth: Int = 4,
                         mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends TypedImperativeAggregate[Array[Long]]
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(LongType)
+
 
   require(width > 0 && depth > 0, "cms_sketch needs positive width/depth")
 
@@ -120,7 +130,10 @@ case class CmsSketchAgg(child: Expression, width: Int = 1024, depth: Int = 4,
   */
 case class CmsEstimate(left: Expression, right: Expression,
                        width: Int = 1024, depth: Int = 4)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, LongType)
 
   override def dataType: DataType = LongType
 

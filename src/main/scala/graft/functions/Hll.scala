@@ -13,13 +13,10 @@ package graft.functions
 object Hll {
   def emptyRegisters(p: Int = 12): Array[Byte] = new Array[Byte](1 << p)
 
-  /** splitmix64 — deterministic 64-bit mix of the element. */
-  private def mix(x0: Long): Long = {
-    var z = x0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  /** splitmix64 — the one shared implementation (RhpPlanes.mix); a
+    * second verbatim copy here drifted-in-waiting.
+    */
+  private def mix(x0: Long): Long = RhpPlanes.mix(x0)
 
   /** Add one element (by 64-bit value) to the sketch in place. */
   def add(regs: Array[Byte], value: Long): Unit = {

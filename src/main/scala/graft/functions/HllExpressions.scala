@@ -18,7 +18,14 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   */
 case class HllSketchAgg(child: Expression, p: Int = 12,
                         mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Byte]] {
+    extends TypedImperativeAggregate[Array[Byte]]
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(LongType)
+  // p=0 shifts by 64 (a JVM no-op) and indexes out of bounds; p>=31
+  // overflows 1<<p negative; p<4 has no defined alpha — fail at plan
+  // time like the sibling aggregates, not mid-job on an executor
+  require(p >= 4 && p <= 30, s"hll precision p=$p out of range [4, 30]")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -53,7 +60,10 @@ case class HllSketchAgg(child: Expression, p: Int = 12,
   * sketch's life (partial, merged, restored).
   */
 case class HllEstimate(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     Hll.estimate(v.asInstanceOf[Array[Byte]])

@@ -84,7 +84,11 @@ final class BottomKByHashBuffer(val k: Int) {
   */
 case class QuantileSketchAgg(hashChild: Expression, valueChild: Expression, k: Int,
                              mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[BottomKByHashBuffer] {
+    extends TypedImperativeAggregate[BottomKByHashBuffer]
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(LongType, DoubleType)
+
   require(k >= 1, "k >= 1")
 
   override def children: Seq[Expression] = Seq(hashChild, valueChild)

@@ -20,9 +20,19 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var n = 0
 
-  /** true if (a, ia) ranks strictly better than (b, ib). */
-  @inline private def better(a: Double, ia: Long, b: Double, ib: Long): Boolean =
-    a > b || (a == b && ia < ib)
+  /** true if (a, ia) ranks strictly better than (b, ib). TOTAL order
+    * via Double.compare, not `>`: raw comparisons are false for NaN on
+    * either side, so a NaN ord (a zero-norm embedding's 0/0 cosine)
+    * inserted into the buffer would block the shift loop mid-array
+    * and, once seated in the worst slot of a full buffer, permanently
+    * reject every later candidate. Double.compare ranks NaN greatest
+    * — i.e. WORST here — matching Spark's sort order for the
+    * row_number-window formulation these aggregates replace.
+    */
+  @inline private def better(a: Double, ia: Long, b: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(a, b)
+    c > 0 || (c == 0 && ia < ib)
+  }
 
   def insert(ord: Double, id: Long): Unit = {
     if (n < k) {
@@ -77,7 +87,14 @@ final class TopKBuffer(val k: Int) {
 case class TopKBy(ordChild: Expression, idChild: Expression, k: Int,
                   distinctIds: Boolean = false,
                   mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKBuffer] {
+    extends TypedImperativeAggregate[TopKBuffer]
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  // declared input types: a wrong-typed SQL argument fails analysis
+  // with a named coercion error (and int ids / float ords coerce for
+  // free) instead of a bare executor-side ClassCastException
+  override def declaredInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(DoubleType, LongType)
+
   require(k >= 1, "k >= 1")
 
   override def children: Seq[Expression] = Seq(ordChild, idChild)
@@ -125,6 +142,10 @@ case class TopKBy(ordChild: Expression, idChild: Expression, k: Int,
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new TopKBuffer(in.readInt())
     val n = in.readInt()
+    // defensive (the BottomKByHash pattern): a corrupt/truncated
+    // payload with n outside [0, k] must fail with a diagnostic, not
+    // a raw AIOOBE deep in the copy loop
+    require(n >= 0 && n <= buf.k, s"top_k_by payload n=$n outside [0, ${buf.k}]")
     var i = 0
     while (i < n) { buf.ords(i) = in.readDouble(); buf.ids(i) = in.readLong(); i += 1 }
     buf.n = n

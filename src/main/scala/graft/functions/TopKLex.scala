@@ -65,7 +65,11 @@ final class TopKLexBuffer(val k: Int) {
 case class TopKLex(descChild: Expression, ascChild: Expression,
                    keyChild: Expression, k: Int,
                    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKLexBuffer] {
+    extends TypedImperativeAggregate[TopKLexBuffer]
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(LongType, LongType, StringType)
+
   require(k >= 1, "k >= 1")
 
   override def children: Seq[Expression] = Seq(descChild, ascChild, keyChild)
@@ -119,6 +123,7 @@ case class TopKLex(descChild: Expression, ascChild: Expression,
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new TopKLexBuffer(in.readInt())
     val n = in.readInt()
+    require(n >= 0 && n <= buf.k, s"top_k_lex payload n=$n outside [0, ${buf.k}]")
     var i = 0
     while (i < n) {
       buf.ds(i) = in.readLong(); buf.as(i) = in.readLong()

@@ -38,7 +38,14 @@ case class DotProductD(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // dimension mismatch is data corruption: the zip_with formulation
+    // this claims bit-parity with would null-pad and return NULL, and
+    // a silent truncated dot product would RANK the malformed pair.
+    // Fail loudly instead (the simhash-guard convention).
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_d: embedding dims differ (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -54,7 +61,11 @@ case class DotProductD(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_d: embedding dims differ (" + $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
@@ -242,7 +253,14 @@ case class RhpMultiSignatureExpr(child: Expression, nBits: Int, nTables: Int)
 object QrhpPlanes {
   final val Mod: Long = 2147483648L // 2^31
   def weight(j: Int, d: Int): Long = {
-    val x = j.toLong * 67L + d.toLong
+    // 1000003 (the RhpPlanes multiplier), not the old 67: x = j·67+d
+    // collides for dim ≥ 67 — weight(j, d) == weight(j+1, d−67) — so
+    // adjacent planes of a 128/768-dim table would share shifted
+    // weights and offset tables would overlap (correlated bits,
+    // silently degraded LSH recall). Injective for any dim < 1000003;
+    // 1103515245·x stays < 2^63 for every sane (plane, dim) range, so
+    // DuckDB's checked BIGINT math still replays it.
+    val x = j.toLong * 1000003L + d.toLong
     val s1 = (1103515245L * x + 12345L) % Mod
     val s2 = s1 ^ (s1 >> 16)
     val s3 = (1103515245L * s2 + 12345L) % Mod
@@ -262,8 +280,9 @@ object QrhpPlanes {
   *
   * `planeOffset` selects plane indices planeOffset..planeOffset+nBits−1
   * — independent signatures for multi-table banding (the seeding
-  * x = j·67 + d is injective for dim < 67, so offset tables share no
-  * hyperplanes), replayed in SQL by simply extending the plane range.
+  * x = j·1000003 + d is injective for any dim < 1000003, so offset
+  * tables share no hyperplanes), replayed in SQL by simply extending
+  * the plane range.
   */
 case class QrhpSignatureExpr(child: Expression, nBits: Int, planeOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -365,6 +384,14 @@ object SimHashLanes {
   final val MaxTokens = (1L << FieldBits) - 1 // per-doc bound, ~2M
 
   def pack(h: Long): Array[Long] = {
+    // enforce the poly_hash domain: for h < 0 the JVM remainder is
+    // negative and the `% 2` parity test never fires (every bit biased
+    // to 0); for h >= 2^32 the a*h multiply wraps. Both corrupt
+    // signatures SILENTLY and break oracle replay — fail loudly
+    // instead (one branch per token, negligible next to the hashing).
+    if (h < 0L || h >= ReplayableHash.P)
+      throw new IllegalArgumentException(
+        s"simhash_lanes: token hash $h outside the poly_hash domain [0, ${ReplayableHash.P})")
     val out = new Array[Long](NLanes)
     var j = 0
     while (j < NBits) {

@@ -14,3 +14,18 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** `ImplicitCastInputTypes` with a public-type signature. Spark 4 made
+  * `AbstractDataType` private[sql], so an expression outside the sql
+  * package tree cannot override `inputTypes` directly; this adapter
+  * lets graft.functions kernels declare plain `DataType`s (public,
+  * and a subtype of AbstractDataType) and still get analysis-time
+  * type checks + implicit numeric coercion on their SQL surface.
+  */
+trait DeclaredInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  /** The expected input types, as public DataTypes. */
+  def declaredInputTypes: Seq[org.apache.spark.sql.types.DataType]
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    declaredInputTypes
+}
