@@ -20,8 +20,13 @@ object OrderGenerator {
     */
   def orders(ids: DataFrame, nUsers: Int = 1000, nStores: Int = 100,
              nSkus: Int = 5000, maxItems: Int = 5): DataFrame =
-    ids.select(
-      col("id").cast("long").as("order_id"),
+    // hash the CANONICAL long id, never the raw column: xxhash64
+    // hashes a 4-byte INT and an 8-byte BIGINT differently, so without
+    // the cast the same id value generates different orders depending
+    // on the source column's integer width — breaking the replay
+    // determinism the generator exists for
+    ids.select(col("id").cast("long").as("id")).select(
+      col("id").as("order_id"),
       pmod(xxhash64(col("id"), lit("user")), lit(nUsers.toLong)).as("user_id"),
       pmod(xxhash64(col("id"), lit("store")), lit(nStores.toLong)).as("store_id"),
       expr(
@@ -35,8 +40,9 @@ object OrderGenerator {
     * item keyed by sku, the shape the reference's flatMap emits
     * (Streams.java:145).
     */
-  def orderItems(ids: DataFrame): DataFrame =
-    orders(ids)
+  def orderItems(ids: DataFrame, nUsers: Int = 1000, nStores: Int = 100,
+                 nSkus: Int = 5000, maxItems: Int = 5): DataFrame =
+    orders(ids, nUsers, nStores, nSkus, maxItems)
       .select(col("order_id"), col("user_id"), col("store_id"),
         explode(col("items")).as("item"))
       .select(col("order_id"), col("user_id"), col("store_id"),

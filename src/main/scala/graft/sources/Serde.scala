@@ -24,7 +24,11 @@ object Serde {
     .add("items", ArrayType(new StructType()
       .add("sku", LongType)
       .add("quantity", LongType)
-      .add("price", DoubleType), containsNull = false))
+      // containsNull = true, honestly: from_json forces its schema
+      // nullable (asNullable), so a payload like {"items":[null]}
+      // parses to an array CONTAINING null — declaring false here
+      // would promise an invariant nothing enforces
+      .add("price", DoubleType), containsNull = true))
 
   /** Parse a Kafka-shaped frame (binary `key`/`value` columns — what
     * KafkaIO.reader().load() yields) into typed order rows. Rows that

@@ -21,7 +21,14 @@ object TableWriter {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     numBuckets: Int, sorted: Boolean = true): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    // repartition on the bucket column FIRST: without it every
+    // upstream task writes one file per bucket it touches (up to
+    // tasks×buckets small files), and the scan only reports the
+    // bucket sort order when each bucket is exactly one file — with
+    // more, the promised sorted-bucket zip silently degrades to a
+    // full re-sort on both join sides
+    val w = df.repartition(numBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, bucketCol)
     (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
   }

@@ -31,7 +31,11 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      // FLOOR division (the q44/§8 lesson): DIV truncates toward zero,
+      // so a pre-epoch nanos value would round UP one microsecond and
+      // desynchronize from any floor-based oracle
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)"))
     else raw
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
@@ -45,12 +49,19 @@ object Tables {
     */
   def nestedOrders(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // LEFT join: an order with zero line items must survive as an
+    // empty-items row ("one row per ORDER"), not vanish — an inner
+    // join is lossless only on TPC-H-shaped data where every order
+    // has items, and this loader makes no such promise
     orders(spark, dir)
-      .join(lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"), "left")
       .groupBy(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .agg(sort_array(collect_list(struct(
+      // null-gate the struct: collect_list skips NULL inputs, so an
+      // itemless order yields an EMPTY array — an ungated struct of
+      // all-null fields would be collected as a bogus item
+      .agg(sort_array(collect_list(when(col("l_linenumber").isNotNull, struct(
         col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        col("l_quantity"), col("l_extendedprice")))).as("items"))
+        col("l_quantity"), col("l_extendedprice"))))).as("items"))
   }
 }
 

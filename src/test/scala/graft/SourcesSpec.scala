@@ -40,8 +40,13 @@ class SourcesSpec extends AnyFunSuite {
   test("nested orders round-trip losslessly back to line items") {
     val nested = Tables.nestedOrders(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)
-    // every order with items appears once, with all its items
-    assert(nested.count() == li.select("l_orderkey").distinct().count())
+    // ONE ROW PER ORDER — including itemless orders, which this corpus
+    // really contains (27 at sf0.001): the r6 left-join fix; the old
+    // inner join silently dropped them
+    assert(nested.count() == Tables.orders(spark, sfDir).count())
+    val itemless = nested.filter(size(col("items")) === 0)
+    assert(itemless.count() ==
+      Tables.orders(spark, sfDir).count() - li.select("l_orderkey").distinct().count())
     val back = nested.select(col("o_orderkey"), explode(col("items")).as("it"))
       .select(col("o_orderkey").as("l_orderkey"), col("it.l_partkey").as("l_partkey"),
         col("it.l_linenumber").as("l_linenumber"), col("it.l_quantity").as("l_quantity"))
