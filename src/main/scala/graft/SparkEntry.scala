@@ -307,11 +307,12 @@ object SparkEntry {
                 CAST(length(text) AS BIGINT) AS n_chars,
                 CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
                      ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_words,
-                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
-                length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / nullif(CAST(length(text) AS DOUBLE), 0) AS alpha_ratio,
+                length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) / nullif(CAST(length(text) AS DOUBLE), 0) AS punct_ratio,
                 len(list_filter(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'),
                     t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
-                  / CAST(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS DOUBLE) AS stopword_ratio
+                  / nullif(CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS DOUBLE), 0) AS stopword_ratio
          FROM documents""",
     // q15b: session_window sessionization — the oracle is q15's SQL
     // without the per-user session ordinal. Boundary rule verified

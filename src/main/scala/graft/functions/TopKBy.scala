@@ -23,11 +23,14 @@ final class TopKBuffer(val k: Int) {
   /** true if (a, ia) ranks strictly better than (b, ib). TOTAL order
     * via Double.compare, not `>`: raw comparisons are false for NaN on
     * either side, so a NaN ord (a zero-norm embedding's 0/0 cosine)
-    * inserted into the buffer would block the shift loop mid-array
-    * and, once seated in the worst slot of a full buffer, permanently
-    * reject every later candidate. Double.compare ranks NaN greatest
-    * — i.e. WORST here — matching Spark's sort order for the
-    * row_number-window formulation these aggregates replace.
+    * compared with `>` would block the shift loop mid-array and leave
+    * the buffer order inconsistent. Double.compare ranks NaN greatest,
+    * and under this buffer's (ord DESC, id ASC) ordering greatest means
+    * BEST — a NaN ord seats at the TOP of the buffer, exactly where
+    * Spark's `ORDER BY ord DESC` row_number window (and the DuckDB
+    * oracle's) would rank it, since both treat NaN as the largest
+    * double. Callers who don't want NaN in their top-k must filter it
+    * upstream (the KNN kernels never produce one: norms are guarded).
     */
   @inline private def better(a: Double, ia: Long, b: Double, ib: Long): Boolean = {
     val c = java.lang.Double.compare(a, b)

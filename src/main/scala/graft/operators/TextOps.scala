@@ -76,7 +76,15 @@ object TextOps {
     */
   def qualityScore(documents: DataFrame): DataFrame = {
     val stop = array(Seq("the", "a", "of", "and", "to", "in", "is", "it").map(lit): _*)
-    val n = length(col("text")).cast("double")
+    // nullif'd denominators: an EMPTY (or whitespace-only) document is
+    // routine in a web corpus, and under Spark 4's default ANSI mode a
+    // raw 0/0 here is DIVIDE_BY_ZERO — one degenerate row would abort
+    // the whole 100 TB job. Division by NULL is NULL in both ANSI
+    // modes AND in DuckDB (the oracle SQL carries the same nullif), so
+    // the ratios are NULL for such rows — which downstream consumers
+    // (q46's sketch, filters) already skip.
+    val n = nullif(length(col("text")).cast("double"), lit(0d))
+    val w = nullif(wsTokens(col("text")).cast("double"), lit(0d))
     documents.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
@@ -84,8 +92,7 @@ object TextOps {
       (length(regexp_replace(col("text"), "[^A-Za-z]", "")) / n).as("alpha_ratio"),
       (length(regexp_replace(col("text"), "[^.,;:!?'\"]", "")) / n).as("punct_ratio"),
       (size(filter(split(lower(wsTrim(col("text"))), "\\s+"),
-        t => array_contains(stop, t))).cast("double") /
-        wsTokens(col("text")).cast("double")).as("stopword_ratio"))
+        t => array_contains(stop, t))).cast("double") / w).as("stopword_ratio"))
   }
 
   /** q33: vocabulary building — corpus-wide term frequency + document

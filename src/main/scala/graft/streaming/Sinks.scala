@@ -107,8 +107,19 @@ object ExactlyOnceSink {
         m.readTree(txt).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       } else m.createObjectNode()
     if (mutate(root)) {
-      val out = f.create(p, true)
+      // write-then-rename, the same crash-safety contract the data dirs
+      // get from write-then-marker: txnOffset rewrites a HEALTHY meta at
+      // every fresh-lineage start, and an in-place create() torn by a
+      // crash mid-write would lose keyCols/dataCols AND the txns map —
+      // leaving the committed table unreadable. Rename is atomic on
+      // HDFS/most stores; FileContext supports overwrite-rename, which
+      // plain FileSystem.rename does not.
+      val tmp = new Path(dir, MetaFile + ".tmp")
+      val out = f.create(tmp, true)
       try out.write(m.writeValueAsBytes(root)) finally out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }
 
@@ -227,16 +238,22 @@ object ExactlyOnceSink {
       case Some(v) =>
         val keyStruct = struct(keyCols.map(col): _*)
         val rowStruct = struct(flagged.columns.toIndexedSeq.map(col): _*)
-        // tie-break on the full row struct after the version: max_by on
-        // the version alone picks an ARBITRARY row among version ties
-        // (coarse timestamps, default seqs), so a retried batch could
-        // commit a different winner than its first attempt — breaking
-        // the documented "wins, deterministically". Struct comparison
-        // is field-wise, so (version, row) is a total order over the
-        // batch's rows for a key; tombstones sort via DelCol like any
-        // other field.
+        // tie-break on the row's ORDERABLE columns after the version:
+        // max_by on the version alone picks an ARBITRARY row among
+        // version ties (coarse timestamps, default seqs), so a retried
+        // batch could commit a different winner than its first attempt
+        // — breaking the documented "wins, deterministically". The
+        // whole-row struct would be the obvious key, but a single
+        // non-orderable column (MapType) then fails analysis for every
+        // caller; filtering to orderable fields keeps those schemas
+        // working. Rows that differ ONLY in non-orderable columns
+        // remain an arbitrary pick — the contract callers already had.
+        import org.apache.spark.sql.catalyst.expressions.RowOrdering
+        val orderable = flagged.schema.fields.toIndexedSeq
+          .filter(fd => RowOrdering.isOrderable(fd.dataType))
+          .map(fd => col(fd.name))
         flagged.groupBy(keyStruct.as("k"))
-          .agg(max_by(rowStruct, struct(col(v), rowStruct)).as("r"))
+          .agg(max_by(rowStruct, struct((col(v) +: orderable): _*)).as("r"))
           .select(col("r.*"))
       case None =>
         // contract check folded into the write job itself (zero extra

@@ -598,7 +598,12 @@ object StreamOps {
       val alpha =
         if (alphaState.exists()) BottomKByHash.deserialize(alphaState.get())
         else new BottomKByHashBuffer(k)
-      rows.foreach { r => len.insert(r.h, r.len_v); alpha.insert(r.h, r.alpha_v) }
+      rows.foreach { r =>
+        len.insert(r.h, r.len_v)
+        // NaN marks "batch saw NULL here" (empty text): skip, like the
+        // batch aggregate's null-skip
+        if (!r.alpha_v.isNaN) alpha.insert(r.h, r.alpha_v)
+      }
       val lenB = BottomKByHash.serialize(len)
       val alphaB = BottomKByHash.serialize(alpha)
       lenState.update(lenB); alphaState.update(alphaB)
@@ -639,8 +644,17 @@ object StreamOps {
       // batch q46 (r6 review finding). The alpha numerator is safe
       // either way: surrogate units are never in [A-Za-z].
       val nChars = text.codePointCount(0, text.length)
+      // EMPTY text: batch q46's alpha_ratio is a Spark SQL division
+      // 0/0 = NULL and QuantileSketchAgg skips nulls — so the alpha
+      // sketch must NOT see this row (0.0/0.0 here is NaN, which WOULD
+      // insert and break the asserted value-for-value parity). NaN is
+      // a safe absent-marker: with nChars >= 1 the ratio is always
+      // finite. The length sketch still gets 0 (batch length('') = 0,
+      // non-null).
+      val alphaV = if (nChars == 0) Double.NaN
+                   else nAlpha.toDouble / nChars.toDouble
       DocScore(math.floorMod(h, nShards.toLong).toInt, h,
-        nChars.toDouble, nAlpha.toDouble / nChars.toDouble)
+        nChars.toDouble, alphaV)
     }
       .groupByKey(_.shard)
       .transformWithState(new QuantileShardProcessor(k), TimeMode.None(), OM.Update())

@@ -324,6 +324,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(ExactlyOnceSink.committedVersions(spark, dupDir).isEmpty)
   }
 
+  test("s09 versionCol works with a non-orderable (map) column; meta write leaves no tmp") {
+    import spark.implicits._
+    import graft.streaming.ExactlyOnceSink
+    val dir = freshDir("eos-map")
+    // a MapType column can't join a sort key: the tie-break struct must
+    // restrict itself to orderable columns or analysis fails here
+    // (r6 advisor finding)
+    val b = Seq((1L, 10.0, Map("a" -> 1), 1L), (1L, 20.0, Map("b" -> 2), 2L),
+        (2L, 5.0, Map("c" -> 3), 1L))
+      .toDF("o_orderkey", "total", "props", "seq")
+    ExactlyOnceSink.upsertBatch(dir, Seq("o_orderkey"), versionCol = Some("seq"))(b, 0L)
+    val snap = ExactlyOnceSink.snapshot(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getMap[String, Int](2).toMap)).toMap
+    assert(snap == Map(1L -> (20.0, Map("b" -> 2)), 2L -> (5.0, Map("c" -> 3))))
+    // version TIES still deterministic via the orderable columns
+    val tied = Seq((3L, 1.0, Map("x" -> 1), 7L), (3L, 9.0, Map("y" -> 2), 7L))
+      .toDF("o_orderkey", "total", "props", "seq")
+    ExactlyOnceSink.upsertBatch(dir, Seq("o_orderkey"), versionCol = Some("seq"))(tied, 1L)
+    assert(ExactlyOnceSink.snapshot(spark, dir).get
+      .filter(col("o_orderkey") === 3L).head().getDouble(1) == 9.0)
+    // the meta temp file was renamed over the target, not left behind
+    val ls = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(ls.contains("_graft_meta.json") && !ls.exists(_.endsWith(".tmp")), ls.toString)
+  }
+
   test("s09 end-to-end: streaming reassembly lands exactly once in the sink table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -846,8 +871,11 @@ class StreamingSpec extends AnyFunSuite {
     try {
       // corpus plus one supplementary-plane doc: Spark length() counts
       // CODE POINTS — the streaming metric must agree (an emoji is 2
-      // UTF-16 units, 1 code point; String.length would break parity)
-      val extra = Seq((999999L, "hello 😀 world 😀"))
+      // UTF-16 units, 1 code point; String.length would break parity).
+      // Plus one EMPTY doc: batch alpha_ratio is 0/0 = NULL (skipped by
+      // the sketch), so streaming must skip its alpha insert too while
+      // still inserting n_chars = 0 (r6 advisor finding).
+      val extra = Seq((999999L, "hello 😀 world 😀"), (999998L, ""))
       val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
         .unionAll(extra.toDF("doc_id", "text"))
       val k = 64 // < corpus size so the bottom-k SELECTION is exercised
@@ -899,9 +927,10 @@ class StreamingSpec extends AnyFunSuite {
       assert(batchLen.size == k) // selection exercised, not keep-everything
 
       // keep-everything pass over a tiny corpus INCLUDING the emoji
-      // doc: sample == all rows, so the parity is sensitive to every
-      // document's metrics — the code-point counting in particular
-      val tiny = docs.filter(col("doc_id") < 8 || col("doc_id") === 999999L)
+      // doc and the empty doc: sample == all rows, so the parity is
+      // sensitive to every document's metrics — the code-point
+      // counting and the empty-text null-skip in particular
+      val tiny = docs.filter(col("doc_id") < 8 || col("doc_id") >= 999998L)
       val tinyBatch = tiny.select(col("doc_id"), h.as("h"))
         .join(graft.operators.TextOps.qualityScore(tiny)
           .select(col("doc_id"), col("n_chars"), col("alpha_ratio")), "doc_id")
@@ -931,7 +960,10 @@ class StreamingSpec extends AnyFunSuite {
       }
       assert(merged2("n_chars") == tinyBatch.getSeq[Double](0), "emoji-doc n_chars parity")
       assert(merged2("alpha_ratio") == tinyBatch.getSeq[Double](1), "emoji-doc alpha parity")
-      assert(merged2("n_chars").size == 9) // all rows kept, incl. the emoji doc
+      assert(merged2("n_chars").size == 10) // all rows kept, incl. emoji + empty docs
+      // the empty doc appears in the length sample but NOT the alpha
+      // sample — the batch null-skip mirrored exactly
+      assert(merged2("alpha_ratio").size == 9, "empty doc must be absent from alpha sample")
     } finally {
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
