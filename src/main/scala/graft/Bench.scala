@@ -32,10 +32,17 @@ object Bench {
         "q31_multimodal_meta", "q42b_dedup_groups_lsh"))
       SparkEntry.queries.get(w)
         .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
-    // three timed passes per query, report the min: single-JVM runs
-    // carry multi-second JIT/GC/load noise (measured ±4s across full
-    // runs) that would mask real plan regressions.
+    // timed passes per query, report the min: single-JVM runs carry
+    // multi-second JIT/GC/load noise (measured ±4s across full runs)
+    // that would mask real plan regressions. The CODEC family
+    // (q31/q41/q43/q50 — ImageIO/javax.sound passes whose I/O jitter
+    // is the one noise class min-of-3 demonstrably fails to tame:
+    // r6 benched q41 at 0.992 s vs its 0.53 s isolated steady) gets
+    // five passes. Query order is the sorted name order — pinned by
+    // construction, every round measures the same sequence.
     val debug = sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")
+    val codecFamily = Set("q31_multimodal_meta", "q41_audio_meta",
+      "q43_video_meta", "q50_image_dedup")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drain accumulated garbage (broadcasts, shuffle buffers from the
       // previous ~3N passes) OUTSIDE the timed region: r2's "q19 = 2.4s
@@ -43,19 +50,25 @@ object Bench {
       // slot — the operator measures 0.25-0.35s steady in this JVM and
       // isolated ones (see tools/BenchProbe.scala).
       System.gc()
-      val times = (1 to 3).map { i =>
+      val passes = if (codecFamily(name)) 5 else 3
+      val times = (1 to passes).map { i =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         if (debug) System.err.println(f"[bench-debug] $name pass $i: $dt%.3f s")
         dt
       }
-      name -> times.min
+      (name, times.min, times.sorted.apply(times.size / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // medians ride along so a reader can tell "slow plan" (min moved)
+    // from "noisy slot" (min at pin, median inflated) without a
+    // separate BenchProbe session
+    val qsMed = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
