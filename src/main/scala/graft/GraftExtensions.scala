@@ -110,6 +110,31 @@ object GraftExtensions {
         require(exprs.length == 3, "quantile_sketch(hashLong, valueDouble, kLiteral)")
         graft.functions.QuantileSketchAgg(exprs(0), exprs(1),
           intLit(exprs(2), "quantile_sketch k")).toAggregateExpression()
+      }),
+    ("token_stats",
+      new ExpressionInfo(classOf[graft.functions.GreedyTokenStatsExpr].getName, "token_stats"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          "token_stats(string, vocabArrayLiteral[, maxNLiteral])")
+        // the vocab must fold to a constant: it ships inside the
+        // expression (the broadcast-vocab contract of the Scala API)
+        val vocab = exprs(1) match {
+          case e if e.foldable &&
+              e.dataType == org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType, containsNull = false) ||
+              e.foldable && e.dataType == org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType, containsNull = true) =>
+            e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toArray[org.apache.spark.unsafe.types.UTF8String](
+                org.apache.spark.sql.types.StringType)
+              .map(u => Option(u).map(_.toString).getOrElse(
+                throw new IllegalArgumentException("token_stats vocab may not contain nulls")))
+              .toSeq
+          case other => throw new IllegalArgumentException(
+            s"token_stats vocab must be a foldable array<string>, got $other")
+        }
+        val maxN = if (exprs.length == 3) intLit(exprs(2), "token_stats maxN") else 4
+        graft.functions.GreedyTokenStatsExpr(exprs(0), vocab, maxN)
       }))
 
   /** Programmatic registration into an existing session (tests, REPLs —

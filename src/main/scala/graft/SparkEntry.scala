@@ -139,6 +139,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0))
     }),
+    // m = 64 (not the 256 library default) so the sf0.01 corpus has
+    // real OOV pressure: the comparison exercises greedy matching AND
+    // the fallback rule, not a vocab that covers everything
+    "q51_tokenize" -> ((s, d) =>
+      TextOps.tokenStats(Tables.documents(s, d), m = 64, maxN = 4)),
+    // q47's packing on q51's tokenizer counts — same capacity/shards
+    // as q47 so chunk boundaries are exercised; only the lengths differ
+    "q47b_pack_tokenized" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = TextOps.tokenizerVocab(docs, m = 64, maxN = 4)
+        .collect().map(_.getString(0)).toSeq
+      TextOps.packSequencesTokenized(docs, vocab, capacity = 512, shards = 8)
+    }),
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
@@ -1112,5 +1125,91 @@ object SparkEntry {
                 p.w['jaccard'] AS worst_jaccard
          FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
          LEFT JOIN per p ON p.doc_id = d.doc_id""",
+    // q51: the greedy longest-match scan replays WITHOUT recursion —
+    // per-position match lengths come from an equi-join of position
+    // substrings against the (relationally rebuilt) vocab, and the
+    // sequential greedy walk is a list_reduce fold over those lengths
+    // ordered by position: acc.p is the next unconsumed position, an
+    // element with x.p < acc.p was covered by an earlier match and is
+    // skipped, otherwise it consumes x.t code points as one token.
+    "q51_tokenize" ->
+      s"""WITH $tokenizerCtes
+         SELECT d.doc_id,
+                CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(dc.nt, 0) END AS n_tokens,
+                CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(dc.nf, 0) END AS n_fallback
+         FROM documents d LEFT JOIN doc_counts dc ON dc.doc_id = d.doc_id""",
+    // q47b: q47's packing arithmetic verbatim (index-212 hash, shard 8,
+    // capacity 512) with n_tok = q51's tokenizer count
+    "q47b_pack_tokenized" ->
+      s"""WITH $tokenizerCtes,
+         base AS (
+           SELECT t.doc_id,
+             ((((CAST(1103515245 AS BIGINT)*425 + 12345) % 2147483648) *
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, length(k)+1),
+                    i -> CAST(unicode(substring(k, CAST(i AS INT), 1)) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 1000000007))
+               + ((CAST(1103515245 AS BIGINT)*426 + 12345) % 2147483648)) % 2147483647) AS h,
+             dc.nt AS n_tok
+           FROM (SELECT doc_id, concat('pack:', CAST(doc_id AS VARCHAR)) AS k
+                 FROM documents) t
+           JOIN doc_counts dc ON dc.doc_id = t.doc_id),
+         offs AS (
+           SELECT h % 8 AS shard, doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+           FROM base WHERE n_tok > 0),
+         chunks AS (
+           SELECT shard, doc_id, n_tok, off,
+             unnest(generate_series(off // 512, (off + n_tok - 1) // 512)) AS chunk
+           FROM offs)
+         SELECT shard, chunk, doc_id,
+                GREATEST(CAST(0 AS BIGINT), chunk*512 - off) AS tok_start,
+                LEAST(n_tok, (chunk+1)*512 - off)
+                  - GREATEST(CAST(0 AS BIGINT), chunk*512 - off) AS n_toks
+         FROM chunks""",
   )
+
+  /** The q51 oracle machinery, shared by q51/q47b: rebuild the top-64
+    * 2..4-gram vocabulary relationally, compute each distinct word's
+    * per-position longest match, fold the greedy scan, sum per doc.
+    */
+  private val tokenizerCtes: String =
+    """words0 AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS w
+         FROM documents),
+       vocab AS (
+         SELECT substr(w, i, n) AS gram, count(*) AS cnt
+         FROM (SELECT w, n, unnest(generate_series(1, length(w) - n + 1)) AS i
+               FROM (SELECT w, unnest([2, 3, 4]) AS n FROM words0)
+               WHERE length(w) >= n)
+         GROUP BY gram
+         ORDER BY cnt DESC, gram
+         LIMIT 64),
+       dwords AS (SELECT DISTINCT w FROM words0 WHERE length(w) > 0),
+       positions AS (
+         SELECT w, i AS pos,
+                coalesce(max(CASE WHEN v.gram IS NOT NULL THEN tn.n END), 1) AS mlen,
+                CASE WHEN count(v.gram) = 0 THEN 1 ELSE 0 END AS fall
+         FROM (SELECT w, unnest(generate_series(1, length(w))) AS i FROM dwords)
+         CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) tn
+         LEFT JOIN vocab v
+           ON v.gram = substr(w, i, tn.n) AND length(substr(w, i, tn.n)) = tn.n
+         GROUP BY w, i),
+       folded AS (
+         SELECT w, list_reduce(
+             list_prepend({'p': CAST(1 AS BIGINT), 't': CAST(0 AS BIGINT), 'f': CAST(0 AS BIGINT)},
+               list_transform(list({'p': pos, 't': mlen, 'f': fall} ORDER BY pos),
+                 x -> {'p': CAST(x.p AS BIGINT), 't': CAST(x.t AS BIGINT), 'f': CAST(x.f AS BIGINT)})),
+             (acc, x) -> CASE WHEN x.p < acc.p THEN acc
+                         ELSE {'p': x.p + x.t, 't': acc.t + 1, 'f': acc.f + x.f} END) AS r
+         FROM positions GROUP BY w),
+       doc_counts AS (
+         SELECT dw.doc_id,
+                CAST(sum(struct_extract(f.r, 't')) AS BIGINT) AS nt,
+                CAST(sum(struct_extract(f.r, 'f')) AS BIGINT) AS nf
+         FROM words0 dw JOIN folded f ON f.w = dw.w
+         GROUP BY dw.doc_id)"""
 }

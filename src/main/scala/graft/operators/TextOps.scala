@@ -419,15 +419,34 @@ object TextOps {
     * global token offset within its shard's stream.
     */
   def packSequences(documents: DataFrame, capacity: Int = 2048,
-                    shards: Int = 32): DataFrame = {
+                    shards: Int = 32): DataFrame =
+    packCore(documents.select(col("doc_id"), wsTokens(col("text")).as("n_tok")),
+      capacity, shards)
+
+  /** q47b: q47's packing driven by REAL tokenizer counts (q51's greedy
+    * subword tokenization) instead of whitespace tokens — whitespace
+    * counts run 1.3–2× off tokenizer counts depending on language, so
+    * capacity-sized chunks packed on them are systematically mis-sized.
+    * Same shard routing, same hash, same chunk arithmetic; only the
+    * per-document length changes. `vocab` comes from tokenizerVocab
+    * (or any 2..maxN-gram vocabulary).
+    */
+  def packSequencesTokenized(documents: DataFrame, vocab: Seq[String],
+                             capacity: Int = 2048, shards: Int = 32,
+                             maxN: Int = 4): DataFrame =
+    packCore(tokenStatsWith(documents, vocab, maxN)
+      .select(col("doc_id"), col("n_tokens").as("n_tok")), capacity, shards)
+
+  private def packCore(docTokens: DataFrame, capacity: Int,
+                       shards: Int): DataFrame = {
     require(capacity >= 1 && shards >= 1)
     import Dedup.ReplayableHash.{a, b, P}
     val s = graft.functions.VectorFunctions.poly_hash(
       concat(lit("pack:"), col("doc_id").cast("string")))
-    val base = documents
+    val base = docTokens
       .select(col("doc_id"),
         ((lit(a(212)) * s + lit(b(212))) % lit(P)).as("h"),
-        wsTokens(col("text")).as("n_tok"))
+        col("n_tok"))
       .filter(col("n_tok") > 0)
       .withColumn("shard", col("h") % lit(shards.toLong))
     val w = org.apache.spark.sql.expressions.Window
@@ -443,6 +462,78 @@ object TextOps {
         (least(col("n_tok"), (col("chunk") + 1) * capacity - col("off")) -
           greatest(lit(0L), col("chunk") * capacity - col("off"))).as("n_toks"))
   }
+
+  /** q51 TRAINING half: the tokenizer vocabulary — the top-`m`
+    * 2..maxN code-point grams of the corpus's whitespace-split
+    * lowercased words by frequency, ties broken by gram (binary UTF-8
+    * order in both engines — deterministic selection). Frequent grams
+    * are what BPE merges converge to, so this is the BPE-flavored
+    * vocab buildable as ONE relational aggregate: explode per-word
+    * gram positions, count, TakeOrdered top-m — no iterative merge
+    * loop, no full sort (limit plans TakeOrderedAndProject).
+    *
+    * Grams are generated per WORD, so the per-position `substring`
+    * (O(position) on UTF8String, the q27 lesson) runs over ~10-char
+    * words, not documents — O(word²) with tiny words, linear overall.
+    * At 100 TB this is one explode + one hash aggregation on short
+    * string keys; m bounds the result, not the corpus.
+    */
+  def tokenizerVocab(documents: DataFrame, m: Int = 256,
+                     maxN: Int = 4): DataFrame = {
+    require(m >= 1 && maxN >= 2)
+    documents
+      .select(explode(split(lower(wsTrim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("w"), explode(sequence(lit(2), lit(maxN))).as("n"))
+      // guard BEFORE building the position sequence: Spark's
+      // sequence(1, len-n+1) runs DESCENDING when len < n (it infers
+      // step -1), which would fabricate out-of-range positions
+      .filter(length(col("w")) >= col("n"))
+      .select(col("w"), col("n"),
+        explode(sequence(lit(1), length(col("w")) - col("n") + lit(1))).as("i"))
+      .select(expr("substring(w, i, n)").as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(m)
+  }
+
+  /** q51: tokenizer-faithful token counting — greedy longest-match
+    * (maximal munch) tokenization of each document over the corpus
+    * vocabulary, the WordPiece/BPE inference rule. Output per doc:
+    * n_tokens (every consumed token, matched or fallback) and
+    * n_fallback (positions no vocab gram covered — the OOV rate, a
+    * corpus-quality signal in its own right). q22's whitespace/regex
+    * counts are budget PROXIES; these are the counts a training run
+    * actually packs and mixes on (q47b consumes them).
+    *
+    * Scale shape: vocab training is one aggregate; its top-m result
+    * (≤ m short strings — a BOUNDED, documented driver collect, the
+    * tokenizer-training step) ships inside the expression to every
+    * task, and inference is a pure per-row scan — zero exchanges, no
+    * join, embarrassingly parallel at any corpus size.
+    *
+    * Oracle-exact: integer counts over code points; DuckDB rebuilds
+    * the same vocab relationally and replays the greedy scan as a
+    * list_reduce fold over per-position match lengths.
+    */
+  def tokenStats(documents: DataFrame, m: Int = 256,
+                 maxN: Int = 4): DataFrame = {
+    val vocab = tokenizerVocab(documents, m, maxN)
+      .collect().map(_.getString(0)).toSeq
+    tokenStatsWith(documents, vocab, maxN)
+  }
+
+  /** q51 inference over a GIVEN vocabulary (training decoupled — the
+    * production shape: train once, tokenize many corpora).
+    */
+  def tokenStatsWith(documents: DataFrame, vocab: Seq[String],
+                     maxN: Int = 4): DataFrame =
+    documents
+      .select(col("doc_id"),
+        graft.functions.GreedyTokenizerFunctions
+          .token_stats(lower(col("text")), vocab, maxN).as("ts"))
+      .select(col("doc_id"), col("ts.n_tokens").as("n_tokens"),
+        col("ts.n_fallback").as("n_fallback"))
 
   /** q48: mixture solving — q37 computes a sample for GIVEN rates;
     * this DERIVES the rates: given a target language mixture, find the

@@ -66,7 +66,9 @@ object BenchScale {
     "q47_pack_sequences",
     "q48_mixture_solve",
     "q49_decontaminate_fuzzy",
-    "q50_image_dedup")
+    "q50_image_dedup",
+    "q51_tokenize",
+    "q47b_pack_tokenized")
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")

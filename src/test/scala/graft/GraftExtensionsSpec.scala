@@ -45,7 +45,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(GraftExtensions.definitions.map(_._1).toSet ==
       Set("dot_d", "rhp_signature", "qrhp_signature", "hll_sketch", "hll_estimate",
         "poly_hash", "rhp_multi_signature", "simhash_lanes", "char_shingle_set",
-        "top_k_lex", "quantile_sketch"))
+        "top_k_lex", "quantile_sketch", "token_stats"))
+  }
+
+  test("token_stats is callable from SQL with a literal vocab and agrees with the DSL") {
+    GraftExtensions.register(spark)
+    graft.sources.Tables.documents(spark, sfDir).createOrReplaceTempView("docs_sql")
+    val row = spark.sql(
+      "SELECT token_stats('aaab', array('aaa', 'ab')) AS ts").head().getStruct(0)
+    assert((row.getLong(0), row.getLong(1)) == ((2L, 1L))) // greedy: aaa + fallback b
+    // non-literal vocab is rejected loudly (it must fold into the plan)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT token_stats(text, array(text)) FROM docs_sql LIMIT 1").head()
+    }
+    assert(ex.getMessage.contains("foldable"), ex.getMessage)
   }
 
   test("round-4 kernels are callable from SQL and agree with the DSL") {

@@ -301,4 +301,22 @@ class PlanAuditSpec extends AnyFunSuite {
     val s = planStr(graft.operators.TextOps.docFingerprint(Tables.documents(spark, sfDir)))
     assert(!s.contains("n_chars"), "scan should not read n_chars")
   }
+
+  test("q51 inference is a pure scan+project: zero exchanges, no join") {
+    // the vocab ships INSIDE the expression (literal-sized, collected
+    // once at train time) — tokenization itself must stay
+    // embarrassingly parallel: no shuffle, no join, no window anywhere
+    val vocab = Seq("th", "he", "an", "in", "er")
+    val df = graft.operators.TextOps.tokenStatsWith(
+      Tables.documents(spark, sfDir), vocab)
+    val s = finalPlanStr(df)
+    assert(countShuffles(df) == 0, s)
+    assert(!s.contains("Join"), s)
+    assert(!s.contains("Window"), s)
+    // and the vocab TRAINING aggregation cuts with TakeOrdered, never
+    // a full sort of the gram counts
+    val vs = finalPlanStr(graft.operators.TextOps.tokenizerVocab(
+      Tables.documents(spark, sfDir), m = 64))
+    assert(vs.contains("TakeOrderedAndProject"), vs)
+  }
 }

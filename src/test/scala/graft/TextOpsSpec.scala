@@ -230,4 +230,71 @@ class TextOpsSpec extends AnyFunSuite {
         Map("en" -> 5000, "xx" -> 5000)).count() == 0)
     } finally out.unpersist()
   }
+
+  test("q51 greedy tokenizer: maximal munch, fallback, whitespace, code points") {
+    import spark.implicits._
+    val vocab = Seq("aaa", "ab", "xy", "😀x") // 😀x = 2 code points
+    def stats(rows: Seq[(Long, String)]): Map[Long, (Any, Any)] =
+      TextOps.tokenStatsWith(rows.toDF("doc_id", "text"), vocab)
+        .collect().map(r => r.getLong(0) -> (
+          (if (r.isNullAt(1)) null else r.getLong(1)): Any,
+          (if (r.isNullAt(2)) null else r.getLong(2)): Any)).toMap
+    val m = stats(Seq(
+      1L -> "aaab",  // greedy: "aaa" then fallback "b" — maximal munch,
+                     // NOT the 2-match "aa"+"ab" a backtracking search finds
+      2L -> "ab aaa",   // two clean matches across a word boundary
+      3L -> "a b",      // no 2-gram spans whitespace: two fallbacks
+      4L -> "😀x😀", // match 😀x, fallback 😀 — CODE
+                                          // POINT consumption, not UTF-16
+      5L -> "",         // empty: zero tokens, zero fallbacks
+      6L -> " \t\n ",   // whitespace-only: same
+      7L -> "AB AAA",   // lowercased before tokenization == doc 2
+      8L -> "xyxyxy"))  // tiling: three matches
+    assert(m(1L) == ((2L, 1L)), m(1L))
+    assert(m(2L) == ((2L, 0L)))
+    assert(m(3L) == ((2L, 2L)))
+    assert(m(4L) == ((2L, 1L)))
+    assert(m(5L) == ((0L, 0L)))
+    assert(m(6L) == ((0L, 0L)))
+    assert(m(7L) == ((2L, 0L)))
+    assert(m(8L) == ((3L, 0L)))
+    // null text stays null (the batch length()/ratio convention)
+    val withNull = stats(Seq(1L -> "ab", 2L -> null.asInstanceOf[String]))
+    assert(withNull(2L) == ((null, null)))
+  }
+
+  test("q51 vocab: frequency-ranked word-local grams with deterministic ties") {
+    import spark.implicits._
+    val tiny = Seq((1L, "abc abc abc zz zz"), (2L, "abc qq")).toDF("doc_id", "text")
+    // grams: ab/bc/abc appear 4x (one per "abc"), zz 2x, qq 1x;
+    // top-3 under (cnt DESC, gram ASC) is the tie broken binary order
+    val v = TextOps.tokenizerVocab(tiny, m = 3, maxN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(v == Seq(("ab", 4L), ("abc", 4L), ("bc", 4L)), v)
+    // real corpus: no gram ever contains whitespace (word-local build —
+    // the invariant the tokenizer's no-boundary-check relies on)
+    val grams = TextOps.tokenizerVocab(docs, m = 500)
+      .collect().map(_.getString(0))
+    assert(grams.nonEmpty && grams.forall(g => !g.exists(_.isWhitespace)))
+  }
+
+  test("q51 expression evaluates ONCE per doc; q47b packs exactly the q51 totals") {
+    val vocab = TextOps.tokenizerVocab(docs, m = 64).collect().map(_.getString(0)).toSeq
+    val n = docs.count()
+    val before = graft.functions.GreedyTokenStatsExpr.evals.get()
+    val stats = TextOps.tokenStatsWith(docs, vocab)
+    stats.collect() // both struct fields consumed downstream
+    val evals = graft.functions.GreedyTokenStatsExpr.evals.get() - before
+    // CollapseProject must not inline the struct into two per-field
+    // copies of the (expensive) scan — the q50 double-codec class
+    assert(evals == n, s"expression evaluated $evals times for $n docs")
+    // q47b packs every q51 token exactly once
+    val packed = TextOps.packSequencesTokenized(docs, vocab, capacity = 128, shards = 4)
+    val packedTotal = packed.agg(sum(col("n_toks"))).head().getLong(0)
+    val statsTotal = stats.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(packedTotal == statsTotal)
+    // and the corpus exercises BOTH match and fallback paths
+    assert(stats.filter(col("n_fallback") > 0).count() > 0)
+    assert(stats.filter(col("n_tokens") > col("n_fallback")).count() > 0)
+  }
 }
