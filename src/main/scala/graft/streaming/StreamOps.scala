@@ -407,14 +407,22 @@ object StreamOps {
       .map(graft.functions.PolyHashExpr.hash).toSet
   }
 
-  def minhashSignature(text: String, numPerm: Int = 32, shingleN: Int = 3): Array[Long] = {
+  def minhashSignature(text: String, numPerm: Int = 32, shingleN: Int = 3): Array[Long] =
+    minhashSignatureOf(wordShingleHashes(text, shingleN).toArray, numPerm)
+
+  /** Signature over an ALREADY-SHINGLED set — shared by s11 (same-set
+    * dedup) and s19 (cross-set decontamination), so both band folds
+    * consume identical bytes.
+    */
+  def minhashSignatureOf(shingles: Array[Long], numPerm: Int): Array[Long] = {
     import graft.operators.Dedup.ReplayableHash
-    val shingles = wordShingleHashes(text, shingleN)
     Array.tabulate(numPerm) { i =>
       var m = Long.MaxValue
-      shingles.foreach { s =>
-        val h = (ReplayableHash.a(i) * s + ReplayableHash.b(i)) % ReplayableHash.P
+      var j = 0
+      while (j < shingles.length) {
+        val h = (ReplayableHash.a(i) * shingles(j) + ReplayableHash.b(i)) % ReplayableHash.P
         if (h < m) m = h
+        j += 1
       }
       m
     }
@@ -456,6 +464,131 @@ object StreamOps {
       val overlap = shs.count(bench.contains)
       ContamReport(id, shs.size.toLong, overlap.toLong,
         if (overlap >= minOverlap) 1L else 0L)
+    }
+  }
+
+  /** s19 output: one row per streamed document — the q49 columns.
+    * worst_* are None when no benchmark bucket collided (the batch
+    * left-join NULLs).
+    */
+  case class FuzzyContamReport(doc_id: Long, n_candidates: Long,
+                               n_contaminated: Long,
+                               worst_bench: Option[Long],
+                               worst_jaccard: Option[Double])
+
+  /** The benchmark set pre-indexed for s19: LSH band buckets (band
+    * key → bench ids) plus each bench doc's exact shingle set (for
+    * verification) — built ONCE from the frozen eval set and
+    * broadcast. Band key = band_id·M + fold (fold < M, injective).
+    */
+  case class BenchFuzzyIndex(buckets: Map[Long, Array[Long]],
+                             shingles: Map[Long, Array[Long]])
+
+  /** Index a benchmark set for streaming fuzzy decontamination. Same
+    * bytes as the batch q49 machinery: wordShingleHashes == postings,
+    * minhashSignature == the per-permutation min aggregate, and the
+    * base-131 band fold == bandBuckets (the s11 parity precedent).
+    * Driver-side by design — eval sets are thousands of docs against
+    * a corpus of billions (the s13 benchmarkShingleSet assumption,
+    * made explicit).
+    */
+  def benchmarkFuzzyIndex(benchmark: org.apache.spark.sql.DataFrame,
+                          numPerm: Int = 32, bands: Int = 8,
+                          shingleN: Int = 3): BenchFuzzyIndex = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup.ReplayableHash
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rows = numPerm / bands
+    val docs = benchmark.select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val shingleSets = docs.flatMap { case (id, text) =>
+      if (text == null) None // batch: NULL text explodes no postings
+      else Some(id -> wordShingleHashes(text, shingleN).toArray)
+    }.toMap
+    val buckets = scala.collection.mutable.HashMap.empty[Long, List[Long]]
+    shingleSets.toSeq.sortBy(_._1).foreach { case (id, shs) =>
+      val sig = minhashSignatureOf(shs, numPerm)
+      var b = 0
+      while (b < bands) {
+        var c = 0L
+        var i = b * rows
+        while (i < (b + 1) * rows) { c = (c * 131L + sig(i)) % ReplayableHash.M; i += 1 }
+        val key = b.toLong * ReplayableHash.M + c
+        buckets.update(key, id :: buckets.getOrElse(key, Nil))
+        b += 1
+      }
+    }
+    BenchFuzzyIndex(
+      buckets.view.mapValues(_.toArray.sorted).toMap,
+      shingleSets)
+  }
+
+  /** s19: STREAMING fuzzy decontamination — q49 as an online admission
+    * check with attribution: every arriving document is LSH-banded,
+    * looked up against the broadcast benchmark buckets, exact-verified
+    * by shingle-set Jaccard against the colliding bench docs, and
+    * emits (n_candidates, n_contaminated, worst partner) — the guard a
+    * live ingest actually runs, continuously (the reference's
+    * accumulate-and-emit shape, Streams.java:205-220, with the
+    * decision BEFORE the corpus instead of after).
+    *
+    * STATELESS like s13, deliberately: q49 compares the stream against
+    * a FROZEN benchmark, so nothing needs remembering between docs —
+    * the per-band bucket STATE pattern (s11) is for a growing
+    * comparison set, which here would re-implement s11. No state
+    * store, no shuffle; scales with input rate times bucket occupancy.
+    *
+    * Byte-identical to batch q49 per row (shared shingle/minhash/fold
+    * kernels; jaccard divides the same ints in the same IEEE order;
+    * worst tie-break (jaccard DESC, bench_id ASC)) — the parity spec
+    * asserts single-batch row-exactness vs decontaminateFuzzy.
+    */
+  def streamDecontaminateFuzzy(docs: Dataset[(Long, String)],
+                               bench: BenchFuzzyIndex, numPerm: Int = 32,
+                               bands: Int = 8, shingleN: Int = 3,
+                               tau: Double = 0.5): Dataset[FuzzyContamReport] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup.ReplayableHash
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rows = numPerm / bands
+    val bc = docs.sparkSession.sparkContext.broadcast(bench)
+    docs.map { case (id, text) =>
+      if (text == null) FuzzyContamReport(id, 0L, 0L, None, None)
+      else {
+        val idx = bc.value
+        val shs = wordShingleHashes(text, shingleN)
+        val sig = minhashSignatureOf(shs.toArray, numPerm)
+        val cands = scala.collection.mutable.SortedSet.empty[Long]
+        var b = 0
+        while (b < bands) {
+          var c = 0L
+          var i = b * rows
+          while (i < (b + 1) * rows) { c = (c * 131L + sig(i)) % ReplayableHash.M; i += 1 }
+          idx.buckets.get(b.toLong * ReplayableHash.M + c)
+            .foreach(_.foreach(cands.add))
+          b += 1
+        }
+        if (cands.isEmpty) FuzzyContamReport(id, 0L, 0L, None, None)
+        else {
+          var nContam = 0L
+          var bestId = -1L
+          var bestJac = Double.NegativeInfinity
+          cands.foreach { benchId =>
+            val bshs = idx.shingles(benchId)
+            var common = 0L
+            var i = 0
+            while (i < bshs.length) { if (shs.contains(bshs(i))) common += 1; i += 1 }
+            // the exact batch expression: count / (n_c + n_b - count),
+            // both sides cast from ints — bit-identical IEEE division
+            val jac = common.toDouble / (shs.size.toLong + bshs.length - common).toDouble
+            if (jac >= tau) nContam += 1
+            // (jaccard DESC, bench_id ASC): ascending-id iteration means
+            // strictly-greater wins replay the batch struct-max exactly
+            if (jac > bestJac) { bestJac = jac; bestId = benchId }
+          }
+          FuzzyContamReport(id, cands.size.toLong, nContam, Some(bestId), Some(bestJac))
+        }
+      }
     }
   }
 

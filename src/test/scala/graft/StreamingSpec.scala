@@ -727,6 +727,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.exists(_._3 == 1L))
   }
 
+  test("s19 streaming fuzzy decontamination is row-exact vs batch q49") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val docsAll = Tables.documents(spark, sfDir)
+    // the q49 driver split: %7 puts real crossing near-dups in play
+    val bench = docsAll.filter(col("doc_id") % 7 === 0)
+    val corpus = docsAll.filter(col("doc_id") % 7 =!= 0)
+
+    def key(nc: Long, nk: Long, wb: Option[Long], wj: Option[Double]) = (nc, nk, wb, wj)
+    val batch = graft.operators.Dedup.decontaminateFuzzy(corpus, bench)
+      .collect().map(r => r.getLong(0) -> key(r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+
+    val idx = StreamOps.benchmarkFuzzyIndex(bench)
+    val source = MemoryStream[(Long, String)]
+    val got = collection.mutable.Map[Long, (Long, Long, Option[Long], Option[Double])]()
+    val q = StreamOps.streamDecontaminateFuzzy(source.toDS(), idx)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.FuzzyContamReport], _: Long) =>
+        b.collect().foreach(r =>
+          got(r.doc_id) = key(r.n_candidates, r.n_contaminated, r.worst_bench, r.worst_jaccard))
+        ()
+      }.start()
+    try {
+      val rows = corpus.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      source.addData(rows.take(rows.length / 3).toSeq: _*)
+      q.processAllAvailable()
+      source.addData(rows.drop(rows.length / 3).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.size == batch.size, s"stream ${got.size} vs batch ${batch.size}")
+    val mismatches = batch.collect {
+      case (id, b) if got(id) != b => s"$id: stream ${got(id)} batch $b"
+    }
+    assert(mismatches.isEmpty, mismatches.take(5).mkString("; "))
+    // non-vacuous: real candidates AND real contamination crossed the split
+    assert(got.values.exists(_._1 > 0), "no candidates — vacuous parity")
+    assert(got.values.exists(_._2 > 0), "no contamination — vacuous parity")
+
+    // planted exact copy of a benchmark doc: every band collides, so
+    // it is caught with probability 1, attributed at jaccard 1.0
+    val benchRow = bench.select(col("doc_id"), col("text")).head()
+    val source2 = MemoryStream[(Long, String)]
+    val got2 = collection.mutable.Map[Long, (Long, Long, Option[Long], Option[Double])]()
+    val q2 = StreamOps.streamDecontaminateFuzzy(source2.toDS(), idx)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.FuzzyContamReport], _: Long) =>
+        b.collect().foreach(r =>
+          got2(r.doc_id) = key(r.n_candidates, r.n_contaminated, r.worst_bench, r.worst_jaccard))
+        ()
+      }.start()
+    try {
+      source2.addData((900001L, benchRow.getString(1)), (900002L, null.asInstanceOf[String]))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val planted = got2(900001L)
+    assert(planted._2 >= 1 && planted._4.contains(1.0),
+      s"planted copy not caught: $planted")
+    assert(got2(900002L) == ((0L, 0L, None, None))) // null text degrades, not NPEs
+  }
+
   test("s09+s04 source re-delivery lands exactly-once through the keyed sink") {
     import spark.implicits._
     import graft.streaming.{ExactlyOnceSink, KafkaIO}
