@@ -116,22 +116,26 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2 || exprs.length == 3,
           "token_stats(string, vocabArrayLiteral[, maxNLiteral])")
-        // the vocab must fold to a constant: it ships inside the
-        // expression (the broadcast-vocab contract of the Scala API)
+        // the vocab must fold to a non-null constant: it ships inside
+        // the expression (the broadcast-vocab contract of the Scala API)
+        def reject(what: Any): Nothing = throw new IllegalArgumentException(
+          s"token_stats vocab must be a foldable non-null array<string>, got $what")
         val vocab = exprs(1) match {
-          case e if e.foldable &&
-              e.dataType == org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.StringType, containsNull = false) ||
-              e.foldable && e.dataType == org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.StringType, containsNull = true) =>
-            e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-              .toArray[org.apache.spark.unsafe.types.UTF8String](
-                org.apache.spark.sql.types.StringType)
-              .map(u => Option(u).map(_.toString).getOrElse(
-                throw new IllegalArgumentException("token_stats vocab may not contain nulls")))
-              .toSeq
-          case other => throw new IllegalArgumentException(
-            s"token_stats vocab must be a foldable array<string>, got $other")
+          case e if e.foldable => e.dataType match {
+            case org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType, _) =>
+              e.eval() match {
+                case null => reject("NULL")
+                case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+                  arr.toArray[org.apache.spark.unsafe.types.UTF8String](
+                      org.apache.spark.sql.types.StringType)
+                    .map(u => Option(u).map(_.toString).getOrElse(
+                      reject("an array containing NULL")))
+                    .toSeq
+              }
+            case other => reject(other)
+          }
+          case other => reject(other)
         }
         val maxN = if (exprs.length == 3) intLit(exprs(2), "token_stats maxN") else 4
         graft.functions.GreedyTokenStatsExpr(exprs(0), vocab, maxN)

@@ -148,9 +148,9 @@ object SparkEntry {
     // as q47 so chunk boundaries are exercised; only the lengths differ
     "q47b_pack_tokenized" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val vocab = TextOps.tokenizerVocab(docs, m = 64, maxN = 4)
-        .collect().map(_.getString(0)).toSeq
-      TextOps.packSequencesTokenized(docs, vocab, capacity = 512, shards = 8)
+      TextOps.packSequencesTokenized(docs,
+        TextOps.tokenizerVocabSeq(docs, m = 64, maxN = 4),
+        capacity = 512, shards = 8)
     }),
   )
 

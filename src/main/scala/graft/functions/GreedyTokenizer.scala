@@ -83,8 +83,12 @@ object GreedyTokenStatsExpr {
     * struct-producing expression whose two fields are extracted
     * downstream is at risk of being duplicated by CollapseProject
     * (the q50 double-codec class); the spec pins evals == rows.
+    * OFF in production (one volatile read per row, no shared-cacheline
+    * increment on the hot path): the spec flips `countEvals` around
+    * its measured run.
     */
   private[graft] val evals = new java.util.concurrent.atomic.AtomicLong
+  @volatile private[graft] var countEvals = false
 
   @inline private def isWs(cp: Int): Boolean =
     cp == ' ' || (cp >= '\t' && cp <= '\r')
@@ -105,7 +109,7 @@ object GreedyTokenStatsExpr {
   }
 
   def walk(s: String, vocab: java.util.HashSet[String], maxN: Int): (Long, Long) = {
-    evals.incrementAndGet()
+    if (countEvals) evals.incrementAndGet()
     val len = s.length
     var nTok = 0L
     var nFall = 0L

@@ -517,11 +517,16 @@ object TextOps {
     * list_reduce fold over per-position match lengths.
     */
   def tokenStats(documents: DataFrame, m: Int = 256,
-                 maxN: Int = 4): DataFrame = {
-    val vocab = tokenizerVocab(documents, m, maxN)
-      .collect().map(_.getString(0)).toSeq
-    tokenStatsWith(documents, vocab, maxN)
-  }
+                 maxN: Int = 4): DataFrame =
+    tokenStatsWith(documents, tokenizerVocabSeq(documents, m, maxN), maxN)
+
+  /** tokenizerVocab's grams as a driver-side Seq — THE bounded collect
+    * of the tokenizer family (≤ m short strings, training's output);
+    * one definition so the contract lives in one place.
+    */
+  def tokenizerVocabSeq(documents: DataFrame, m: Int = 256,
+                        maxN: Int = 4): Seq[String] =
+    tokenizerVocab(documents, m, maxN).collect().map(_.getString(0)).toSeq
 
   /** q51 inference over a GIVEN vocabulary (training decoupled — the
     * production shape: train once, tokenize many corpora).

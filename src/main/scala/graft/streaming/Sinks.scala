@@ -117,9 +117,22 @@ object ExactlyOnceSink {
       val tmp = new Path(dir, MetaFile + ".tmp")
       val out = f.create(tmp, true)
       try out.write(m.writeValueAsBytes(root)) finally out.close()
-      org.apache.hadoop.fs.FileContext
-        .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
-        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      try
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // a scheme with a FileSystem impl but no AbstractFileSystem
+          // binding (common for third-party connectors) can't do the
+          // atomic overwrite-rename — fall back to delete+rename. The
+          // crash window narrows to between the two calls (vs the whole
+          // serialize+write before), and the tmp file survives such a
+          // crash for manual recovery.
+          f.delete(p, false)
+          if (!f.rename(tmp, p))
+            throw new java.io.IOException(s"rename $tmp -> $p failed")
+      }
     }
   }
 

@@ -501,19 +501,23 @@ object StreamOps {
     val rows = numPerm / bands
     val docs = benchmark.select(col("doc_id").cast("long"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    val shingleSets = docs.flatMap { case (id, text) =>
-      if (text == null) None // batch: NULL text explodes no postings
-      else Some(id -> wordShingleHashes(text, shingleN).toArray)
-    }.toMap
+    // UNION shingles per doc_id: batch postings() collapses repeated
+    // doc_id rows (an eval set assembled from several files) into one
+    // distinct shingle set per doc — a last-row-wins Map here would
+    // silently break the asserted row-exact parity (review catch)
+    val shingleSets = docs
+      .flatMap { case (id, text) =>
+        if (text == null) None // batch: NULL text explodes no postings
+        else Some(id -> wordShingleHashes(text, shingleN))
+      }
+      .groupBy(_._1).view
+      .mapValues(_.iterator.map(_._2).reduce(_ ++ _).toArray).toMap
     val buckets = scala.collection.mutable.HashMap.empty[Long, List[Long]]
     shingleSets.toSeq.sortBy(_._1).foreach { case (id, shs) =>
       val sig = minhashSignatureOf(shs, numPerm)
       var b = 0
       while (b < bands) {
-        var c = 0L
-        var i = b * rows
-        while (i < (b + 1) * rows) { c = (c * 131L + sig(i)) % ReplayableHash.M; i += 1 }
-        val key = b.toLong * ReplayableHash.M + c
+        val key = bandKey(sig, b, rows)
         buckets.update(key, id :: buckets.getOrElse(key, Nil))
         b += 1
       }
@@ -521,6 +525,22 @@ object StreamOps {
     BenchFuzzyIndex(
       buckets.view.mapValues(_.toArray.sorted).toMap,
       shingleSets)
+  }
+
+  /** The LSH band key of band `b` over a minhash signature: base-131
+    * fold of the band's `rows` mins (mod M) disambiguated by band id —
+    * ONE definition shared by the s11 state key, the s19 index build
+    * and the s19 stream lookup (a fold edited in one copy but not
+    * another would silently produce zero collisions = every
+    * contaminated doc admitted). Matches Dedup.bandBuckets's column
+    * fold exactly (the parity specs pin all of it).
+    */
+  private[streaming] def bandKey(sig: Array[Long], b: Int, rows: Int): Long = {
+    import graft.operators.Dedup.ReplayableHash
+    var c = 0L
+    var i = b * rows
+    while (i < (b + 1) * rows) { c = (c * 131L + sig(i)) % ReplayableHash.M; i += 1 }
+    b.toLong * ReplayableHash.M + c
   }
 
   /** s19: STREAMING fuzzy decontamination — q49 as an online admission
@@ -561,11 +581,7 @@ object StreamOps {
         val cands = scala.collection.mutable.SortedSet.empty[Long]
         var b = 0
         while (b < bands) {
-          var c = 0L
-          var i = b * rows
-          while (i < (b + 1) * rows) { c = (c * 131L + sig(i)) % ReplayableHash.M; i += 1 }
-          idx.buckets.get(b.toLong * ReplayableHash.M + c)
-            .foreach(_.foreach(cands.add))
+          idx.buckets.get(bandKey(sig, b, rows)).foreach(_.foreach(cands.add))
           b += 1
         }
         if (cands.isEmpty) FuzzyContamReport(id, 0L, 0L, None, None)
@@ -822,12 +838,7 @@ object StreamOps {
 
     val banded = docs.flatMap { case (id, text) =>
       val sig = minhashSignature(text, numPerm)
-      (0 until bands).iterator.map { b =>
-        var c = 0L
-        var i = b * rows
-        while (i < (b + 1) * rows) { c = (c * 131L + sig(i)) % ReplayableHash.M; i += 1 }
-        BandedDoc(b.toLong * ReplayableHash.M + c, id, sig)
-      }
+      (0 until bands).iterator.map(b => BandedDoc(bandKey(sig, b, rows), id, sig))
     }
 
     banded

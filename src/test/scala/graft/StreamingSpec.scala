@@ -790,6 +790,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(planted._2 >= 1 && planted._4.contains(1.0),
       s"planted copy not caught: $planted")
     assert(got2(900002L) == ((0L, 0L, None, None))) // null text degrades, not NPEs
+
+    // duplicate bench doc_id rows (eval set assembled from several
+    // files): shingles UNION per id — batch postings() semantics, not
+    // last-row-wins (review catch)
+    val dup = Seq((5L, "alpha beta gamma delta"), (5L, "epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val di = StreamOps.benchmarkFuzzyIndex(dup)
+    assert(di.shingles(5L).toSet ==
+      StreamOps.wordShingleHashes("alpha beta gamma delta", 3) ++
+      StreamOps.wordShingleHashes("epsilon zeta eta theta", 3))
   }
 
   test("s09+s04 source re-delivery lands exactly-once through the keyed sink") {

@@ -279,11 +279,13 @@ class TextOpsSpec extends AnyFunSuite {
   }
 
   test("q51 expression evaluates ONCE per doc; q47b packs exactly the q51 totals") {
-    val vocab = TextOps.tokenizerVocab(docs, m = 64).collect().map(_.getString(0)).toSeq
+    val vocab = TextOps.tokenizerVocabSeq(docs, m = 64)
     val n = docs.count()
     val before = graft.functions.GreedyTokenStatsExpr.evals.get()
     val stats = TextOps.tokenStatsWith(docs, vocab)
-    stats.collect() // both struct fields consumed downstream
+    graft.functions.GreedyTokenStatsExpr.countEvals = true
+    try stats.collect() // both struct fields consumed downstream
+    finally graft.functions.GreedyTokenStatsExpr.countEvals = false
     val evals = graft.functions.GreedyTokenStatsExpr.evals.get() - before
     // CollapseProject must not inline the struct into two per-field
     // copies of the (expensive) scan — the q50 double-codec class
