@@ -152,6 +152,15 @@ object SparkEntry {
         TextOps.tokenizerVocabSeq(docs, m = 64, maxN = 4),
         capacity = 512, shards = 8)
     }),
+    // q48's mixture on q51's TOKEN totals (budgets in tokens, not
+    // docs) — same uniform target so the doc-vs-token rate difference
+    // is the thing exercised
+    "q48b_mixture_tokenized" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.mixtureSolveTokenized(docs,
+        Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000),
+        TextOps.tokenizerVocabSeq(docs, m = 64, maxN = 4), maxN = 4)
+    }),
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
@@ -1125,15 +1134,14 @@ object SparkEntry {
                 p.w['jaccard'] AS worst_jaccard
          FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
          LEFT JOIN per p ON p.doc_id = d.doc_id""",
-    // q51: the greedy longest-match scan replays WITHOUT recursion —
-    // per-position match lengths come from an equi-join of position
-    // substrings against the (relationally rebuilt) vocab, and the
-    // sequential greedy walk is a list_reduce fold over those lengths
-    // ordered by position: acc.p is the next unconsumed position, an
-    // element with x.p < acc.p was covered by an earlier match and is
-    // skipped, otherwise it consumes x.t code points as one token.
+    // q51: per-position match lengths come from an equi-join of
+    // position substrings against the (relationally rebuilt) vocab;
+    // the sequential greedy walk is a recursive CTE stepping
+    // pos -> pos + mlen(pos) (see tokenizerCtes for why NOT a
+    // list_reduce fold: DuckDB's struct-acc lambda is flaky at
+    // threads>1).
     "q51_tokenize" ->
-      s"""WITH $tokenizerCtes
+      s"""WITH RECURSIVE $tokenizerCtes
          SELECT d.doc_id,
                 CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(dc.nt, 0) END AS n_tokens,
                 CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(dc.nf, 0) END AS n_fallback
@@ -1141,7 +1149,7 @@ object SparkEntry {
     // q47b: q47's packing arithmetic verbatim (index-212 hash, shard 8,
     // capacity 512) with n_tok = q51's tokenizer count
     "q47b_pack_tokenized" ->
-      s"""WITH $tokenizerCtes,
+      s"""WITH RECURSIVE $tokenizerCtes,
          base AS (
            SELECT t.doc_id,
              ((((CAST(1103515245 AS BIGINT)*425 + 12345) % 2147483648) *
@@ -1169,11 +1177,56 @@ object SparkEntry {
                 LEAST(n_tok, (chunk+1)*512 - off)
                   - GREATEST(CAST(0 AS BIGINT), chunk*512 - off) AS n_toks
          FROM chunks""",
+    // q48b: q48's rate arithmetic verbatim with c = per-language TOKEN
+    // totals (q51's doc_counts), admission hash at index 214
+    "q48b_mixture_tokenized" ->
+      s"""WITH RECURSIVE $tokenizerCtes,
+         tok_counts AS (
+           SELECT t.lang, t.t_myriad, COALESCE(g.c, 0) AS c
+           FROM (VALUES ('de', 2000), ('en', 2000), ('es', 2000),
+                        ('fr', 2000), ('zh', 2000)) t(lang, t_myriad)
+           LEFT JOIN (SELECT d.lang, CAST(sum(dc.nt) AS BIGINT) AS c
+                      FROM documents d JOIN doc_counts dc ON dc.doc_id = d.doc_id
+                      GROUP BY d.lang) g USING (lang)),
+         tok_feas AS (SELECT MIN(c * 10000 // t_myriad) AS t_total FROM tok_counts),
+         tok_rates AS (
+           SELECT lang, CASE WHEN c = 0 THEN CAST(0 AS BIGINT)
+                        ELSE (t_total * t_myriad // 10000) * 10000 // c END AS rate_myriad
+           FROM tok_counts, tok_feas)
+         SELECT b.doc_id, b.lang, b.n_tokens, r.rate_myriad, b.bucket
+         FROM (
+           SELECT t.doc_id, t.lang, dc.nt AS n_tokens,
+             ((((CAST(1103515245 AS BIGINT)*429 + 12345) % 2147483648) *
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, length(k)+1),
+                    i -> CAST(unicode(substring(k, CAST(i AS INT), 1)) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 1000000007))
+               + ((CAST(1103515245 AS BIGINT)*430 + 12345) % 2147483648)) % 2147483647) % 10000 AS bucket
+           FROM (SELECT doc_id, lang, concat('mixtok:', CAST(doc_id AS VARCHAR)) AS k
+                 FROM documents) t
+           JOIN doc_counts dc ON dc.doc_id = t.doc_id) b
+         JOIN tok_rates r USING (lang)
+         WHERE b.bucket < r.rate_myriad""",
   )
 
-  /** The q51 oracle machinery, shared by q51/q47b: rebuild the top-64
-    * 2..4-gram vocabulary relationally, compute each distinct word's
-    * per-position longest match, fold the greedy scan, sum per doc.
+  /** The q51 oracle machinery, shared by q51/q47b/q48b: rebuild the
+    * top-64 2..4-gram vocabulary relationally, compute each distinct
+    * word's per-position longest match, walk the greedy scan, sum per
+    * doc.
+    *
+    * The greedy walk is a RECURSIVE CTE (requires `WITH RECURSIVE` at
+    * the call site), NOT a list_reduce lambda fold: DuckDB's
+    * list_reduce with a struct accumulator and a CASE that returns
+    * the accumulator unchanged is NONDETERMINISTIC at threads>1 — the
+    * same byte-identical input list folded to two different results
+    * across runs (caught red-handed on the word 'customer':
+    * t=2/f=0 correct vs t=4/f=2 flaky, input list hash-equal). The
+    * scalar-accumulator folds used elsewhere in these oracles (poly
+    * hash, band fold) have never flaked across six driver gates; only
+    * the struct-acc CASE shape is affected. The walk terminates
+    * because `positions` holds pos 1..len(w) only — the first jump
+    * past len finds no join partner. t and f increase monotonically
+    * along the chain, so max() recovers the terminal state.
     */
   private val tokenizerCtes: String =
     """words0 AS (
@@ -1198,18 +1251,17 @@ object SparkEntry {
          LEFT JOIN vocab v
            ON v.gram = substr(w, i, tn.n) AND length(substr(w, i, tn.n)) = tn.n
          GROUP BY w, i),
-       folded AS (
-         SELECT w, list_reduce(
-             list_prepend({'p': CAST(1 AS BIGINT), 't': CAST(0 AS BIGINT), 'f': CAST(0 AS BIGINT)},
-               list_transform(list({'p': pos, 't': mlen, 'f': fall} ORDER BY pos),
-                 x -> {'p': CAST(x.p AS BIGINT), 't': CAST(x.t AS BIGINT), 'f': CAST(x.f AS BIGINT)})),
-             (acc, x) -> CASE WHEN x.p < acc.p THEN acc
-                         ELSE {'p': x.p + x.t, 't': acc.t + 1, 'f': acc.f + x.f} END) AS r
-         FROM positions GROUP BY w),
+       walk AS (
+         SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS f
+         FROM dwords
+         UNION ALL
+         SELECT wk.w, wk.pos + p.mlen, wk.t + 1, wk.f + p.fall
+         FROM walk wk JOIN positions p ON p.w = wk.w AND p.pos = wk.pos),
+       folded AS (SELECT w, max(t) AS nt, max(f) AS nf FROM walk GROUP BY w),
        doc_counts AS (
          SELECT dw.doc_id,
-                CAST(sum(struct_extract(f.r, 't')) AS BIGINT) AS nt,
-                CAST(sum(struct_extract(f.r, 'f')) AS BIGINT) AS nf
+                CAST(sum(f.nt) AS BIGINT) AS nt,
+                CAST(sum(f.nf) AS BIGINT) AS nf
          FROM words0 dw JOIN folded f ON f.w = dw.w
          GROUP BY dw.doc_id)"""
 }

@@ -514,7 +514,7 @@ object TextOps {
     *
     * Oracle-exact: integer counts over code points; DuckDB rebuilds
     * the same vocab relationally and replays the greedy scan as a
-    * list_reduce fold over per-position match lengths.
+    * recursive walk over per-position match lengths.
     */
   def tokenStats(documents: DataFrame, m: Int = 256,
                  maxN: Int = 4): DataFrame =
@@ -565,39 +565,10 @@ object TextOps {
     */
   def mixtureSolve(documents: DataFrame,
                    targetMyriad: Map[String, Int]): DataFrame = {
-    require(targetMyriad.nonEmpty &&
-      targetMyriad.values.forall(t => t > 0 && t <= 10000) &&
-      targetMyriad.values.sum <= 10000,
-      "targets are positive parts-per-myriad summing to <= 10000")
+    requireMixture(targetMyriad)
     import Dedup.ReplayableHash.{a, b, P}
-    val sp = documents.sparkSession
-    import sp.implicits._
-    val targets = targetMyriad.toSeq.sortBy(_._1).toDF("lang", "t_myriad")
-    // LEFT join from the TARGETS: a target language absent from the
-    // corpus must bind the feasible total to 0 (no corpus satisfies a
-    // mixture that demands a language it doesn't have) — an inner join
-    // would silently drop the constraint instead. Langs outside the
-    // target get rate 0 implicitly (the final join is inner on rates).
-    val counts = targets
-      .join(documents.groupBy(col("lang")).agg(count(lit(1)).as("c")),
-        Seq("lang"), "left")
-      .select(col("lang"), coalesce(col("c"), lit(0L)).as("c"), col("t_myriad"))
-    // feasible total: lang l alone caps T at c_l·10000/t_l. Attached
-    // per-row through an empty-partition window over the L-row counts
-    // frame — L is the number of target languages (tiny by
-    // construction), so the single-partition window is free, and no
-    // cross join ever appears (a broadcast cross join of the 1-row
-    // aggregate plans BroadcastNestedLoopJoin, banned repo-wide
-    // outside declared kernels; a literal-key equi-join constant-folds
-    // straight back into one)
-    val rates = counts
-      .withColumn("t_total",
-        min(expr("c * 10000 div t_myriad"))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
-      .select(col("lang"),
-        when(col("c") === 0, lit(0L)) // 0 div 0 would throw under ANSI
-          .otherwise(expr("(t_total * t_myriad div 10000) * 10000 div c"))
-          .as("rate_myriad"))
+    val rates = solveRates(targetMyriad,
+      documents.groupBy(col("lang")).agg(count(lit(1)).as("c")))
     val s = graft.functions.VectorFunctions.poly_hash(
       concat(lit("mix:"), col("doc_id").cast("string")))
     documents
@@ -606,5 +577,94 @@ object TextOps {
       .join(broadcast(rates), Seq("lang"))
       .filter(col("bucket") < col("rate_myriad"))
       .select(col("doc_id"), col("lang"), col("rate_myriad"), col("bucket"))
+  }
+
+  /** q48b: mixture solving on TOKEN budgets — q48 solves the mixture
+    * in DOCUMENT counts, but training budgets are set in tokens, and
+    * per-doc token mass varies 1.3–2× by language (the q51 point), so
+    * a doc-count mixture systematically over-weights verbose
+    * languages. Same integer derivation with c_l = the per-language
+    * TOKEN total from q51's greedy tokenizer; admission is still the
+    * per-DOC hash rule (index 214), so each lang's admitted token
+    * mass lands on its target within token-mass concentration noise
+    * (σ² ~ Σ_docs w² — the price of never splitting a document).
+    *
+    * The tokenizer kernel runs ONCE: the rate aggregate and the
+    * admission side are different consumers of the same expensive
+    * scan, which ReuseExchange never unifies (the q40 lesson), so the
+    * per-doc (doc_id, lang, n_tokens) frame is localCheckpoint'd and
+    * both sides read the 3-narrow-column frame from memory — the
+    * final plan has zero parquet scans. Integer domain: exact while
+    * c_l·10⁴·(t_max/t_min) < 2⁶³; 100 TB ≈ 2.5e13 tokens would need a
+    * target ratio > 3.6e4 to overflow.
+    *
+    * Output: admitted (doc_id, lang, n_tokens, rate_myriad, bucket).
+    */
+  def mixtureSolveTokenized(documents: DataFrame,
+                            targetMyriad: Map[String, Int],
+                            vocab: Seq[String], maxN: Int = 4): DataFrame = {
+    requireMixture(targetMyriad)
+    import Dedup.ReplayableHash.{a, b, P}
+    val toks = documents
+      .select(col("doc_id"), col("lang"),
+        graft.functions.GreedyTokenizerFunctions
+          .token_stats(lower(col("text")), vocab, maxN).as("ts"))
+      .select(col("doc_id"), col("lang"), col("ts.n_tokens").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .localCheckpoint(true)
+    val rates = solveRates(targetMyriad,
+      toks.groupBy(col("lang")).agg(sum(col("n_tokens")).as("c")))
+    val s = graft.functions.VectorFunctions.poly_hash(
+      concat(lit("mixtok:"), col("doc_id").cast("string")))
+    toks
+      .withColumn("bucket",
+        (lit(a(214)) * s + lit(b(214))) % lit(P) % lit(10000L))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("bucket") < col("rate_myriad"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("rate_myriad"), col("bucket"))
+  }
+
+  private def requireMixture(targetMyriad: Map[String, Int]): Unit =
+    require(targetMyriad.nonEmpty &&
+      targetMyriad.values.forall(t => t > 0 && t <= 10000) &&
+      targetMyriad.values.sum <= 10000,
+      "targets are positive parts-per-myriad summing to <= 10000")
+
+  /** Shared q48/q48b rate derivation from per-language weights
+    * (`(lang, c)` — doc counts for q48, token totals for q48b):
+    * T = min_l c_l·10000 div t_l; rate_l = (T·t_l div 10000)·10000
+    * div c_l.
+    *
+    * LEFT join from the TARGETS: a target language absent from the
+    * corpus must bind the feasible total to 0 (no corpus satisfies a
+    * mixture that demands a language it doesn't have) — an inner join
+    * would silently drop the constraint instead. Langs outside the
+    * target get rate 0 implicitly (the admission join is inner on
+    * rates). The feasible total attaches per-row through an
+    * empty-partition window over the L-row counts frame — L is the
+    * number of target languages (tiny by construction), so the
+    * single-partition window is free, and no cross join ever appears
+    * (a broadcast cross join of the 1-row aggregate plans
+    * BroadcastNestedLoopJoin, banned repo-wide outside declared
+    * kernels; a literal-key equi-join constant-folds straight back
+    * into one).
+    */
+  private def solveRates(targetMyriad: Map[String, Int],
+                         weights: DataFrame): DataFrame = {
+    val sp = weights.sparkSession
+    import sp.implicits._
+    val targets = targetMyriad.toSeq.sortBy(_._1).toDF("lang", "t_myriad")
+    val counts = targets
+      .join(weights, Seq("lang"), "left")
+      .select(col("lang"), coalesce(col("c"), lit(0L)).as("c"), col("t_myriad"))
+    counts
+      .withColumn("t_total",
+        min(expr("c * 10000 div t_myriad"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("lang"),
+        when(col("c") === 0, lit(0L)) // 0 div 0 would throw under ANSI
+          .otherwise(expr("(t_total * t_myriad div 10000) * 10000 div c"))
+          .as("rate_myriad"))
   }
 }

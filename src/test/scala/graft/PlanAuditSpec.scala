@@ -250,6 +250,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q48b tokenized mixture: tokenizer runs once, rates broadcast, corpus side exchange-free") {
+    val docs = Tables.documents(spark, sfDir)
+    val df = graft.operators.TextOps.mixtureSolveTokenized(docs,
+      Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000),
+      graft.operators.TextOps.tokenizerVocabSeq(docs, m = 64, maxN = 4))
+    val s = finalPlanStr(df)
+    // the expensive tokenizer kernel feeds TWO consumers (the rate
+    // aggregate and the admission side) whose subtrees plan different
+    // aggregates, so ReuseExchange never unifies them (the q40
+    // lesson); the per-doc token frame is localCheckpoint'd and the
+    // final plan must contain NO parquet scan at all
+    val scans = "FileScan parquet".r.findAllIn(s).length
+    assert(scans == 0, s"scans=$scans\n$s")
+    assert(s.contains("Scan ExistingRDD"), s)
+    // L-row rate table broadcasts; the corpus side must not shuffle
+    val joinAt = s.indexOf("BroadcastHashJoin")
+    assert(joinAt >= 0, s)
+    val buildAt = s.indexOf("Broadcast", joinAt + 1)
+    assert(buildAt > joinAt, s)
+    assert(!s.substring(joinAt, buildAt).contains("Exchange"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q49 fuzzy decontamination: bench side broadcasts, candidate join is equi") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir)

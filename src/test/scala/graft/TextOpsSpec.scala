@@ -231,6 +231,50 @@ class TextOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("q48b tokenized mixture: admitted TOKEN mass tracks the target") {
+    val target = Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000)
+    val vocab = TextOps.tokenizerVocabSeq(docs, m = 64, maxN = 4)
+    val out = TextOps.mixtureSolveTokenized(docs, target, vocab)
+    out.persist()
+    try {
+      // corpus-side per-lang token totals from the same tokenizer
+      val perDoc = TextOps.tokenStatsWith(docs, vocab)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(col("n_tokens") > 0)
+      val masses = perDoc.groupBy("lang")
+        .agg(sum("n_tokens").as("c"), sum(col("n_tokens") * col("n_tokens")).as("c2"),
+          max("n_tokens").as("wmax"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val tTotal = target.map { case (l, t) => masses(l)._1 * 10000L / t }.min
+      val admitted = out.groupBy("lang").agg(sum("n_tokens").as("a"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      target.foreach { case (l, t) =>
+        val (c, c2, wmax) = masses(l)
+        val rate = (tTotal * t / 10000) * 10000 / c
+        val goal = rate * c / 10000.0
+        // per-DOC hash admission of whole docs: mass noise is
+        // sqrt(p(1-p)·Σw²) ≤ sqrt(Σw²), plus one doc of floor slack
+        val tol = 4 * math.sqrt(c2.toDouble) + wmax
+        assert(math.abs(admitted.getOrElse(l, 0L) - goal) <= tol,
+          s"$l: admitted ${admitted.getOrElse(l, 0L)} vs goal $goal ± $tol")
+      }
+      // non-vacuity: token budgeting actually changes the rates vs
+      // q48's doc budgeting (per-doc token mass differs by language)
+      val docRates = TextOps.mixtureSolve(docs, target)
+        .select("lang", "rate_myriad").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tokRates = out.select("lang", "rate_myriad").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(tokRates != docRates, s"token rates $tokRates == doc rates $docRates")
+      // deterministic under repartitioning
+      assertSameRows(out,
+        TextOps.mixtureSolveTokenized(docs.repartition(13), target, vocab))
+      // a target lang missing from the corpus makes the mixture infeasible
+      assert(TextOps.mixtureSolveTokenized(docs,
+        Map("en" -> 5000, "xx" -> 5000), vocab).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("q51 greedy tokenizer: maximal munch, fallback, whitespace, code points") {
     import spark.implicits._
     val vocab = Seq("aaa", "ab", "xy", "😀x") // 😀x = 2 code points
