@@ -161,6 +161,8 @@ object SparkEntry {
         Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000),
         TextOps.tokenizerVocabSeq(docs, m = 64, maxN = 4), maxN = 4)
     }),
+    "q52_segment_dedup" -> ((s, d) =>
+      TextOps.segmentDedup(Tables.documents(s, d), segWords = 8)),
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
@@ -1207,6 +1209,37 @@ object SparkEntry {
            JOIN doc_counts dc ON dc.doc_id = t.doc_id) b
          JOIN tok_rates r USING (lang)
          WHERE b.bucket < r.rate_myriad""",
+    // q52: fixed 8-word segments over q20's normalized form; a
+    // segment content in >1 distinct doc is dropped from all docs;
+    // string_agg skips NULLed (dropped) segments, ORDER BY seg_idx
+    // reassembles. List slices clamp on both engines.
+    "q52_segment_dedup" ->
+      """WITH segs AS (
+           SELECT doc_id, i AS seg_idx,
+                  array_to_string(ws[i*8+1 : (i+1)*8], ' ') AS seg
+           FROM (
+             SELECT doc_id,
+                    regexp_split_to_array(regexp_replace(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+', ' ', 'g'), ' ') AS ws,
+                    unnest(generate_series(0,
+                      CAST((len(regexp_split_to_array(regexp_replace(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+', ' ', 'g'), ' ')) - 1) // 8 AS INT))) AS i
+             FROM documents
+             WHERE text IS NOT NULL
+               AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)),
+         dups AS (
+           SELECT md5(seg) AS h FROM segs
+           GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+         per_doc AS (
+           SELECT s.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_seg,
+                  CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                  coalesce(string_agg(CASE WHEN d.h IS NULL THEN s.seg END, ' ' ORDER BY s.seg_idx), '') AS ct
+           FROM segs s LEFT JOIN dups d ON d.h = md5(s.seg)
+           GROUP BY 1)
+         SELECT doc.doc_id,
+                CASE WHEN doc.text IS NULL THEN NULL ELSE coalesce(p.n_seg, 0) END AS n_segments,
+                CASE WHEN doc.text IS NULL THEN NULL ELSE coalesce(p.n_dup, 0) END AS n_dup_segments,
+                CASE WHEN doc.text IS NULL THEN NULL ELSE coalesce(p.ct, '') END AS clean_text
+         FROM documents doc LEFT JOIN per_doc p ON p.doc_id = doc.doc_id""",
   )
 
   /** The q51 oracle machinery, shared by q51/q47b/q48b: rebuild the

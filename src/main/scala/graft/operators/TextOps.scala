@@ -667,4 +667,76 @@ object TextOps {
           .otherwise(expr("(t_total * t_myriad div 10000) * 10000 div c"))
           .as("rate_myriad"))
   }
+
+  /** q52: segment-level deduplication — the RefinedWeb/CCNet/
+    * MassiveText "remove duplicated lines/paragraphs across
+    * documents" pass, which catches boilerplate (headers, footers,
+    * license blocks, navigation chrome) that document-level dedup
+    * (q20/q25) never sees because the SURROUNDING document is unique.
+    * The corpus has no newlines, so a "segment" is a fixed window of
+    * `segWords` normalized words (q20's normalization: lower,
+    * whitespace-collapsed); the last segment per doc may be shorter.
+    *
+    * Rule: a segment whose CONTENT occurs in more than one distinct
+    * document is dropped from every document (the MassiveText
+    * exact-substring discipline — keeping one copy would need a
+    * global arbitrary winner; boilerplate is noise in every copy).
+    * A segment repeated only WITHIN one document stays (that is
+    * q39's repetition signal, not cross-doc boilerplate).
+    *
+    * Scale shape: one corpus scan explodes to the segment frame
+    * (doc_id, seg_idx, seg), localCheckpoint'd because it feeds TWO
+    * consumers (the dup-count aggregate and the reassembly join — the
+    * q40 lesson; the final plan has zero parquet scans). Dup decision
+    * is one hash-partitioned aggregate keyed by md5(seg) (fixed-width
+    * 32-char key, never the segment text — q20's key discipline) with
+    * map-side partials; the dup set joins back as an equi-join (AQE
+    * broadcasts it when small — boilerplate dup sets usually are);
+    * reassembly is one groupBy(doc_id) whose per-group state is
+    * bounded by a single document's segments. No window over the
+    * corpus, no global sort; `array_sort` on (seg_idx, seg) structs
+    * makes the collect_list order-insensitive and retry-deterministic.
+    *
+    * Output: (doc_id, n_segments, n_dup_segments, clean_text) — NULL
+    * text passes through as NULL counts/text (the q51 convention),
+    * blank text yields (0, 0, "").
+    */
+  def segmentDedup(documents: DataFrame, segWords: Int = 8): DataFrame = {
+    require(segWords > 0, "segWords must be positive")
+    val norm = normText(col("text"))
+    val words = split(norm, " ")
+    val segments = when(col("text").isNull, lit(null))
+      .otherwise(when(length(norm) === 0, array())
+        .otherwise(transform(
+          sequence(lit(0), ((size(words) - 1) / segWords).cast("int")),
+          i => array_join(slice(words, i * segWords + 1, lit(segWords)), " "))))
+    val segs = documents
+      .select(col("doc_id"), col("text").isNull.as("was_null"),
+        posexplode_outer(segments).as(Seq("seg_idx", "seg")))
+      .withColumn("h", md5(col("seg")))
+      .localCheckpoint(true)
+    val dupH = segs
+      .filter(col("seg").isNotNull)
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"), lit(true).as("dup"))
+    segs
+      .join(dupH, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("was_null")).as("was_null"),
+        count(col("seg")).as("n_seg"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("seg").isNotNull && col("dup").isNull,
+              struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg")),
+          " ").as("ct"))
+      .select(col("doc_id"),
+        when(col("was_null"), lit(null)).otherwise(col("n_seg")).as("n_segments"),
+        when(col("was_null"), lit(null)).otherwise(col("n_dup")).as("n_dup_segments"),
+        when(col("was_null"), lit(null)).otherwise(col("ct")).as("clean_text"))
+  }
 }

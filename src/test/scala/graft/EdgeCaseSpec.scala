@@ -115,6 +115,9 @@ class EdgeCaseSpec extends AnyFunSuite {
     // q48b: empty corpus → infeasible → empty (checkpoint of an
     // empty frame, zero-row rate aggregate)
     assert(TextOps.mixtureSolveTokenized(noDocs, Map("en" -> 2000), Seq("ab")).count() == 0)
+    // q52: empty corpus → empty; bad segment width rejected
+    assert(TextOps.segmentDedup(noDocs).count() == 0)
+    intercept[IllegalArgumentException] { TextOps.segmentDedup(docs, segWords = 0) }
     // q49: empty corpus → empty report; empty benchmark → all clean
     assert(Dedup.decontaminateFuzzy(noDocs, docs).count() == 0)
     val clean = Dedup.decontaminateFuzzy(docs.limit(5), noDocs)

@@ -273,6 +273,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q52 segment dedup: segment frame materializes once, no window, no BNLJ") {
+    val df = graft.operators.TextOps.segmentDedup(Tables.documents(spark, sfDir))
+    val s = finalPlanStr(df)
+    // the exploded segment frame feeds the dup aggregate AND the
+    // reassembly join — checkpoint once, zero parquet re-scans
+    val scans = "FileScan parquet".r.findAllIn(s).length
+    assert(scans == 0, s"scans=$scans\n$s")
+    assert(s.contains("Scan ExistingRDD"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // reassembly is a hash aggregate over array_sort'd collect_list,
+    // never a corpus-wide window sort
+    assert(!s.contains("Window"), s)
+  }
+
   test("q49 fuzzy decontamination: bench side broadcasts, candidate join is equi") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir)

@@ -275,6 +275,41 @@ class TextOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("q52 segment dedup: cross-doc boilerplate drops, within-doc repeats stay") {
+    import spark.implicits._
+    val boiler = "all rights reserved subscribe to our newsletter today"  // 8 words
+    val rows = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta $boiler"),
+      (2L, s"one two three four five six seven eight $boiler"),
+      // within-doc repeat, unique corpus-wide: kept (q39's signal, not boilerplate)
+      (3L, "rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep"),
+      (4L, "short tail"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "   "))
+    val out = TextOps.segmentDedup(rows.toDF("doc_id", "text"), segWords = 8)
+    val m = out.collect().map(r => r.getLong(0) -> r).toMap
+    // the shared 8-word boilerplate segment drops from BOTH docs
+    assert(m(1L).getLong(1) == 2 && m(1L).getLong(2) == 1)
+    assert(m(1L).getString(3) == "alpha beta gamma delta epsilon zeta eta theta")
+    assert(m(2L).getString(3) == "one two three four five six seven eight")
+    // doc 3: two identical segments, but only one distinct doc → kept
+    assert(m(3L).getLong(2) == 0 && m(3L).getString(3).split(" ").length == 16)
+    // partial last segment, unique → kept whole
+    assert(m(4L).getLong(1) == 1 && m(4L).getString(3) == "short tail")
+    // null text → null triple; blank → (0, 0, "")
+    assert(m(5L).isNullAt(1) && m(5L).isNullAt(2) && m(5L).isNullAt(3))
+    assert(m(6L).getLong(1) == 0 && m(6L).getLong(2) == 0 && m(6L).getString(3) == "")
+    // corpus level: n_segments counts ceil(words/8); deterministic
+    val corp = TextOps.segmentDedup(docs, segWords = 8)
+    val check = corp.join(docs, "doc_id")
+      .select(col("n_segments"),
+        ceil(TextOps.wsTokens(col("text")) / 8.0).cast("long").as("want"))
+    assert(check.filter(col("n_segments") =!= col("want")).count() == 0)
+    // non-vacuous on the corpus: planted near-dups share segments
+    assert(corp.agg(sum("n_dup_segments")).head().getLong(0) > 0)
+    assertSameRows(corp, TextOps.segmentDedup(docs.repartition(13), segWords = 8))
+  }
+
   test("q51 greedy tokenizer: maximal munch, fallback, whitespace, code points") {
     import spark.implicits._
     val vocab = Seq("aaa", "ab", "xy", "😀x") // 😀x = 2 code points
