@@ -1015,6 +1015,114 @@ object StreamOps {
             KeywordRow(doc, i + 1L, buf.keys(i).toString, buf.ds(i), buf.as(i)))
       }
   }
+
+  /** One segment arrival for s20: the segment's md5 hex (the batch
+    * q52 equivalence key), owner doc, position, text. marker < 0
+    * encodes the null-text (-1) and blank-text (-2) documents, which
+    * carry no segments but must still appear in the report (batch
+    * q52's NULL-triple / (0,0,"") conventions).
+    */
+  case class SegArrival(h: String, doc_id: Long, seg_idx: Int,
+                        seg: String, marker: Int)
+
+  /** s20 intermediate: one segment with its admission verdict. */
+  case class SegVerdict(doc_id: Long, seg_idx: Int, seg: String,
+                        dup: Boolean, marker: Int)
+
+  /** s20 output: batch q52's per-document schema (Option = nullable,
+    * the NULL-text passthrough).
+    */
+  case class SegDocReport(doc_id: Long, n_segments: Option[Long],
+                          n_dup_segments: Option[Long],
+                          clean_text: Option[String])
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** s20: STREAMING segment-level dedup — q52 as an online ingest
+    * cleaner: every arriving document's fixed-width segments are
+    * checked against every segment ever admitted, boilerplate already
+    * seen in ANOTHER document is stripped before the doc reaches the
+    * corpus, continuously (the reference's accumulate-and-emit shape,
+    * Streams.java:205-220, with the accumulator keyed by content).
+    *
+    * CONTRACT (keep-first): batch q52 drops a cross-doc duplicated
+    * segment from EVERY document — an online cleaner cannot retract
+    * the copy it already emitted, so the FIRST document to present a
+    * segment keeps it and every later presenter drops it. Within one
+    * batch "first" is the smallest doc_id (the s11/s12 sorted-fold
+    * determinism rule). Consequences, both spec-asserted: on a corpus
+    * with no cross-doc duplicates a single-batch run reproduces batch
+    * q52 row-exactly; on a planted duplicate the earlier doc keeps
+    * the segment where batch q52 would strip both. Within-doc repeats
+    * stay (owner == self), exactly batch q52's rule.
+    *
+    * Two chained Append-mode fMGWS stages (the s16 chaining shape):
+    *  1. keyed by segment md5: ValueState one Long — the owning
+    *     doc_id, claimed by the first presenter. Emits every segment
+    *     with its verdict. State is one Long per DISTINCT segment
+    *     (content-bounded, hash-partitioned; RocksDB on a cluster —
+    *     the same cardinality the batch dup-count aggregate shuffles).
+    *  2. keyed by doc_id, stateless (a doc's segments all arrive in
+    *     its batch): reassembles kept segments in seg_idx order.
+    * Traffic is two shuffles of the segment frame — batch q52's own
+    * exchange count.
+    */
+  def streamSegmentDedup(docs: Dataset[(Long, String)],
+                         segWords: Int = 8): Dataset[SegDocReport] = {
+    import docs.sparkSession.implicits._
+    require(segWords > 0, "segWords must be positive")
+    val segs = docs.flatMap { case (id, text) =>
+      if (text == null)
+        Iterator.single(SegArrival("m:" + id, id, -1, "", -1))
+      else {
+        val toks = normTokens(text)
+        if (toks.isEmpty)
+          Iterator.single(SegArrival("m:" + id, id, -2, "", -2))
+        else toks.grouped(segWords).zipWithIndex.map { case (ws, i) =>
+          val seg = ws.mkString(" ")
+          SegArrival(md5Hex(seg), id, i, seg, 0)
+        }
+      }
+    }
+    val verdicts = segs.groupByKey(_.h)
+      .flatMapGroupsWithState[Long, SegVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[SegArrival], state: GroupState[Long]) =>
+          // sorted fold: the group iterator's order is a shuffle-fetch
+          // artifact; smallest doc_id claims deterministically
+          val rs = rows.toSeq.sortBy(r => (r.doc_id, r.seg_idx))
+          if (rs.head.marker < 0)
+            rs.iterator.map(r => SegVerdict(r.doc_id, r.seg_idx, r.seg, dup = false, r.marker))
+          else {
+            val owner = state.getOption.getOrElse(rs.head.doc_id)
+            if (!state.exists) state.update(owner)
+            rs.iterator.map(r =>
+              SegVerdict(r.doc_id, r.seg_idx, r.seg, dup = r.doc_id != owner, 0))
+          }
+      }
+    verdicts.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Byte, SegDocReport](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (doc: Long, rows: Iterator[SegVerdict], _: GroupState[Byte]) =>
+          val rs = rows.toList
+          rs.head.marker match {
+            case -1 => Iterator.single(SegDocReport(doc, None, None, None))
+            case -2 => Iterator.single(SegDocReport(doc, Some(0L), Some(0L), Some("")))
+            case _ =>
+              val kept = rs.filter(!_.dup).sortBy(_.seg_idx).map(_.seg)
+              Iterator.single(SegDocReport(doc,
+                Some(rs.size.toLong),
+                Some(rs.count(_.dup).toLong),
+                Some(kept.mkString(" "))))
+          }
+      }
+  }
 }
 
 /** s04: the Kafka source/sink config surface (Streams.java:35-49 —

@@ -68,7 +68,9 @@ object BenchScale {
     "q49_decontaminate_fuzzy",
     "q50_image_dedup",
     "q51_tokenize",
-    "q47b_pack_tokenized")
+    "q47b_pack_tokenized",
+    "q48b_mixture_tokenized",
+    "q52_segment_dedup")
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")

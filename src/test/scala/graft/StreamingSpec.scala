@@ -1269,6 +1269,90 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s20 streaming segment dedup: clean corpus row-exact vs q52; keep-first across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    type Rep = (Long, Option[Long], Option[Long], Option[String])
+    def q52On(rows: Seq[(Long, String)]): Set[Rep] =
+      graft.operators.TextOps.segmentDedup(rows.toDF("doc_id", "text"), segWords = 8)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getString(3)))).toSet
+
+    def drive(batches: Seq[Seq[(Long, String)]]): Seq[Set[Rep]] = {
+      val source = MemoryStream[(Long, String)]
+      val perBatch = collection.mutable.ArrayBuffer.empty[Set[Rep]]
+      val q = StreamOps.streamSegmentDedup(source.toDS(), segWords = 8)
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.SegDocReport], _: Long) =>
+          val rows = b.collect()
+            .map(r => (r.doc_id, r.n_segments, r.n_dup_segments, r.clean_text)).toSet
+          if (rows.nonEmpty) perBatch.synchronized { perBatch += rows }
+          ()
+        }.start()
+      try batches.foreach { batch =>
+        source.addData(batch: _*); q.processAllAvailable()
+      } finally q.stop()
+      perBatch.toSeq
+    }
+
+    val boiler = "all rights reserved subscribe to our newsletter today" // 8 words
+    // corpus with NO cross-doc duplicate segments (unique word stems),
+    // plus a within-doc repeat, a partial tail, a null, and a blank —
+    // keep-first and drop-all agree here, so stream must equal batch
+    val clean = Seq(
+      (1L, (0 until 20).map(i => s"a${i}x").mkString(" ")),
+      (2L, (0 until 11).map(i => s"b${i}y").mkString(" ")),
+      (3L, Seq.fill(2)((0 until 8).map(i => s"r${i}z").mkString(" ")).mkString(" ")),
+      (4L, "lone tail"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "   "))
+    assert(drive(Seq(clean)) == Seq(q52On(clean)))
+
+    // keep-first across batches: doc 10 presents the boilerplate
+    // first and keeps it; doc 11 presents it a batch later and drops
+    // it (batch q52 on the union would strip BOTH — the documented
+    // online-cleaner divergence)
+    val first = Seq(10L -> s"alpha beta gamma delta epsilon zeta eta theta $boiler")
+    val second = Seq(11L -> s"one two three four five six seven eight $boiler")
+    val got = drive(Seq(first, second))
+    assert(got(0) == Set((10L, Some(2L), Some(0L),
+      Some(s"alpha beta gamma delta epsilon zeta eta theta $boiler"))))
+    assert(got(1) == Set((11L, Some(2L), Some(1L),
+      Some("one two three four five six seven eight"))))
+    val union = q52On(first ++ second)
+    assert(union.forall(_._3 == Some(1L)), s"batch must strip both: $union")
+
+    // within one batch the smaller doc_id claims deterministically
+    val sameBatch = drive(Seq(Seq(
+      20L -> s"$boiler twenty one twenty two twenty three tail",
+      21L -> s"$boiler thirty one thirty two thirty three tail")))
+    val m = sameBatch.head.map(r => r._1 -> r).toMap
+    assert(m(20L)._3 == Some(0L) && m(21L)._3 == Some(1L))
+
+    // against the real corpus in one batch: segment counts match batch
+    // exactly; stream never drops what batch keeps (keep-first drops a
+    // strict subset), and docs batch leaves untouched are identical
+    val all = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val streamed = drive(Seq(all)).head.map(r => r._1 -> r).toMap
+    val batch = q52On(all).map(r => r._1 -> r).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (id, b) =>
+      val s = streamed(id)
+      assert(s._2 == b._2, s"doc $id n_segments: ${s._2} vs ${b._2}")
+      assert(s._3.get <= b._3.get, s"doc $id stream drops more than batch")
+      if (b._3 == Some(0L)) assert(s == b, s"untouched doc $id differs: $s vs $b")
+    }
+    // non-vacuous: the corpus' planted near-dups make drops happen,
+    // and ownership makes the stream keep strictly more than batch
+    assert(streamed.values.map(_._3.get).sum > 0)
+    assert(streamed.values.map(_._3.get).sum < batch.values.map(_._3.get).sum)
+  }
+
   test("s04 kafka config surface builds; file substitution streams real rows") {
     // Kafka connector jar absent: builders must construct without loading
     val r = KafkaIO.reader(spark, "broker:9092", "purchase-orders")
