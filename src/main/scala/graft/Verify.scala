@@ -9,6 +9,9 @@ object Verify {
     // queries (local dev loop; the driver never passes them).
     val Array(sfDir, outDir, rest @ _*) = args
     val only = rest.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

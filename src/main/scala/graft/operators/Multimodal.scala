@@ -96,11 +96,9 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
       .as[(Long, String, Long)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text, nChars) =>
           val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          md.reset()
-          val hex = md.digest(payload).map("%02x".format(_)).mkString
+          val hex = graft.functions.Md5.hex(payload)
           val png = encodePng((1L + nChars % 64L).toInt, (1L + id % 48L).toInt, id)
           val dec = decodeImage(id, png)
           MultimodalMeta(id, payload.length.toLong, hex,
@@ -336,11 +334,9 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
       .as[(Long, String, Long)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text, nChars) =>
           val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          md.reset()
-          val hex = md.digest(payload).map("%02x".format(_)).mkString
+          val hex = graft.functions.Md5.hex(payload)
           val wav = encodeWav((1L + nChars % 4096L).toInt,
             (8000L * (1L + id % 2L)).toInt, id)
           val dec = decodeAudio(id, wav)
@@ -484,14 +480,12 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
       .as[(Long, String, Long)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
         // ONE writer per partition (the codec-init amortization the
         // batch boundary exists for), reset between docs
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
         val mapped = it.map { case (id, text, nChars) =>
           val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          md.reset()
-          val hex = md.digest(payload).map("%02x".format(_)).mkString
+          val hex = graft.functions.Md5.hex(payload)
           val gif = encodeGifWith(writer, (1L + nChars % 32L).toInt,
             (1L + id % 24L).toInt, (1L + id % 7L).toInt, id)
           val dec = decodeVideo(id, gif)

@@ -566,17 +566,9 @@ object TextOps {
   def mixtureSolve(documents: DataFrame,
                    targetMyriad: Map[String, Int]): DataFrame = {
     requireMixture(targetMyriad)
-    import Dedup.ReplayableHash.{a, b, P}
     val rates = solveRates(targetMyriad,
       documents.groupBy(col("lang")).agg(count(lit(1)).as("c")))
-    val s = graft.functions.VectorFunctions.poly_hash(
-      concat(lit("mix:"), col("doc_id").cast("string")))
-    documents
-      .withColumn("bucket",
-        (lit(a(213)) * s + lit(b(213))) % lit(P) % lit(10000L))
-      .join(broadcast(rates), Seq("lang"))
-      .filter(col("bucket") < col("rate_myriad"))
-      .select(col("doc_id"), col("lang"), col("rate_myriad"), col("bucket"))
+    admitAtRates(documents, rates, hashIndex = 213, keyPrefix = "mix:", Nil)
   }
 
   /** q48b: mixture solving on TOKEN budgets — q48 solves the mixture
@@ -604,7 +596,6 @@ object TextOps {
                             targetMyriad: Map[String, Int],
                             vocab: Seq[String], maxN: Int = 4): DataFrame = {
     requireMixture(targetMyriad)
-    import Dedup.ReplayableHash.{a, b, P}
     val toks = documents
       .select(col("doc_id"), col("lang"),
         graft.functions.GreedyTokenizerFunctions
@@ -614,15 +605,8 @@ object TextOps {
       .localCheckpoint(true)
     val rates = solveRates(targetMyriad,
       toks.groupBy(col("lang")).agg(sum(col("n_tokens")).as("c")))
-    val s = graft.functions.VectorFunctions.poly_hash(
-      concat(lit("mixtok:"), col("doc_id").cast("string")))
-    toks
-      .withColumn("bucket",
-        (lit(a(214)) * s + lit(b(214))) % lit(P) % lit(10000L))
-      .join(broadcast(rates), Seq("lang"))
-      .filter(col("bucket") < col("rate_myriad"))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        col("rate_myriad"), col("bucket"))
+    admitAtRates(toks, rates, hashIndex = 214, keyPrefix = "mixtok:",
+      Seq(col("n_tokens")))
   }
 
   private def requireMixture(targetMyriad: Map[String, Int]): Unit =
@@ -630,6 +614,27 @@ object TextOps {
       targetMyriad.values.forall(t => t > 0 && t <= 10000) &&
       targetMyriad.values.sum <= 10000,
       "targets are positive parts-per-myriad summing to <= 10000")
+
+  /** Shared q48/q48b admission: the q37 hash rule at the solved rates
+    * — per-doc replayable bucket in [0, 10000), L-row rate table
+    * broadcast, narrow threshold filter. One definition so the
+    * admission semantics (hash family, modulus, join shape) cannot
+    * drift between the doc-budget and token-budget mixtures.
+    */
+  private def admitAtRates(corpus: DataFrame, rates: DataFrame,
+                           hashIndex: Int, keyPrefix: String,
+                           carry: Seq[Column]): DataFrame = {
+    import Dedup.ReplayableHash.{a, b, P}
+    val s = graft.functions.VectorFunctions.poly_hash(
+      concat(lit(keyPrefix), col("doc_id").cast("string")))
+    corpus
+      .withColumn("bucket",
+        (lit(a(hashIndex)) * s + lit(b(hashIndex))) % lit(P) % lit(10000L))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("bucket") < col("rate_myriad"))
+      .select(Seq(col("doc_id"), col("lang")) ++ carry ++
+        Seq(col("rate_myriad"), col("bucket")): _*)
+  }
 
   /** Shared q48/q48b rate derivation from per-language weights
     * (`(lang, c)` — doc counts for q48, token totals for q48b):
@@ -703,15 +708,24 @@ object TextOps {
     */
   def segmentDedup(documents: DataFrame, segWords: Int = 8): DataFrame = {
     require(segWords > 0, "segWords must be positive")
+    // materialize the word array BEFORE the transform lambda — a
+    // column captured by a higher-order function re-evaluates per
+    // element (§8's q27 lesson: the normText regex chain would run
+    // once per SEGMENT, not once per doc)
     val norm = normText(col("text"))
-    val words = split(norm, " ")
-    val segments = when(col("text").isNull, lit(null))
-      .otherwise(when(length(norm) === 0, array())
+    val prepared = documents.select(
+      col("doc_id"), col("text").isNull.as("was_null"),
+      when(col("text").isNull, lit(null))
+        .otherwise(when(length(norm) === 0, array())
+          .otherwise(split(norm, " "))).as("ws"))
+    val ws = col("ws")
+    val segments = when(ws.isNull, lit(null))
+      .otherwise(when(size(ws) === 0, array())
         .otherwise(transform(
-          sequence(lit(0), ((size(words) - 1) / segWords).cast("int")),
-          i => array_join(slice(words, i * segWords + 1, lit(segWords)), " "))))
-    val segs = documents
-      .select(col("doc_id"), col("text").isNull.as("was_null"),
+          sequence(lit(0), ((size(ws) - 1) / segWords).cast("int")),
+          i => array_join(slice(ws, i * segWords + 1, lit(segWords)), " "))))
+    val segs = prepared
+      .select(col("doc_id"), col("was_null"),
         posexplode_outer(segments).as(Seq("seg_idx", "seg")))
       .withColumn("h", md5(col("seg")))
       .localCheckpoint(true)

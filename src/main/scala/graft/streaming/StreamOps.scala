@@ -1036,14 +1036,6 @@ object StreamOps {
                           n_dup_segments: Option[Long],
                           clean_text: Option[String])
 
-  private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
-  }
-
   /** s20: STREAMING segment-level dedup — q52 as an online ingest
     * cleaner: every arriving document's fixed-width segments are
     * checked against every segment ever admitted, boilerplate already
@@ -1086,7 +1078,7 @@ object StreamOps {
           Iterator.single(SegArrival("m:" + id, id, -2, "", -2))
         else toks.grouped(segWords).zipWithIndex.map { case (ws, i) =>
           val seg = ws.mkString(" ")
-          SegArrival(md5Hex(seg), id, i, seg, 0)
+          SegArrival(graft.functions.Md5.hex(seg), id, i, seg, 0)
         }
       }
     }
