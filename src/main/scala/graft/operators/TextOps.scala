@@ -689,18 +689,22 @@ object TextOps {
     * A segment repeated only WITHIN one document stays (that is
     * q39's repetition signal, not cross-doc boilerplate).
     *
-    * Scale shape: one corpus scan explodes to the segment frame
-    * (doc_id, seg_idx, seg), localCheckpoint'd because it feeds TWO
-    * consumers (the dup-count aggregate and the reassembly join — the
-    * q40 lesson; the final plan has zero parquet scans). Dup decision
-    * is one hash-partitioned aggregate keyed by md5(seg) (fixed-width
-    * 32-char key, never the segment text — q20's key discipline) with
-    * map-side partials; the dup set joins back as an equi-join (AQE
-    * broadcasts it when small — boilerplate dup sets usually are);
-    * reassembly is one groupBy(doc_id) whose per-group state is
-    * bounded by a single document's segments. No window over the
-    * corpus, no global sort; `array_sort` on (seg_idx, seg) structs
-    * makes the collect_list order-insensitive and retry-deterministic.
+    * Scale shape — SEGMENT TEXT NEVER SHUFFLES OR MATERIALIZES:
+    * scan A explodes to a NARROW (doc_id, seg_idx, md5) frame — the
+    * text is dropped before any exchange (q20's fixed-width-key
+    * discipline) — localCheckpoint'd because it feeds two consumers
+    * (the dup-count aggregate and the dropped-index join; the q40
+    * lesson, and like q40's tf frame it is narrow: ~44 B/row, NOT the
+    * corpus). The dup decision and the per-doc dropped-index sets are
+    * narrow-frame shuffles; clean_text is then rebuilt PER ROW from a
+    * second parquet scan (scan B) left-joined with the dropped sets —
+    * one corpus-text exchange total, no corpus-sized executor
+    * storage. (A first draft checkpointed the exploded SEGMENT-TEXT
+    * frame and reassembled through collect_list: one scan, but a
+    * corpus-sized checkpoint plus TWO corpus-text shuffles — at
+    * 100 TB a second parquet scan is throughput-cheap, executor
+    * storage is the constraint.) No window over the corpus, no
+    * global sort, no per-group text buffering.
     *
     * Output: (doc_id, n_segments, n_dup_segments, clean_text) — NULL
     * text passes through as NULL counts/text (the q51 convention),
@@ -713,8 +717,8 @@ object TextOps {
     // element (§8's q27 lesson: the normText regex chain would run
     // once per SEGMENT, not once per doc)
     val norm = normText(col("text"))
-    val prepared = documents.select(
-      col("doc_id"), col("text").isNull.as("was_null"),
+    def withWords(df: DataFrame): DataFrame = df.select(
+      col("doc_id"),
       when(col("text").isNull, lit(null))
         .otherwise(when(length(norm) === 0, array())
           .otherwise(split(norm, " "))).as("ws"))
@@ -724,33 +728,40 @@ object TextOps {
         .otherwise(transform(
           sequence(lit(0), ((size(ws) - 1) / segWords).cast("int")),
           i => array_join(slice(ws, i * segWords + 1, lit(segWords)), " "))))
-    val segs = prepared
-      .select(col("doc_id"), col("was_null"),
-        posexplode_outer(segments).as(Seq("seg_idx", "seg")))
-      .withColumn("h", md5(col("seg")))
+    // scan A → narrow hash frame (nullable/blank docs carry no segments)
+    val segsNarrow = withWords(documents)
+      .select(col("doc_id"), posexplode(segments).as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx"), md5(col("seg")).as("h"))
       .localCheckpoint(true)
-    val dupH = segs
-      .filter(col("seg").isNotNull)
+    val dupH = segsNarrow
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
-      .select(col("h"), lit(true).as("dup"))
-    segs
-      .join(dupH, Seq("h"), "left")
+      .select(col("h"))
+    // per-doc dropped segment indices — only docs that lose something
+    val dropped = segsNarrow
+      .join(dupH, Seq("h"))
       .groupBy(col("doc_id"))
-      .agg(
-        max(col("was_null")).as("was_null"),
-        count(col("seg")).as("n_seg"),
-        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"),
-        array_join(
-          transform(
-            array_sort(collect_list(when(col("seg").isNotNull && col("dup").isNull,
-              struct(col("seg_idx"), col("seg"))))),
-            s => s.getField("seg")),
-          " ").as("ct"))
+      .agg(sort_array(collect_list(col("seg_idx"))).as("drop_idx"))
+    // scan B → per-row reassembly; the corpus text crosses ONE
+    // exchange (the doc_id join; AQE broadcasts `dropped` when the
+    // boilerplate set is small)
+    withWords(documents)
+      .join(dropped, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("was_null"), lit(null)).otherwise(col("n_seg")).as("n_segments"),
-        when(col("was_null"), lit(null)).otherwise(col("n_dup")).as("n_dup_segments"),
-        when(col("was_null"), lit(null)).otherwise(col("ct")).as("clean_text"))
+        when(ws.isNull, lit(null)).otherwise(
+          when(size(ws) === 0, lit(0L))
+            .otherwise(((size(ws) - 1) / segWords).cast("long") + 1L))
+          .as("n_segments"),
+        when(ws.isNull, lit(null))
+          .otherwise(coalesce(size(col("drop_idx")).cast("long"), lit(0L)))
+          .as("n_dup_segments"),
+        when(ws.isNull, lit(null)).otherwise(
+          array_join(
+            filter(segments, (s, i) =>
+              not(array_contains(coalesce(col("drop_idx"),
+                array().cast("array<int>")), i))),
+            " "))
+          .as("clean_text"))
   }
 }

@@ -273,18 +273,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
-  test("q52 segment dedup: segment frame materializes once, no window, no BNLJ") {
+  test("q52 segment dedup: narrow hash frame checkpointed, text crosses one scan + one join") {
     val df = graft.operators.TextOps.segmentDedup(Tables.documents(spark, sfDir))
     val s = finalPlanStr(df)
-    // the exploded segment frame feeds the dup aggregate AND the
-    // reassembly join — checkpoint once, zero parquet re-scans
+    // the NARROW (doc_id, seg_idx, md5) frame is checkpointed once and
+    // feeds both the dup aggregate and the dropped-index join; the
+    // corpus TEXT appears only in scan B's per-row reassembly — the
+    // final plan has exactly ONE parquet scan and the checkpoint RDD
     val scans = "FileScan parquet".r.findAllIn(s).length
-    assert(scans == 0, s"scans=$scans\n$s")
+    assert(scans == 1, s"scans=$scans\n$s")
     assert(s.contains("Scan ExistingRDD"), s)
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
-    // reassembly is a hash aggregate over array_sort'd collect_list,
-    // never a corpus-wide window sort
+    // reassembly is per-row lambda work after the dropped-index join,
+    // never a corpus-wide window sort or a collect_list of text
     assert(!s.contains("Window"), s)
+    assert(!s.contains("collect_list(seg,"), s)
   }
 
   test("q49 fuzzy decontamination: bench side broadcasts, candidate join is equi") {
