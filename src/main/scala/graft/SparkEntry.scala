@@ -163,6 +163,15 @@ object SparkEntry {
     }),
     "q52_segment_dedup" -> ((s, d) =>
       TextOps.segmentDedup(Tables.documents(s, d), segWords = 8)),
+    // the end-to-end curation chain; %97 split = q38's benchmark
+    "q53_curate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      graft.operators.Pipeline.curate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000))
+    }),
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
@@ -1240,6 +1249,131 @@ object SparkEntry {
                 CASE WHEN doc.text IS NULL THEN NULL ELSE coalesce(p.n_dup, 0) END AS n_dup_segments,
                 CASE WHEN doc.text IS NULL THEN NULL ELSE coalesce(p.ct, '') END AS clean_text
          FROM documents doc LEFT JOIN per_doc p ON p.doc_id = doc.doc_id""",
+    // q53: the whole curation chain as ONE CTE pipeline — q20's
+    // canonical pick, q52's segment strip, q38's shingle overlap,
+    // q51's tokenizer (trained on the CURATED corpus via
+    // tokenizerCtesOn), q48b's rate solve + admission, q47's packing
+    // arithmetic — each block verbatim from its stage's oracle, so
+    // the compare pins the stage ORDER as well as the semantics.
+    "q53_curate" ->
+      s"""WITH RECURSIVE
+         corpus0 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0),
+         bench0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         canon AS (
+           SELECT c.doc_id, c.lang, c.text FROM corpus0 c
+           JOIN (SELECT min(doc_id) AS k FROM corpus0
+                 GROUP BY md5(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+', ' ', 'g'))) g
+             ON g.k = c.doc_id),
+         p_segs AS (
+           SELECT doc_id, i AS seg_idx,
+                  array_to_string(ws[i*8+1 : (i+1)*8], ' ') AS seg
+           FROM (
+             SELECT doc_id,
+                    regexp_split_to_array(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+', ' ', 'g'), ' ') AS ws,
+                    unnest(generate_series(0,
+                      CAST((len(regexp_split_to_array(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+', ' ', 'g'), ' ')) - 1) // 8 AS INT))) AS i
+             FROM canon
+             WHERE text IS NOT NULL
+               AND length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) > 0)),
+         p_dups AS (
+           SELECT md5(seg) AS h FROM p_segs
+           GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+         p_per AS (
+           SELECT s.doc_id,
+                  coalesce(string_agg(CASE WHEN d.h IS NULL THEN s.seg END, ' ' ORDER BY s.seg_idx), '') AS ct
+           FROM p_segs s LEFT JOIN p_dups d ON d.h = md5(s.seg)
+           GROUP BY 1),
+         cleaned AS (
+           SELECT c.doc_id, c.lang,
+                  CASE WHEN c.text IS NULL THEN NULL ELSE coalesce(p.ct, '') END AS text
+           FROM canon c LEFT JOIN p_per p USING (doc_id)),
+         p_ctoks AS (
+           SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS toks
+           FROM cleaned),
+         p_btoks AS (
+           SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS toks
+           FROM bench0),
+         p_csh AS (
+           SELECT DISTINCT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(sh)+1),
+                      i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 3, 1) + 1),
+                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS sh
+                 FROM p_ctoks) x),
+         p_bsh AS (
+           SELECT DISTINCT
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(sh)+1),
+                      i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 3, 1) + 1),
+                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS sh
+                 FROM p_btoks) x),
+         p_ov AS (
+           SELECT doc_id, count(*) AS n_ov
+           FROM p_csh JOIN p_bsh USING (s) GROUP BY 1),
+         decon AS (
+           SELECT c.doc_id, c.lang, c.text FROM cleaned c
+           LEFT JOIN p_ov USING (doc_id)
+           WHERE COALESCE(p_ov.n_ov, 0) = 0),
+         ${tokenizerCtesOn("decon")},
+         tok_counts AS (
+           SELECT t.lang, t.t_myriad, COALESCE(g.c, 0) AS c
+           FROM (VALUES ('de', 2000), ('en', 2000), ('es', 2000),
+                        ('fr', 2000), ('zh', 2000)) t(lang, t_myriad)
+           LEFT JOIN (SELECT d.lang, CAST(sum(dc.nt) AS BIGINT) AS c
+                      FROM decon d JOIN doc_counts dc ON dc.doc_id = d.doc_id
+                      GROUP BY d.lang) g USING (lang)),
+         tok_feas AS (SELECT MIN(c * 10000 // t_myriad) AS t_total FROM tok_counts),
+         tok_rates AS (
+           SELECT lang, CASE WHEN c = 0 THEN CAST(0 AS BIGINT)
+                        ELSE (t_total * t_myriad // 10000) * 10000 // c END AS rate_myriad
+           FROM tok_counts, tok_feas),
+         admitted AS (
+           SELECT b.doc_id, b.n_tok
+           FROM (
+             SELECT t.doc_id, t.lang, dc.nt AS n_tok,
+               ((((CAST(1103515245 AS BIGINT)*429 + 12345) % 2147483648) *
+                 (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(k)+1),
+                      i -> CAST(unicode(substring(k, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007))
+                 + ((CAST(1103515245 AS BIGINT)*430 + 12345) % 2147483648)) % 2147483647) % 10000 AS bucket
+             FROM (SELECT doc_id, lang, concat('mixtok:', CAST(doc_id AS VARCHAR)) AS k
+                   FROM decon) t
+             JOIN doc_counts dc ON dc.doc_id = t.doc_id) b
+           JOIN tok_rates r USING (lang)
+           WHERE b.bucket < r.rate_myriad),
+         p_base AS (
+           SELECT t.doc_id,
+             ((((CAST(1103515245 AS BIGINT)*425 + 12345) % 2147483648) *
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, length(k)+1),
+                    i -> CAST(unicode(substring(k, CAST(i AS INT), 1)) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 1000000007))
+               + ((CAST(1103515245 AS BIGINT)*426 + 12345) % 2147483648)) % 2147483647) AS h,
+             t.n_tok
+           FROM (SELECT doc_id, n_tok, concat('pack:', CAST(doc_id AS VARCHAR)) AS k
+                 FROM admitted) t),
+         p_offs AS (
+           SELECT h % 8 AS shard, doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+           FROM p_base WHERE n_tok > 0),
+         p_chunks AS (
+           SELECT shard, doc_id, n_tok, off,
+             unnest(generate_series(off // 512, (off + n_tok - 1) // 512)) AS chunk
+           FROM p_offs)
+         SELECT shard, chunk, doc_id,
+                GREATEST(CAST(0 AS BIGINT), chunk*512 - off) AS tok_start,
+                LEAST(n_tok, (chunk+1)*512 - off)
+                  - GREATEST(CAST(0 AS BIGINT), chunk*512 - off) AS n_toks
+         FROM p_chunks""",
   )
 
   /** The q51 oracle machinery, shared by q51/q47b/q48b: rebuild the
@@ -1261,11 +1395,17 @@ object SparkEntry {
     * past len finds no join partner. t and f increase monotonically
     * along the chain, so max() recovers the terminal state.
     */
-  private val tokenizerCtes: String =
-    """words0 AS (
+  private val tokenizerCtes: String = tokenizerCtesOn("documents")
+
+  /** The same CTE chain trained on an arbitrary base relation —
+    * q53's pipeline trains the vocab on the CURATED corpus, not the
+    * raw table.
+    */
+  private def tokenizerCtesOn(base: String): String =
+    s"""words0 AS (
          SELECT doc_id,
-                unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS w
-         FROM documents),
+                unnest(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS w
+         FROM $base),
        vocab AS (
          SELECT substr(w, i, n) AS gram, count(*) AS cnt
          FROM (SELECT w, n, unnest(generate_series(1, length(w) - n + 1)) AS i

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** q53: the end-to-end curation pipeline — the stage chain a real
+  * training-data run executes, composed from the library's own
+  * operators so a user gets the whole corpus→sequences path in one
+  * call (the reference's topology is likewise a composition,
+  * streams/src/main/java/dev/buesing/ksd/streams/Streams.java:99-169 —
+  * rekey → join → explode → enrich → reassemble; this is that idea at
+  * training-data scale):
+  *
+  *   1. exact dedup (q20): canonical doc per normalized-text group;
+  *   2. segment dedup (q52): cross-document boilerplate stripped,
+  *      cleaned text REPLACES the original downstream;
+  *   3. decontamination (q38): docs sharing any `shingleN`-gram with
+  *      the benchmark dropped — on the CLEANED text (boilerplate
+  *      removed first means boilerplate alone cannot shield or cause
+  *      a contamination hit);
+  *   4. tokenizer-budget mixture (q51 + q48b): the subword vocab
+  *      trains on the CURATED corpus (not the raw one — tokenizer
+  *      training after cleaning is the production order), per-language
+  *      token budgets solved and admitted by the replayable hash rule;
+  *   5. sequence packing (q47b): admitted docs packed into
+  *      fixed-capacity chunks on their REAL token counts.
+  *
+  * Output: q47's span schema (shard, chunk, doc_id, tok_start,
+  * n_toks). Every stage is individually oracle-exact and the whole
+  * chain replays in DuckDB as one CTE pipeline — the composition is
+  * itself hash-checked against the oracle, which pins the stage
+  * ORDER, not just each stage's semantics.
+  *
+  * Scale: the stages share no state beyond the flowing frame; the
+  * chain is exactly as distributed as its parts (q20 one hash
+  * exchange; q52 narrow-hash + one text exchange; q38 a broadcast of
+  * the benchmark shingle set; q48b one tiny rate aggregate over the
+  * checkpointed token frame; q47 shard-local windows — no global
+  * sort anywhere). The only driver-side materialization is the
+  * tokenizer vocab (≤ m short strings, q51's documented collect).
+  */
+object Pipeline {
+
+  def curate(documents: DataFrame, benchmark: DataFrame,
+             targetMyriad: Map[String, Int],
+             segWords: Int = 8, shingleN: Int = 4,
+             vocabM: Int = 64, maxN: Int = 4,
+             capacity: Int = 512, shards: Int = 8): DataFrame = {
+    // 1. exact dedup — survivors keep their original text and lang
+    val canon = TextOps.dedupExact(documents).select("doc_id")
+      .join(documents, "doc_id")
+    // 2. segment dedup — cleaned text replaces the original
+    val cleaned = TextOps.segmentDedup(canon, segWords)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(canon.select("doc_id", "lang"), "doc_id")
+    // 3. decontamination against the (raw) benchmark
+    val decon = TextOps.decontaminate(cleaned, benchmark, shingleN)
+      .filter(col("contaminated") === 0).select("doc_id")
+      .join(cleaned, "doc_id")
+    // 4. vocab trained on the curated corpus; token-budget admission
+    val vocab = TextOps.tokenizerVocabSeq(decon, vocabM, maxN)
+    val admitted = TextOps.mixtureSolveTokenized(decon, targetMyriad, vocab, maxN)
+    // 5. pack the admitted docs on their tokenizer counts
+    TextOps.packCore(
+      admitted.select(col("doc_id"), col("n_tokens").as("n_tok")),
+      capacity, shards)
+  }
+}

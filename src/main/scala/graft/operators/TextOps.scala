@@ -437,7 +437,7 @@ object TextOps {
     packCore(tokenStatsWith(documents, vocab, maxN)
       .select(col("doc_id"), col("n_tokens").as("n_tok")), capacity, shards)
 
-  private def packCore(docTokens: DataFrame, capacity: Int,
+  private[graft] def packCore(docTokens: DataFrame, capacity: Int,
                        shards: Int): DataFrame = {
     require(capacity >= 1 && shards >= 1)
     import Dedup.ReplayableHash.{a, b, P}

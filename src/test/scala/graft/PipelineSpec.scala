@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** q53 end-to-end curation pipeline: the value gate is the driver's
+  * DuckDB compare of the whole CTE chain; these pin the stage
+  * CONTRACTS — what flows, what drops, and that the composition
+  * conserves tokens — independent of engine.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.operators.{Pipeline, TextOps}
+  import graft.sources.Tables
+
+  private val target = Map("en" -> 2000, "es" -> 2000, "de" -> 2000,
+    "fr" -> 2000, "zh" -> 2000)
+
+  test("q53 curate: subset chain, token conservation, chunk shape, determinism") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val out = Pipeline.curate(corpus, bench, target)
+    out.persist()
+    try {
+      // stage recomputation for the invariants
+      val canon = TextOps.dedupExact(corpus).select("doc_id").join(corpus, "doc_id")
+      val cleaned = TextOps.segmentDedup(canon)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(canon.select("doc_id", "lang"), "doc_id")
+      val decon = TextOps.decontaminate(cleaned, bench)
+        .filter(col("contaminated") === 0).select("doc_id").join(cleaned, "doc_id")
+      val vocab = TextOps.tokenizerVocabSeq(decon, m = 64, maxN = 4)
+      val admitted = TextOps.mixtureSolveTokenized(decon, target, vocab)
+
+      // the packed docs are exactly the admitted docs (packCore drops
+      // nothing: every admitted doc has n_tokens > 0 by construction)
+      val packedIds = out.select("doc_id").distinct()
+      assert(packedIds.count() == admitted.count())
+      assert(packedIds.join(admitted, "doc_id").count() == admitted.count())
+      // ...which are a subset of the decontaminated, canonical corpus
+      assert(admitted.join(decon, "doc_id").count() == admitted.count())
+      assert(decon.count() <= canon.count() && canon.count() <= corpus.count())
+      // stages that bite on the real corpus (no exact text dups exist
+      // at this SF — q20's bite is covered by the planted test below)
+      assert(cleaned.join(corpus.withColumnRenamed("text", "raw"), "doc_id")
+        .filter(col("text") =!= col("raw")).count() > 0, "q52 stage vacuous")
+      assert(decon.count() < cleaned.count(), "q38 stage vacuous")
+      assert(admitted.count() < decon.count(), "mixture stage vacuous")
+
+      // token conservation: each doc's packed spans sum to its
+      // admitted token count
+      val spanSum = out.groupBy("doc_id").agg(sum("n_toks").as("packed"))
+      assert(spanSum.join(admitted, "doc_id")
+        .filter(col("packed") =!= col("n_tokens")).count() == 0)
+      // chunk shape: within a shard every chunk except the last holds
+      // exactly `capacity` tokens
+      val byChunk = out.groupBy("shard", "chunk").agg(sum("n_toks").as("t"))
+      val lastChunk = byChunk.groupBy("shard").agg(max("chunk").as("last"))
+      assert(byChunk.join(lastChunk, "shard")
+        .filter(col("chunk") =!= col("last") && col("t") =!= 512).count() == 0)
+
+      // deterministic under repartitioning
+      val again = Pipeline.curate(corpus.repartition(13), bench, target)
+      val a = out.collect().map(_.toString).sorted
+      val b = again.collect().map(_.toString).sorted
+      assert(a.toSeq == b.toSeq)
+    } finally out.unpersist()
+  }
+
+  test("q53 curate: planted duplicates and contamination drop; clean docs survive") {
+    import spark.implicits._
+    val uniq = (i: Int) => (0 until 24).map(j => s"w${i}_$j").mkString(" ")
+    val benchRows = Seq((9001L, "en", uniq(900)), (9002L, "en", uniq(901)))
+    val corpusRows = Seq(
+      (1L, "en", uniq(1)),
+      (2L, "en", uniq(1)),        // exact dup of 1 -> q20 keeps only doc 1
+      (3L, "en", uniq(900)),      // copies a benchmark doc -> q38 drops
+      (4L, "en", uniq(4)),
+      (5L, "es", uniq(5)), (6L, "de", uniq(6)),
+      (7L, "fr", uniq(7)), (8L, "zh", uniq(8)))
+    val out = Pipeline.curate(corpusRows.toDF("doc_id", "lang", "text"),
+      benchRows.toDF("doc_id", "lang", "text").select("doc_id", "text"),
+      target, capacity = 64)
+    val ids = out.select("doc_id").distinct().as[Long].collect().toSet
+    assert(!ids.contains(2L), "exact dup of an earlier doc must not pack")
+    assert(!ids.contains(3L), "benchmark copy must not pack")
+    // the scarcest languages bind the mixture at rate ~10000, so the
+    // singleton-language docs survive admission
+    assert(Set(5L, 6L, 7L, 8L).subsetOf(ids), s"got $ids")
+  }
+}

@@ -290,6 +290,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("collect_list(seg,"), s)
   }
 
+  test("q53 curate: the composed chain plans no cartesian, no BNLJ, no corpus window") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val df = graft.operators.Pipeline.curate(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000))
+    val s = finalPlanStr(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // no global sort anywhere in the chain (q47's cumsum windows are
+    // shard-partitioned; the rate solve's single-partition window is
+    // over the L-row rates frame, not a sort)
+    assert(!s.contains("rangepartitioning"), s)
+  }
+
   test("q49 fuzzy decontamination: bench side broadcasts, candidate join is equi") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir)
