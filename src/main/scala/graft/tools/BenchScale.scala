@@ -70,7 +70,8 @@ object BenchScale {
     "q51_tokenize",
     "q47b_pack_tokenized",
     "q48b_mixture_tokenized",
-    "q52_segment_dedup")
+    "q52_segment_dedup",
+    "q53_curate")
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")

@@ -60,11 +60,13 @@ class PipelineSpec extends AnyFunSuite {
       assert(byChunk.join(lastChunk, "shard")
         .filter(col("chunk") =!= col("last") && col("t") =!= 512).count() == 0)
 
-      // deterministic under repartitioning
+      // deterministic under repartitioning; the materialization knob
+      // changes execution, never values
       val again = Pipeline.curate(corpus.repartition(13), bench, target)
+      val mat = Pipeline.curate(corpus, bench, target, materializeStages = true)
       val a = out.collect().map(_.toString).sorted
-      val b = again.collect().map(_.toString).sorted
-      assert(a.toSeq == b.toSeq)
+      assert(a.toSeq == again.collect().map(_.toString).sorted.toSeq)
+      assert(a.toSeq == mat.collect().map(_.toString).sorted.toSeq)
     } finally out.unpersist()
   }
 
