@@ -609,6 +609,23 @@ object TextOps {
       Seq(col("n_tokens")))
   }
 
+  /** The q48b rate table as a driver-side map — the configuration a
+    * STREAMING admission gate (s21) needs: rates are solved offline
+    * from a corpus snapshot, then applied per-arrival. L rows, one
+    * per target language — a documented bounded collect (the same
+    * class as the tokenizer vocab).
+    */
+  def tokenMixtureRates(documents: DataFrame, targetMyriad: Map[String, Int],
+                        vocab: Seq[String], maxN: Int = 4): Map[String, Long] = {
+    requireMixture(targetMyriad)
+    val toks = tokenStatsWith(documents, vocab, maxN)
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+      .filter(col("n_tokens") > 0)
+    solveRates(targetMyriad,
+      toks.groupBy(col("lang")).agg(sum(col("n_tokens")).as("c")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   private def requireMixture(targetMyriad: Map[String, Int]): Unit =
     require(targetMyriad.nonEmpty &&
       targetMyriad.values.forall(t => t > 0 && t <= 10000) &&

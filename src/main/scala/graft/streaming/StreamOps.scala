@@ -912,13 +912,27 @@ object StreamOps {
   def streamPackSequences(docs: Dataset[(Long, String)], capacity: Int = 2048,
                           shards: Int = 32): Dataset[PackedSpan] = {
     import docs.sparkSession.implicits._
-    import graft.operators.Dedup.ReplayableHash.{a, b, P}
     require(capacity >= 1 && shards >= 1)
-    val routed = docs.map { case (id, text) =>
-      val s = graft.functions.PolyHashExpr.hash("pack:" + id)
-      val h = (a(212) * s + b(212)) % P
-      RoutedDoc((h % shards).toInt, h, id, normTokens(text).length.toLong)
-    }.filter(_.n_tok > 0)
+    packRouted(docs.map { case (id, text) =>
+      routeDoc(id, normTokens(text).length.toLong, shards)
+    }.filter(_.n_tok > 0), capacity)
+  }
+
+  /** Batch q47's shard routing for one doc (index-212 hash). */
+  private[streaming] def routeDoc(id: Long, nTok: Long, shards: Int): RoutedDoc = {
+    import graft.operators.Dedup.ReplayableHash.{a, b, P}
+    val s = graft.functions.PolyHashExpr.hash("pack:" + id)
+    val h = (a(212) * s + b(212)) % P
+    RoutedDoc((h % shards).toInt, h, id, nTok)
+  }
+
+  /** The s17 state machine over an already-routed doc stream — shared
+    * with s21, whose token counts come from the tokenizer rather than
+    * whitespace.
+    */
+  private def packRouted(routed: Dataset[RoutedDoc],
+                         capacity: Int): Dataset[PackedSpan] = {
+    import routed.sparkSession.implicits._
     routed.groupByKey(_.shard)
       .flatMapGroupsWithState[Long, PackedSpan](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -1114,6 +1128,119 @@ object StreamOps {
                 Some(kept.mkString(" "))))
           }
       }
+  }
+
+  /** One arriving document for s21: id, language, text. */
+  case class CurDoc(doc_id: Long, lang: String, text: String)
+
+  /** s21 intermediate: one segment verdict with the doc's language
+    * carried through to reassembly.
+    */
+  case class CurSegV(doc_id: Long, lang: String, seg_idx: Int,
+                     seg: String, dup: Boolean)
+
+  /** s21: the STREAMING curation pipeline — q53's stage chain running
+    * continuously on arriving documents, the full ingest path a live
+    * training-data service operates: exact dedup → segment strip →
+    * decontamination → tokenize → admit → pack, each doc flowing the
+    * whole chain in its arrival batch.
+    *
+    * Contracts, each inherited from the stage's own streaming twin:
+    *  - exact dedup and segment dedup are KEEP-FIRST (s20's argument:
+    *    an online cleaner cannot retract what it already emitted);
+    *    within a batch the smallest doc_id claims (sorted fold);
+    *  - the benchmark shingle set is FROZEN (s13's broadcast
+    *    assumption) and the VOCAB and per-language ADMISSION RATES
+    *    are given — solved OFFLINE from a corpus snapshot
+    *    (TextOps.tokenizerVocabSeq / tokenMixtureRates): a stream
+    *    cannot train its tokenizer or solve a global mixture on data
+    *    it has not seen (batch q53 derives both from its own curated
+    *    corpus — the documented divergence);
+    *  - packing is PACK-ON-ARRIVAL with chunk boundaries carried
+    *    across batches (s17's contract).
+    *
+    * On a single batch whose canonical docs share no cross-doc
+    * segments, with vocab/rates taken from batch q53's own derivation,
+    * the emitted spans are ROW-EXACT equal to batch q53 (asserted).
+    *
+    * Scale: three stateful stages (dedup owners: one Long per distinct
+    * normalized doc; segment owners: one Long per distinct segment —
+    * the s20 state; pack offsets: one Long per shard) plus a stateless
+    * decontaminate/tokenize/admit mapper; null/blank docs drop at the
+    * door (they can never pack — batch q53 likewise never packs them).
+    */
+  def streamCurate(docs: Dataset[CurDoc], benchShingles: Set[Long],
+                   vocab: Seq[String], ratesMyriad: Map[String, Long],
+                   segWords: Int = 8, shingleN: Int = 4, maxN: Int = 4,
+                   capacity: Int = 512, shards: Int = 8): Dataset[PackedSpan] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup.ReplayableHash.{a, b, P}
+    require(segWords > 0 && capacity >= 1 && shards >= 1)
+    val sc = docs.sparkSession.sparkContext
+    val bcBench = sc.broadcast(benchShingles)
+    val bcVocab = sc.broadcast {
+      val hs = new java.util.HashSet[String]()
+      vocab.foreach(hs.add); hs
+    }
+
+    // 1. exact dedup, keep-first, keyed by md5 of the normalized text
+    val canon = docs
+      .filter(d => d.text != null && normTokens(d.text).nonEmpty)
+      .groupByKey(d => graft.functions.Md5.hex(normTokens(d.text).mkString(" ")))
+      .flatMapGroupsWithState[Long, CurDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[CurDoc], state: GroupState[Long]) =>
+          val rs = rows.toSeq.sortBy(_.doc_id)
+          val owner = state.getOption.getOrElse(rs.head.doc_id)
+          if (!state.exists) state.update(owner)
+          rs.iterator.filter(_.doc_id == owner)
+      }
+
+    // 2. segment verdicts, keep-first, keyed by segment md5 (s20 fold)
+    val verdicts = canon.flatMap { d =>
+      normTokens(d.text).grouped(segWords).zipWithIndex.map { case (ws, i) =>
+        val seg = ws.mkString(" ")
+        (graft.functions.Md5.hex(seg), CurSegV(d.doc_id, d.lang, i, seg, dup = false))
+      }
+    }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, CurSegV](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, CurSegV)], state: GroupState[Long]) =>
+          val rs = rows.map(_._2).toSeq.sortBy(r => (r.doc_id, r.seg_idx))
+          val owner = state.getOption.getOrElse(rs.head.doc_id)
+          if (!state.exists) state.update(owner)
+          rs.iterator.map(r => r.copy(dup = r.doc_id != owner))
+      }
+
+    // 3. reassemble per doc, then the stateless tail of the chain:
+    // decontaminate (frozen benchmark) → tokenize (given vocab) →
+    // admit (given rates, index-214 hash) → route to a pack shard
+    val routed = verdicts.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Byte, RoutedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (doc: Long, rows: Iterator[CurSegV], _: GroupState[Byte]) =>
+          val rs = rows.toList
+          val lang = rs.head.lang
+          val clean = rs.filter(!_.dup).sortBy(_.seg_idx).map(_.seg).mkString(" ")
+          val shs = wordShingleHashes(clean, shingleN)
+          if (shs.exists(bcBench.value.contains)) Iterator.empty
+          else {
+            val (nTok, _) = graft.functions.GreedyTokenStatsExpr
+              .walk(clean.toLowerCase, bcVocab.value, maxN)
+            if (nTok <= 0L) Iterator.empty
+            else {
+              val s = graft.functions.PolyHashExpr.hash("mixtok:" + doc)
+              val bucket = ((a(214) * s + b(214)) % P) % 10000L
+              if (bucket < ratesMyriad.getOrElse(lang, 0L))
+                Iterator.single(routeDoc(doc, nTok, shards))
+              else Iterator.empty
+            }
+          }
+      }
+
+    // 4. continuous packing — the s17 state machine
+    packRouted(routed, capacity)
   }
 }
 

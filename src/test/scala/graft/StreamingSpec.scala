@@ -1353,6 +1353,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.map(_._3.get).sum < batch.values.map(_._3.get).sum)
   }
 
+  test("s21 streaming curation: single batch row-exact vs q53; keep-first + continuity across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Pipeline, TextOps}
+    val target = Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000)
+    val cap = 64
+    // lowercase single-spaced texts: q52's normalized reassembly is
+    // then the identity, so cleaned == original for the clean docs
+    val uniq = (i: Int) => (0 until 24).map(j => s"w${i}_$j").mkString(" ")
+    val corpusRows = Seq(
+      StreamOps.CurDoc(1L, "en", uniq(1)),
+      StreamOps.CurDoc(2L, "en", uniq(1)),   // exact dup of 1: drops
+      StreamOps.CurDoc(3L, "en", uniq(900)), // benchmark copy: drops
+      StreamOps.CurDoc(4L, "en", uniq(4)),
+      StreamOps.CurDoc(5L, "es", uniq(5)),
+      StreamOps.CurDoc(6L, "de", uniq(6)),
+      StreamOps.CurDoc(7L, "fr", uniq(7)),
+      StreamOps.CurDoc(8L, "zh", uniq(8)),
+      StreamOps.CurDoc(9L, "en", null))      // null: dropped at the door
+    val benchRows = Seq((9001L, uniq(900)), (9002L, uniq(901)))
+    val corpusDF = corpusRows.map(d => (d.doc_id, d.lang, d.text)).toDF("doc_id", "lang", "text")
+    val benchDF = benchRows.toDF("doc_id", "text")
+
+    type Span = (Long, Long, Long, Long, Long)
+    val batchSpans: Set[Span] = Pipeline.curate(corpusDF, benchDF, target, capacity = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+    // the stream's offline-solved config, derived exactly as batch
+    // q53 derives it (its decon set here = docs 1,4,5,6,7,8 verbatim)
+    val deconDF = corpusDF.filter(col("doc_id").isin(1L, 4L, 5L, 6L, 7L, 8L))
+    val vocab = TextOps.tokenizerVocabSeq(deconDF, m = 64, maxN = 4)
+    val rates = TextOps.tokenMixtureRates(deconDF, target, vocab)
+    val benchShingles = StreamOps.benchmarkShingleSet(benchDF, shingleN = 4)
+
+    def drive(batches: Seq[Seq[StreamOps.CurDoc]]): Seq[Set[Span]] = {
+      val source = MemoryStream[StreamOps.CurDoc]
+      val perBatch = collection.mutable.ArrayBuffer.empty[Set[Span]]
+      val q = StreamOps.streamCurate(source.toDS(), benchShingles, vocab, rates,
+        capacity = cap)
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.PackedSpan], _: Long) =>
+          val rows = b.collect()
+            .map(s => (s.shard, s.chunk, s.doc_id, s.tok_start, s.n_toks)).toSet
+          if (rows.nonEmpty) perBatch.synchronized { perBatch += rows }
+          ()
+        }.start()
+      try batches.foreach { batch =>
+        source.addData(batch: _*); q.processAllAvailable()
+      } finally q.stop()
+      perBatch.toSeq
+    }
+
+    // one batch = the whole corpus: row-exact against batch q53
+    assert(drive(Seq(corpusRows)) == Seq(batchSpans))
+    assert(batchSpans.nonEmpty)
+
+    // across batches: a later duplicate emits nothing (keep-first);
+    // new docs keep packing with chunk continuity (spans well-formed)
+    val got = drive(Seq(corpusRows,
+      Seq(StreamOps.CurDoc(10L, "en", uniq(1)),   // dup of doc 1, later batch
+          StreamOps.CurDoc(11L, "en", uniq(11)))))
+    assert(got.head == batchSpans)
+    val second = got.lift(1).getOrElse(Set.empty)
+    assert(!second.exists(_._3 == 10L), "later duplicate must not pack")
+    assert(second.exists(_._3 == 11L), "new doc must pack")
+    second.groupBy(s => (s._1, s._2)).foreach { case (_, ss) =>
+      assert(ss.map(_._5).sum <= cap)
+    }
+  }
+
   test("s04 kafka config surface builds; file substitution streams real rows") {
     // Kafka connector jar absent: builders must construct without loading
     val r = KafkaIO.reader(spark, "broker:9092", "purchase-orders")
