@@ -41,15 +41,17 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** `materializeStages`: the cleaned-corpus frame feeds several
-    * downstream consumers, which otherwise RECOMPUTE its lineage
-    * (parquet re-scans + per-row reassembly — throughput-cheap, no
-    * storage footprint: the 100 TB-safe default). Flipping it
-    * localCheckpoints the cleaned stage — a CORPUS-SIZED executor
-    * storage bill that buys ~17% wall at single-node scale (probe
-    * 4.39 → 3.65 s at sf0.1); production 100 TB runs should instead
-    * write stages to the distributed store between jobs, which is
-    * this knob's cluster-scale analog.
+  /** `materializeStages`: the cleaned and decontaminated corpus
+    * frames each feed several downstream consumers (decontaminate's
+    * two postings passes read cleaned; the vocab collect and the
+    * mixture both execute decon), which otherwise RECOMPUTE their
+    * lineage (parquet re-scans + per-row reassembly —
+    * throughput-cheap, no storage footprint: the 100 TB-safe
+    * default). Flipping it localCheckpoints both stages — a
+    * CORPUS-SIZED executor storage bill that buys wall time at
+    * single-node scale; production 100 TB runs should instead write
+    * stages to the distributed store between jobs, which is this
+    * knob's cluster-scale analog.
     */
   def curate(documents: DataFrame, benchmark: DataFrame,
              targetMyriad: Map[String, Int],
@@ -66,9 +68,10 @@ object Pipeline {
       .join(canon.select("doc_id", "lang"), "doc_id")
     val cleaned = if (materializeStages) cleaned0.localCheckpoint(true) else cleaned0
     // 3. decontamination against the (raw) benchmark
-    val decon = TextOps.decontaminate(cleaned, benchmark, shingleN)
+    val decon0 = TextOps.decontaminate(cleaned, benchmark, shingleN)
       .filter(col("contaminated") === 0).select("doc_id")
       .join(cleaned, "doc_id")
+    val decon = if (materializeStages) decon0.localCheckpoint(true) else decon0
     // 4. vocab trained on the curated corpus; token-budget admission
     val vocab = TextOps.tokenizerVocabSeq(decon, vocabM, maxN)
     val admitted = TextOps.mixtureSolveTokenized(decon, targetMyriad, vocab, maxN)

@@ -596,35 +596,43 @@ object TextOps {
                             targetMyriad: Map[String, Int],
                             vocab: Seq[String], maxN: Int = 4): DataFrame = {
     requireMixture(targetMyriad)
-    val toks = documents
-      .select(col("doc_id"), col("lang"),
-        graft.functions.GreedyTokenizerFunctions
-          .token_stats(lower(col("text")), vocab, maxN).as("ts"))
-      .select(col("doc_id"), col("lang"), col("ts.n_tokens").as("n_tokens"))
-      .filter(col("n_tokens") > 0)
-      .localCheckpoint(true)
-    val rates = solveRates(targetMyriad,
-      toks.groupBy(col("lang")).agg(sum(col("n_tokens")).as("c")))
-    admitAtRates(toks, rates, hashIndex = 214, keyPrefix = "mixtok:",
-      Seq(col("n_tokens")))
+    val toks = tokenFrame(documents, vocab, maxN).localCheckpoint(true)
+    admitAtRates(toks, tokenRates(targetMyriad, toks),
+      hashIndex = 214, keyPrefix = "mixtok:", Seq(col("n_tokens")))
   }
 
   /** The q48b rate table as a driver-side map — the configuration a
     * STREAMING admission gate (s21) needs: rates are solved offline
     * from a corpus snapshot, then applied per-arrival. L rows, one
     * per target language — a documented bounded collect (the same
-    * class as the tokenizer vocab).
+    * class as the tokenizer vocab). Shares tokenFrame/tokenRates
+    * with mixtureSolveTokenized so the stream's admission can never
+    * drift from batch q48b's.
     */
   def tokenMixtureRates(documents: DataFrame, targetMyriad: Map[String, Int],
                         vocab: Seq[String], maxN: Int = 4): Map[String, Long] = {
     requireMixture(targetMyriad)
-    val toks = tokenStatsWith(documents, vocab, maxN)
-      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
-      .filter(col("n_tokens") > 0)
-    solveRates(targetMyriad,
-      toks.groupBy(col("lang")).agg(sum(col("n_tokens")).as("c")))
+    tokenRates(targetMyriad, tokenFrame(documents, vocab, maxN))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
+
+  /** The per-doc (doc_id, lang, n_tokens > 0) frame both token-budget
+    * paths derive from — ONE definition of which docs count and how
+    * they tokenize.
+    */
+  private def tokenFrame(documents: DataFrame, vocab: Seq[String],
+                         maxN: Int): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"),
+        graft.functions.GreedyTokenizerFunctions
+          .token_stats(lower(col("text")), vocab, maxN).as("ts"))
+      .select(col("doc_id"), col("lang"), col("ts.n_tokens").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+
+  private def tokenRates(targetMyriad: Map[String, Int],
+                         toks: DataFrame): DataFrame =
+    solveRates(targetMyriad,
+      toks.groupBy(col("lang")).agg(sum(col("n_tokens")).as("c")))
 
   private def requireMixture(targetMyriad: Map[String, Int]): Unit =
     require(targetMyriad.nonEmpty &&
