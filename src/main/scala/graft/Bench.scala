@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Run the query's FULL plan — the one planned for its complete
+    * output — and drain it. `df.count()` instead re-plans with only
+    * the row count as output, and Catalyst then legally deletes real
+    * work (a terminal left join on unique keys prunes away: q54's
+    * count() measured 0.75 s against 9 s of actual triangle
+    * enumeration). Same forcing action BenchScale always used, now
+    * the single definition for every timing harness.
+    */
+  def force(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.executedPlan.execute().count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,7 +42,7 @@ object Bench {
         "q14_window_running", "q28b_knn_blocked", "q25_dedup_minhash",
         "q31_multimodal_meta", "q42b_dedup_groups_lsh"))
       SparkEntry.queries.get(w)
-        .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
+        .foreach(fn => try force(fn(spark, sfDir)) catch { case _: Throwable => () })
     // timed passes per query, report the min: single-JVM runs carry
     // multi-second JIT/GC/load noise (measured ±4s across full runs)
     // that would mask real plan regressions. The CODEC family
@@ -53,7 +64,7 @@ object Bench {
       val passes = if (codecFamily(name)) 5 else 3
       val times = (1 to passes).map { i =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         if (debug) System.err.println(f"[bench-debug] $name pass $i: $dt%.3f s")
         dt

@@ -163,6 +163,11 @@ object SparkEntry {
     }),
     "q52_segment_dedup" -> ((s, d) =>
       TextOps.segmentDedup(Tables.documents(s, d), segWords = 8)),
+    // -- graph analytics over the part co-purchase graph (q54-q55) --
+    "q54_triangle_count" -> ((s, d) =>
+      graft.operators.Graph.triangleCounts(Tables.part(s, d), Tables.lineitem(s, d))),
+    "q55_pagerank" -> ((s, d) =>
+      graft.operators.Graph.pageRank(Tables.part(s, d), Tables.lineitem(s, d))),
     // the end-to-end curation chain; %97 split = q38's benchmark
     "q53_curate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -1249,6 +1254,32 @@ object SparkEntry {
                 CASE WHEN doc.text IS NULL THEN NULL ELSE coalesce(p.n_dup, 0) END AS n_dup_segments,
                 CASE WHEN doc.text IS NULL THEN NULL ELSE coalesce(p.ct, '') END AS clean_text
          FROM documents doc LEFT JOIN per_doc p ON p.doc_id = doc.doc_id""",
+    // q54: triangle counting over the part co-purchase graph. The
+    // oracle enumerates with the naive u<v orientation — per-vertex
+    // counts are orientation-independent, so the Spark side's
+    // degree-ordered compact-forward enumeration must land on the
+    // same 2000/20000 rows exactly.
+    "q54_triangle_count" ->
+      """WITH pp AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         tri AS (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM pp e1 JOIN pp e2 ON e2.u = e1.v
+           JOIN pp e3 ON e3.u = e1.u AND e3.v = e2.v),
+         corners AS (
+           SELECT a AS id FROM tri
+           UNION ALL SELECT b AS id FROM tri
+           UNION ALL SELECT c AS id FROM tri),
+         cnt AS (SELECT id, count(*) AS c FROM corners GROUP BY id)
+         SELECT p_partkey, CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_tri
+         FROM part LEFT JOIN cnt ON p_partkey = cnt.id""",
+    // q55: the integer PageRank iteration unrolled textually (see
+    // Graph.pageRankOracleSql) — same floor-division arithmetic, so
+    // the distributed power iteration is hash-checked bit-for-bit
+    // against a sequential replay.
+    "q55_pagerank" -> graft.operators.Graph.pageRankOracleSql(),
     // q53: the whole curation chain as ONE CTE pipeline — q20's
     // canonical pick, q52's segment strip, q38's shingle overlap,
     // q51's tokenizer (trained on the CURATED corpus via

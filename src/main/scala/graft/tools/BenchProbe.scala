@@ -34,14 +34,14 @@ object BenchProbe {
           "q14_window_running", "q28b_knn_blocked", "q25_dedup_minhash",
           "q31_multimodal_meta", "q42b_dedup_groups_lsh"))
         SparkEntry.queries.get(w)
-          .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
+          .foreach(fn => try graft.Bench.force(fn(spark, sfDir)) catch { case _: Throwable => () })
       println("[probe] warmup done")
     }
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       val times = (1 to passes).map { i =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        graft.Bench.force(fn(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[probe] $name pass $i: $dt%.3f s")
         dt

@@ -150,7 +150,7 @@ object BenchScale {
     case class M(wall: Double, rows: Long, cpu: Double, out: Long)
     def measure(name: String, dir: String): M = {
       val fn = SparkEntry.queries(name)
-      fn(spark, dir).count() // warm: codegen + JIT + file listing
+      graft.Bench.force(fn(spark, dir)) // warm: codegen + JIT + file listing (same plan as measured)
       System.gc() // keep major GCs out of the timed region (Bench.scala rationale)
       val ms = (1 to passes).map { _ =>
         val cpu0 = cpuNs.get()

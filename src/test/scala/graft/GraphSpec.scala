@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Graph operators (q54 triangles, q55 integer PageRank). The
+  * value-level gate is the DuckDB oracle (triangle joins; the unrolled
+  * integer iteration); these pin the algorithms against sequential
+  * replays on adversarial shapes the sf corpora don't exercise.
+  */
+class GraphSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.operators.Graph
+
+  /** (part, lineitem) frames from an explicit edge list: one synthetic
+    * single-item order per edge endpoint pair — so coPurchaseEdges
+    * reconstructs exactly `edges`.
+    */
+  private def tables(vertices: Seq[Long], edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val part = vertices.toDF("p_partkey")
+    val li = edges.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq((i.toLong, u), (i.toLong, v))
+    }.toDF("l_orderkey", "l_partkey")
+    (part, li)
+  }
+
+  private def sparkTri(vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val (part, li) = tables(vertices, edges)
+    Graph.triangleCounts(part, li).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Sequential per-vertex triangle count by brute-force triple scan. */
+  private def bruteTri(vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val counts = collection.mutable.Map(vertices.map(_ -> 0L): _*)
+    val vs = vertices.sorted
+    for {
+      i <- vs.indices; j <- i + 1 until vs.size
+      if es((vs(i), vs(j)))
+      k <- j + 1 until vs.size
+      if es((vs(j), vs(k))) && es((vs(i), vs(k)))
+    } {
+      counts(vs(i)) += 1; counts(vs(j)) += 1; counts(vs(k)) += 1
+    }
+    counts.toMap
+  }
+
+  test("triangles: clique K4, chain, star, isolated vertex") {
+    // K4 on 1-4 (4 triangles, 3 per vertex), chain 10-11-12 (none),
+    // star 20-{21,22,23} (none), isolated 99
+    val vs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 22L, 23L, 99L)
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (20L, 21L), (20L, 22L), (20L, 23L))
+    val got = sparkTri(vs, es)
+    assert(got == bruteTri(vs, es))
+    assert(got(1L) == 3L && got(10L) == 0L && got(99L) == 0L)
+  }
+
+  test("triangles: random graphs match the sequential brute force") {
+    val rnd = new Random(13)
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(30)
+      val vs = (0 until n).map(_.toLong)
+      val es = Seq.fill(3 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      assert(sparkTri(vs, es) == bruteTri(vs, es), s"trial $trial")
+    }
+  }
+
+  test("triangles: a hub vertex does not explode the wedge side") {
+    // star with 60 leaves plus one closing edge: exactly 1 triangle.
+    // With degree orientation the hub is every edge's DESTINATION, so
+    // the wedge self-join sees out-degree ≤ 2 per vertex — this is the
+    // compact-forward property the operator's scale claim rests on.
+    val vs = (0L to 60L)
+    val es = (1L to 60L).map(l => (0L, l)) :+ (1L, 2L)
+    val got = sparkTri(vs, es)
+    assert(got(0L) == 1L && got(1L) == 1L && got(2L) == 1L)
+    assert((3L to 60L).forall(got(_) == 0L))
+  }
+
+  /** Sequential replay of the exact integer PageRank recurrence. */
+  private def seqPageRank(vertices: Seq[Long], edges: Seq[(Long, Long)],
+                          iters: Int): Map[Long, Long] = {
+    val n = vertices.size.toLong
+    val base = (15L * Graph.PrScale) / (100L * n)
+    val adj = (edges ++ edges.map(_.swap)).groupMap(_._1)(_._2)
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    var r = vertices.map(_ -> Graph.PrScale / n).toMap
+    for (_ <- 1 to iters) {
+      val sums = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (u <- vertices; c = r(u) / deg.getOrElse(u, Long.MaxValue); v <- adj.getOrElse(u, Nil))
+        sums(v) += c
+      r = vertices.map(v => v -> (base + (85L * sums(v)) / 100L)).toMap
+    }
+    r
+  }
+
+  private def sparkPageRank(vertices: Seq[Long], edges: Seq[(Long, Long)],
+                            iters: Int): Map[Long, Long] = {
+    val (part, li) = tables(vertices, edges)
+    Graph.pageRank(part, li, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pagerank: distributed iteration replays the sequential recurrence exactly") {
+    val rnd = new Random(29)
+    for (trial <- 1 to 3) {
+      val n = 15 + rnd.nextInt(20)
+      val vs = (0 until n).map(_.toLong)
+      val es = Seq.fill(2 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      assert(sparkPageRank(vs, es, 4) == seqPageRank(vs, es, 4), s"trial $trial")
+    }
+  }
+
+  test("pagerank: mass is conserved up to floor loss and the dangling leak") {
+    // star: the hub holds most of the rank; total ≤ SCALE (floor
+    // division and dangling vertices only ever LOSE mass)
+    val vs = (0L to 10L)
+    val es = (1L to 8L).map(l => (0L, l)) // 9 connected, 2 dangling
+    val got = sparkPageRank(vs, es, 8)
+    assert(got.values.sum <= Graph.PrScale)
+    assert(got(0L) > got(1L), "hub must outrank a leaf")
+    assert(got(9L) == got(10L), "dangling vertices tie at the teleport floor")
+    assert(got(1L) > got(9L), "a connected leaf outranks a dangling vertex")
+  }
+
+  test("pagerank: empty part table yields an empty frame, no division by zero") {
+    val got = sparkPageRank(Seq.empty, Seq.empty, 8)
+    assert(got.isEmpty)
+  }
+
+  test("pagerank: edgeless graph is all-teleport from round one") {
+    val vs = (0L to 4L)
+    val got = sparkPageRank(vs, Seq.empty, 3)
+    val base = (15L * Graph.PrScale) / (100L * 5L)
+    assert(got.values.toSet == Set(base))
+  }
+}

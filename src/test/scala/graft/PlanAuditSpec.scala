@@ -374,4 +374,28 @@ class PlanAuditSpec extends AnyFunSuite {
       Tables.documents(spark, sfDir), m = 64))
     assert(vs.contains("TakeOrderedAndProject"), vs)
   }
+
+  test("q54 triangles: every join is equi, no cartesian, no global sort") {
+    val df = graft.operators.Graph.triangleCounts(
+      Tables.part(spark, sfDir), Tables.lineitem(spark, sfDir))
+    val s = finalPlanStr(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("rangepartitioning"), s)
+    // the scan feeding the edge self-join reads ONLY the two key
+    // columns — a wide lineitem read here would be 100 TB of waste
+    assert(!s.contains("l_quantity") && !s.contains("l_extendedprice"), s)
+  }
+
+  test("q55 pagerank: per-iteration plans are flat (checkpointed), joins equi") {
+    val df = graft.operators.Graph.pageRank(
+      Tables.part(spark, sfDir), Tables.lineitem(spark, sfDir), iters = 2)
+    val s = finalPlanStr(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // the returned frame's lineage must be CUT at the last checkpoint:
+    // an uncut 8-iteration lineage would replan the whole power series
+    // (and re-run it on every downstream action). The |V| completion
+    // join reads the part dim once; the EDGE side must never reappear.
+    assert(s.contains("Scan ExistingRDD") || s.contains("LocalTableScan"), s)
+    assert(!s.contains("lineitem"), "final frame must not re-derive edges: " + s)
+  }
 }
