@@ -12,6 +12,27 @@ object Bench {
   def force(df: org.apache.spark.sql.DataFrame): Long =
     df.queryExecution.executedPlan.execute().count()
 
+  /** One diagnostic line of JVM/session state, for SPARK_GRAFT_BENCH_DEBUG
+    * runs: used heap, cumulative GC time, and block-manager storage
+    * (localCheckpoint blocks + broadcasts accumulate there across a long
+    * bench session and are only released by the async ContextCleaner
+    * after their frames are GC'd — the prime suspect for in-bench
+    * inflation vs an isolated probe of the same query).
+    */
+  def jvmState(spark: SparkSession): String = {
+    val rt = Runtime.getRuntime
+    val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    val gcMs = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans)
+      .asScala.map(_.getCollectionTime).sum
+    val (nRdd, memMb, diskMb) = try {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.length, infos.map(_.memSize).sum / (1024 * 1024),
+        infos.map(_.diskSize).sum / (1024 * 1024))
+    } catch { case _: Throwable => (-1, -1L, -1L) }
+    s"heapMB=$usedMb gcTotalMs=$gcMs cachedRdds=$nRdd storMemMB=$memMb storDiskMB=$diskMb"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,6 +75,20 @@ object Bench {
     val debug = sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")
     val codecFamily = Set("q31_multimodal_meta", "q41_audio_meta",
       "q43_video_meta", "q50_image_dedup")
+    // Per-pass JVM process-CPU time rides along with wall time so a
+    // bench artifact is self-diagnosing: the r7 driver bench measured
+    // q27 at 27.8 s where a clean session measures 10.1 s and the
+    // isolated probe 11.0 s — SAME code, data, harness (r8 A/B). Wall
+    // inflating while CPU does not means the JVM was WAITING (host
+    // I/O/scheduler contention during the driver's run), not doing
+    // more work; CPU moving with wall means the plan itself changed.
+    // System load average at start/end catches external load directly.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuNanos: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    val loadStart = osBean.getSystemLoadAverage
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drain accumulated garbage (broadcasts, shuffle buffers from the
       // previous ~3N passes) OUTSIDE the timed region: r2's "q19 = 2.4s
@@ -64,22 +99,31 @@ object Bench {
       val passes = if (codecFamily(name)) 5 else 3
       val times = (1 to passes).map { i =>
         val t0 = System.nanoTime()
+        val c0 = cpuNanos
         try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (debug) System.err.println(f"[bench-debug] $name pass $i: $dt%.3f s")
-        dt
+        val dc = if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9
+        if (debug) System.err.println(
+          f"[bench-debug] $name pass $i: $dt%.3f s cpu=$dc%.3f s ${jvmState(spark)}")
+        (dt, dc)
       }
-      (name, times.min, times.sorted.apply(times.size / 2))
+      val minPass = times.minBy(_._1)
+      (name, minPass._1, times.map(_._1).sorted.apply(times.size / 2), minPass._2)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // medians ride along so a reader can tell "slow plan" (min moved)
     // from "noisy slot" (min at pin, median inflated) without a
     // separate BenchProbe session
-    val qsMed = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
+    val qsMed = results.map { case (k, _, m, _) => s"\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    // process-CPU seconds of the min-wall pass: the wait-vs-work
+    // discriminator for any future bench-vs-probe delta
+    val qsCpu = results.map { case (k, _, _, c) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}""")
+    val loadEnd = osBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"queries_cpu":$qsCpu,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

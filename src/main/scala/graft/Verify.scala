@@ -7,6 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // driver contract: (sfDir, outDir). Extra args = run only those
     // queries (local dev loop; the driver never passes them).
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [query...]")
     val Array(sfDir, outDir, rest @ _*) = args
     val only = rest.toSet
     val unknown = only -- SparkEntry.queries.keySet

@@ -13,13 +13,23 @@ object Md5 {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
   def hex(bytes: Array[Byte]): String = {
     val md = local.get()
     md.reset()
     val d = md.digest(bytes)
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    // nibble lookup, not f"%02x": the interpolation allocates a
+    // java.util.Formatter per byte — 16 per hash on per-row paths
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val b = d(i) & 0xff
+      out(i * 2) = HexChars(b >>> 4)
+      out(i * 2 + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   def hex(s: String): String =

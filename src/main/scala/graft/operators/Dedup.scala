@@ -333,7 +333,15 @@ object Dedup {
     val dfc = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val blackArr = dfc.filter(col("df") > maxDf).select(col("shingle"))
       .limit(maxBlacklist + 1).collect().map(_.getLong(0))
-    val docSets =
+    // Checkpoint the PRUNED sets too: four consumers (both pair-join
+    // sides, `sizes`, and through them the completion join) otherwise
+    // each re-evaluate the ~1 s array_except branch — r8's stage probe
+    // (tools/Q27Probe) measured the full operator at 8.0–9.7 s against
+    // a 5.8 s warm stage sum, the gap being exactly this re-evaluation.
+    // Storage is bounded by the shSets checkpoint already paid (pruned
+    // sets are strictly smaller — the blacklist is removed), and blocks
+    // die with the frame. Probe after: ~6 s.
+    val docSets = (
       if (blackArr.length <= maxBlacklist) {
         val bl = Seq(blackArr.toSeq).toDF("bl")
         shSets.crossJoin(broadcast(bl))
@@ -342,7 +350,7 @@ object Dedup {
         post.join(dfc.filter(col("df") <= maxDf), Seq("shingle"))
           .groupBy(col("doc_id"))
           .agg(collect_set(col("shingle")).as("shs"))
-      }
+      }).localCheckpoint(true)
     val pruned = docSets.select(col("doc_id"), explode(col("shs")).as("shingle"))
     val sizes = docSets.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
 

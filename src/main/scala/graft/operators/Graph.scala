@@ -34,6 +34,23 @@ object Graph {
       .select(col("u"), col("v")).distinct()
   }
 
+  /** Auto-sizing thresholds for the graph ops' map-side broadcasts —
+    * the SURVEY §8 lesson ("fixed-width params drift toward all-pairs
+    * as N grows") applied to plan shape: a fixed `broadcast = true`
+    * is correct for a catalog-sized part graph and a driver OOM on a
+    * web-scale one, so the default DECIDES from the measured size and
+    * the fixed flag is demoted to an explicit override. Session-conf
+    * knobs so a test (or an operator) can move the cutoff without
+    * touching code. 4M edges ≈ 32 MB of adjacency longs before
+    * overhead; 2M rank rows ≈ 32 MB of (id, r) pairs — both
+    * comfortably inside executor broadcast budgets, an order of
+    * magnitude above this graph at sf0.1.
+    */
+  private def maxBroadcastEdges(df: DataFrame): Long =
+    df.sparkSession.conf.get("graft.graph.maxBroadcastEdges", "4000000").toLong
+  private def maxBroadcastRankRows(df: DataFrame): Long =
+    df.sparkSession.conf.get("graft.graph.maxBroadcastRankRows", "2000000").toLong
+
   /** q54: per-part triangle count over the co-purchase graph.
     * Output: (p_partkey, n_tri) for EVERY part (0 for parts in no
     * triangle) — |V| rows exactly.
@@ -57,16 +74,21 @@ object Graph {
     *
     * Scale: one |E| shuffle for degrees, one for the adjacency
     * build (collect_list is safe under the orientation bound — no hub
-    * can exceed O(√m) out-neighbors), then with `broadcastEdges`
-    * (default true) the per-edge intersection runs map-side against
-    * the broadcast adjacency (Σ out-deg longs ≈ |E| — dimension-sized
-    * for a co-purchase graph, whose edge count grows with the catalog,
-    * not the fact table). For a web-scale edge set flip it off: the
-    * same plan runs as two partitioned equi-joins on vertex keys. No
-    * driver-side state, no quadratic term in |V| either way.
+    * can exceed O(√m) out-neighbors), then the per-edge intersection
+    * runs map-side against the broadcast adjacency (Σ out-deg longs
+    * ≈ |E| — dimension-sized for a co-purchase graph, whose edge count
+    * grows with the catalog, not the fact table). Whether to broadcast
+    * is SIZED, not assumed: the oriented edge list is checkpointed
+    * anyway, so its exact count is one nearly-free job, and the
+    * broadcast engages only when |E| ≤ `graft.graph.maxBroadcastEdges`
+    * (default 4M ≈ tens of MB of adjacency payload). A web-scale edge
+    * set therefore gets the partitioned plan UNAIDED — the same two
+    * equi-joins on vertex keys, no driver-side OOM — and
+    * `broadcastEdges = Some(x)` remains the manual override both ways.
+    * No driver-side state, no quadratic term in |V| either way.
     */
   def triangleCounts(part: DataFrame, lineitem: DataFrame,
-                     broadcastEdges: Boolean = true): DataFrame = {
+                     broadcastEdges: Option[Boolean] = None): DataFrame = {
     val edges = coPurchaseEdges(lineitem)
     val deg = edges.select(col("u").as("id"))
       .unionAll(edges.select(col("v").as("id")))
@@ -81,9 +103,11 @@ object Graph {
       when(fwd, col("u")).otherwise(col("v")).as("src"),
       when(fwd, col("v")).otherwise(col("u")).as("dst"))
       .localCheckpoint(true)
+    // exact |E| off the in-memory checkpoint blocks — the sizing input
+    val bc = broadcastEdges.getOrElse(oriented.count() <= maxBroadcastEdges(part))
     val adj = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    def side(df: DataFrame) = if (broadcastEdges) broadcast(df) else df
+    def side(df: DataFrame) = if (bc) broadcast(df) else df
     // adjacency lists are duplicate-free (edges are distinct), so
     // array_intersect's set semantics are exact here
     val tri = oriented
@@ -134,40 +158,60 @@ object Graph {
     * the |V|-sized rank vector to it, then one |E|→|V|
     * partial-aggregated shuffle + one |V| left join, lineage cut per
     * round (the Components.minLabel pattern) so plans stay flat.
-    * `broadcastRanks` (default true) ships the rank vector map-side:
-    * the vertex set here is a DIMENSION (parts), so the per-iteration
-    * rank frame is dim-sized and broadcasting it removes the |E|
+    * Broadcasting the rank vector map-side removes the |E|
     * shuffle+sort an SMJ would pay per step — measured 8.4 → 1.3 s at
     * sf0.1 (the checkpointed rank frame reports unknown stats, so the
-    * planner would never pick the broadcast itself). On a
+    * planner would never pick the broadcast itself) — and is SIZED on
+    * |V| (already counted exactly for the teleport constant): it
+    * engages only when |V| ≤ `graft.graph.maxBroadcastRankRows`. On a
     * billion-vertex graph (vertices fact-sized, rank vector too big to
-    * ship) flip it off for co-partitioned shuffle joins — the knob is
-    * the same storage-vs-wall trade Pipeline.materializeStages
-    * documents. `iters` is a fixed constant — 8 steps move every
-    * vertex within ~2·0.85⁸ ≈ 0.5% of the fixpoint, ranking-stable on
-    * graphs with this diameter — not a convergence loop, so the job
-    * count is known up front.
+    * ship) the same iteration therefore runs as co-partitioned shuffle
+    * joins unaided; `broadcastRanks = Some(x)` is the manual override
+    * both ways — the same storage-vs-wall trade
+    * Pipeline.materializeStages documents. Each iteration's checkpoint
+    * frees its predecessor's blocks once materialized (only the LAST
+    * checkpoint feeds the returned lineage), so executor storage holds
+    * ~one rank vector, not `iters` of them. `iters` is a fixed
+    * constant — 8 steps move every vertex within ~2·0.85⁸ ≈ 0.5% of
+    * the fixpoint, ranking-stable on graphs with this diameter — not a
+    * convergence loop, so the job count is known up front.
+    *
+    * Input contract: edge endpoints are restricted to `part` keys
+    * (left-semi on the dim, map-side when the rank broadcast is on) —
+    * a lineitem row referencing a part absent from the dim would
+    * otherwise keep propagating mass through a phantom vertex the
+    * oracle's verts-restricted recursion never ranks. Source DEGREES
+    * still count phantom-bound edges (that mass leaks, exactly as the
+    * oracle's `deg` over the raw edge list leaks it), so the two
+    * engines agree bit-for-bit even on FK-violating input.
     */
   def pageRank(part: DataFrame, lineitem: DataFrame, iters: Int = 8,
-               broadcastRanks: Boolean = true): DataFrame = {
+               broadcastRanks: Option[Boolean] = None): DataFrame = {
     val verts = part.select(col("p_partkey").as("id"))
     val n = verts.count() // one exact COUNT — the sizing-action class
     if (n == 0L)
       return verts.select(col("id").as("p_partkey"), lit(0L).as("pr_scaled")).limit(0)
     val base = (15L * PrScale) / (100L * n)
     val r0 = PrScale / n
+    if (iters == 0) // no edge derivation needed for the flat start state
+      return verts.select(col("id").as("p_partkey"), lit(r0).as("pr_scaled"))
     // the edge derivation (fact self-join + distinct) is the expensive
     // part — checkpoint the UNDIRECTED pair list once so the degree
     // aggregation and the directed expansion never replay it (uncut,
     // the distinct re-ran ~4× through the branching lineage: measured
     // 3.7 s of setup at sf0.1 against ~1 s checkpointed)
     val und = coPurchaseEdges(lineitem).localCheckpoint(true)
+    val bc = broadcastRanks.getOrElse(autoBroadcastRanks(part, n))
+    def mapSide(df: DataFrame) = if (bc) broadcast(df) else df
     val ed0 = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
     val deg = ed0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = ed0.join(deg, Seq("src")).localCheckpoint(true)
-    if (iters == 0)
-      return verts.select(col("id").as("p_partkey"), lit(r0).as("pr_scaled"))
+    // degrees BEFORE the FK restriction (phantom-bound mass leaks, per
+    // the contract above); then only verts-keyed sources propagate
+    val ed = ed0.join(deg, Seq("src"))
+      .join(mapSide(verts.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+      .localCheckpoint(true)
+    unpersistCheckpoint(und) // ed holds everything the loop reads
     // ranks carries only RECEIVING vertices (in-degree ≥ 1); everyone
     // else sits at a known constant — r0 before the first step, the
     // bare teleport term after — so the |V| completion join runs ONCE
@@ -175,23 +219,64 @@ object Graph {
     var ranks: DataFrame = null
     var dflt = r0
     for (_ <- 1 to iters) {
-      val withR =
-        if (ranks == null) ed.withColumn("r", lit(dflt))
-        else {
-          val rs = ranks.withColumnRenamed("id", "src")
-          ed.join(if (broadcastRanks) broadcast(rs) else rs, Seq("src"), "left")
-            .withColumn("r", coalesce(col("r"), lit(dflt)))
-        }
-      ranks = withR.select(col("dst").as("id"), expr("r div deg").as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).as("s"))
-        .select(col("id"), (lit(base) + expr("(85 * s) div 100")).as("r"))
-        .localCheckpoint(true)
+      val next = prStep(ed, Option(ranks), dflt, base, bc).localCheckpoint(true)
+      // the new checkpoint is materialized (eager) — the previous
+      // iteration's blocks are dead weight from here on
+      if (ranks != null) unpersistCheckpoint(ranks)
+      ranks = next
       dflt = base
     }
+    unpersistCheckpoint(ed)
     verts.join(ranks, Seq("id"), "left")
       .select(col("id").as("p_partkey"),
         coalesce(col("r"), lit(dflt)).as("pr_scaled"))
   }
+
+  /** The rank-broadcast sizing decision, visible to the spec that pins
+    * it (the returned completion frame no longer contains the
+    * per-iteration join — each step materializes and cuts lineage
+    * during construction, so the auto default can't be audited off the
+    * final plan).
+    */
+  private[graft] def autoBroadcastRanks(part: DataFrame, n: Long): Boolean =
+    n <= maxBroadcastRankRows(part)
+
+  /** One power-iteration step as a LAZY frame (checkpointing and block
+    * lifecycle stay in pageRank): left-join the rank vector onto the
+    * degree-annotated edge base (absent source = `dflt`, the known
+    * constant for non-receiving vertices), divide each source's rank
+    * across its out-edges with floor division, partial-aggregate per
+    * destination, damp. Factored out so the sizing spec audits the
+    * per-iteration join shape directly.
+    */
+  private[graft] def prStep(ed: DataFrame, ranks: Option[DataFrame], dflt: Long,
+                            base: Long, bc: Boolean): DataFrame = {
+    val withR = ranks match {
+      case None => ed.withColumn("r", lit(dflt))
+      case Some(r) =>
+        val rs = r.withColumnRenamed("id", "src")
+        ed.join(if (bc) broadcast(rs) else rs, Seq("src"), "left")
+          .withColumn("r", coalesce(col("r"), lit(dflt)))
+    }
+    withR.select(col("dst").as("id"), expr("r div deg").as("c"))
+      .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      .select(col("id"), (lit(base) + expr("(85 * s) div 100")).as("r"))
+  }
+
+  /** Frees the storage blocks behind an EAGER `localCheckpoint` frame
+    * that nothing downstream will read again. `Dataset.unpersist`
+    * can't do this — the blocks belong to the checkpointed RDD inside
+    * the frame's `LogicalRDD` leaf, not to a cache-manager entry — so
+    * the RDD is pulled out of the leaf and unpersisted directly
+    * (non-blocking; destroys the data, which is the point: a
+    * local-checkpoint has no recompute path). Call ONLY on frames
+    * whose every consumer has already materialized.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** The q55 oracle: the identical integer iteration unrolled as
     * chained CTEs (DuckDB's recursive-CTE form forbids the aggregate

@@ -142,4 +142,101 @@ class GraphSpec extends AnyFunSuite {
     val base = (15L * Graph.PrScale) / (100L * 5L)
     assert(got.values.toSet == Set(base))
   }
+
+  /** Every physical node in the INITIAL (pre-AQE-execution) plan —
+    * audited unexecuted, because at spec scale AQE would legally
+    * re-convert a small shuffle join back to broadcast at runtime and
+    * hide exactly the default this test pins.
+    */
+  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case o => o.children
+    }
+    p +: kids.flatMap(planNodes)
+  }
+
+  /** True iff some BroadcastExchange in the plan ships a
+    * checkpoint-backed frame (ExistingRDD scan beneath it) — the
+    * adjacency/rank broadcasts the sizing decides about. Dim-table
+    * (parquet/local) broadcasts don't count: the FK semi-join SHOULD
+    * broadcast the part dim regardless of the graph-side decision.
+    */
+  private def broadcastsCheckpoint(df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.RDDScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    planNodes(df.queryExecution.executedPlan).exists {
+      case b: BroadcastExchangeExec =>
+        planNodes(b).exists(_.isInstanceOf[RDDScanExec])
+      case _ => false
+    }
+  }
+
+  test("broadcast auto-sizing: an edge set over the threshold gets the partitioned plan unaided") {
+    val rnd = new Random(31)
+    val n = 30
+    val vs = (0 until n).map(_.toLong)
+    // canonicalized undirected pairs: coPurchaseEdges dedups (u, v) /
+    // (v, u) into one edge, the sequential replay does not
+    val es = Seq.fill(3 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val (part, li) = tables(vs, es)
+    val conf = spark.conf
+    // disable the PLANNER's size-based broadcast for the whole test:
+    // at spec scale Catalyst sees tiny (propagated-through-checkpoint)
+    // stats and would broadcast on its own, hiding exactly the thing
+    // under test — whether the OPERATOR places the hint. Explicit
+    // broadcast() hints override the threshold, so positive cases
+    // still plan map-side. (At 100 TB stats are never tiny; the hint
+    // is what makes the plan, per the operator scaladocs.)
+    val prevThreshold = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the pageRank iteration join is materialized per step during
+      // construction, so its broadcast is audited on the factored-out
+      // lazy step frame; checkpointed inputs mimic the real iteration
+      import spark.implicits._
+      val edCk = es.flatMap { case (a, b) => Seq((a, b, 2L), (b, a, 2L)) }
+        .toDF("src", "dst", "deg").localCheckpoint(true)
+      val ranksCk = vs.map((_, 1000L)).toDF("id", "r").localCheckpoint(true)
+      def stepPlan(bc: Boolean) =
+        Graph.prStep(edCk, Some(ranksCk), 1L, 1L, bc)
+      // defaults at this size: both ops ship the graph side map-side
+      assert(broadcastsCheckpoint(Graph.triangleCounts(part, li)),
+        "expected the dim-sized adjacency to broadcast under the default threshold")
+      assert(Graph.autoBroadcastRanks(part, vs.size.toLong),
+        "expected the sizing to choose the rank broadcast at dim size")
+      assert(broadcastsCheckpoint(stepPlan(bc = true)))
+      assert(!broadcastsCheckpoint(stepPlan(bc = false)),
+        "shuffle step must not broadcast the rank vector")
+      // the same graph is now OVER the (lowered) threshold — the ops
+      // must pick shuffle plans on their own, no flag passed
+      conf.set("graft.graph.maxBroadcastEdges", "1")
+      conf.set("graft.graph.maxBroadcastRankRows", "1")
+      val tri = Graph.triangleCounts(part, li)
+      assert(!broadcastsCheckpoint(tri), "oversized adjacency still broadcast")
+      // (this also covers the planner: with tiny propagated stats and
+      // the default threshold it WOULD convert these joins itself —
+      // the -1 above keeps the operator's own decision observable)
+      assert(!Graph.autoBroadcastRanks(part, vs.size.toLong),
+        "oversized rank vector still sized for broadcast")
+      // and the partitioned plans compute the same answers end-to-end
+      assert(tri.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        == bruteTri(vs, es))
+      assert(Graph.pageRank(part, li, iters = 2).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        == seqPageRank(vs, es, 2))
+      // explicit override beats the sizing
+      assert(broadcastsCheckpoint(
+        Graph.triangleCounts(part, li, broadcastEdges = Some(true))))
+    } finally {
+      conf.unset("graft.graph.maxBroadcastEdges")
+      conf.unset("graft.graph.maxBroadcastRankRows")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }

@@ -315,12 +315,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
-  test("q27 pruning is map-side: no collect_set aggregation, blacklist broadcast") {
+  test("q27 pruning is map-side: no collect_set aggregation, pruned sets read from checkpoint") {
     val df = graft.operators.Dedup.ngramJaccard(Tables.documents(spark, sfDir))
     val s = finalPlanStr(df)
     // the old shape shuffled 20M postings into a collect_set re-aggregation
     assert(!s.contains("collect_set"), s)
-    assert(s.contains("array_except"), s)
+    // r8: the map-side array_except prune runs ONCE at checkpoint build
+    // (four consumers — both pair-join sides, sizes, completion — were
+    // each re-evaluating the ~1 s branch; see Dedup scaladoc), so the
+    // final plan must read the pruned sets from the checkpoint, not
+    // re-derive them: ExistingRDD scans present, array_except ABSENT
+    assert(s.contains("Scan ExistingRDD"), s)
+    assert(!s.contains("array_except"), s)
   }
 
   test("q29 salted LSH keeps equi-join candidate generation (salt in the keys)") {
