@@ -168,6 +168,11 @@ object SparkEntry {
       graft.operators.Graph.triangleCounts(Tables.part(s, d), Tables.lineitem(s, d))),
     "q55_pagerank" -> ((s, d) =>
       graft.operators.Graph.pageRank(Tables.part(s, d), Tables.lineitem(s, d))),
+    // -- offline state restore (the reference restore/ module, q56) --
+    // the events table read as a keyed changelog: rekey on user_id,
+    // newest (ts, event_id) wins, an 'error' tombstone closes the key
+    "q56_restore_state" -> ((s, d) =>
+      graft.operators.Restore.restoreState(Tables.events(s, d))),
     // the end-to-end curation chain; %97 split = q38's benchmark
     "q53_curate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -1280,6 +1285,19 @@ object SparkEntry {
     // the distributed power iteration is hash-checked bit-for-bit
     // against a sequential replay.
     "q55_pagerank" -> graft.operators.Graph.pageRankOracleSql(),
+    // q56: the restore fold — newest (ts, event_id) per user_id, keys
+    // whose winning row is an 'error' tombstone dropped. The oracle
+    // replays it as a window rank (DuckDB has no two-column arg_max);
+    // the Spark side is the max_by hash aggregate (Restore.scala).
+    "q56_restore_state" ->
+      """SELECT user_id, last_event_id, last_ts, last_type, last_value
+         FROM (SELECT user_id, event_id AS last_event_id,
+                      strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+                      event_type AS last_type, value AS last_value,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 AND last_type <> 'error'""",
     // q53: the whole curation chain as ONE CTE pipeline — q20's
     // canonical pick, q52's segment strip, q38's shingle overlap,
     // q51's tokenizer (trained on the CURATED corpus via

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.ExactlyOnceSink
+
+/** Offline state restore — the batch analog of the reference's restore/
+  * module (restore/src/main/java/dev/buesing/ksd/restore/Restore.java:
+  * consume the changelog topic to its end, fold last-write-wins per key
+  * into a local RocksDB store, then iterate the store and replay the
+  * final state to an output topic). Relationally, that entire tool is
+  * ONE aggregate: rekey the changelog on the store key, keep the newest
+  * version per key, drop tombstoned keys. So the Spark analog is
+  *
+  *  - [[stateFromChangelog]] — the fold itself, over ANY changelog
+  *    frame (the q56 entry runs it over the events table, whose rows
+  *    are a keyed upsert log in all but name);
+  *  - [[rebuildTable]] — the same fold applied to an [[ExactlyOnceSink]]
+  *    table directory, rewriting it as a single fully-compacted base
+  *    under the sink's own write-then-marker commit protocol, so a
+  *    crash mid-restore is invisible and a re-run is a no-op. The
+  *    rebuilt directory is itself a valid sink table (one base, no
+  *    deltas) readable by `ExactlyOnceSink.snapshot`.
+  *
+  * Scale: the fold is a single hash aggregate shuffled on the store
+  * key — `max_by` partials combine map-side, so the exchange carries
+  * one row per (partition, key), never the raw changelog (the §8
+  * max_by-over-window lesson). No sort, no window, no driver state;
+  * RocksDB's role in the reference (hold the working key→newest map)
+  * is exactly what the aggregation's hash map does per partition.
+  */
+object Restore {
+
+  /** Last-write-wins changelog fold: one output row per key — the row
+    * with the greatest `version` — with keys whose WINNING row is a
+    * tombstone deleted (the KTable contract: a tombstone shadows every
+    * older version of its key; reference Streams.java:102-115).
+    * `version` must totally order rows within a key for the result to
+    * be deterministic (pass a struct ending in a unique column, e.g.
+    * the log offset).
+    *
+    * Output columns = input columns (key first); callers project.
+    */
+  def stateFromChangelog(changelog: DataFrame, keyCols: Seq[String],
+                         version: Column, tombstone: Column): DataFrame = {
+    val flagged = changelog.withColumn("__del", tombstone)
+    val row = struct(flagged.columns.toIndexedSeq.map(col): _*)
+    val dataCols = changelog.columns.filterNot(keyCols.contains).toIndexedSeq
+    flagged.groupBy(keyCols.map(col): _*)
+      .agg(max_by(row, version).as("__r"))
+      .filter(!col("__r.__del"))
+      .select(keyCols.map(col) ++ dataCols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
+  /** q56: the per-user session store rebuilt from the events table read
+    * as a changelog — key = user_id (the rekey: the log arrives keyed
+    * by event, the store is keyed by user), version = (ts, event_id)
+    * (event_id unique ⇒ total order even on coarse-timestamp ties —
+    * the s09 deterministic-winner discipline), tombstone = an 'error'
+    * event (the newest record being an error closes the key, the way a
+    * null value deletes a KTable entry).
+    */
+  def restoreState(events: DataFrame): DataFrame =
+    stateFromChangelog(events, Seq("user_id"),
+      struct(col("ts"), col("event_id")),
+      col("event_type") === lit("error"))
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+
+  /** Rebuild an [[ExactlyOnceSink]] table at `sinkDir` into `outDir` as
+    * one fully-compacted committed base (newest version per key,
+    * tombstones dropped — nothing older remains for them to shadow),
+    * at the sink's latest committed version. The reference tool's
+    * "replay the store to the restore topic" step is this write.
+    *
+    * Crash/idempotence contract (spec-pinned, RestoreSpec):
+    *  - the data files are written BEFORE the commit marker, so a crash
+    *    mid-restore leaves an unmarked — invisible — directory that the
+    *    retry simply overwrites (the sink's own delta protocol);
+    *  - a re-run against an already-restored `outDir` is a no-op (the
+    *    target version's marker already exists);
+    *  - the meta JSON is copied byte-for-byte first, so a restored
+    *    directory is `snapshot`-readable even between data and marker.
+    *
+    * Returns the restored version, or None when `sinkDir` has no
+    * committed state yet.
+    */
+  def rebuildTable(spark: SparkSession, sinkDir: String, outDir: String): Option[Long] = {
+    val last = ExactlyOnceSink.committedVersions(spark, sinkDir).lastOption
+    last.foreach { v =>
+      val f = ExactlyOnceSink.fs(spark, outDir)
+      val target = new Path(s"$outDir/base/v=$v")
+      val marker = new Path(target, ExactlyOnceSink.Marker)
+      if (!f.exists(marker)) {
+        copyMeta(spark, sinkDir, outDir)
+        val (keyCols, _) = ExactlyOnceSink.readMeta(spark, sinkDir)
+        ExactlyOnceSink.resolved(spark, sinkDir, keyCols).foreach { r =>
+          r.filter(!col(ExactlyOnceSink.DelCol))
+            .write.mode("overwrite").parquet(target.toString)
+          f.create(marker, true).close()
+        }
+      }
+    }
+    last
+  }
+
+  /** Byte-for-byte copy of the sink's meta JSON (keyCols/dataCols/txn
+    * offsets) — restore transports the table description, it does not
+    * reinterpret it.
+    */
+  private def copyMeta(spark: SparkSession, from: String, to: String): Unit = {
+    val src = ExactlyOnceSink.fs(spark, from)
+    val dst = ExactlyOnceSink.fs(spark, to)
+    val in = src.open(new Path(from, ExactlyOnceSink.MetaFile))
+    val bytes = try in.readAllBytes() finally in.close()
+    val out = dst.create(new Path(to, ExactlyOnceSink.MetaFile), true)
+    try out.write(bytes) finally out.close()
+  }
+}

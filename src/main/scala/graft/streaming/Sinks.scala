@@ -44,12 +44,15 @@ import org.apache.spark.sql.functions._
   */
 object ExactlyOnceSink {
 
-  private val Marker = "_graft_committed"
-  private val MetaFile = "_graft_meta.json"
-  private val VCol = "__v"
-  private val DelCol = "__deleted"
+  // private[graft]: the offline restore tool (operators.Restore) speaks
+  // the same on-disk protocol — marker files, meta JSON, internal
+  // version/tombstone columns — without re-deriving the constants
+  private[graft] val Marker = "_graft_committed"
+  private[graft] val MetaFile = "_graft_meta.json"
+  private[graft] val VCol = "__v"
+  private[graft] val DelCol = "__deleted"
 
-  private def fs(spark: SparkSession, dir: String) =
+  private[graft] def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def committedUnder(spark: SparkSession, path: Path): Seq[Long] = {
@@ -79,7 +82,7 @@ object ExactlyOnceSink {
     * Jackson (on the Spark classpath) does the JSON both ways, so
     * column names containing quotes/commas/braces round-trip exactly.
     */
-  private def readMeta(spark: SparkSession, dir: String): (Seq[String], Seq[String]) = {
+  private[graft] def readMeta(spark: SparkSession, dir: String): (Seq[String], Seq[String]) = {
     val f = fs(spark, dir)
     val in = f.open(new Path(dir, MetaFile))
     val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
@@ -179,7 +182,7 @@ object ExactlyOnceSink {
     * per key, tombstones applied), with the internal version/tombstone
     * columns still attached — compaction writes exactly this.
     */
-  private def resolved(spark: SparkSession, dir: String,
+  private[graft] def resolved(spark: SparkSession, dir: String,
                        keyCols: Seq[String]): Option[DataFrame] = {
     val baseV = committedBases(spark, dir).lastOption
     val deltaVs = committedDeltas(spark, dir).filter(v => baseV.forall(_ < v))
