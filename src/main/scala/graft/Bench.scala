@@ -123,7 +123,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadEnd = osBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"queries_cpu":$qsCpu,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"queries_cpu":$qsCpu,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
+    println(line)
+    // The full line also lands in a FILE: the r8 driver's tail capture
+    // truncated the stdout line mid-JSON (the wall map survived only
+    // from q49 on), leaving per-query regressions undiffable without
+    // log archaeology. BENCH_SELF.json in the repo root is the
+    // committed, always-complete record; stdout stays the driver
+    // contract.
+    try {
+      val w = new java.io.PrintWriter("BENCH_SELF.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

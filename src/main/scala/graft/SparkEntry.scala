@@ -1289,15 +1289,21 @@ object SparkEntry {
     // whose winning row is an 'error' tombstone dropped. The oracle
     // replays it as a window rank (DuckDB has no two-column arg_max);
     // the Spark side is the max_by hash aggregate (Restore.scala).
+    // epoch_us ordering, not raw ts: the Spark side orders by the
+    // micros-truncated Tables.events ts, so if the parquet ever ships
+    // nanos again, DuckDB (nanos-native) must tie-break at the SAME
+    // granularity or two rows colliding at micro- but not nano-second
+    // precision pick different winners. IS DISTINCT FROM: a NULL
+    // last_type is not a tombstone (matches `<=>` on the Spark side).
     "q56_restore_state" ->
       """SELECT user_id, last_event_id, last_ts, last_type, last_value
          FROM (SELECT user_id, event_id AS last_event_id,
                       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
                       event_type AS last_type, value AS last_value,
                       row_number() OVER (PARTITION BY user_id
-                        ORDER BY ts DESC, event_id DESC) AS rn
+                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
                FROM events)
-         WHERE rn = 1 AND last_type <> 'error'""",
+         WHERE rn = 1 AND last_type IS DISTINCT FROM 'error'""",
     // q53: the whole curation chain as ONE CTE pipeline — q20's
     // canonical pick, q52's segment strip, q38's shingle overlap,
     // q51's tokenizer (trained on the CURATED corpus via

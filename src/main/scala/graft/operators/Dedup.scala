@@ -324,35 +324,31 @@ object Dedup {
     //
     // The over-cap shingles are the BLACKLIST, and it is small (the
     // ubiquitous-content tail — 3k entries on the test corpus): when it
-    // fits `maxBlacklist`, pruning is a map-side array_except against a
-    // broadcast list, erasing the posting⋈df shuffle AND the
-    // collect_set re-aggregation the old path paid (q27 1.03 s →
-    // map-only). A corpus whose blacklist outgrows the bound (per-row
-    // array_except builds a hash set of the list, so it must stay
-    // modest) falls back to the shuffle-pruning join.
+    // fits `maxBlacklist`, pruning is a map-side broadcast ANTI-join in
+    // the POSTING domain — no set arrays are ever rebuilt (r8 paid an
+    // array_except cross-join plus a second fat set-array checkpoint
+    // here; r9 drops both). A corpus whose blacklist outgrows the bound
+    // falls back to the posting⋈df shuffle-pruning join.
     val dfc = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val blackArr = dfc.filter(col("df") > maxDf).select(col("shingle"))
       .limit(maxBlacklist + 1).collect().map(_.getLong(0))
-    // Checkpoint the PRUNED sets too: four consumers (both pair-join
-    // sides, `sizes`, and through them the completion join) otherwise
-    // each re-evaluate the ~1 s array_except branch — r8's stage probe
-    // (tools/Q27Probe) measured the full operator at 8.0–9.7 s against
-    // a 5.8 s warm stage sum, the gap being exactly this re-evaluation.
-    // Storage is bounded by the shSets checkpoint already paid (pruned
-    // sets are strictly smaller — the blacklist is removed), and blocks
-    // die with the frame. Probe after: ~6 s.
-    val docSets = (
+    // Checkpoint the PRUNED POSTINGS (not pruned sets): three consumers
+    // (both pair-join sides, `sizes`) otherwise re-evaluate the prune
+    // pass each. Pruned postings are the SMALLEST frame in the operator
+    // (two longs per surviving posting — ~100k rows at sf0.1 vs the
+    // multi-MB set arrays r8 checkpointed), so this also cuts the
+    // storage-pool pressure that inflated q27 inside the shared bench
+    // session. Blocks die with the frame.
+    val pruned = (
       if (blackArr.length <= maxBlacklist) {
-        val bl = Seq(blackArr.toSeq).toDF("bl")
-        shSets.crossJoin(broadcast(bl))
-          .select(col("doc_id"), array_except(col("shs"), col("bl")).as("shs"))
+        val bl = blackArr.toSeq.toDF("shingle")
+        post.join(broadcast(bl), Seq("shingle"), "left_anti")
       } else {
-        post.join(dfc.filter(col("df") <= maxDf), Seq("shingle"))
-          .groupBy(col("doc_id"))
-          .agg(collect_set(col("shingle")).as("shs"))
-      }).localCheckpoint(true)
-    val pruned = docSets.select(col("doc_id"), explode(col("shs")).as("shingle"))
-    val sizes = docSets.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
+        post.join(dfc.filter(col("df") <= maxDf).select(col("shingle")), Seq("shingle"))
+      }).select(col("doc_id"), col("shingle")).localCheckpoint(true)
+    // n_sh = |pruned set| per doc; shingles are set-distinct per doc by
+    // construction (char_shingle_set), so a posting count is the size.
+    val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
     val common = pruned.as("pa").join(pruned.as("pb"),
         col("pa.shingle") === col("pb.shingle") &&

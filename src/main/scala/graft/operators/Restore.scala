@@ -41,17 +41,32 @@ object Restore {
     * be deterministic (pass a struct ending in a unique column, e.g.
     * the log offset).
     *
-    * Output columns = input columns (key first); callers project.
+    * A NULL-evaluating tombstone KEEPS the key (`coalesce(_, false)`),
+    * matching `ExactlyOnceSink.upsertBatch`'s contract — the sink this
+    * fold mirrors coalesces a null tombstone flag to "not deleted", and
+    * a restore that silently dropped such keys would diverge from the
+    * table it claims to rebuild.
+    *
+    * Output columns = input columns (key first); callers project. The
+    * input must not already carry the internal `__del`/`__r` columns
+    * (the sink's meta layer guarantees user tables never do).
     */
   def stateFromChangelog(changelog: DataFrame, keyCols: Seq[String],
                          version: Column, tombstone: Column): DataFrame = {
-    val flagged = changelog.withColumn("__del", tombstone)
-    val row = struct(flagged.columns.toIndexedSeq.map(col): _*)
+    require(!changelog.columns.exists(c => c == "__del" || c == "__r"),
+      s"changelog must not contain reserved columns __del/__r: ${changelog.columns.mkString(",")}")
+    // backtick-quoted resolution everywhere a NAME becomes a Column: a
+    // column whose name contains a dot otherwise misparses as a nested
+    // field path (quoteIfNeeded is Catalyst's own identifier quoting)
+    def qcol(n: String): Column =
+      col(org.apache.spark.sql.catalyst.util.quoteIfNeeded(n))
+    val flagged = changelog.withColumn("__del", coalesce(tombstone, lit(false)))
+    val row = struct(flagged.columns.toIndexedSeq.map(qcol): _*)
     val dataCols = changelog.columns.filterNot(keyCols.contains).toIndexedSeq
-    flagged.groupBy(keyCols.map(col): _*)
+    flagged.groupBy(keyCols.map(qcol): _*)
       .agg(max_by(row, version).as("__r"))
       .filter(!col("__r.__del"))
-      .select(keyCols.map(col) ++ dataCols.map(c => col(s"__r.$c").as(c)): _*)
+      .select(keyCols.map(qcol) ++ dataCols.map(c => col("__r").getField(c).as(c)): _*)
   }
 
   /** q56: the per-user session store rebuilt from the events table read
@@ -60,12 +75,14 @@ object Restore {
     * (event_id unique ⇒ total order even on coarse-timestamp ties —
     * the s09 deterministic-winner discipline), tombstone = an 'error'
     * event (the newest record being an error closes the key, the way a
-    * null value deletes a KTable entry).
+    * null value deletes a KTable entry). Null-safe `<=>`: a NULL
+    * event_type is NOT a tombstone — the key survives — mirroring the
+    * sink contract and the oracle's `IS DISTINCT FROM 'error'` filter.
     */
   def restoreState(events: DataFrame): DataFrame =
     stateFromChangelog(events, Seq("user_id"),
       struct(col("ts"), col("event_id")),
-      col("event_type") === lit("error"))
+      col("event_type") <=> lit("error"))
       .select(col("user_id"), col("event_id").as("last_event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
         col("event_type").as("last_type"), col("value").as("last_value"))

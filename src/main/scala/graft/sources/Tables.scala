@@ -23,20 +23,32 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * long (spark.sql.legacy.parquet.nanosAsLong=true — set in
-    * Verify/Bench/test sessions). Convert to a micros timestamp here so
-    * downstream operators see a plain TimestampType either way.
+  /** events.ts has shipped as three different parquet logical types
+    * across driver-side testdata regens: TIMESTAMP(NANOS) (read as a
+    * long under spark.sql.legacy.parquet.nanosAsLong=true, set in
+    * Verify/Bench/test sessions), TIMESTAMP isAdjustedToUTC=0 (read as
+    * TIMESTAMP_NTZ), and plain TIMESTAMP_LTZ. Normalize ALL of them to
+    * TimestampType here so downstream operators (`unix_micros` in
+    * q15/q44 rejects NTZ) never see the drift. Every entrypoint pins
+    * the session timezone to UTC, so the NTZ→LTZ cast is a pure
+    * re-label — identical micros, and the DuckDB oracle (NTZ-native)
+    * is unaffected.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // FLOOR division (the q44/§8 lesson): DIV truncates toward zero,
-      // so a pre-epoch nanos value would round UP one microsecond and
-      // desynchronize from any floor-based oracle
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // FLOOR division (the q44/§8 lesson): DIV truncates toward zero,
+        // so a pre-epoch nanos value would round UP one microsecond and
+        // desynchronize from any floor-based oracle
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -71,7 +71,9 @@ object BenchScale {
     "q47b_pack_tokenized",
     "q48b_mixture_tokenized",
     "q52_segment_dedup",
-    "q53_curate")
+    "q53_curate",
+    "q55_pagerank",     // fixed 8 iterations, each linear in |E|
+    "q56_restore_state") // one hash aggregate over the changelog
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")
@@ -79,7 +81,8 @@ object BenchScale {
     "q27_ngram_jaccard",
     "q30b_embedding_dedup_lsh",
     "q42_dedup_groups", // closure work tracks the (quadratic) pair graph
-    "q42b_dedup_groups_lsh") // LSH pairs: tracks the TRUE pair set, not N²
+    "q42b_dedup_groups_lsh", // LSH pairs: tracks the TRUE pair set, not N²
+    "q54_triangle_count") // corner rows = 3·Δ — the answer itself densifies with |E|
 
   /** Σ numOutputRows over the executed tree, descending into
     * materialized AQE query stages (QueryStageExec is a leaf whose
@@ -119,7 +122,10 @@ object BenchScale {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val evs = graft.sources.Tables.events(spark, sfDir)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
     val nd = docs.count(); val ne = embs.count(); val nv = evs.count()
+    val nl = li.count()
     val divs = Seq(4, 2, 1)
     val dirs = divs.map { div =>
       val dir = s"$work/div$div"
@@ -129,6 +135,36 @@ object BenchScale {
         .write.parquet(s"$dir/embeddings.parquet")
       evs.limit((nv / div).toInt).repartition(cpus.toInt)
         .write.parquet(s"$dir/events.parquet")
+      // graph scale points: the FACT side (lineitem incidences) scales,
+      // the part dim stays whole — vertices are fixed, edge density
+      // grows, matching how a real corpus densifies
+      li.limit((nl / div).toInt).repartition(cpus.toInt)
+        .write.parquet(s"$dir/lineitem.parquet")
+      part.write.parquet(s"$dir/part.parquet")
+      dir
+    }
+    // adversarial q54 shape: a STAR — every synthetic order pairs the
+    // hub part with one leaf, so the hub's degree IS the scale point
+    // (the GraphSpec:74 property at BenchScale sizes). Degree
+    // orientation makes the hub every edge's DESTINATION: out-degree
+    // stays ≤ 2, the intersect side never explodes, and the measured
+    // exponent must stay ~linear — a wedge-join formulation would read
+    // Θ(deg²) here.
+    val starDirs = divs.map { div =>
+      import org.apache.spark.sql.functions._
+      val dir = s"$work/star$div"
+      val leaves = (nl / div).toInt
+      val leaf = spark.range(1, leaves + 1)
+      leaf.select((col("id") * 2).as("l_orderkey"), lit(0L).as("l_partkey"))
+        .unionAll(leaf.select((col("id") * 2).as("l_orderkey"), col("id").as("l_partkey")))
+        // one closing edge so the answer is non-trivial (1 triangle)
+        .unionAll(spark.range(1, 2).select(lit(1L).as("l_orderkey"), lit(1L).as("l_partkey")))
+        .unionAll(spark.range(1, 2).select(lit(1L).as("l_orderkey"), lit(2L).as("l_partkey")))
+        .repartition(cpus.toInt)
+        .write.parquet(s"$dir/lineitem.parquet")
+      spark.range(0, leaves + 1).select(col("id").as("p_partkey"))
+        .repartition(cpus.toInt)
+        .write.parquet(s"$dir/part.parquet")
       dir
     }
     // adversarial q44 shape: EVERY event of the subset remapped into a
@@ -180,7 +216,11 @@ object BenchScale {
       // q44 on the pure-burst corpora: asserted < 1.7 — the micro-bin
       // decomposition's B^1.5 design bound, clearly separated from the
       // Θ(B²) a window-wide binning measures on this shape
-      Seq(("q44_range_join_burst", "q44_range_join", "skew_bounded", burstDirs))
+      Seq(("q44_range_join_burst", "q44_range_join", "skew_bounded", burstDirs),
+      // q54 on the star corpora: hub degree = scale point; asserted
+      // < 1.7 — degree orientation keeps intersect sides O(1) here,
+      // the wedge join this operator rejected would read ~2.0
+      ("q54_triangle_star", "q54_triangle_count", "skew_bounded", starDirs))
     val results = entries.map { case (report, query, fam, ds) =>
       val m = ds.map(measure(query, _)) // ascending size: n/4, n/2, n
       val rExp = slope(m(2).rows.toDouble, m(1).rows.toDouble)

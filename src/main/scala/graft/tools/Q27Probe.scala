@@ -54,14 +54,12 @@ object Q27Probe {
         dfc.filter(col("df") > maxDf).select(col("shingle"))
           .limit(65537).collect().map(_.getLong(0))
       }
-      val docSets = time("3 docSets (array_except) checkpoint") {
-        val bl = Seq(blackArr.toSeq).toDF("bl")
-        shSets.crossJoin(broadcast(bl))
-          .select(col("doc_id"), array_except(col("shs"), col("bl")).as("shs"))
+      val pruned = time("3 pruned postings (broadcast anti-join) checkpoint") {
+        val bl = blackArr.toSeq.toDF("shingle")
+        post.join(broadcast(bl), Seq("shingle"), "left_anti")
+          .select(col("doc_id"), col("shingle"))
           .localCheckpoint(true)
       }
-      val pruned = docSets.select(col("doc_id"), explode(col("shs")).as("shingle"))
-        .localCheckpoint(true)
       println(s"[q27probe]   postings rows: ${pruned.count()}")
       val common = time("4 common pair join+agg (forced)") {
         val c = pruned.as("pa").join(pruned.as("pb"),
@@ -74,7 +72,7 @@ object Q27Probe {
         c
       }
       time("5 scored+best+completion (forced)") {
-        val sizes = docSets.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
+        val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         val scored = common
           .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
           .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))

@@ -320,11 +320,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val s = finalPlanStr(df)
     // the old shape shuffled 20M postings into a collect_set re-aggregation
     assert(!s.contains("collect_set"), s)
-    // r8: the map-side array_except prune runs ONCE at checkpoint build
-    // (four consumers — both pair-join sides, sizes, completion — were
-    // each re-evaluating the ~1 s branch; see Dedup scaladoc), so the
-    // final plan must read the pruned sets from the checkpoint, not
-    // re-derive them: ExistingRDD scans present, array_except ABSENT
+    // r9: pruning happens in the POSTING domain (broadcast anti-join)
+    // and the pruned postings are checkpointed ONCE — the final plan
+    // must read them from the checkpoint (ExistingRDD scans), with no
+    // set arrays rebuilt anywhere (array_except deleted with the r8
+    // docSets pass; see Dedup scaladoc)
     assert(s.contains("Scan ExistingRDD"), s)
     assert(!s.contains("array_except"), s)
   }

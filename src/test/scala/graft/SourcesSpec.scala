@@ -37,6 +37,38 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("Tables.events normalizes ts to TimestampType across parquet logical-type drift") {
+    // The driver has regenerated /root/testdata with events.ts as three
+    // different parquet logical types across rounds (NANOS→long under
+    // nanosAsLong, isAdjustedToUTC=0→NTZ, and plain LTZ). The r8 regen
+    // to NTZ silently broke q15/q44 (`unix_micros` rejects NTZ). This
+    // pins the loader contract so the NEXT regen can't knock queries
+    // out of the correctness gate.
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val base = new java.io.File("/tmp/graft-test-events-drift")
+    if (base.exists()) { import scala.reflect.io.Directory; new Directory(base).deleteRecursively() }
+    // micros values straddling a second boundary + a pre-epoch row
+    // (the floor-division edge the NANOS branch exists for)
+    val micros = Seq(0L, 1L, 999999L, 1700000000123456L, -1L, -999001L)
+    val ltz = micros.toDF("us").select(
+      expr("uuid()").as("event_id"), expr("timestamp_micros(us)").as("ts"))
+    ltz.write.parquet(s"$base/ltz/events.parquet")
+    ltz.select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"))
+      .write.parquet(s"$base/ntz/events.parquet")
+    ltz.select(col("event_id"), (expr("unix_micros(ts)") * 1000L).as("ts"))
+      .write.parquet(s"$base/nanos/events.parquet") // long column == nanosAsLong read shape
+    val expected = micros.sorted
+    for (shape <- Seq("ltz", "ntz", "nanos")) {
+      val ev = Tables.events(spark, s"$base/$shape")
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"$shape: got ${ev.schema("ts").dataType}")
+      // value-level: identical micros under the UTC session tz
+      val got = ev.select(expr("unix_micros(ts)")).as[Long].collect().sorted.toSeq
+      assert(got == expected, s"$shape: $got != $expected")
+    }
+  }
+
   test("nested orders round-trip losslessly back to line items") {
     val nested = Tables.nestedOrders(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)
