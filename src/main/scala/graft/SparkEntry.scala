@@ -168,6 +168,8 @@ object SparkEntry {
       graft.operators.Graph.triangleCounts(Tables.part(s, d), Tables.lineitem(s, d))),
     "q55_pagerank" -> ((s, d) =>
       graft.operators.Graph.pageRank(Tables.part(s, d), Tables.lineitem(s, d))),
+    "q57_communities" -> ((s, d) =>
+      graft.operators.Graph.labelPropagation(Tables.part(s, d), Tables.lineitem(s, d))),
     // -- offline state restore (the reference restore/ module, q56) --
     // the events table read as a keyed changelog: rekey on user_id,
     // newest (ts, event_id) wins, an 'error' tombstone closes the key
@@ -1285,6 +1287,11 @@ object SparkEntry {
     // the distributed power iteration is hash-checked bit-for-bit
     // against a sequential replay.
     "q55_pagerank" -> graft.operators.Graph.pageRankOracleSql(),
+    // q57: the synchronous LPA rounds unrolled textually (see
+    // Graph.labelPropagationOracleSql) — same vote counts, same
+    // (count DESC, label ASC) winner, so communities hash-match a
+    // sequential replay of the identical recurrence
+    "q57_communities" -> graft.operators.Graph.labelPropagationOracleSql(),
     // q56: the restore fold — newest (ts, event_id) per user_id, keys
     // whose winning row is an 'error' tombstone dropped. The oracle
     // replays it as a window rank (DuckDB has no two-column arg_max);

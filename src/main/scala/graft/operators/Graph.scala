@@ -278,6 +278,102 @@ object Graph {
       case _ => ()
     }
 
+  /** q57: community detection by SYNCHRONOUS label propagation over
+    * the co-purchase graph — the third graph op (density q54 →
+    * centrality q55 → communities here). Every part starts in its own
+    * community (label = own key); each of the `iters` rounds relabels
+    * EVERY vertex simultaneously to its neighbors' most frequent
+    * label, ties to the SMALLEST label — the deterministic variant of
+    * Raghavan et al.'s LPA (asynchronous/random-order LPA converges
+    * faster but is run-to-run unstable; the synchronous min-tie form
+    * is a pure function of the graph, so the distributed execution
+    * hash-matches a sequential replay and an unrolled-CTE oracle,
+    * exactly the q55 discipline). A vertex with no labeled neighbors
+    * (isolated part, or all neighbors phantom) keeps its label.
+    * Output: (p_partkey, community) — |V| rows.
+    *
+    * Scale: per round, one map-side join of the edge list against the
+    * broadcast |V|-sized label vector (sized by the SAME
+    * maxBroadcastRankRows cutoff as q55 — label and rank vectors are
+    * the same shape; fact-sized vertex sets auto-demote to shuffle
+    * joins), a (src, lbl) count with map-side partials (group count ≤
+    * Σ deg = 2|E|), a per-src max_by hash aggregate (no window sort —
+    * the §8 max_by-over-window lesson), and a |V| map-side completion
+    * join. Labels checkpoint per round with the predecessor's blocks
+    * freed (the q55 lifecycle), so storage holds ~one label vector.
+    * `iters` is a fixed constant — LPA on low-diameter catalog graphs
+    * settles in a handful of rounds, and a convergence loop would make
+    * the job count data-dependent.
+    *
+    * Phantom endpoints (lineitem keys absent from part) carry no label:
+    * they contribute no votes and receive no community — both engines
+    * drop them in the same place (the label join), so FK-violating
+    * input agrees bit-for-bit too.
+    */
+  def labelPropagation(part: DataFrame, lineitem: DataFrame, iters: Int = 5,
+                       broadcastLabels: Option[Boolean] = None): DataFrame = {
+    val verts = part.select(col("p_partkey").as("id"))
+    val n = verts.count() // one exact COUNT — the sizing-action class
+    if (n == 0L || iters == 0)
+      return verts.select(col("id").as("p_partkey"), col("id").as("community"))
+    val und = coPurchaseEdges(lineitem).localCheckpoint(true)
+    val bc = broadcastLabels.getOrElse(autoBroadcastRanks(part, n))
+    def mapSide(df: DataFrame) = if (bc) broadcast(df) else df
+    val ed = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    unpersistCheckpoint(und) // ed holds everything the loop reads
+    var labels = verts.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iters) {
+      val votes = ed
+        .join(mapSide(labels.withColumnRenamed("id", "dst")), Seq("dst"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      // most-frequent label, tie → smallest: max over (count, -label)
+      val best = votes.groupBy(col("src"))
+        .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl"))).as("best"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(mapSide(best), Seq("id"), "left")
+        .select(col("id"), coalesce(col("best"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      unpersistCheckpoint(labels)
+      labels = next
+    }
+    unpersistCheckpoint(ed)
+    labels.select(col("id").as("p_partkey"), col("lbl").as("community"))
+  }
+
+  /** The q57 oracle: the synchronous min-tie LPA rounds unrolled as
+    * chained CTEs (same generation discipline as [[pageRankOracleSql]]);
+    * the per-vertex argmax is a row_number window ordered (count DESC,
+    * label ASC) — DuckDB's arg_max cannot take the composite ordering
+    * Spark's max_by-over-struct expresses.
+    */
+  def labelPropagationOracleSql(iters: Int = 5): String = {
+    val steps = (1 to iters).map { k =>
+      s"""l$k AS (
+         |  SELECT p.id, coalesce(b.best, p.lbl) AS lbl
+         |  FROM l${k - 1} p LEFT JOIN (
+         |    SELECT src AS id, lbl AS best FROM (
+         |      SELECT v.src, v.lbl,
+         |             row_number() OVER (PARTITION BY v.src
+         |               ORDER BY v.c DESC, v.lbl ASC) AS rn
+         |      FROM (SELECT ed.src, l.lbl, count(*) AS c
+         |            FROM ed JOIN l${k - 1} l ON l.id = ed.dst
+         |            GROUP BY ed.src, l.lbl) v) q
+         |    WHERE rn = 1) b ON b.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pp AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |ed AS (SELECT u AS src, v AS dst FROM pp
+       |       UNION ALL SELECT v AS src, u AS dst FROM pp),
+       |verts AS (SELECT p_partkey AS id FROM part),
+       |l0 AS (SELECT id, id AS lbl FROM verts),
+       |$steps
+       |SELECT id AS p_partkey, lbl AS community FROM l$iters""".stripMargin
+  }
+
   /** The q55 oracle: the identical integer iteration unrolled as
     * chained CTEs (DuckDB's recursive-CTE form forbids the aggregate
     * in the recursive member, so the fixed `iters` steps are generated

@@ -73,7 +73,8 @@ object BenchScale {
     "q52_segment_dedup",
     "q53_curate",
     "q55_pagerank",     // fixed 8 iterations, each linear in |E|
-    "q56_restore_state") // one hash aggregate over the changelog
+    "q56_restore_state", // one hash aggregate over the changelog
+    "q57_communities")  // fixed 5 LPA rounds, each linear in |E|
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")

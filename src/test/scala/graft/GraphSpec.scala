@@ -143,6 +143,62 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(base))
   }
 
+  /** Sequential replay of synchronous min-tie label propagation. */
+  private def seqLpa(vertices: Seq[Long], edges: Seq[(Long, Long)],
+                     iters: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap)).groupMap(_._1)(_._2)
+    var lbl = vertices.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lbl = vertices.map { v =>
+        val votes = adj.getOrElse(v, Nil).map(lbl).groupBy(identity)
+          .view.mapValues(_.size).toSeq
+        if (votes.isEmpty) v -> lbl(v)
+        // most frequent, tie → smallest label
+        else v -> votes.maxBy { case (l, c) => (c, -l) }._1
+      }.toMap
+    }
+    lbl
+  }
+
+  private def sparkLpa(vertices: Seq[Long], edges: Seq[(Long, Long)],
+                       iters: Int): Map[Long, Long] = {
+    val (part, li) = tables(vertices, edges)
+    Graph.labelPropagation(part, li, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("communities: two cliques with a bridge resolve to two communities") {
+    // K4 on 0-3, K4 on 10-13, one bridge 3-10; labels flood to each
+    // clique's minimum; isolated 99 stays its own singleton
+    val vs = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L, 99L)
+    val es = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L),
+      (3L, 10L))
+    val got = sparkLpa(vs, es, 5)
+    assert(got == seqLpa(vs, es, 5))
+    assert(Seq(0L, 1L, 2L, 3L).map(got).distinct == Seq(0L))
+    assert(Seq(11L, 12L, 13L).map(got).distinct.forall(_ != got(0L)))
+    assert(got(99L) == 99L)
+  }
+
+  test("communities: random graphs replay the sequential recurrence exactly") {
+    val rnd = new Random(41)
+    for (trial <- 1 to 3) {
+      val n = 15 + rnd.nextInt(20)
+      val vs = (0 until n).map(_.toLong)
+      val es = Seq.fill(2 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      assert(sparkLpa(vs, es, 4) == seqLpa(vs, es, 4), s"trial $trial")
+    }
+  }
+
+  test("communities: empty part table and edgeless graph degrade safely") {
+    assert(sparkLpa(Seq.empty, Seq.empty, 3).isEmpty)
+    val vs = (0L to 4L)
+    assert(sparkLpa(vs, Seq.empty, 3) == vs.map(v => v -> v).toMap)
+  }
+
   /** Every physical node in the INITIAL (pre-AQE-execution) plan —
     * audited unexecuted, because at spec scale AQE would legally
     * re-convert a small shuffle join back to broadcast at runtime and
