@@ -101,6 +101,28 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0))
     }),
     "q39_repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
+    // q58: the synthetic corpus is PII-free (checked: zero '@', zero
+    // digits), so PII is PLANTED deterministically from doc_id on the
+    // %3 split — the q38 self-contained-construction discipline, with
+    // the IDENTICAL planting expression in the oracle, so detection
+    // and byte-level redaction are still hash-compared end to end
+    "q58_pii_redact" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 3 === 0 && col("text").isNotNull,
+          concat(
+            lit("contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or 10."),
+            (col("doc_id") % 200).cast("string"), lit("."),
+            (col("doc_id") % 250).cast("string"), lit(".9 call "),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" "), col("text")))
+          .otherwise(col("text")))
+      TextOps.piiRedact(planted)
+    }),
     "q40_keywords" -> ((s, d) => TextOps.keywords(Tables.documents(s, d))),
     "q41_audio_meta" -> ((s, d) => Multimodal.audioMeta(Tables.documents(s, d))),
     "q42_dedup_groups" -> ((s, d) =>
@@ -766,6 +788,38 @@ object SparkEntry {
     // q39: every ratio is integer-count / integer-count in IEEE double
     // — bit-identical across engines. DuckDB range() is end-EXCLUSIVE
     // vs Spark sequence()'s inclusive, hence the +1s.
+    // q58: same planting expression, then the same count→redact chain;
+    // DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
+    // default) and counts via length(regexp_extract_all). Patterns are
+    // the Java∩RE2-identical subset (TextOps.piiRedact scaladoc).
+    "q58_pii_redact" ->
+      s"""WITH planted AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL THEN
+                    'contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or 10.'
+                    || CAST(doc_id % 200 AS VARCHAR) || '.'
+                    || CAST(doc_id % 250 AS VARCHAR) || '.9 call '
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' ' || text
+                  ELSE text END AS text
+           FROM documents),
+         chain AS (
+           SELECT doc_id, text AS t0,
+                  regexp_replace(text, '${graft.operators.TextOps.EmailRe}', '<EMAIL>', 'g') AS t1
+           FROM planted),
+         chain2 AS (
+           SELECT doc_id, t0, t1,
+                  regexp_replace(t1, '${graft.operators.TextOps.Ipv4Re}', '<IP>', 'g') AS t2
+           FROM chain)
+         SELECT doc_id,
+                length(regexp_extract_all(t0, '${graft.operators.TextOps.EmailRe}')) AS n_emails,
+                length(regexp_extract_all(t1, '${graft.operators.TextOps.Ipv4Re}')) AS n_ips,
+                length(regexp_extract_all(t2, '${graft.operators.TextOps.PhoneRe}')) AS n_phones,
+                regexp_replace(t2, '${graft.operators.TextOps.PhoneRe}', '<PHONE>', 'g') AS clean_text
+         FROM chain2""",
     "q39_repetition_stats" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(

@@ -789,4 +789,40 @@ object TextOps {
             " "))
           .as("clean_text"))
   }
+
+  /** q58: PII detection + redaction — the standard curation stage the
+    * family was missing (C4/RefinedWeb-style scrubbing): emails, IPv4
+    * addresses, and NNN-NNN-NNNN phone numbers are counted and
+    * replaced by fixed tokens. Patterns are restricted to the regex
+    * subset Java (Spark codegen'd `regexp_count`/`regexp_replace`) and
+    * RE2 (the DuckDB oracle) interpret IDENTICALLY — character
+    * classes, bounded repetition, `\b`, no backtracking-dependent
+    * constructs — so the byte-level clean_text hash-compares.
+    *
+    * The three classes are processed as a CHAIN (count on the current
+    * text, then redact, then the next class): an email whose domain
+    * looks like an IP is counted once, as an email — both engines
+    * replay the same chain, so the ordering is part of the contract.
+    * NULL text propagates NULL counts and NULL clean_text (the q39
+    * convention).
+    *
+    * Scale: a stateless projection — three codegen'd regex passes over
+    * the text column, no shuffle, no UDF, no state; the plan is
+    * scan→project and the zero-exchange shape is PlanAudit-asserted.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val t0 = col("text")
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, PhoneRe, "<PHONE>")
+    documents.select(col("doc_id"),
+      regexp_count(t0, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t1, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(t2, lit(PhoneRe)).cast("long").as("n_phones"),
+      t3.as("clean_text"))
+  }
 }

@@ -74,7 +74,8 @@ object BenchScale {
     "q53_curate",
     "q55_pagerank",     // fixed 8 iterations, each linear in |E|
     "q56_restore_state", // one hash aggregate over the changelog
-    "q57_communities")  // fixed 5 LPA rounds, each linear in |E|
+    "q57_communities",  // fixed 5 LPA rounds, each linear in |E|
+    "q58_pii_redact")   // stateless regex projection
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")

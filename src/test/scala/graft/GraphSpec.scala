@@ -286,6 +286,11 @@ class GraphSpec extends AnyFunSuite {
       assert(Graph.pageRank(part, li, iters = 2).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
         == seqPageRank(vs, es, 2))
+      // LPA shares the rank-vector sizing: the demoted (shuffle) plan
+      // must still replay the sequential recurrence exactly
+      assert(Graph.labelPropagation(part, li, iters = 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        == seqLpa(vs, es, 3))
       // explicit override beats the sizing
       assert(broadcastsCheckpoint(
         Graph.triangleCounts(part, li, broadcastEdges = Some(true))))

@@ -152,6 +152,15 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q58 pii redaction is a pure projection: zero exchanges, scan prunes to (doc_id, text)") {
+    val df = graft.operators.TextOps.piiRedact(Tables.documents(spark, sfDir))
+    val s = finalPlanStr(df)
+    assert(!s.contains("Exchange"), s)
+    // three regex passes must not triple the scan either: ONE scan node
+    assert("Scan parquet".r.findAllIn(s).size == 1, s)
+    assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s)
+  }
+
   test("salted aggregation: two-phase shape, exact on a hot-key dataset") {
     import org.apache.spark.sql.functions._
     // synthetic skew: one sku is 90% of the stream (the viral-product

@@ -1436,4 +1436,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("s04_out").count() ==
       Tables.lineitem(spark, sfDir).count())
   }
+
+  test("s22 streaming pii redaction: the BATCH operator runs on a stream unmodified, row-exact") {
+    // piiRedact is a stateless projection, so the streaming twin is the
+    // SAME code path applied to a streaming frame — the strongest
+    // parity statement available (no re-implementation to diverge);
+    // this spec pins that the plan really is streaming-admissible (no
+    // accidental agg/sort would ever sneak in unnoticed).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a@b.io or 10.1.2.3 or 555-123-4567"),
+      (2L, "clean"),
+      (3L, null.asInstanceOf[String])
+    )
+    val batch = graft.operators.TextOps.piiRedact(docs.toDF("doc_id", "text"))
+      .collect().map(_.toString).sorted.toSeq
+    val source = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.piiRedact(
+        source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("s22_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      source.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("s22_out").collect().map(_.toString).sorted.toSeq == batch)
+  }
 }

@@ -378,4 +378,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(stats.filter(col("n_fallback") > 0).count() > 0)
     assert(stats.filter(col("n_tokens") > col("n_fallback")).count() > 0)
   }
+
+  test("q58 pii: detects and redacts planted classes; clean text is PII-free; nulls flow") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a@b.io and c.d+x@sub.example.org here"),   // 2 emails
+      (2L, "host 10.0.0.1 and 255.255.255.255 up"),         // 2 ips
+      (3L, "call 555-123-4567 now"),                        // 1 phone
+      (4L, "user9@10.1.2.3.example.com then 10.1.2.3 left"),// email w/ IP-ish domain counts ONCE
+      (5L, "no pii at all"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiRedact(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2 && out(1L).getString(4) == "mail <EMAIL> and <EMAIL> here")
+    assert(out(2L).getLong(2) == 2 && out(2L).getString(4) == "host <IP> and <IP> up")
+    assert(out(3L).getLong(3) == 1 && out(3L).getString(4) == "call <PHONE> now")
+    // the chain contract: the email (greedy, domain swallows the
+    // IP-shaped tail) is redacted FIRST, so only the standalone IP
+    // remains to be counted as an IP
+    assert(out(4L).getLong(1) == 1 && out(4L).getLong(2) == 1)
+    assert(out(4L).getString(4) == "<EMAIL> then <IP> left")
+    assert(out(5L).getLong(1) == 0 && out(5L).getLong(2) == 0 && out(5L).getLong(3) == 0)
+    assert(out(5L).getString(4) == "no pii at all")
+    assert(out(6L).isNullAt(1) && out(6L).isNullAt(4))
+    // idempotence: redacting clean text finds nothing (tokens are inert)
+    val again = TextOps.piiRedact(
+      TextOps.piiRedact(docs).select(col("doc_id"), col("clean_text").as("text")))
+    assert(again.agg(sum(col("n_emails") + col("n_ips") + col("n_phones")))
+      .head().getLong(0) == 0L)
+  }
 }
