@@ -215,7 +215,10 @@ object Graph {
     // ranks carries only RECEIVING vertices (in-degree ≥ 1); everyone
     // else sits at a known constant — r0 before the first step, the
     // bare teleport term after — so the |V| completion join runs ONCE
-    // at the end instead of every iteration
+    // at the end instead of every iteration. (Checkpointing every
+    // SECOND step was tried and reverted — §8: in the broadcast path
+    // the fused odd step still executes as its own broadcast-exchange
+    // job, so the job count doesn't drop; measured 4.94 vs 5.02 s.)
     var ranks: DataFrame = null
     var dflt = r0
     for (_ <- 1 to iters) {

@@ -125,6 +125,18 @@ class EdgeCaseSpec extends AnyFunSuite {
       clean.filter(col("n_candidates") =!= 0L).count() == 0)
   }
 
+  test("round-9 ops survive empty and degenerate inputs") {
+    val noDocs = emptyLike(docs)
+    // q58: empty corpus → empty; blank text → zero counts, text echoed
+    assert(TextOps.piiRedact(noDocs).count() == 0)
+    val blank = docs.limit(2).withColumn("text", lit(" "))
+    val pr = TextOps.piiRedact(blank).collect()
+    assert(pr.forall(r => r.getLong(1) == 0L && r.getString(4) == " "))
+    // q56: empty changelog → empty state
+    val noEv = graft.sources.Tables.events(spark, sfDir).limit(0)
+    assert(graft.operators.Restore.restoreState(noEv).count() == 0)
+  }
+
   test("simhash enforces the packed-lane token bound loudly") {
     import graft.functions.SimHashLanes.MaxTokens
     // build the oversized doc executor-side (repeat column, not a 4MB
