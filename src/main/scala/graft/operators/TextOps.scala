@@ -47,18 +47,21 @@ object TextOps {
     * polynomial rolling hash (base 31, mod 1e9+7, over code points).
     * The rolling hash is an order-sensitive content fingerprint (same
     * family the reference's changelog-compaction keys rely on: equal
-    * content ⇒ equal key); computed with higher-order `aggregate` so it
-    * stays a codegen'd per-row expression.
+    * content ⇒ equal key); computed by the codegen'd PolyHashExpr
+    * kernel — ONE pass over the string. The original
+    * `aggregate(transform(sequence(1, length(text)), i ->
+    * ascii(substring(text, i, 1))), …)` formulation was O(len²):
+    * UTF8String.substring walks from the string start per position
+    * (the q27 r4 lesson, resurfaced by an r9 bench audit — q21 read
+    * 1.7 s for a projection; kernel swap: ~0.4 s). Identical
+    * arithmetic — the DuckDB oracle's per-character list_reduce
+    * replay is unchanged and still hash-compares.
     */
   def docFingerprint(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       md5(col("text")).as("fp_md5"),
-      expr(
-        """aggregate(
-             transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
-             CAST(0 AS BIGINT),
-             (h, c) -> (h * 31 + c) % 1000000007)""").as("fp_poly"))
+      graft.functions.VectorFunctions.poly_hash(col("text")).as("fp_poly"))
 
   /** q22: token counting — whitespace tokens and a BPE-ish regex
     * tokenization (letter runs | digit runs | single punctuation), the
