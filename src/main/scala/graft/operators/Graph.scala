@@ -207,10 +207,17 @@ object Graph {
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
     val deg = ed0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // degrees BEFORE the FK restriction (phantom-bound mass leaks, per
-    // the contract above); then only verts-keyed sources propagate
-    val ed = ed0.join(deg, Seq("src"))
+    // the contract above); then only verts-keyed sources propagate.
+    // Repartition by DST before the checkpoint: every iteration's
+    // groupBy(dst) requires ClusteredDistribution(dst), which the
+    // checkpoint's preserved HashPartitioning(dst) already satisfies —
+    // so the per-step |E|→|V| sum aggregation plans ZERO exchanges
+    // (the broadcast rank join is partitioning-preserving). One |E|
+    // shuffle up front replaces `iters` of them; at cluster scale
+    // that's `iters`−1 fewer full-network passes over the edge list.
+    val ed = checkpointPartitioned(ed0.join(deg, Seq("src"))
       .join(mapSide(verts.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
-      .localCheckpoint(true)
+      .repartition(col("dst")))
     unpersistCheckpoint(und) // ed holds everything the loop reads
     // ranks carries only RECEIVING vertices (in-degree ≥ 1); everyone
     // else sits at a known constant — r0 before the first step, the
@@ -264,6 +271,27 @@ object Graph {
     withR.select(col("dst").as("id"), expr("r div deg").as("c"))
       .groupBy(col("id")).agg(sum(col("c")).as("s"))
       .select(col("id"), (lit(base) + expr("(85 * s) div 100")).as("r"))
+  }
+
+  /** Eager localCheckpoint that PRESERVES the frame's partitioning.
+    * Under AQE (the default) the Dataset's physical plan is an
+    * AdaptiveSparkPlanExec whose pre-execution outputPartitioning is
+    * UNKNOWN, so a checkpoint captured normally FORGETS an explicit
+    * `repartition` — and every downstream iteration re-shuffles the
+    * edge list it was supposed to find pre-clustered (measured: the
+    * per-round groupBys plan Exchange nodes; with the partitioning
+    * captured they plan none — GraphSpec pins both). Building just the
+    * checkpoint with AQE off captures the HashPartitioning; consumers
+    * still plan adaptively. Session-conf toggle: safe under the
+    * single-threaded operator-construction discipline every graft
+    * operator follows (no concurrent plan construction on the session).
+    */
+  private[graft] def checkpointPartitioned(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.adaptive.enabled"
+    val prev = conf.get(key)
+    conf.set(key, "false")
+    try df.localCheckpoint(true) finally conf.set(key, prev)
   }
 
   /** Frees the storage blocks behind an EAGER `localCheckpoint` frame
@@ -322,27 +350,44 @@ object Graph {
     val und = coPurchaseEdges(lineitem).localCheckpoint(true)
     val bc = broadcastLabels.getOrElse(autoBroadcastRanks(part, n))
     def mapSide(df: DataFrame) = if (bc) broadcast(df) else df
-    val ed = und.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(true)
+    // Repartition by SRC before the checkpoint: both per-round
+    // aggregations cluster on src-prefixed keys — groupBy(src, lbl)
+    // and groupBy(src) are each satisfied by HashPartitioning(src) —
+    // and the broadcast label join preserves partitioning, so every
+    // round plans ZERO exchanges off the checkpoint (the q55 dst
+    // trick; one |E| shuffle up front replaces 2·iters of them).
+    val ed = checkpointPartitioned(
+      und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("src")))
     unpersistCheckpoint(und) // ed holds everything the loop reads
     var labels = verts.select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to iters) {
-      val votes = ed
-        .join(mapSide(labels.withColumnRenamed("id", "dst")), Seq("dst"))
-        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-      // most-frequent label, tie → smallest: max over (count, -label)
-      val best = votes.groupBy(col("src"))
-        .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl"))).as("best"))
-        .withColumnRenamed("src", "id")
-      val next = labels.join(mapSide(best), Seq("id"), "left")
-        .select(col("id"), coalesce(col("best"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      val next = lpaStep(ed, labels, bc).localCheckpoint(true)
       unpersistCheckpoint(labels)
       labels = next
     }
     unpersistCheckpoint(ed)
     labels.select(col("id").as("p_partkey"), col("lbl").as("community"))
+  }
+
+  /** One synchronous LPA round as a LAZY frame (checkpointing and block
+    * lifecycle stay in labelPropagation) — factored out so the plan
+    * spec audits the per-round shape directly: off a src-partitioned
+    * edge checkpoint, both aggregations satisfy their distributions
+    * and the round plans zero exchanges.
+    */
+  private[graft] def lpaStep(ed: DataFrame, labels: DataFrame, bc: Boolean): DataFrame = {
+    def mapSide(df: DataFrame) = if (bc) broadcast(df) else df
+    val votes = ed
+      .join(mapSide(labels.withColumnRenamed("id", "dst")), Seq("dst"))
+      .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+    // most-frequent label, tie → smallest: max over (count, -label)
+    val best = votes.groupBy(col("src"))
+      .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl"))).as("best"))
+      .withColumnRenamed("src", "id")
+    labels.join(mapSide(best), Seq("id"), "left")
+      .select(col("id"), coalesce(col("best"), col("lbl")).as("lbl"))
   }
 
   /** The q57 oracle: the synchronous min-tie LPA rounds unrolled as

@@ -193,6 +193,35 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("iteration plans are exchange-free off the pre-partitioned edge checkpoint") {
+    // the r9 trick: ed is repartitioned by the round's aggregation key
+    // BEFORE its checkpoint, and the checkpoint preserves partitioning,
+    // so every iteration's groupBys are satisfied without a shuffle —
+    // `iters`−1 full-network edge passes saved at cluster scale. This
+    // pins the elision for BOTH graph iterators.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val es = (0L to 40L).flatMap(v => Seq((v, (v + 1) % 41), (v, (v + 3) % 41)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val edLpa = Graph.checkpointPartitioned(
+      es.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+        .toDF("src", "dst").repartition(col("src")))
+    val labels = (0L to 40L).map(v => (v, v)).toDF("id", "lbl").localCheckpoint(true)
+    val round = Graph.lpaStep(edLpa, labels, bc = true)
+    round.collect()
+    val s = round.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!s.contains("Exchange hashpartitioning"), s)
+
+    val edPr = Graph.checkpointPartitioned(
+      es.flatMap { case (u, v) => Seq((u, v, 4L), (v, u, 4L)) }
+        .toDF("src", "dst", "deg").repartition(col("dst")))
+    val ranks = (0L to 40L).map(v => (v, 1000L)).toDF("id", "r").localCheckpoint(true)
+    val step = Graph.prStep(edPr, Some(ranks), 1L, 1L, bc = true)
+    step.collect()
+    val s2 = step.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!s2.contains("Exchange hashpartitioning"), s2)
+  }
+
   test("communities: empty part table and edgeless graph degrade safely") {
     assert(sparkLpa(Seq.empty, Seq.empty, 3).isEmpty)
     val vs = (0L to 4L)
