@@ -161,6 +161,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s)
   }
 
+  test("BLANKET SWEEP: no query plans a cartesian or nested-loop join") {
+    // Every SparkEntry query executed at sf0.001, its FINAL plan
+    // grepped for the two scale-killer join shapes. The dedicated
+    // audits above pin interior stages behind checkpoints; this net
+    // catches the regression class where a future edit (a dropped
+    // equi-condition, a lit() join key) silently degrades SOME query
+    // to an O(N²) join — the single worst 100 TB failure mode.
+    val allowed = Map(
+      // one-row aggregate build side: the CMS sketch rides a
+      // 1×k nested loop by construction — O(k), not a hazard
+      "q45_heavy_hitters" -> "single-row cms sketch crossJoin",
+      // the DECLARED quadratic all-pairs baseline (vec_id =!=
+      // neighbor_id is an inequality join — BNLJ is its honest shape);
+      // SCALING.json asserts it reads ≥ 1.99 so it can't silently
+      // stand in for the scale path, which is q28b — and q28b passing
+      // this sweep is exactly the guarantee that matters
+      "q28_knn_bruteforce" -> "declared quadratic baseline")
+    val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          df.collect()
+          val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+          val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(s.contains)
+          if (bad.nonEmpty && !allowed.contains(name)) Some(s"$name: ${bad.mkString(",")}")
+          else None
+        } catch { case e: Throwable =>
+          Some(s"$name THREW: ${String.valueOf(e.getMessage).take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("salted aggregation: two-phase shape, exact on a hot-key dataset") {
     import org.apache.spark.sql.functions._
     // synthetic skew: one sku is 90% of the stream (the viral-product
