@@ -131,10 +131,16 @@ object Bench {
     // log archaeology. BENCH_SELF.json in the repo root is the
     // committed, always-complete record; stdout stays the driver
     // contract.
+    // path overridable for non-repo-root launch dirs; a failed write
+    // WARNS (stderr) instead of silently leaving a stale committed
+    // record — the whole point of the file is freshness
+    val selfPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF", "BENCH_SELF.json")
     try {
-      val w = new java.io.PrintWriter("BENCH_SELF.json")
+      val w = new java.io.PrintWriter(selfPath)
       try w.println(line) finally w.close()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: could not write $selfPath: $e")
+    }
     spark.stop()
   }
 }

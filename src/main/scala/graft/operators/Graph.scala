@@ -397,6 +397,11 @@ object Graph {
     * Spark's max_by-over-struct expresses.
     */
   def labelPropagationOracleSql(iters: Int = 5): String = {
+    // iters = 0 mirrors labelPropagation's identity early-return; the
+    // generated form below would otherwise leave a dangling comma
+    // after l0 (empty $steps) and fail to parse
+    if (iters == 0)
+      return "SELECT p_partkey, p_partkey AS community FROM part"
     val steps = (1 to iters).map { k =>
       s"""l$k AS (
          |  SELECT p.id, coalesce(b.best, p.lbl) AS lbl
@@ -428,6 +433,12 @@ object Graph {
     * textually — same discipline, same arithmetic, `//` ↔ `div`).
     */
   def pageRankOracleSql(iters: Int = 8): String = {
+    // iters = 0 mirrors pageRank's flat-start early-return (same
+    // dangling-comma hazard as labelPropagationOracleSql)
+    if (iters == 0)
+      return """SELECT p_partkey,
+                CAST(1000000000000 // (SELECT count(*) FROM part) AS BIGINT) AS pr_scaled
+                FROM part"""
     val steps = (1 to iters).map { k =>
       s"""r$k AS (
          |  SELECT v.id,

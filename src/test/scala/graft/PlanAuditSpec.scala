@@ -168,25 +168,29 @@ class PlanAuditSpec extends AnyFunSuite {
     // catches the regression class where a future edit (a dropped
     // equi-condition, a lit() join key) silently degrades SOME query
     // to an O(N²) join — the single worst 100 TB failure mode.
+    // allowances are per (query, hazard): a query exempted for its
+    // documented nested-loop shape must still fail the sweep if a
+    // future edit adds a CartesianProduct elsewhere in its tree
     val allowed = Map(
       // one-row aggregate build side: the CMS sketch rides a
       // 1×k nested loop by construction — O(k), not a hazard
-      "q45_heavy_hitters" -> "single-row cms sketch crossJoin",
+      ("q45_heavy_hitters", "BroadcastNestedLoopJoin") -> "single-row cms sketch crossJoin",
       // the DECLARED quadratic all-pairs baseline (vec_id =!=
       // neighbor_id is an inequality join — BNLJ is its honest shape);
       // SCALING.json asserts it reads ≥ 1.99 so it can't silently
       // stand in for the scale path, which is q28b — and q28b passing
       // this sweep is exactly the guarantee that matters
-      "q28_knn_bruteforce" -> "declared quadratic baseline")
+      ("q28_knn_bruteforce", "BroadcastNestedLoopJoin") -> "declared quadratic baseline")
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
           df.collect()
           val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-          val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(s.contains)
-          if (bad.nonEmpty && !allowed.contains(name)) Some(s"$name: ${bad.mkString(",")}")
-          else None
+          Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+            .filter(s.contains)
+            .filterNot(h => allowed.contains((name, h)))
+            .map(h => s"$name: $h")
         } catch { case e: Throwable =>
           Some(s"$name THREW: ${String.valueOf(e.getMessage).take(120)}") }
     }
