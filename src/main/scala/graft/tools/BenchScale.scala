@@ -119,6 +119,24 @@ object BenchScale {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
         if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
     })
+    // Row traffic of CONSTRUCTION-TIME actions (eager localCheckpoints,
+    // observe collects): iterative operators run their per-round work
+    // as Dataset actions while the frame is being BUILT, so the
+    // returned plan's metrics miss it entirely — q55's row exponent
+    // read 0.00 with 8 iterations of |E| joins hidden behind its
+    // checkpoints. Dataset actions notify QueryExecutionListener;
+    // the returned plan's RDD-level drain does not, so the two sources
+    // partition the traffic and their SUM is the honest total.
+    // Reported (all_rows/all_rows_exponent), NOT asserted: the family
+    // bounds keep their r4-calibrated row-traffic semantics.
+    val qeRows = new java.util.concurrent.atomic.AtomicLong
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qeRows.addAndGet(rowTraffic(qe.executedPlan))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    })
 
     val work = java.nio.file.Files.createTempDirectory("benchscale").toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -185,23 +203,27 @@ object BenchScale {
       dir
     }
 
-    case class M(wall: Double, rows: Long, cpu: Double, out: Long)
+    case class M(wall: Double, rows: Long, cpu: Double, out: Long, allRows: Long)
     def measure(name: String, dir: String): M = {
       val fn = SparkEntry.queries(name)
       graft.Bench.force(fn(spark, dir)) // warm: codegen + JIT + file listing (same plan as measured)
       System.gc() // keep major GCs out of the timed region (Bench.scala rationale)
       val ms = (1 to passes).map { _ =>
         val cpu0 = cpuNs.get()
+        val qr0 = qeRows.get()
         val t0 = System.nanoTime()
         // construction INSIDE the timed region: iterative operators
         // (q42's label-propagation loop) run driver-side jobs while
-        // building the frame — wall and the CPU listener capture them;
-        // row traffic still reflects only the returned plan
+        // building the frame — wall, the CPU listener, and the
+        // QueryExecutionListener row counter capture them; the `rows`
+        // field still reflects only the returned plan
         val qe = fn(spark, dir).queryExecution
         val out = qe.executedPlan.execute().count() // runs THIS plan → its metrics populate
         val dt = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(200) // listener bus settle for the CPU counter
-        M(dt, rowTraffic(qe.executedPlan), (cpuNs.get() - cpu0) / 1e9, out)
+        Thread.sleep(200) // listener bus settle for the CPU + QE counters
+        val finalRows = rowTraffic(qe.executedPlan)
+        M(dt, finalRows, (cpuNs.get() - cpu0) / 1e9, out,
+          finalRows + (qeRows.get() - qr0))
       }
       ms.minBy(_.wall).copy(cpu = ms.map(_.cpu).min)
     }
@@ -210,7 +232,7 @@ object BenchScale {
       math.log(big / half) / math.log(2.0)
 
     case class R(name: String, family: String, m: Seq[M],
-                 rExp: Double, oExp: Double, workExp: Double)
+                 rExp: Double, oExp: Double, workExp: Double, aExp: Double)
     val entries =
       Scalable.map(q => (q, q, "scalable", dirs)) ++
       Quadratic.map(q => (q, q, "quadratic", dirs)) ++
@@ -227,13 +249,15 @@ object BenchScale {
       val m = ds.map(measure(query, _)) // ascending size: n/4, n/2, n
       val rExp = slope(m(2).rows.toDouble, m(1).rows.toDouble)
       val oExp = slope(m(2).out.toDouble, m(1).out.toDouble)
+      val aExp = slope(m(2).allRows.toDouble, m(1).allRows.toDouble)
       val workExp = math.max(rExp, oExp)
       System.err.println(f"[scale] $report%-24s $fam%-12s " +
         f"rows=${m(0).rows}/${m(1).rows}/${m(2).rows} rowExp=$rExp%.2f " +
         f"out=${m(0).out}/${m(1).out}/${m(2).out} outExp=$oExp%.2f " +
+        f"allRows=${m(0).allRows}/${m(1).allRows}/${m(2).allRows} allExp=$aExp%.2f " +
         f"cpu=${m(0).cpu}%.2f/${m(1).cpu}%.2f/${m(2).cpu}%.2f s " +
         f"t=${m(0).wall}%.3f/${m(1).wall}%.3f/${m(2).wall}%.3f s")
-      R(report, fam, m, rExp, oExp, workExp)
+      R(report, fam, m, rExp, oExp, workExp, aExp)
     }
 
     val scalExps = results.filter(_.family == "scalable").map(_.workExp)
@@ -248,6 +272,7 @@ object BenchScale {
       f""""rows":[${r.m.map(_.rows).mkString(",")}],"row_exponent":${r.rExp}%.2f,""" +
       f""""output_rows":[${r.m.map(_.out).mkString(",")}],""" +
       f""""output_exponent":${r.oExp}%.2f,"work_exponent":${r.workExp}%.2f,""" +
+      f""""all_rows":[${r.m.map(_.allRows).mkString(",")}],"all_rows_exponent":${r.aExp}%.2f,""" +
       f""""cpu_sec":[${r.m.map(x => f"${x.cpu}%.3f").mkString(",")}],""" +
       f""""t_sec":[${r.m.map(x => f"${x.wall}%.3f").mkString(",")}]}"""
     }.mkString(",")
