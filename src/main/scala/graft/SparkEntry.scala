@@ -1352,10 +1352,15 @@ object SparkEntry {
     // the Spark side is the max_by hash aggregate (Restore.scala).
     // epoch_us ordering, not raw ts: the Spark side orders by the
     // micros-truncated Tables.events ts, so if the parquet ever ships
-    // nanos again, DuckDB (nanos-native) must tie-break at the SAME
-    // granularity or two rows colliding at micro- but not nano-second
-    // precision pick different winners. IS DISTINCT FROM: a NULL
-    // last_type is not a tombstone (matches `<=>` on the Spark side).
+    // nanos again, DuckDB must tie-break at the SAME granularity or
+    // two rows colliding at micro- but not nano-second precision pick
+    // different winners. Pinned empirically (r10): duckdb 1.0.0 reads
+    // a parquet TIMESTAMP(NANOS) column as µs-TIMESTAMP by TRUNCATION
+    // toward zero (-999001 ns → -999 µs) at SCAN time — so epoch_us
+    // here sees exactly those truncated values, and Tables.events now
+    // truncates identically (`ts DIV 1000`, SourcesSpec-pinned)
+    // instead of flooring. IS DISTINCT FROM: a NULL last_type is not
+    // a tombstone (matches `<=>` on the Spark side).
     "q56_restore_state" ->
       """SELECT user_id, last_event_id, last_ts, last_type, last_value
          FROM (SELECT user_id, event_id AS last_event_id,

@@ -215,7 +215,7 @@ object Graph {
     // (the broadcast rank join is partitioning-preserving). One |E|
     // shuffle up front replaces `iters` of them; at cluster scale
     // that's `iters`−1 fewer full-network passes over the edge list.
-    val ed = checkpointPartitioned(ed0.join(deg, Seq("src"))
+    val ed = checkpointPartitioned(ed0.sparkSession)(ed0.join(deg, Seq("src"))
       .join(mapSide(verts.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
       .repartition(col("dst")))
     unpersistCheckpoint(und) // ed holds everything the loop reads
@@ -282,16 +282,28 @@ object Graph {
     * per-round groupBys plan Exchange nodes; with the partitioning
     * captured they plan none — GraphSpec pins both). Building just the
     * checkpoint with AQE off captures the HashPartitioning; consumers
-    * still plan adaptively. Session-conf toggle: safe under the
-    * single-threaded operator-construction discipline every graft
-    * operator follows (no concurrent plan construction on the session).
+    * still plan adaptively.
+    *
+    * The frame constructor is BY-NAME and evaluated only after AQE is
+    * off: a caller can't hand over a Dataset whose physical plan was
+    * already resolved under AQE (an earlier explain/collect would have
+    * frozen the stale adaptive plan and silently lost the
+    * partitioning). Session-conf toggle caveat: the flip is visible to
+    * ANY plan resolved on this session during the (short, driver-side)
+    * window — safe under graft's single-threaded operator-construction
+    * discipline, but a concurrently-planning consumer of the same
+    * session (e.g. a running streaming query's micro-batch planner)
+    * would plan that one batch with AQE off. Functionally benign
+    * (AQE-off plans are correct, just not adaptive) yet worth knowing;
+    * callers that share a session with live streams can pass a
+    * `spark.newSession()` clone's frames instead.
     */
-  private[graft] def checkpointPartitioned(df: DataFrame): DataFrame = {
-    val conf = df.sparkSession.conf
+  private[graft] def checkpointPartitioned(spark: org.apache.spark.sql.SparkSession)(mkDf: => DataFrame): DataFrame = {
+    val conf = spark.conf
     val key = "spark.sql.adaptive.enabled"
     val prev = conf.get(key)
     conf.set(key, "false")
-    try df.localCheckpoint(true) finally conf.set(key, prev)
+    try mkDf.localCheckpoint(true) finally conf.set(key, prev)
   }
 
   /** Frees the storage blocks behind an EAGER `localCheckpoint` frame
@@ -349,14 +361,13 @@ object Graph {
       return verts.select(col("id").as("p_partkey"), col("id").as("community"))
     val und = coPurchaseEdges(lineitem).localCheckpoint(true)
     val bc = broadcastLabels.getOrElse(autoBroadcastRanks(part, n))
-    def mapSide(df: DataFrame) = if (bc) broadcast(df) else df
     // Repartition by SRC before the checkpoint: both per-round
     // aggregations cluster on src-prefixed keys — groupBy(src, lbl)
     // and groupBy(src) are each satisfied by HashPartitioning(src) —
     // and the broadcast label join preserves partitioning, so every
     // round plans ZERO exchanges off the checkpoint (the q55 dst
     // trick; one |E| shuffle up front replaces 2·iters of them).
-    val ed = checkpointPartitioned(
+    val ed = checkpointPartitioned(und.sparkSession)(
       und.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
         .repartition(col("src")))

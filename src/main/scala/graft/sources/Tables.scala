@@ -39,11 +39,19 @@ object Tables {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        // FLOOR division (the q44/§8 lesson): DIV truncates toward zero,
-        // so a pre-epoch nanos value would round UP one microsecond and
-        // desynchronize from any floor-based oracle
+        // TRUNCATE toward zero (`DIV`), NOT floor: measured against the
+        // oracle engine itself (r10 probe, duckdb 1.0.0 on a parquet
+        // TIMESTAMP(isAdjustedToUTC=false, NANOS) column): DuckDB's
+        // scan-time ns→µs conversion truncates — -999001 ns reads as
+        // -999 µs (23:59:59.999001), -1500 ns as -1 µs. The earlier
+        // floor division here assumed a floor-based oracle that does
+        // not exist; on pre-epoch non-multiple-of-1000 nanos it sat one
+        // µs below what every events oracle actually sees, so two rows
+        // colliding at DuckDB-µs but not Spark-µs (e.g. -999 ns vs
+        // +999 ns, both 0 µs under truncation) could pick different
+        // q56 winners. SourcesSpec pins the -999001 ns → -999 µs case.
         raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)"))
+          "timestamp_micros(ts DIV 1000)"))
       case TimestampNTZType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
           .cast(org.apache.spark.sql.types.TimestampType))

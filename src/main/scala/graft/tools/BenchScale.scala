@@ -52,6 +52,35 @@ import graft.SparkEntry
   */
 object BenchScale {
 
+  /** Deterministic drain of the async listener bus so the
+    * QueryExecutionListener row counter and the task-CPU listener have
+    * delivered every event from the just-finished job before counters
+    * are read. The earlier fixed Thread.sleep(200) silently
+    * UNDERCOUNTED `all_rows` whenever the ExecutionListenerBus lagged
+    * >200 ms under load (r9 ADVICE) — and that feeds the committed
+    * SCALING.json all-rows exponents. `LiveListenerBus.waitUntilEmpty`
+    * is `private[spark]` in source but, like all Scala
+    * package-qualified private members, PUBLIC in bytecode — invoked
+    * reflectively (both the 0-arg Spark 4 form and the older
+    * timeout-arg form are tried). Falls back to the old sleep only if
+    * the internal API ever disappears.
+    */
+  private def drainListenerBus(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      val m0 = bus.getClass.getMethods.find(m =>
+        m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+      m0 match {
+        case Some(m) => m.invoke(bus)
+        case None =>
+          bus.getClass.getMethods
+            .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
+            .foreach(_.invoke(bus, java.lang.Long.valueOf(10000L)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => Thread.sleep(200) }
+  }
+
   private val Scalable = Seq(
     "q25_dedup_minhash",
     "q26_dedup_simhash",
@@ -220,7 +249,7 @@ object BenchScale {
         val qe = fn(spark, dir).queryExecution
         val out = qe.executedPlan.execute().count() // runs THIS plan → its metrics populate
         val dt = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(200) // listener bus settle for the CPU + QE counters
+        drainListenerBus(spark) // deterministic settle for the CPU + QE counters
         val finalRows = rowTraffic(qe.executedPlan)
         M(dt, finalRows, (cpuNs.get() - cpu0) / 1e9, out,
           finalRows + (qeRows.get() - qr0))

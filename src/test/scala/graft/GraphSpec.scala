@@ -203,7 +203,7 @@ class GraphSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.broadcast
     val es = (0L to 40L).flatMap(v => Seq((v, (v + 1) % 41), (v, (v + 3) % 41)))
       .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
-    val edLpa = Graph.checkpointPartitioned(
+    val edLpa = Graph.checkpointPartitioned(spark)(
       es.flatMap { case (u, v) => Seq((u, v), (v, u)) }
         .toDF("src", "dst").repartition(col("src")))
     val labels = (0L to 40L).map(v => (v, v)).toDF("id", "lbl").localCheckpoint(true)
@@ -212,7 +212,7 @@ class GraphSpec extends AnyFunSuite {
     val s = round.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!s.contains("Exchange hashpartitioning"), s)
 
-    val edPr = Graph.checkpointPartitioned(
+    val edPr = Graph.checkpointPartitioned(spark)(
       es.flatMap { case (u, v) => Seq((u, v, 4L), (v, u, 4L)) }
         .toDF("src", "dst", "deg").repartition(col("dst")))
     val ranks = (0L to 40L).map(v => (v, 1000L)).toDF("id", "r").localCheckpoint(true)

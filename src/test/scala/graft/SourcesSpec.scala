@@ -49,21 +49,30 @@ class SourcesSpec extends AnyFunSuite {
     val base = new java.io.File("/tmp/graft-test-events-drift")
     if (base.exists()) { import scala.reflect.io.Directory; new Directory(base).deleteRecursively() }
     // micros values straddling a second boundary + a pre-epoch row
-    // (the floor-division edge the NANOS branch exists for)
     val micros = Seq(0L, 1L, 999999L, 1700000000123456L, -1L, -999001L)
     val ltz = micros.toDF("us").select(
       expr("uuid()").as("event_id"), expr("timestamp_micros(us)").as("ts"))
     ltz.write.parquet(s"$base/ltz/events.parquet")
     ltz.select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"))
       .write.parquet(s"$base/ntz/events.parquet")
+    // nanos shape: the µs rows ×1000 PLUS raw sub-µs pre-epoch nanos —
+    // the rows where truncation (DuckDB's measured TIMESTAMP(NANOS)
+    // scan conversion: -999001 ns → -999 µs, r10 probe on duckdb
+    // 1.0.0) and floor division (-999001 ns → -1000 µs) disagree.
+    // The loader must TRUNCATE, or it desynchronizes from every
+    // events oracle whenever the driver regen ships NANOS again.
+    val subUsNanos = Seq(-999001L, -1500L, -999L, -1L, 999L)
+    val subUsExpectedUs = Seq(-999L, -1L, 0L, 0L, 0L)
     ltz.select(col("event_id"), (expr("unix_micros(ts)") * 1000L).as("ts"))
+      .unionAll(subUsNanos.toDF("ts").select(expr("uuid()").as("event_id"), col("ts")))
       .write.parquet(s"$base/nanos/events.parquet") // long column == nanosAsLong read shape
-    val expected = micros.sorted
     for (shape <- Seq("ltz", "ntz", "nanos")) {
       val ev = Tables.events(spark, s"$base/$shape")
       assert(ev.schema("ts").dataType == TimestampType,
         s"$shape: got ${ev.schema("ts").dataType}")
       // value-level: identical micros under the UTC session tz
+      val expected =
+        (if (shape == "nanos") micros ++ subUsExpectedUs else micros).sorted
       val got = ev.select(expr("unix_micros(ts)")).as[Long].collect().sorted.toSeq
       assert(got == expected, s"$shape: $got != $expected")
     }
