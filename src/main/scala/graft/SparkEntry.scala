@@ -89,6 +89,8 @@ object SparkEntry {
     "q36_label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
+    // q59: real decode→feature extraction (64-bin histogram + Sobel)
+    "q59_image_features" -> ((s, d) => Multimodal.imageFeatureMeta(Tables.documents(s, d))),
     // -- LLM-data-pipeline: deterministic data mixing (q37) --
     "q37_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(Tables.documents(s, d),
       Map("en" -> 10000, "es" -> 5000, "de" -> 2500, "fr" -> 1250, "zh" -> 625))),
@@ -747,6 +749,74 @@ object SparkEntry {
                 CAST(1 + n_chars % 64 AS BIGINT) AS width,
                 CAST(1 + doc_id % 48 AS BIGINT) AS height
          FROM documents""",
+    // q59: the feature extractor replayed from first principles. The
+    // Spark side ENCODES a real PNG, DECODES it, and runs the
+    // histogram/Sobel extractor on the raster; the oracle regenerates
+    // the synthesizer's pixel stream — splitmix64(doc_id·1000003+i);
+    // the mod-2⁶⁴ multiplies SPLIT the constant into hi·2³²+lo
+    // because a full 64×64-bit product overflows even INT128
+    // ((a·hi mod 2³²)·2³² + a·lo, each term < 2⁹⁶ — verified
+    // term-for-term against the JVM constants) — and reproduces
+    // every integer count. PNG
+    // losslessness is what makes these equal; any codec or extractor
+    // defect breaks the hash. Luma lists are 1-indexed in DuckDB:
+    // pixel offset o ↔ L[o+1].
+    "q59_image_features" ->
+      """WITH dims AS (
+           SELECT doc_id, CAST(1 + n_chars % 64 AS BIGINT) AS w,
+                  CAST(1 + doc_id % 48 AS BIGINT) AS h
+           FROM documents),
+         idx AS (
+           SELECT doc_id, w, h, unnest(generate_series(0, CAST(w*h - 1 AS INT))) AS i
+           FROM dims),
+         m1 AS (SELECT doc_id, w, h, i,
+                  CAST((CAST(CAST(doc_id * 1000003 + i AS UBIGINT) AS HUGEINT)
+                        + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+                FROM idx),
+         a1 AS (SELECT doc_id, w, h, i, CAST(xor(z, z >> 30) AS HUGEINT) AS a FROM m1),
+         m2 AS (SELECT doc_id, w, h, i,
+                  CAST(((a * 3210233709) % 4294967296 * 4294967296 + a * 484763065)
+                       % 18446744073709551616 AS UBIGINT) AS z FROM a1),
+         a2 AS (SELECT doc_id, w, h, i, CAST(xor(z, z >> 27) AS HUGEINT) AS a FROM m2),
+         m3 AS (SELECT doc_id, w, h, i,
+                  CAST(((a * 2496678331) % 4294967296 * 4294967296 + a * 321982955)
+                       % 18446744073709551616 AS UBIGINT) AS z FROM a2),
+         px AS (SELECT doc_id, w, h, i,
+                  CAST(xor(z, z >> 31) % 16777216 AS BIGINT) AS p FROM m3),
+         ch AS (SELECT doc_id, w, h, i, p // 65536 AS r, (p // 256) % 256 AS g,
+                       p % 256 AS b FROM px),
+         hist AS (SELECT doc_id, (r // 64) * 16 + (g // 64) * 4 + (b // 64) AS bin,
+                         count(*) AS cnt
+                  FROM ch GROUP BY 1, 2),
+         dom AS (SELECT doc_id, bin, cnt,
+                        row_number() OVER (PARTITION BY doc_id
+                          ORDER BY cnt DESC, bin ASC) AS rn
+                 FROM hist),
+         nz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nz_bins
+                FROM hist GROUP BY 1),
+         lum AS (SELECT doc_id, w, h, list(r + g + b ORDER BY i) AS L
+                 FROM ch GROUP BY 1, 2, 3),
+         inter AS (SELECT doc_id, w, h, L,
+                          unnest(generate_series(0, CAST(w*h - 1 AS INT))) AS i
+                   FROM lum WHERE w >= 3 AND h >= 3),
+         sob AS (SELECT doc_id,
+                   count(*) FILTER (WHERE
+                     abs((L[CAST(i - w + 2 AS INT)] + 2*L[CAST(i + 2 AS INT)] + L[CAST(i + w + 2 AS INT)])
+                       - (L[CAST(i - w AS INT)] + 2*L[CAST(i AS INT)] + L[CAST(i + w AS INT)]))
+                   + abs((L[CAST(i + w AS INT)] + 2*L[CAST(i + w + 1 AS INT)] + L[CAST(i + w + 2 AS INT)])
+                       - (L[CAST(i - w AS INT)] + 2*L[CAST(i - w + 1 AS INT)] + L[CAST(i - w + 2 AS INT)])) >= 765) AS edge_cnt
+                 FROM inter
+                 WHERE i % w BETWEEN 1 AND w - 2 AND i // w BETWEEN 1 AND h - 2
+                 GROUP BY doc_id)
+         SELECT d.doc_id, d.w AS width, d.h AS height,
+                CAST(dom.bin AS BIGINT) AS dom_bin,
+                CAST(dom.cnt AS BIGINT) AS dom_cnt,
+                nz.nz_bins,
+                CAST(coalesce(s.edge_cnt, 0) AS BIGINT) AS edge_cnt
+         FROM dims d
+         JOIN dom ON dom.doc_id = d.doc_id AND dom.rn = 1
+         JOIN nz ON nz.doc_id = d.doc_id
+         LEFT JOIN sob s ON s.doc_id = d.doc_id""",
     // q38: the q25 posting replay (word 4-grams, poly_hash keys) split
     // into corpus vs the deterministic every-97th-doc eval set.
     "q38_decontamination" ->

@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * come from actual decoded pixels. The AUDIO path is REAL too:
   * `encodeWav`/`decodeAudio` run javax.sound.sampled (java.desktop,
   * also JDK-core) over genuine RIFF/WAVE containers — q41's
-  * rate/channels/samples come from the parsed stream. Only the
-  * learned-model stages (feature embedding, pixel resampling, keyframe
-  * selection) remain deterministic stubs with real mapPartitions
-  * plumbing around them.
+  * rate/channels/samples come from the parsed stream. FEATURE
+  * EXTRACTION is real as of r10 — a 64-bin color histogram + Sobel
+  * edge detector over the decoded raster (q59, hash-exact oracle);
+  * a learned embedding model would slot into the same mapPartitions
+  * plumbing with the same schema. Byte-slicing `resize`/`sampleFrames`
+  * remain for generic non-image binaries; the image paths
+  * (`resizeReal`, `sampleKeyframes`) run the actual codec.
   */
 object Multimodal {
 
@@ -108,21 +111,91 @@ object Multimodal {
       .toDF()
   }
 
-  /** Deterministic fake feature vector from a payload — the stub
-    * stand-in for an image/audio embedding model. Real plumbing: the
-    * output is a dense `Array[Float]` column ready for the Similarity
-    * operators (knn/embedding-dedup run on it unchanged).
+  /** Classic-vision image features from a decoded RGB raster — the
+    * PUBLIC-KNOWLEDGE extractor that retired the repo's last declared
+    * stub (a learned embedding model can slot into the same plumbing,
+    * but everything below is computable, checkable arithmetic):
+    *
+    *  - 64-bin COLOR HISTOGRAM: 2 bits per channel, bin =
+    *    (r>>6)·16 + (g>>6)·4 + (b>>6) — Swain & Ballard color
+    *    indexing, the standard coarse quantization.
+    *  - SOBEL EDGE COUNT: integer luma (r+g+b), 3×3 Sobel over
+    *    interior pixels, edge where |gx|+|gy| ≥ 765 (one full
+    *    channel-range step across the kernel).
+    *
+    * All-integer on purpose: the DuckDB oracle replays pixels from the
+    * synthesizer's splitmix64 stream (mod-2⁶⁴ multiplies via HUGEINT)
+    * and reproduces every count bit-for-bit — a hash-exact gate on a
+    * real decode→feature path (PNG is lossless, so decoded pixels ARE
+    * the synthesized stream; a codec or extractor bug breaks the
+    * match).
     */
-  def featureStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h = 0xcbf29ce484222325L
+  final case class ImageFeatures(hist: Array[Long], domBin: Int, domCnt: Long,
+                                 nzBins: Int, edgeCnt: Long, interior: Long)
+  def imageFeatures(px: Array[Int], w: Int, h: Int): ImageFeatures = {
+    val hist = new Array[Long](64)
+    val luma = new Array[Int](px.length)
     var i = 0
-    while (i < payload.length) { h = (h ^ payload(i)) * 0x100000001b3L; i += 1 }
+    while (i < px.length) {
+      val p = px(i) & 0xFFFFFF
+      val r = p >>> 16; val g = (p >>> 8) & 0xFF; val b = p & 0xFF
+      hist(((r >>> 6) << 4) + ((g >>> 6) << 2) + (b >>> 6)) += 1L
+      luma(i) = r + g + b
+      i += 1
+    }
+    var domBin = 0; var domCnt = 0L; var nz = 0
+    var k = 0
+    while (k < 64) {
+      if (hist(k) > 0L) nz += 1
+      if (hist(k) > domCnt) { domCnt = hist(k); domBin = k } // first max = smallest bin
+      k += 1
+    }
+    var edges = 0L; var interior = 0L
+    if (w >= 3 && h >= 3) {
+      interior = (w - 2).toLong * (h - 2).toLong
+      var y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          val o = y * w + x
+          val gx = (luma(o - w + 1) + 2 * luma(o + 1) + luma(o + w + 1)) -
+                   (luma(o - w - 1) + 2 * luma(o - 1) + luma(o + w - 1))
+          val gy = (luma(o + w - 1) + 2 * luma(o + w) + luma(o + w + 1)) -
+                   (luma(o - w - 1) + 2 * luma(o - w) + luma(o - w + 1))
+          if (math.abs(gx) + math.abs(gy) >= 765) edges += 1L
+          x += 1
+        }
+        y += 1
+      }
+    }
+    ImageFeatures(hist, domBin, domCnt, nz, edges, interior)
+  }
+
+  /** Feature VECTOR from an encoded image payload: the 64 histogram
+    * bins normalized by pixel count, then edge density, then mean
+    * luma — truncated/zero-padded to `dim`. Undecodable payloads map
+    * to the zero vector (the ok=false analog). Dense `Array[Float]`,
+    * ready for the Similarity operators unchanged.
+    */
+  def featuresOfImage(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        if (payload == null) Array.emptyByteArray else payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return out
+    val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val f = imageFeatures(px, w, h)
+    val n = px.length.toDouble
     var d = 0
-    while (d < dim) {
-      val z = graft.functions.RhpPlanes.mix(h + d)
-      out(d) = (z.toDouble / Long.MaxValue.toDouble).toFloat
-      d += 1
+    while (d < math.min(dim, 64)) { out(d) = (f.hist(d) / n).toFloat; d += 1 }
+    if (dim > 64 && f.interior > 0L) out(64) = (f.edgeCnt.toDouble / f.interior).toFloat
+    if (dim > 65) {
+      var s = 0L; var i = 0
+      while (i < px.length) { val p = px(i) & 0xFFFFFF
+        s += (p >>> 16) + ((p >>> 8) & 0xFF) + (p & 0xFF); i += 1 }
+      out(65) = (s / (765.0 * n)).toFloat
     }
     out
   }
@@ -131,20 +204,58 @@ object Multimodal {
   case class ResizedMedia(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
   case class MediaFrames(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** Feature extraction over payload batches (stub model, real
-    * mapPartitions plumbing + schema): binary column in, float-vector
-    * column out — feeds straight into Similarity.knnBruteForce etc.
+  /** Feature extraction over payload batches (real histogram/edge
+    * extractor over the q31 synthetic PNG corpus, real mapPartitions
+    * plumbing + schema): binary column in, float-vector column out —
+    * feeds straight into Similarity.knnBruteForce etc.
     */
   def extractFeatures(documents: DataFrame, dim: Int = 64,
                       batchSize: Int = 64): Dataset[MediaFeatures] = {
-    val withPayload = documents
-      .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
-      .select(col("doc_id").cast("long"), col("payload"))
+    val meta = documents
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
     implicit val enc = Encoders.product[MediaFeatures]
-    withPayload.as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
-        MediaFeatures(id, featureStub(if (p == null) Array.emptyByteArray else p, dim))
+    meta.as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { case (id, nChars) =>
+        val png = encodePng((1L + nChars % 64L).toInt, (1L + id % 48L).toInt, id)
+        MediaFeatures(id, featuresOfImage(png, dim))
       }))
+  }
+
+  /** Output row of the q59 image-feature pass — all-integer so the
+    * DuckDB oracle can replay it bit-for-bit. */
+  case class ImageFeatureMeta(doc_id: Long, width: Long, height: Long,
+                              dom_bin: Long, dom_cnt: Long, nz_bins: Long,
+                              edge_cnt: Long)
+
+  /** q59: REAL feature extraction over the q31 synthetic PNG corpus —
+    * encode→decode round-trip through the actual codec, then the
+    * histogram/Sobel extractor on the decoded raster. Emits the
+    * dominant color bin (ties → smallest bin, by construction of the
+    * first-max scan), its count, the number of occupied bins, and the
+    * Sobel edge count. One narrow mapPartitions pass, no shuffle —
+    * the q31 plan shape with the extractor in the loop. Hash-exact
+    * oracle: pixels are splitmix64(doc_id·1000003 + i) & 0xFFFFFF,
+    * replayed in SQL (see SparkEntry.oracleSql q59).
+    */
+  def imageFeatureMeta(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val w = (1L + nChars % 64L).toInt
+          val h = (1L + id % 48L).toInt
+          val png = encodePng(w, h, id)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+          val f = imageFeatures(px, img.getWidth, img.getHeight)
+          ImageFeatureMeta(id, img.getWidth.toLong, img.getHeight.toLong,
+            f.domBin.toLong, f.domCnt, f.nzBins.toLong, f.edgeCnt)
+        }
+      }
+      .toDF()
   }
 
   /** REAL pixel resample: decode → Graphics2D bilinear scale →

@@ -37,16 +37,26 @@ object BenchProbe {
           .foreach(fn => try graft.Bench.force(fn(spark, sfDir)) catch { case _: Throwable => () })
       println("[probe] warmup done")
     }
+    // per-pass process-CPU beside wall: the wait-vs-work discriminator
+    // (Bench.scala rationale) — an A/B that moves wall but not CPU is
+    // host contention, one that moves both is a real plan change
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuNanos: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       val times = (1 to passes).map { i =>
         val t0 = System.nanoTime()
+        val c0 = cpuNanos
         graft.Bench.force(fn(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[probe] $name pass $i: $dt%.3f s")
-        dt
+        val dc = if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9
+        println(f"[probe] $name pass $i: $dt%.3f s cpu=$dc%.3f s load=${osBean.getSystemLoadAverage}%.2f")
+        (dt, dc)
       }
-      println(f"[probe] $name min=${times.min}%.3f median=${times.sorted.apply(times.size / 2)}%.3f")
+      println(f"[probe] $name min=${times.map(_._1).min}%.3f median=${times.map(_._1).sorted.apply(times.size / 2)}%.3f cpuMin=${times.map(_._2).min}%.3f")
     }
     spark.stop()
   }

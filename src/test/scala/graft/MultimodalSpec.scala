@@ -51,12 +51,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!garbage.ok && garbage.blob_len == 12L && garbage.width == 0)
   }
 
+  test("q59 imageFeatures: histogram partitions the raster, ties break to the smallest bin, Sobel matches brute force") {
+    // hand-built 4x3 image: 6 px of bin-0 black, 6 px of bin-63 white
+    // (counts TIE at 6 → dominant must be bin 0, the smaller label)
+    val w = 4; val h = 3
+    val px = Array.fill(6)(0x000000) ++ Array.fill(6)(0xFFFFFF)
+    val f = Multimodal.imageFeatures(px, w, h)
+    assert(f.hist.sum == w * h)
+    assert(f.hist(0) == 6L && f.hist(63) == 6L && f.nzBins == 2)
+    assert(f.domBin == 0 && f.domCnt == 6L)
+    assert(f.interior == (w - 2).toLong * (h - 2).toLong)
+    // brute-force Sobel replay on the same raster
+    val luma = px.map(p => (p >>> 16 & 0xFF) + (p >>> 8 & 0xFF) + (p & 0xFF))
+    var edges = 0L
+    for (y <- 1 until h - 1; x <- 1 until w - 1) {
+      val o = y * w + x
+      val gx = (luma(o - w + 1) + 2 * luma(o + 1) + luma(o + w + 1)) -
+               (luma(o - w - 1) + 2 * luma(o - 1) + luma(o + w - 1))
+      val gy = (luma(o + w - 1) + 2 * luma(o + w) + luma(o + w + 1)) -
+               (luma(o - w - 1) + 2 * luma(o - w) + luma(o - w + 1))
+      if (math.abs(gx) + math.abs(gy) >= 765) edges += 1
+    }
+    assert(f.edgeCnt == edges && edges > 0L) // the black/white boundary IS an edge
+    // degenerate rasters: no interior → zero edges, histogram intact
+    val tiny = Multimodal.imageFeatures(Array(0x123456, 0x654321), 2, 1)
+    assert(tiny.edgeCnt == 0L && tiny.interior == 0L && tiny.hist.sum == 2L)
+    // vector path: undecodable payload → zero vector; real payload →
+    // normalized histogram prefix sums to ≤ 1 and matches imageFeatures
+    assert(Multimodal.featuresOfImage("junk".getBytes, 8).forall(_ == 0f))
+    val png = Multimodal.encodePng(9, 7, seed = 5L)
+    val vec = Multimodal.featuresOfImage(png, 66)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val raster = img.getRGB(0, 0, 9, 7, null, 0, 9)
+    val ref = Multimodal.imageFeatures(raster, 9, 7)
+    for (d <- 0 until 64)
+      assert(math.abs(vec(d) - ref.hist(d).toDouble / 63.0) < 1e-6)
+    assert(math.abs(vec(64) - ref.edgeCnt.toDouble / ref.interior) < 1e-6)
+  }
+
+  test("q59 query: one row per doc, counts internally consistent") {
+    val out = graft.operators.Multimodal.imageFeatureMeta(docs)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("dom_cnt") < 1 || col("nz_bins") < 1 || col("nz_bins") > 64).count() == 0)
+    // dominant count can never exceed the raster, edges never exceed the interior
+    assert(out.filter(col("dom_cnt") > col("width") * col("height")).count() == 0)
+    assert(out.filter(col("edge_cnt") >
+      greatest(col("width") - 2, lit(0)) * greatest(col("height") - 2, lit(0))).count() == 0)
+  }
+
   test("feature extraction feeds the similarity operators end-to-end") {
-    val feats = Multimodal.extractFeatures(docs, dim = 16).toDF()
+    // dim 66 = the full histogram + edge density + mean luma: a
+    // truncated prefix can be ALL-ZERO for tiny rasters (a 1×1 image
+    // occupies one bin in 64), and cosine on a zero vector is a
+    // DIVIDE_BY_ZERO under ANSI — the luma component keeps every
+    // non-black image's vector nonzero.
+    val feats = Multimodal.extractFeatures(docs, dim = 66).toDF()
       .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
     // deterministic + correct shape
     assert(feats.count() == docs.count())
-    val again = Multimodal.extractFeatures(docs, dim = 16).toDF()
+    val again = Multimodal.extractFeatures(docs, dim = 66).toDF()
       .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
     assertSameRows(feats.select(col("vec_id"), to_json(col("embedding")).as("e")),
       again.select(col("vec_id"), to_json(col("embedding")).as("e")))
