@@ -366,6 +366,59 @@ object StreamOps {
       }
   }
 
+  /** The changelog row s23 consumes — the q56 events shape with the
+    * version flattened to epoch micros (event_id restores the total
+    * order on timestamp ties, the s09 deterministic-winner
+    * discipline). */
+  case class ChangelogEvent(user_id: Long, event_id: Long, ts_us: Long,
+                            event_type: String, value: Double)
+
+  /** s23 output: the key's currently-restored state, or
+    * `deleted = true` while the newest version is an 'error'
+    * tombstone — the marker row the s12 sink contract uses to drop
+    * the key downstream. */
+  case class RestoreRow(user_id: Long, last_event_id: Long, last_ts_us: Long,
+                        last_type: String, last_value: Double, deleted: Boolean)
+
+  /** s23: the reference restore tool run CONTINUOUSLY (Restore.java
+    * consumes the changelog to its end then stops; a stream never
+    * stops) — `Restore.stateFromChangelog`'s last-write-wins fold as
+    * per-key state. Each batch folds its rows into the stored winner
+    * by (ts_us, event_id) and re-emits the key's disposition; an
+    * 'error'-type winner emits the s12-style `deleted` marker.
+    *
+    * UNLIKE s12, a tombstoned key's state is NOT removed: q56's batch
+    * contract drops a key iff the GLOBAL newest version is an error,
+    * so the tombstone's VERSION must keep shadowing older replays —
+    * state.remove() here would let a stale pre-tombstone event
+    * "revive" the key and diverge from the batch fold. The cost is
+    * one retained row per tombstoned key — exactly what the
+    * compacted changelog topic itself retains for a deleted key. A
+    * NULL event_type is NOT a tombstone (the `<=>` contract).
+    *
+    * Scale: state is one row per key, hash-partitioned; batch work is
+    * one fold pass per key per batch, no sort, no window.
+    */
+  def streamRestoreState(changelog: Dataset[ChangelogEvent]): Dataset[RestoreRow] = {
+    import changelog.sparkSession.implicits._
+    def newer(a: ChangelogEvent, b: ChangelogEvent): Boolean =
+      a.ts_us > b.ts_us || (a.ts_us == b.ts_us && a.event_id > b.event_id)
+    changelog
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ChangelogEvent, RestoreRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[ChangelogEvent], state: GroupState[ChangelogEvent]) =>
+          // fold by VERSION, not iterator order (a shuffle artifact);
+          // seeding with state makes stale cross-batch replays no-ops
+          var win = state.getOption.orNull
+          rows.foreach { e => if (win == null || newer(e, win)) win = e }
+          state.update(win)
+          Iterator.single(RestoreRow(key, win.event_id, win.ts_us,
+            win.event_type, win.value,
+            deleted = win.event_type == "error"))
+      }
+  }
+
   /** A document with its minhash signature, exploded per LSH band —
     * the streaming unit of s11. band_key packs (band_id, band_sig).
     */

@@ -1465,4 +1465,93 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     assert(spark.table("s22_out").collect().map(_.toString).sorted.toSeq == batch)
   }
+
+  test("s23 streaming restore: multi-batch changelog converges row-exact to the batch LWW fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the REAL events corpus as the changelog, split into 3 batches on
+    // event_id % 3 so every user's versions interleave across batches
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+    val all = ev.as[StreamOps.ChangelogEvent].collect()
+    // batch reference: the q56 fold over the SAME frame (version =
+    // (ts_us, event_id), tombstone = 'error' winner)
+    val batch = graft.operators.Restore.stateFromChangelog(
+        ev, Seq("user_id"),
+        struct(col("ts_us"), col("event_id")), col("event_type") <=> lit("error"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))))
+      .toMap
+    val live = collection.mutable.Map[Long, (Long, Long, String, Double)]()
+    val dead = collection.mutable.Set[Long]()
+    val source = MemoryStream[StreamOps.ChangelogEvent]
+    val q = StreamOps.streamRestoreState(source.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.RestoreRow], _: Long) =>
+        b.collect().foreach { r =>
+          if (r.deleted) { live.remove(r.user_id); dead += r.user_id }
+          else { live(r.user_id) = ((r.last_event_id, r.last_ts_us, r.last_type, r.last_value)); dead -= r.user_id }
+        }
+        ()
+      }.start()
+    try {
+      for (part <- 0 until 3) {
+        source.addData(all.filter(e => math.floorMod(e.event_id, 3L) == part.toLong).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // surviving keys match the batch fold field-for-field; tombstoned
+    // keys are exactly the ones the batch fold dropped
+    val batchLive = batch.map { case (k, (eid, tsUs, typ, v)) => k -> ((eid, tsUs, typ, v)) }
+    assert(live.toMap == batchLive, s"live mismatch: ${live.toMap} vs $batchLive")
+    val allKeys = all.map(_.user_id).toSet
+    assert(dead.toSet == allKeys -- batch.keySet,
+      s"dead ${dead.toSet} != ${allKeys -- batch.keySet}")
+  }
+
+  test("s23 streaming restore contract: tombstone shadow, revival, stale replay, version ties") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamOps.ChangelogEvent
+    val rows = collection.mutable.Map[Long, (Long, String, Boolean)]()
+    val source = MemoryStream[ChangelogEvent]
+    val q = StreamOps.streamRestoreState(source.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.RestoreRow], _: Long) =>
+        b.collect().foreach(r => rows(r.user_id) = ((r.last_event_id, r.last_type, r.deleted)))
+        ()
+      }.start()
+    try {
+      // batch 1: user 1 upserts; user 2 ends on an error; user 3's
+      // same-ts tie must break to the larger event_id; user 4 has a
+      // NULL type (NOT a tombstone — the <=> contract)
+      source.addData(
+        ChangelogEvent(1L, 10L, 100L, "view", 1.0),
+        ChangelogEvent(1L, 11L, 200L, "click", 2.0),
+        ChangelogEvent(2L, 20L, 100L, "view", 1.0),
+        ChangelogEvent(2L, 21L, 300L, "error", 0.0),
+        ChangelogEvent(3L, 31L, 100L, "view", 3.0),
+        ChangelogEvent(3L, 30L, 100L, "click", 4.0),
+        ChangelogEvent(4L, 40L, 100L, null, 9.0))
+      q.processAllAvailable()
+      assert(rows(1L) == ((11L, "click", false)))
+      assert(rows(2L) == ((21L, "error", true)), s"error winner must mark deleted: ${rows(2L)}")
+      assert(rows(3L) == ((31L, "view", false)), s"tie must break to larger event_id: ${rows(3L)}")
+      assert(rows(4L) == ((40L, null, false)), s"null type is not a tombstone: ${rows(4L)}")
+      // batch 2: a STALE pre-tombstone event for user 2 must NOT revive
+      // it (the tombstone's version shadows — the reason state is
+      // retained, unlike s12); a stale event for user 1 must not
+      // regress; a NEWER event for user 2 revives it
+      source.addData(
+        ChangelogEvent(2L, 22L, 250L, "view", 5.0), // older than the ts=300 tombstone
+        ChangelogEvent(1L, 12L, 150L, "view", 6.0)) // older than ts=200 click
+      q.processAllAvailable()
+      assert(rows(2L)._3, s"stale replay revived a tombstoned key: ${rows(2L)}")
+      assert(rows(1L) == ((11L, "click", false)), s"stale replay regressed: ${rows(1L)}")
+      source.addData(ChangelogEvent(2L, 23L, 400L, "view", 7.0))
+      q.processAllAvailable()
+      assert(rows(2L) == ((23L, "view", false)), s"newer event must revive: ${rows(2L)}")
+    } finally q.stop()
+  }
 }
