@@ -65,7 +65,7 @@ object BenchScale {
     * timeout-arg form are tried). Falls back to the old sleep only if
     * the internal API ever disappears.
     */
-  private def drainListenerBus(spark: SparkSession): Unit = {
+  private[graft] def drainListenerBus(spark: SparkSession): Unit = {
     val sc = spark.sparkContext
     try {
       val bus = sc.getClass.getMethod("listenerBus").invoke(sc)

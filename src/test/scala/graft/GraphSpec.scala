@@ -222,6 +222,87 @@ class GraphSpec extends AnyFunSuite {
     assert(!s2.contains("Exchange hashpartitioning"), s2)
   }
 
+  /** Total shuffle records WRITTEN while `body` runs — the end-to-end
+    * exchange sentinel: a per-round shuffle sneaking back into an
+    * iterative operator (an AQE behavior change un-capturing the
+    * checkpoint partitioning, a wiring regression) grows this with the
+    * iteration count; with the elision intact it is iteration-
+    * INVARIANT. Broadcast traffic never counts (it is not a shuffle
+    * write), so the assertion pins exactly the thing §8 cares about.
+    */
+  private def shuffleRecords(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) acc.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; graft.tools.BenchScale.drainListenerBus(spark) }
+    finally spark.sparkContext.removeSparkListener(l)
+    acc.get()
+  }
+
+  test("ASSERTED: extra pagerank/LPA iterations shuffle ZERO additional records") {
+    // the r9 verdict asked for the per-round exchange elision as an
+    // assertion, not a log line: total shuffle-write records for
+    // iters=2 and iters=6 must be IDENTICAL — all shuffles happen in
+    // the one up-front edge repartition + sizing aggregates, none per
+    // round. Warm each operator once first so one-time planning work
+    // (none of which should shuffle per-round either, but cold codegen
+    // caches have nothing to do with this invariant) settles.
+    val rnd = new Random(97)
+    val n = 60
+    val vs = (0 until n).map(_.toLong)
+    val es = Seq.fill(3 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val (part, li) = tables(vs, es)
+    part.cache().count(); li.cache().count() // keep input scans shuffle-free and identical
+    try {
+      Graph.pageRank(part, li, iters = 2).collect() // warm
+      val pr2 = shuffleRecords(Graph.pageRank(part, li, iters = 2).collect())
+      val pr6 = shuffleRecords(Graph.pageRank(part, li, iters = 6).collect())
+      assert(pr6 == pr2, s"pagerank shuffles grew with iterations: iters=2 wrote $pr2, iters=6 wrote $pr6")
+      Graph.labelPropagation(part, li, iters = 2).collect() // warm
+      val lpa2 = shuffleRecords(Graph.labelPropagation(part, li, iters = 2).collect())
+      val lpa6 = shuffleRecords(Graph.labelPropagation(part, li, iters = 6).collect())
+      assert(lpa6 == lpa2, s"LPA shuffles grew with iterations: iters=2 wrote $lpa2, iters=6 wrote $lpa6")
+    } finally { part.unpersist(); li.unpersist() }
+  }
+
+  test("ASSERTED: hub skew keeps q54's shuffle traffic linear (star probe, 2x leaves < 2.5x records)") {
+    // the SCALING.json star probe as a test-suite invariant: with
+    // degree orientation the hub is every edge's DESTINATION, so
+    // doubling the hub degree must roughly double — never square —
+    // the rows any shuffle carries. A wedge-join formulation reads
+    // Θ(deg²) here and fails this immediately.
+    def star(leaves: Int): (Seq[Long], Seq[(Long, Long)]) = {
+      val vs = (0L to leaves.toLong)
+      val es = (1L to leaves.toLong).map(l => (0L, l)) :+ (1L, 2L)
+      (vs, es)
+    }
+    def run(leaves: Int): Long = {
+      val (vs, es) = star(leaves)
+      val (part, li) = tables(vs, es)
+      part.cache().count(); li.cache().count()
+      try {
+        Graph.triangleCounts(part, li).collect() // warm
+        val rec = shuffleRecords {
+          val got = Graph.triangleCounts(part, li).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got(0L) == 1L && got(1L) == 1L && got(2L) == 1L) // the planted triangle
+        }
+        rec
+      } finally { part.unpersist(); li.unpersist() }
+    }
+    val small = run(300)
+    val big = run(600)
+    assert(big.toDouble <= small.toDouble * 2.5 && big >= small,
+      s"star shuffle records not linear: 300 leaves -> $small, 600 leaves -> $big")
+  }
+
   test("communities: empty part table and edgeless graph degrade safely") {
     assert(sparkLpa(Seq.empty, Seq.empty, 3).isEmpty)
     val vs = (0L to 4L)
