@@ -311,14 +311,42 @@ object Similarity {
     * where this spends ~1 s.
     */
   def trainCodebook(embeddings: DataFrame, nCentroids: Int = 32,
-                    iters: Int = 2): DataFrame = {
+                    iters: Int = 2, sampleCap: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // TRAIN ON A HASH SAMPLE, not the corpus (r10 — the family's last
+    // N×C term retired from the training path): each Lloyd step scores
+    // sample×C, so unsampled training at C ≈ √N costs N^1.5 per
+    // iteration — the assignment cost AGAIN, paid `iters` times before
+    // the query even runs. Centroid ESTIMATION only needs enough
+    // points per cluster for stable means; the standard practice
+    // (MLlib trains on what it's given; sampling upstream is the
+    // documented pattern, scikit-learn MiniBatchKMeans makes it the
+    // algorithm) is a fixed per-centroid budget. Budget: `sampleCap`
+    // rows, 0 → conf `graft.ivf.trainSampleCap`, else
+    // min(max(4096, 64·C), 4M) — 64 points per centroid, floored so
+    // small corpora keep training on everything (cap ≥ N ⇒ the sample
+    // IS the corpus and results are bit-identical to unsampled),
+    // capped so training cost is bounded at ANY corpus size. The
+    // sample is the hash-smallest `cap` rows ((xxhash64(vec_id),
+    // vec_id) order — deterministic, partitioning-independent, no RNG
+    // state, the q37 discipline; TakeOrdered keeps it one pass, never
+    // a global sort). Seeds are the sample's prefix, so seeding is
+    // unchanged from the unsampled formulation.
+    val cap = {
+      val conf = spark.conf.getOption("graft.ivf.trainSampleCap").map(_.toInt)
+      val c = if (sampleCap > 0) sampleCap else conf.getOrElse(0)
+      if (c > 0) c else math.min(math.max(4096, 64 * nCentroids), 4000000)
+    }
+    require(cap >= nCentroids, s"sample cap $cap < nCentroids $nCentroids")
     val e = embeddings.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(cap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // seed centroids: the hash-smallest vectors (deterministic, no RNG)
+      // seed centroids: the hash-smallest vectors (deterministic, no
+      // RNG) — the first nCentroids rows of the training sample
       var cents: Seq[(Long, Seq[Float])] = e
         .orderBy(xxhash64(col("vec_id")), col("vec_id"))
         .limit(nCentroids)

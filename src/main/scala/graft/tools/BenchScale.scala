@@ -233,8 +233,8 @@ object BenchScale {
     }
 
     case class M(wall: Double, rows: Long, cpu: Double, out: Long, allRows: Long)
-    def measure(name: String, dir: String): M = {
-      val fn = SparkEntry.queries(name)
+    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dir: String): M = {
       graft.Bench.force(fn(spark, dir)) // warm: codegen + JIT + file listing (same plan as measured)
       System.gc() // keep major GCs out of the timed region (Bench.scala rationale)
       val ms = (1 to passes).map { _ =>
@@ -262,18 +262,33 @@ object BenchScale {
 
     case class R(name: String, family: String, m: Seq[M],
                  rExp: Double, oExp: Double, workExp: Double, aExp: Double)
+    // trainCodebook in isolation (inside q32b it hides behind the IVF
+    // assignment's N^1.5): with the r10 hash-sample cap BINDING at
+    // these points (256 < every emb subset), per-iteration scoring is
+    // sample×C = CONSTANT and only the one-pass TakeOrdered sample
+    // selection scans N — so total row traffic must read ~linear.
+    // Unsampled training here would score N×C per iteration and the
+    // all-rows slope would exceed 1.5. Asserted < 1.25 (train_bounded).
+    val codebookFn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => {
+        s.conf.set("graft.ivf.trainSampleCap", "256")
+        try graft.operators.Similarity.trainCodebook(
+          graft.sources.Tables.embeddings(s, dir), nCentroids = 32, iters = 2)
+        finally s.conf.unset("graft.ivf.trainSampleCap")
+      }
     val entries =
-      Scalable.map(q => (q, q, "scalable", dirs)) ++
-      Quadratic.map(q => (q, q, "quadratic", dirs)) ++
-      OutputBound.map(q => (q, q, "output_bound", dirs)) ++
+      Scalable.map(q => (q, SparkEntry.queries(q), "scalable", dirs)) ++
+      Quadratic.map(q => (q, SparkEntry.queries(q), "quadratic", dirs)) ++
+      OutputBound.map(q => (q, SparkEntry.queries(q), "output_bound", dirs)) ++
       // q44 on the pure-burst corpora: asserted < 1.7 — the micro-bin
       // decomposition's B^1.5 design bound, clearly separated from the
       // Θ(B²) a window-wide binning measures on this shape
-      Seq(("q44_range_join_burst", "q44_range_join", "skew_bounded", burstDirs),
+      Seq(("q44_range_join_burst", SparkEntry.queries("q44_range_join"), "skew_bounded", burstDirs),
       // q54 on the star corpora: hub degree = scale point; asserted
       // < 1.7 — degree orientation keeps intersect sides O(1) here,
       // the wedge join this operator rejected would read ~2.0
-      ("q54_triangle_star", "q54_triangle_count", "skew_bounded", starDirs))
+      ("q54_triangle_star", SparkEntry.queries("q54_triangle_count"), "skew_bounded", starDirs),
+      ("trainCodebook_sampled", codebookFn, "train_bounded", dirs))
     val results = entries.map { case (report, query, fam, ds) =>
       val m = ds.map(measure(query, _)) // ascending size: n/4, n/2, n
       val rExp = slope(m(2).rows.toDouble, m(1).rows.toDouble)
@@ -292,9 +307,14 @@ object BenchScale {
     val scalExps = results.filter(_.family == "scalable").map(_.workExp)
     val quadExps = results.filter(_.family == "quadratic").map(_.workExp)
     val skewExps = results.filter(_.family == "skew_bounded").map(_.workExp)
+    // the iterative-training family asserts on the ALL-ROWS slope (its
+    // work happens in construction-time jobs, invisible to the
+    // returned plan's metrics — the honest-linearity discipline of the
+    // CC loop, here promoted to an assertion)
+    val trainExps = results.filter(_.family == "train_bounded").map(_.aExp)
     val gap = quadExps.min - scalExps.max
     val ok = scalExps.forall(_ < 1.6) && quadExps.forall(_ > 1.7) &&
-      skewExps.forall(_ < 1.7) && gap > 0.2
+      skewExps.forall(_ < 1.7) && trainExps.forall(_ < 1.25) && gap > 0.2
 
     val qjson = results.map { r =>
       f""""${r.name}":{"family":"${r.family}",""" +

@@ -131,6 +131,42 @@ class SimilaritySpec extends AnyFunSuite {
       again.select(col("cid"), to_json(col("cvec")).as("v")))
   }
 
+  test("trainCodebook: a cap >= N is bit-identical to unsampled training; a binding cap stays deterministic and still refines") {
+    // cap >= N: the sample IS the corpus — the default path's results
+    // must be EXACTLY the pre-sampling formulation's (here: two caps
+    // both above N agree bit-for-bit)
+    val full = Similarity.trainCodebook(emb, nCentroids = 16, iters = 2, sampleCap = 100000)
+      .select(col("cid"), to_json(col("cvec")).as("v"))
+    val auto = Similarity.trainCodebook(emb, nCentroids = 16, iters = 2) // auto cap 4096 >= 2000
+      .select(col("cid"), to_json(col("cvec")).as("v"))
+    assertSameRows(full, auto)
+    // binding cap (512 of 2000): still 16 centroids, deterministic
+    // under repartitioning (hash-smallest sample is partitioning-
+    // independent), and the sample-trained codebook still STRICTLY
+    // improves IVF recall over the seed codebook — the q32b gate holds
+    // on the scale path, not just the small-corpus path
+    val s1 = Similarity.trainCodebook(emb, nCentroids = 16, iters = 2, sampleCap = 512)
+    assert(s1.count() == 16)
+    val s2 = Similarity.trainCodebook(emb.repartition(7), nCentroids = 16, iters = 2, sampleCap = 512)
+    assertSameRows(
+      s1.select(col("cid"), to_json(col("cvec")).as("v")),
+      s2.select(col("cid"), to_json(col("cvec")).as("v")))
+    def recallWithCap(iters: Int): Double = {
+      spark.conf.set("graft.ivf.trainSampleCap", "512")
+      try {
+        val ivf = Similarity.knnIvf(emb, nCentroids = 16, nProbe = 4, lloydIters = iters)
+          .filter(col("rank") === 1).select(col("vec_id"), col("neighbor_id").as("nn"))
+        val bf = Similarity.knnBruteForce(emb, 1)
+          .select(col("vec_id"), col("neighbor_id").as("bf_nn"))
+        val j = bf.join(ivf, Seq("vec_id"), "left")
+        j.filter(col("nn") === col("bf_nn")).count().toDouble / j.count()
+      } finally spark.conf.unset("graft.ivf.trainSampleCap")
+    }
+    val seed = recallWithCap(0)
+    val refined = recallWithCap(2)
+    assert(refined > seed, s"sample-trained refinement regressed: $refined vs seed $seed")
+  }
+
   test("q36 centroids: one row per (label, pos), n consistent per label") {
     val out = Similarity.labelCentroids(emb)
     val dims = 64
