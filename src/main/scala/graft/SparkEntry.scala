@@ -87,6 +87,9 @@ object SparkEntry {
       AsofJoin.eventsAsofOrders(Tables.events(s, d), Tables.orders(s, d))),
     "q35_json_props" -> ((s, d) => Analytics.jsonPropsAgg(Tables.events(s, d))),
     "q36_label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
+    // q60: oracle-exact integer k-means (k=8, 3 Lloyd iterations) —
+    // the hash-checkable twin of the FP trainCodebook/q32b path
+    "q60_kmeans" -> ((s, d) => Similarity.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 3)),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
     // q59: real decode→feature extraction (64-bin histogram + Sobel)
@@ -623,6 +626,11 @@ object SparkEntry {
                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                FROM events)
          GROUP BY event_type""",
+    // q60: the integer Lloyd iteration unrolled as generated CTEs
+    // (Similarity.kmeansOracleSql — the pageRankOracleSql discipline);
+    // same quantize-shift, same index-215 seed hash, same truncating
+    // division on the nonnegative domain.
+    "q60_kmeans" -> graft.operators.Similarity.kmeansOracleSql(k = 8, iters = 3),
     "q36_label_centroids" ->
       """SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,
                 CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)

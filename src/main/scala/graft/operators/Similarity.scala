@@ -614,4 +614,161 @@ object Similarity {
       .filter(cosine(col("ea"), col("eb"), col("na2"), col("nb2")) >= tau)
       .select(col("id_a"), col("id_b"))
   }
+
+  /** q60: ORACLE-EXACT k-means clustering — Lloyd's algorithm run
+    * ENTIRELY in integer arithmetic, so the distributed iteration
+    * hash-matches an unrolled-CTE DuckDB replay bit-for-bit (the q55
+    * PageRank discipline applied to clustering; trainCodebook/q32b
+    * stay the FP rows-only path, this is the checkable twin). The
+    * clustering step a training pipeline runs for corpus partitioning,
+    * topic bucketing, or semantic-dedup sharding — and the first
+    * member of the embedding family whose ASSIGNMENTS (not just
+    * recall) the oracle verifies.
+    *
+    * Determinism recipe:
+    *  - quantize each float component to `q = floor(v·2²⁰ + 0.5) + 2²⁰`
+    *    — the q36 micro-unit trick plus a +2²⁰ SHIFT that makes every
+    *    value nonnegative (distances are shift-invariant, means commute
+    *    with the shift), so every later floor-division is plain
+    *    truncating `div` ↔ DuckDB `//` with no negative-operand
+    *    divergence (the §8 `div`-truncation hazard engineered away
+    *    rather than patched with pmod);
+    *  - squared-L2 distances and sums stay in int64: |diff| < 2²²,
+    *    d2 ≤ 64·2⁴⁴ = 2⁵⁰; per-(cid,pos) member sums < N·2²¹
+    *    (overflow at N ≈ 2⁴² rows — beyond 100 TB of embeddings);
+    *  - seeds = the k hash-smallest vectors by the ReplayableHash
+    *    family at index 215 (fresh index; 0..63 minhash, 64..127
+    *    simhash, 200 q37, 210/211 q46, 212..214 pack/mixture) — the
+    *    q37 partitioning-independent no-RNG discipline, closed-form in
+    *    SQL; vec_id is pre-reduced mod P so `a·s` cannot overflow at
+    *    any id magnitude;
+    *  - argmin tie-break (d2 ASC, cid ASC) via ONE `array_min` over an
+    *    array of (d2, cid) structs — lexicographic struct order, the
+    *    max_by-over-struct idiom's total-order cousin (↔ row_number
+    *    ORDER BY d2, cid in the oracle);
+    *  - empty clusters keep their previous centroid (both sides
+    *    express it as the same coalesce against the prior iteration).
+    *
+    * Scale shape: centroids are driver-side LITERALS (k·64 longs — the
+    * trainCodebook collect protocol, bounded by k), so the assignment
+    * pass is a PURE MAP over the checkpointed quantized frame: zero
+    * joins, zero exchanges — strictly cheaper than the N×C
+    * broadcast-join assignment (no N×C intermediate rows exist at
+    * all). Per iteration the only shuffle is the (cid, pos) partial
+    * aggregate (N·64 narrow rows → k·64). The literal-expression tree
+    * is ~8 nodes per centroid (array literals are single Literal
+    * nodes), fine to k ~ hundreds; at the √N sizings beyond that, use
+    * trainCodebook — this operator's contract is exact-checkable
+    * clustering at fixed k, not ANN codebook training.
+    *
+    * Output: (vec_id, cluster, d2) — one row per vector, all int64.
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val P = graft.functions.ReplayableHash.P
+    val ha = graft.functions.ReplayableHash.a(215)
+    val hb = graft.functions.ReplayableHash.b(215)
+    // quantize + shift (nonnegative by construction), hash for seeding;
+    // checkpointed eagerly — re-scanned iters+1 times (§8 persist rule)
+    val q = embeddings.select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) + 1048576)").as("q"),
+        ((lit(ha) * (col("vec_id") % lit(P)) + lit(hb)) % lit(P)).as("h"))
+      .localCheckpoint(true)
+    // seeds: hash-smallest k vectors (TakeOrdered — one pass, no
+    // global sort); cid = rank in (h, vec_id) order
+    val seeds: Array[Seq[Long]] = q.orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("q")).as[Seq[Long]].collect()
+    if (seeds.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, cluster BIGINT, d2 BIGINT"))
+    var cents: Seq[(Int, Seq[Long])] = seeds.toSeq.zipWithIndex.map(_.swap)
+    // assignment as a pure map: d2 per centroid from literal arrays,
+    // argmin via array_min over (d2, cid) structs
+    def assigned(cs: Seq[(Int, Seq[Long])]): DataFrame = {
+      val ds = cs.map { case (cid, cvec) =>
+        struct(
+          aggregate(
+            zip_with(col("q"), typedLit(cvec), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, x) => acc + x).as("d2"),
+          lit(cid).as("cid"))
+      }
+      q.select(col("vec_id"), col("q"), array_min(array(ds: _*)).as("best"))
+    }
+    for (_ <- 1 to iters) {
+      // new centroid = element-wise floor(sum/count) over members
+      // (nonnegative, so div == floor); empty clusters keep previous
+      val means = assigned(cents)
+        .select(col("best.cid").as("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"), expr("s div n").as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> x.m)").as("cvec"))
+        .as[(Int, Seq[Long])].collect().toMap
+      cents = cents.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
+    }
+    assigned(cents)
+      .select(col("vec_id"), col("best.cid").cast("long").as("cluster"),
+        col("best.d2").as("d2"))
+  }
+
+  /** The q60 oracle: the identical integer Lloyd iteration unrolled as
+    * chained CTEs (the pageRankOracleSql discipline — DuckDB's
+    * recursive form forbids aggregates in the recursive member). Same
+    * quantize-shift, same index-215 seed hash, same truncating `//`
+    * (nonnegative domain makes it floor), argmin as row_number
+    * (d2 ASC, cid ASC) ↔ Spark's array_min struct order. Distance
+    * folds are scalar-accumulator list_reduce — the §4-stable class
+    * (probed at threads=8 before commit, per the q51 rule).
+    */
+  def kmeansOracleSql(k: Int = 8, iters: Int = 3): String = {
+    val P = graft.functions.ReplayableHash.P
+    val ha = graft.functions.ReplayableHash.a(215)
+    val hb = graft.functions.ReplayableHash.b(215)
+    def assignCte(it: Int, centIn: String): String =
+      s"""a$it AS (
+         |  SELECT vec_id, q, cid, d2 FROM (
+         |    SELECT v.vec_id, v.q, c.cid,
+         |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(range(1, len(v.q) + 1),
+         |               i -> (v.q[CAST(i AS INT)] - c.c[CAST(i AS INT)])
+         |                  * (v.q[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+         |             (acc, x) -> acc + x) AS d2,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |               list_transform(range(1, len(v.q) + 1),
+         |                 i -> (v.q[CAST(i AS INT)] - c.c[CAST(i AS INT)])
+         |                    * (v.q[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+         |               (acc, x) -> acc + x) ASC, c.cid ASC) AS rn
+         |    FROM q v CROSS JOIN $centIn c) t WHERE rn = 1)""".stripMargin
+    val steps = (1 to iters).map { it =>
+      s"""${assignCte(it, s"cent${it - 1}")},
+         |m$it AS (
+         |  SELECT cid, i AS pos,
+         |         CAST(CAST(sum(q[CAST(i AS INT)]) AS BIGINT) // count(*) AS BIGINT) AS m
+         |  FROM a$it, range(1, 65) AS t(i)
+         |  GROUP BY cid, i),
+         |cent$it AS (
+         |  SELECT c0.cid, coalesce(l.c, c0.c) AS c
+         |  FROM cent${it - 1} c0 LEFT JOIN
+         |    (SELECT cid, list(m ORDER BY pos) AS c FROM m$it GROUP BY cid) l
+         |    USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) + 1048576) AS q,
+       |         (($ha * (vec_id % $P) + $hb) % $P) AS h
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, q AS c
+       |  FROM q ORDER BY h, vec_id LIMIT $k),
+       |$steps,
+       |${assignCte(iters + 1, s"cent$iters")}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2
+       |FROM a${iters + 1}""".stripMargin
+  }
 }

@@ -419,6 +419,77 @@ object StreamOps {
       }
   }
 
+  /** The s24 tagged input: side 0 = QUOTE (an order version — t_us is
+    * o_orderdate as epoch micros, orderkey set), side 1 = QUERY (an
+    * event — t_us is the event time, event_id set). One stream carries
+    * both, the union-tag shape batch q34 uses.
+    */
+  case class AsofInput(user_id: Long, side: Int, t_us: Long,
+                       event_id: Long, orderkey: Long)
+
+  /** s24 output: batch q34's row with timestamps in epoch micros
+    * (None where the user had no quote at or before the event). */
+  case class AsofOut(event_id: Long, user_id: Long, event_ts_us: Long,
+                     last_orderkey: Option[Long], last_orderdate_us: Option[Long])
+
+  /** s24: the as-of join run CONTINUOUSLY — each arriving event is
+    * enriched with the latest order version at or before its event
+    * time, which is exactly what the reference's stream-KTable join
+    * semantics deliver (the KTable holds "the latest value as of now",
+    * Streams.java:137; batch q34 reconstructs it point-in-time,
+    * this maintains it live).
+    *
+    * State per user: the quote book — (o_orderdate_us → max orderkey),
+    * stored sorted by date. Bounded by DISTINCT order dates per key
+    * (quotes on the same date compact to max orderkey, batch q34's
+    * pre-dedup), i.e. the compacted-topic retention a KTable holds; a
+    * deployment facing unbounded version churn adds watermark-based
+    * eviction of versions older than the event watermark.
+    *
+    * Batch-order contract (the s16/s17 as-of-ARRIVAL discipline):
+    * within a batch, quotes fold into the book BEFORE any query is
+    * answered (the GlobalKTable bootstrap order — the reference
+    * populates dim tables before streams flow) and queries are
+    * answered in (t_us, event_id) order; a quote at t == query-t IS
+    * visible (inclusive as-of, batch q34's (t, side) sort). So a run
+    * whose quotes arrive no later than their queries — one batch, or
+    * dims-first batches — is ROW-EXACT vs batch q34. A quote arriving
+    * in a LATER batch than a query it would have matched does NOT
+    * retract the already-emitted row (an online enricher cannot
+    * retract; the same keep-first divergence class as s20, asserted
+    * both ways in the spec).
+    *
+    * Scale: one shuffle on user_id per batch; state lookups are a
+    * sorted scan per query (versions-per-key bounded); no sort, no
+    * window, no dim re-read per batch.
+    */
+  def streamAsofJoin(inputs: Dataset[AsofInput]): Dataset[AsofOut] = {
+    import inputs.sparkSession.implicits._
+    inputs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Long)], AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[AsofInput], state: GroupState[List[(Long, Long)]]) =>
+          val rs = rows.toSeq
+          // 1. quotes first: fold into the book, same-date compaction
+          //    to max orderkey (batch q34's per-(user, date) pre-dedup)
+          var book: Map[Long, Long] = state.getOption.getOrElse(Nil).toMap
+          val quotes = rs.filter(_.side == 0)
+          quotes.foreach { qr =>
+            book = book.updated(qr.t_us,
+              math.max(qr.orderkey, book.getOrElse(qr.t_us, Long.MinValue)))
+          }
+          if (quotes.nonEmpty) state.update(book.toList.sortBy(_._1))
+          val sorted = book.toSeq.sortBy(_._1)
+          // 2. queries in (t, event_id) order — iterator order is a
+          //    shuffle artifact (the s12 class of fix)
+          rs.filter(_.side == 1).sortBy(r => (r.t_us, r.event_id)).iterator.map { e =>
+            val m = sorted.takeWhile(_._1 <= e.t_us).lastOption
+            AsofOut(e.event_id, key, e.t_us, m.map(_._2), m.map(_._1))
+          }
+      }
+  }
+
   /** A document with its minhash signature, exploded per LSH band —
     * the streaming unit of s11. band_key packs (band_id, band_sig).
     */

@@ -228,4 +228,78 @@ class SimilaritySpec extends AnyFunSuite {
     // qualifying pairs sit at the 0.35 threshold (worst case for RHP)
     assert(recall >= 0.8, s"recall $recall over $nExact exact pairs")
   }
+
+  /** Sequential driver-side replay of q60's integer Lloyd iteration —
+    * the q55/q57 discipline: integer arithmetic commutes, so the
+    * distributed run must match a single-threaded reference
+    * implementation ROW-FOR-ROW, not approximately.
+    */
+  private def seqKmeans(vecs: Seq[(Long, Seq[Float])], k: Int,
+                        iters: Int): Map[Long, (Long, Long)] = {
+    import graft.functions.ReplayableHash
+    val P = ReplayableHash.P
+    val (ha, hb) = (ReplayableHash.a(215), ReplayableHash.b(215))
+    val q = vecs.map { case (id, v) =>
+      (id, v.map(f => math.floor(f.toDouble * 1048576.0 + 0.5).toLong + 1048576L))
+    }
+    val seeds = q.sortBy { case (id, _) => ((ha * (id % P) + hb) % P, id) }
+      .take(k).map(_._2)
+    if (seeds.isEmpty) return Map.empty
+    var cents: Seq[(Int, Seq[Long])] = seeds.zipWithIndex.map(_.swap)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    def best(qq: Seq[Long]): (Long, Int) =
+      cents.map { case (cid, c) => (d2(qq, c), cid) }.min
+    for (_ <- 1 to iters) {
+      val members = q.groupBy { case (_, qq) => best(qq)._2 }
+      cents = cents.map { case (cid, prev) =>
+        (cid, members.get(cid) match {
+          case None => prev
+          case Some(m) =>
+            prev.indices.map(p => m.map(_._2(p)).sum / m.size).map(_.toLong)
+        })
+      }
+    }
+    q.map { case (id, qq) => val (d, c) = best(qq); (id, (c.toLong, d)) }.toMap
+  }
+
+  test("q60 k-means: distributed run row-exact vs the sequential integer replay") {
+    val out = Similarity.kmeansAssign(emb, k = 8, iters = 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val ref = seqKmeans(
+      emb.select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq,
+      k = 8, iters = 3)
+    assert(out.size == ref.size)
+    assert(out == ref)
+    // and the clustering is non-degenerate on the real corpus
+    assert(out.values.map(_._1).toSet.size > 1)
+  }
+
+  test("q60 k-means: deterministic under repartitioning") {
+    val a = Similarity.kmeansAssign(emb, k = 8, iters = 2).collect().toSet
+    val b = Similarity.kmeansAssign(emb.repartition(7), k = 8, iters = 2).collect().toSet
+    assert(a == b)
+  }
+
+  test("q60 k-means: planted clone lands in its source's cluster") {
+    val out = Similarity.kmeansAssign(planted, k = 8, iters = 2)
+      .filter(col("vec_id").isin(0L, 999999L))
+      .select("cluster", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 2 && out.distinct.length == 1)
+  }
+
+  test("q60 k-means: N < k degenerates to one vector per cluster at d2 = 0") {
+    val out = Similarity.kmeansAssign(emb.orderBy("vec_id").limit(3), k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 3)
+    assert(out.forall(_._3 == 0L), "each vector is its own seed centroid")
+    assert(out.map(_._2).distinct.length == 3)
+  }
+
+  test("q60 k-means: empty input yields an empty frame with the contract schema") {
+    val out = Similarity.kmeansAssign(emb.filter(col("vec_id") < 0), k = 8, iters = 2)
+    assert(out.schema.fieldNames.toSeq == Seq("vec_id", "cluster", "d2"))
+    assert(out.count() == 0)
+  }
 }

@@ -1554,4 +1554,90 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows(2L) == ((23L, "view", false)), s"newer event must revive: ${rows(2L)}")
     } finally q.stop()
   }
+
+  /** Render s24's micros-typed output through the SAME Spark
+    * date_format/session-tz path batch q34 uses, so the parity compare
+    * is string-identical end to end. */
+  private def renderAsof(outs: Seq[StreamOps.AsofOut]): Seq[String] = {
+    import spark.implicits._
+    outs.toDS()
+      .select(col("event_id"), col("user_id"),
+        date_format(timestamp_micros(col("event_ts_us")), "yyyy-MM-dd HH:mm:ss").as("event_ts"),
+        col("last_orderkey"),
+        date_format(timestamp_micros(col("last_orderdate_us")), "yyyy-MM-dd").as("last_orderdate"))
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  private def asofFeeds(): (Seq[StreamOps.AsofInput], Seq[StreamOps.AsofInput], Seq[String]) = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    // RAW orders as quotes — the state fold performs batch q34's
+    // per-(user, date) max-orderkey compaction itself
+    val quotes = orders.select(col("o_custkey").as("user_id"), lit(0).as("side"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+        lit(0L).as("event_id"), col("o_orderkey").as("orderkey"))
+      .as[StreamOps.AsofInput].collect().toSeq
+    val queries = events.select(col("user_id"), lit(1).as("side"),
+        unix_micros(col("ts")).as("t_us"), col("event_id"),
+        lit(0L).as("orderkey"))
+      .as[StreamOps.AsofInput].collect().toSeq
+    val batch = graft.operators.AsofJoin.eventsAsofOrders(events, orders)
+      .collect().map(_.toString).sorted.toSeq
+    (quotes, queries, batch)
+  }
+
+  private def runAsof(batches: Seq[Seq[StreamOps.AsofInput]]): Seq[StreamOps.AsofOut] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val buf = collection.mutable.ArrayBuffer[StreamOps.AsofOut]()
+    val source = MemoryStream[StreamOps.AsofInput]
+    val q = StreamOps.streamAsofJoin(source.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.AsofOut], _: Long) =>
+        buf ++= b.collect(); ()
+      }.start()
+    try batches.foreach { rows =>
+      if (rows.nonEmpty) { source.addData(rows: _*); q.processAllAvailable() }
+    } finally q.stop()
+    buf.toSeq
+  }
+
+  test("s24 streaming as-of join: single-batch run row-exact vs batch q34") {
+    val (quotes, queries, batch) = asofFeeds()
+    assert(renderAsof(runAsof(Seq(quotes ++ queries))) == batch)
+  }
+
+  test("s24 streaming as-of join: dims-first multi-batch run row-exact vs batch q34") {
+    val (quotes, queries, batch) = asofFeeds()
+    // quotes bootstrap first (the GlobalKTable order), then events
+    // arrive across two batches with every user's queries interleaved
+    val (qa, qb) = queries.partition(_.event_id % 2 == 0)
+    assert(renderAsof(runAsof(Seq(quotes, qa, qb))) == batch)
+  }
+
+  test("s24 as-of contract: inclusive ties, same-date compaction, no-quote nulls, and the as-of-arrival divergence") {
+    import StreamOps.AsofInput
+    def quote(u: Long, t: Long, ok: Long) = AsofInput(u, 0, t, 0L, ok)
+    def query(u: Long, t: Long, eid: Long) = AsofInput(u, 1, t, eid, 0L)
+    val out = runAsof(Seq(
+      // batch 1: user 1's book {100→10}; event 1 at t=200 matches it;
+      // user 2 has same-date quotes 5 and 7 (compaction → 7) and an
+      // EQUAL-time event (inclusive as-of); user 9 has no quotes
+      Seq(quote(1, 100, 10), query(1, 200, 1),
+        quote(2, 500, 5), quote(2, 500, 7), query(2, 500, 2),
+        query(9, 50, 3)),
+      // batch 2: a LATE quote (t=150) that event 1 would have matched,
+      // and a new event that must see it
+      Seq(quote(1, 150, 20), query(1, 200, 4))))
+    val byEvent = out.groupBy(_.event_id)
+    assert(byEvent.values.forall(_.size == 1), "append mode: one row per event, ever")
+    assert(byEvent(1L).head == StreamOps.AsofOut(1, 1, 200, Some(10), Some(100)),
+      "event 1 keeps its as-of-ARRIVAL answer — the late quote does not retract it")
+    assert(byEvent(2L).head == StreamOps.AsofOut(2, 2, 500, Some(7), Some(500)),
+      "equal-time quote is visible (inclusive) and same-date compaction keeps max orderkey")
+    assert(byEvent(3L).head == StreamOps.AsofOut(3, 9, 50, None, None))
+    assert(byEvent(4L).head == StreamOps.AsofOut(4, 1, 200, Some(20), Some(150)),
+      "a later event DOES see the late quote")
+  }
 }
