@@ -106,6 +106,9 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0))
     }),
     "q39_repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
+    // q61: bigram-LM perplexity in Q16 fixed-point (the Log2Q16Expr
+    // kernel — no libm, so the whole score hash-compares)
+    "q61_perplexity" -> ((s, d) => TextOps.perplexity(Tables.documents(s, d))),
     // q58: the synthetic corpus is PII-free (checked: zero '@', zero
     // digits), so PII is PLANTED deterministically from doc_id on the
     // %3 split — the q38 self-contained-construction discipline, with
@@ -936,6 +939,59 @@ object SparkEntry {
          LEFT JOIN tok USING (doc_id)
          LEFT JOIN g2 USING (doc_id)
          LEFT JOIN g3 USING (doc_id)""",
+    // q61: the Q16 fixed-point log2 kernel replayed as a 16-step
+    // WITH RECURSIVE shift-and-square over the DISTINCT count values
+    // (vocab-sized, never per corpus row) — `length(bin(x))-1` is the
+    // top-bit position, `//` and `<<` are the same truncating int64
+    // ops as Log2Q16Expr.compute. This retires the "log() is not
+    // bit-stable across engines" limitation (q40's comment): logs ARE
+    // hash-comparable once they're fixed-point.
+    "q61_perplexity" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'),
+                    t -> length(t) > 0) AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM toks) x),
+         uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         v AS (SELECT count(DISTINCT t) AS v
+               FROM (SELECT unnest(toks) AS t FROM toks) x),
+         bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         vals AS (
+           SELECT DISTINCT x FROM (
+             SELECT c12 + 1 AS x FROM bgc
+             UNION SELECT c1 + (SELECT v FROM v) AS x FROM uni) u),
+         s(x, z, r, i) AS (
+           SELECT x, (x * 65536) // (1::BIGINT << (length(bin(x)) - 1)),
+                  CAST(length(bin(x)) - 1 AS BIGINT) * 65536, 0
+           FROM vals
+           UNION ALL
+           SELECT x,
+                  CASE WHEN (z*z) // 65536 >= 131072
+                       THEN ((z*z) // 65536) // 2 ELSE (z*z) // 65536 END,
+                  CASE WHEN (z*z) // 65536 >= 131072
+                       THEN r + (1::BIGINT << (16 - (i + 1))) ELSE r END,
+                  i + 1
+           FROM s WHERE i < 16),
+         il AS (SELECT x, r FROM s WHERE i = 16),
+         model AS (
+           SELECT b.w1, b.w2, ild.r - iln.r AS nll_q16
+           FROM bgc b
+           JOIN uni u ON u.w1 = b.w1
+           JOIN il ild ON ild.x = u.c1 + (SELECT v FROM v)
+           JOIN il iln ON iln.x = b.c12 + 1),
+         scored AS (
+           SELECT bg.doc_id, count(*) AS n_bigrams, sum(m.nll_q16) AS nll_sum
+           FROM bg JOIN model m ON m.w1 = bg.w1 AND m.w2 = bg.w2
+           GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(COALESCE(sc.nll_sum, 0) AS BIGINT) AS nll_q16,
+                CAST(sc.nll_sum // sc.n_bigrams AS BIGINT) AS ppl_q16
+         FROM (SELECT doc_id FROM documents) d
+         LEFT JOIN scored sc USING (doc_id)""",
     // q40: tf-idf ORDER without tf-idf's log() (not bit-stable across
     // engines); (tf DESC, df ASC, token ASC) is integer/byte-exact.
     "q40_keywords" ->

@@ -470,6 +470,73 @@ case class PolyHashExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Fixed-point base-2 logarithm, Q16 (16 fractional bits), of a
+  * POSITIVE bigint — the transcendental-free log kernel for LM
+  * perplexity (q61) and idf-style weights. `Math.log` is a libm call
+  * whose last ulp differs between engines, so a double log can never
+  * be hash-compared against DuckDB; this instead computes log2 by the
+  * classical shift-and-square algorithm in pure int64 arithmetic:
+  *
+  *   m = floor(log2 x)          (position of the top set bit)
+  *   z = floor(x·2^16 / 2^m)    (mantissa in [2^16, 2^17))
+  *   16 rounds: z = (z·z) >> 16; if z ≥ 2^17 { z >>= 1; emit bit }
+  *   result = m·2^16 + emitted fraction bits
+  *
+  * Every step is a truncating shift on nonnegative int64 — DuckDB
+  * replays it verbatim as a 16-step WITH RECURSIVE over
+  * `length(bin(x))-1`, `//` and `<<` (SparkEntry.ilog2Sql), so any
+  * operator keyed on these values is oracle-checkable bit-for-bit.
+  * The value is within 17·2^-16 of true log2 (truncation at each
+  * squaring loses < 2^-16); the DETERMINISM, not the last bit of
+  * accuracy, is the contract — perplexity ranks identically.
+  */
+case class Log2Q16Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"log2_q16 needs bigint, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    Log2Q16Expr.compute(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.Log2Q16Expr.compute($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Log2Q16Expr {
+  /** Throws on x < 1 (ANSI-style fail-loud; call sites feed counts+1
+    * ≥ 1 by construction — a silent 0 would poison a whole corpus
+    * score unnoticed).
+    */
+  def compute(x: Long): Long = {
+    if (x < 1L) throw new IllegalArgumentException(s"log2_q16 needs x >= 1, got $x")
+    val m = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    // floor(x·2^16 / 2^m) without overflow for any x: shift the
+    // smaller direction (identical to the SQL's (x*65536) // (1<<m)
+    // on the BIGINT-safe domain)
+    var z = if (m >= 16) x >>> (m - 16) else x << (16 - m)
+    var r = m.toLong << 16
+    var i = 1
+    while (i <= 16) {
+      z = (z * z) >> 16
+      if (z >= 131072L) { z >>= 1; r |= 1L << (16 - i) }
+      i += 1
+    }
+    r
+  }
+}
+
 object PolyHashExpr {
   final val Mod = 1000000007L
   /** Iterates CODE POINTS (not UTF-16 units), matching DuckDB's
@@ -594,6 +661,12 @@ object VectorFunctions {
     */
   def poly_hash(s: Column): Column =
     Bridge.column(PolyHashExpr(Bridge.expression(s)))
+
+  /** Q16 fixed-point log2 of a positive bigint column (the q61
+    * perplexity kernel; DuckDB-oracle-reproducible — no libm).
+    */
+  def log2_q16(x: Column): Column =
+    Bridge.column(Log2Q16Expr(Bridge.expression(x)))
 
   /** The 22 packed SimHash parity lanes of a token-hash column. */
   def simhash_lanes(h: Column): Column =

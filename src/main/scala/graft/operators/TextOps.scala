@@ -828,4 +828,92 @@ object TextOps {
       regexp_count(t2, lit(PhoneRe)).cast("long").as("n_phones"),
       t3.as("clean_text"))
   }
+
+  /** The (doc_id, toks) frame every LM-family op starts from:
+    * lowercased whitespace tokens, empties dropped (the q33 recipe as
+    * an ARRAY per doc).
+    */
+  private def tokArrays(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      filter(split(lower(wsTrim(col("text"))), "\\s+"), t => length(t) > 0).as("toks"))
+
+  /** Exploded adjacent-bigram frame (doc_id, w1, w2) — one row per
+    * token pair. `sequence` is NOT used unguarded: Spark's
+    * sequence(1, 0) counts DOWN, so a 1-token doc would fabricate
+    * pairs; the when() guard maps <2-token docs to zero rows.
+    */
+  private def bigrams(documents: DataFrame): DataFrame = {
+    val pairs = when(size(col("toks")) >= 2,
+      expr("transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+      .otherwise(expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+    tokArrays(documents)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
+  /** The add-one-smoothed bigram LM over a corpus, scored in Q16
+    * fixed-point: one row per observed bigram with its negative log2
+    * probability `nll_q16 = log2_q16(c1(w1) + V) - log2_q16(c12 + 1)`
+    * where c1 = prefix occurrences, c12 = bigram occurrences, V =
+    * corpus distinct-token count. Built once, joined by scorers (q61
+    * batch, s25 streaming). V is a single driver-collected scalar
+    * (one row — the trainCodebook collect protocol).
+    */
+  def bigramModel(corpus: DataFrame): DataFrame = {
+    val bg = bigrams(corpus)
+    val vocabV: Long = tokArrays(corpus)
+      .select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+      .collect()(0).getLong(0)
+    val uniIl = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .select(col("w1"),
+        graft.functions.VectorFunctions.log2_q16(col("c1") + lit(vocabV)).as("il_den"))
+    bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .join(uniIl, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        (col("il_den") -
+          graft.functions.VectorFunctions.log2_q16(col("c12") + lit(1L))).as("nll_q16"))
+  }
+
+  /** q61: bigram-LM perplexity scoring — the CCNet-style quality
+    * filter (score every document by how surprising its token stream
+    * is under a language model; high perplexity ⇒ boilerplate/garbage,
+    * low ⇒ fluent text). The LM here is self-trained on the corpus
+    * (add-one-smoothed bigrams); s25 scores a stream against the same
+    * model frozen.
+    *
+    * ORACLE-EXACT BY CONSTRUCTION: perplexity needs logarithms, and
+    * `Math.log`'s last ulp differs between engines — so the entire
+    * computation runs in Q16 fixed-point via the Log2Q16Expr
+    * shift-and-square kernel (pure int64 truncating arithmetic,
+    * replayed verbatim by a 16-step WITH RECURSIVE in the DuckDB
+    * oracle). Output per doc: bigram count, summed negative log2
+    * probability, and the mean `ppl_q16` (truncating integer division
+    * — log2 of the perplexity, Q16-scaled).
+    *
+    * Scale shape: two corpus-scale aggregations build the model
+    * (shuffles on w1 and (w1,w2) — both linear, map-side-combined),
+    * one probe join of the exploded bigram frame against the model on
+    * (w1,w2), one per-doc aggregation. The exploded frame is
+    * recomputed per consumer rather than persisted (the q53
+    * recompute-lineage default — a corpus-sized token cache is
+    * hostile at 100 TB). The log kernel runs on the VOCAB-sized count
+    * tables, never per corpus row.
+    */
+  def perplexity(documents: DataFrame): DataFrame = {
+    val model = bigramModel(documents)
+    val scored = bigrams(documents)
+      .join(model, Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("nll_q16"), lit(0L))).as("nll_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_sum"),
+        expr("nll_sum div n_bigrams").as("ppl_q16"))
+    documents.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_sum"), lit(0L)).as("nll_q16"),
+        col("ppl_q16"))
+  }
 }

@@ -138,6 +138,32 @@ class KernelPropertySpec extends AnyFunSuite {
     docs.foreach(d => assert(graft.functions.PolyHashExpr.hash(d) == ref(d), s"eval: $d"))
   }
 
+  test("Log2Q16Expr: codegen equals the Scala model, tracks log2 within 17 ulp16, monotone") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(13)
+    val xs = (Seq(1L, 2L, 3L, 4L, 7L, 65535L, 65536L, 65537L, 1L << 40, Long.MaxValue) ++
+      Seq.fill(80)(math.abs(rnd.nextLong()) % 1000000 + 1)).distinct
+    val got = xs.toDF("x")
+      .select(col("x"), graft.functions.VectorFunctions.log2_q16(col("x")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      val r = graft.functions.Log2Q16Expr.compute(x)
+      assert(got(x) == r, s"codegen vs eval at $x")
+      // truncation at each of 16 squarings loses < 2^-16 each: the
+      // result sits in (true - 17·2^-16, true]
+      val t = math.log(x.toDouble) / math.log(2.0) * 65536.0
+      assert(r <= t + 1e-6 && r > t - 17, s"x=$x r=$r true=$t")
+    }
+    // exact at powers of two; strictly monotone on consecutive inputs
+    assert(graft.functions.Log2Q16Expr.compute(1L) == 0L)
+    assert(graft.functions.Log2Q16Expr.compute(1024L) == 10L * 65536)
+    val seq = (1L to 3000L).map(graft.functions.Log2Q16Expr.compute)
+    assert(seq.zip(seq.tail).forall { case (a, b) => a <= b })
+    intercept[IllegalArgumentException](graft.functions.Log2Q16Expr.compute(0L))
+  }
+
   test("QrhpSignatureExpr: codegen column equals the interpreted Scala model") {
     import SparkTestSession.spark
     import spark.implicits._

@@ -408,4 +408,48 @@ class TextOpsSpec extends AnyFunSuite {
     assert(again.agg(sum(col("n_emails") + col("n_ips") + col("n_phones")))
       .head().getLong(0) == 0L)
   }
+
+  test("q61 perplexity: hand-replayable micro corpus, repetition scores lower") {
+    import spark.implicits._
+    // corpus: "a b a b" (d1), "a b" (d2), "x" (d3, no bigrams), "" (d4)
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"), (4L, "  "))
+      .toDF("doc_id", "text")
+    val out = TextOps.perplexity(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // model: V=3 (a,b,x); bigrams: (a,b)x3 (b,a)x1; c1: a=3, b=1
+    // nll(a,b) = L(3+3) - L(3+1); nll(b,a) = L(1+3) - L(1+1)
+    val L = graft.functions.Log2Q16Expr.compute _
+    val nab = L(6L) - L(4L)
+    val nba = L(4L) - L(2L)
+    assert(out(1L).getLong(1) == 3 && out(1L).getLong(2) == 2 * nab + nba)
+    assert(out(1L).getLong(3) == (2 * nab + nba) / 3)
+    assert(out(2L).getLong(1) == 1 && out(2L).getLong(2) == nab)
+    // d3/d4: no bigrams -> zero counts, null ppl
+    for (id <- Seq(3L, 4L)) {
+      assert(out(id).getLong(1) == 0 && out(id).getLong(2) == 0)
+      assert(out(id).isNullAt(3))
+    }
+    // a heavily repeated doc is LESS perplexing than the real corpus:
+    // score the sf corpus and check the planted repetition ranks low
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val rep = spark.range(1).select(lit(900001L).as("doc_id"),
+      lit(("the cat sat " * 40).trim).as("text"))
+    val scored = TextOps.perplexity(corpus.unionAll(rep))
+      .filter(col("n_bigrams") > 0)
+    val repPpl = scored.filter(col("doc_id") === 900001L)
+      .head().getLong(3)
+    val medianish = scored.agg(expr("percentile_approx(ppl_q16, 0.5)"))
+      .head().getLong(0)
+    assert(repPpl < medianish,
+      s"repeated text ppl $repPpl should sit far below corpus median $medianish")
+  }
+
+  test("q61 perplexity is partitioning-invariant") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val a = TextOps.perplexity(docs).orderBy("doc_id").collect().toSeq
+    val b = TextOps.perplexity(docs.repartition(7, col("doc_id")))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
 }
