@@ -859,16 +859,23 @@ object TextOps {
     * batch, s25 streaming). V is a single driver-collected scalar
     * (one row — the trainCodebook collect protocol).
     */
-  def bigramModel(corpus: DataFrame): DataFrame = {
-    val bg = bigrams(corpus)
-    val vocabV: Long = tokArrays(corpus)
+  /** Corpus distinct-token count — the LM smoothing constant V. */
+  def vocabSize(corpus: DataFrame): Long =
+    tokArrays(corpus)
       .select(explode(col("toks")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
       .collect()(0).getLong(0)
-    val uniIl = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+
+  /** (w1, c1) — bigram-prefix occurrence counts (vocab-sized). */
+  def bigramPrefixCounts(corpus: DataFrame): DataFrame =
+    bigrams(corpus).groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+
+  def bigramModel(corpus: DataFrame): DataFrame = {
+    val vocabV = vocabSize(corpus)
+    val uniIl = bigramPrefixCounts(corpus)
       .select(col("w1"),
         graft.functions.VectorFunctions.log2_q16(col("c1") + lit(vocabV)).as("il_den"))
-    bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    bigrams(corpus).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .join(uniIl, Seq("w1"))
       .select(col("w1"), col("w2"),
         (col("il_den") -

@@ -1366,6 +1366,75 @@ object StreamOps {
     // 4. continuous packing — the s17 state machine
     packRouted(routed, capacity)
   }
+
+  /** s25 output: the q61 columns — ppl None for <2-token docs. */
+  case class PplReport(doc_id: Long, n_bigrams: Long, nll_q16: Long,
+                       ppl_q16: Option[Long])
+
+  /** The frozen bigram LM pre-indexed for s25: observed-bigram nll
+    * (the q61 model rows), per-prefix smoothing mass il_den =
+    * L(c1+V), and the out-of-vocabulary default L(V). Built ONCE from
+    * the frozen reference corpus and broadcast — the standard LM
+    * deployment shape (a KenLM/CCNet filter ships a PRUNED model file
+    * to every worker; driver-side by design, the s13/s19 frozen-index
+    * assumption made explicit).
+    */
+  case class BigramLmIndex(nll: Map[(String, String), Long],
+                           ilDen: Map[String, Long],
+                           oovNll: Long)
+
+  /** Index a corpus's bigram LM for streaming scoring. Same bytes as
+    * batch q61: TextOps.bigramModel computes the observed-bigram nll
+    * rows and the prefix counts DISTRIBUTED (the vocab-sized frames
+    * collect, never the corpus), and the Log2Q16 arithmetic is the
+    * shared kernel — so scoring the training corpus itself reproduces
+    * q61 row-exactly (spec-asserted).
+    */
+  def bigramLmIndex(corpus: org.apache.spark.sql.DataFrame): BigramLmIndex = {
+    val L = graft.functions.Log2Q16Expr.compute _
+    val vocabV = graft.operators.TextOps.vocabSize(corpus)
+    val model = graft.operators.TextOps.bigramModel(corpus)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // per-prefix il_den = nll of an UNSEEN continuation of a seen
+    // prefix (c12 = 0 ⇒ L(c1+V) − L(1) = L(c1+V)); oov = unseen
+    // prefix (c1 = 0 ⇒ L(V))
+    val uni = graft.operators.TextOps.bigramPrefixCounts(corpus)
+      .collect().map(r => r.getString(0) -> L(r.getLong(1) + vocabV)).toMap
+    BigramLmIndex(model, uni, L(math.max(vocabV, 1L)))
+  }
+
+  /** s25: STREAMING perplexity scoring — q61 as an online quality
+    * filter (the CCNet deployment shape: every arriving document is
+    * scored against a FROZEN reference LM before admission; the model
+    * does not drift with the stream). Stateless: the index rides as a
+    * broadcast, each doc maps to its report — no state store, no
+    * shuffle, scales with input rate. Tokenization (normTokens) and
+    * the Q16 log arithmetic are byte-identical to batch q61, so
+    * scoring the training corpus reproduces q61 row-exactly; genuinely
+    * novel text degrades gracefully through the smoothing ladder
+    * (unseen bigram → L(c1+V); unseen prefix → L(V)).
+    */
+  def streamPerplexity(docs: Dataset[(Long, String)],
+                       index: BigramLmIndex): Dataset[PplReport] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(index)
+    docs.map { case (id, text) =>
+      val ts = normTokens(text)
+      val ix = bc.value
+      if (ts.length < 2) PplReport(id, 0L, 0L, None)
+      else {
+        var nll = 0L
+        var i = 0
+        while (i < ts.length - 1) {
+          nll += ix.nll.getOrElse((ts(i), ts(i + 1)),
+            ix.ilDen.getOrElse(ts(i), ix.oovNll))
+          i += 1
+        }
+        val n = (ts.length - 1).toLong
+        PplReport(id, n, nll, Some(nll / n))
+      }
+    }
+  }
 }
 
 /** s04: the Kafka source/sink config surface (Streams.java:35-49 —
@@ -1409,4 +1478,5 @@ object KafkaIO {
     glob.foreach(g => r.option("pathGlobFilter", g))
     r.load(dir)
   }
+
 }

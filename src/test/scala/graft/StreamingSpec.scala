@@ -727,6 +727,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.exists(_._3 == 1L))
   }
 
+  test("s25 streaming perplexity is row-exact vs batch q61 on the training corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val batch = graft.operators.TextOps.perplexity(docs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+
+    val index = StreamOps.bigramLmIndex(docs)
+    val source = MemoryStream[(Long, String)]
+    val got = collection.mutable.Map[Long, (Long, Long, Option[Long])]()
+    val q = StreamOps.streamPerplexity(source.toDS(), index)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.PplReport], _: Long) =>
+        b.collect().foreach(r => got(r.doc_id) = (r.n_bigrams, r.nll_q16, r.ppl_q16))
+        ()
+      }.start()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      source.addData(rows.take(rows.length / 3).toSeq: _*)
+      q.processAllAvailable()
+      source.addData(rows.drop(rows.length / 3).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.size == batch.size, s"stream ${got.size} vs batch ${batch.size}")
+    val mismatches = batch.collect {
+      case (id, b) if got(id) != b => s"$id: stream ${got(id)} batch $b"
+    }
+    assert(mismatches.isEmpty, mismatches.take(5).mkString("; "))
+    assert(got.values.exists(_._1 > 0))
+  }
+
+  test("s25 smoothing ladder: unseen bigram -> L(c1+V), unseen prefix -> L(V)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val L = graft.functions.Log2Q16Expr.compute _
+    // train on "a b a b" + "a c": V = 3 {a,b,c}; prefixes a×3, b×1
+    val corpus = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val index = StreamOps.bigramLmIndex(corpus)
+    assert(index.oovNll == L(3L))
+    val source = MemoryStream[(Long, String)]
+    val got = collection.mutable.Map[Long, StreamOps.PplReport]()
+    val q = StreamOps.streamPerplexity(source.toDS(), index)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.PplReport], _: Long) =>
+        b.collect().foreach(r => got(r.doc_id) = r); ()
+      }.start()
+    try {
+      source.addData((10L, "a z"), (11L, "z a"), (12L, "a b"), (13L, ""), (14L, null))
+      q.processAllAvailable()
+    } finally q.stop()
+    // seen prefix 'a' (c1=3), unseen bigram (a,z): nll = L(3+3)
+    assert(got(10L).nll_q16 == L(6L) && got(10L).n_bigrams == 1)
+    // unseen prefix 'z': nll = L(V) = L(3)
+    assert(got(11L).nll_q16 == L(3L))
+    // seen bigram (a,b) c12=2, c1=3: nll = L(6) - L(3)
+    assert(got(12L).nll_q16 == L(6L) - L(3L))
+    // degenerate docs: no bigrams, null ppl
+    assert(got(13L) == StreamOps.PplReport(13L, 0L, 0L, None))
+    assert(got(14L) == StreamOps.PplReport(14L, 0L, 0L, None))
+  }
+
   test("s19 streaming fuzzy decontamination is row-exact vs batch q49") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
