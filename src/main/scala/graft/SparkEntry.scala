@@ -109,6 +109,8 @@ object SparkEntry {
     // q61: bigram-LM perplexity in Q16 fixed-point (the Log2Q16Expr
     // kernel — no libm, so the whole score hash-compares)
     "q61_perplexity" -> ((s, d) => TextOps.perplexity(Tables.documents(s, d))),
+    // q62: integer-exact BM25 top-k retrieval over the same kernel
+    "q62_bm25_search" -> ((s, d) => TextOps.bm25Search(Tables.documents(s, d))),
     // q58: the synthetic corpus is PII-free (checked: zero '@', zero
     // digits), so PII is PLANTED deterministically from doc_id on the
     // %3 split — the q38 self-contained-construction discipline, with
@@ -992,6 +994,62 @@ object SparkEntry {
                 CAST(sc.nll_sum // sc.n_bigrams AS BIGINT) AS ppl_q16
          FROM (SELECT doc_id FROM documents) d
          LEFT JOIN scored sc USING (doc_id)""",
+    // q62: the whole BM25 computation replayed — query-term
+    // selection, the Q16 idf via the same recursive-CTE log2, the
+    // myriad-scaled length normalization, and the (score DESC,
+    // doc_id ASC) top-k. All divs are positive-operand truncating.
+    "q62_bm25_search" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'),
+                    t -> length(t) > 0) AS toks
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+         tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfv AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+                 FROM tf GROUP BY 1),
+         consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+                           (SELECT count(*) FROM tok) AS a),
+         qt AS (SELECT token, df FROM dfv, consts
+                WHERE df >= 5
+                ORDER BY ttf DESC, token ASC LIMIT 20),
+         vals AS (
+           SELECT DISTINCT x FROM (
+             SELECT 2 * (SELECT n FROM consts) + 2 AS x
+             UNION SELECT 2 * df + 1 AS x FROM qt) u),
+         s(x, z, r, i) AS (
+           SELECT x, (x * 65536) // (1::BIGINT << (length(bin(x)) - 1)),
+                  CAST(length(bin(x)) - 1 AS BIGINT) * 65536, 0
+           FROM vals
+           UNION ALL
+           SELECT x,
+                  CASE WHEN (z*z) // 65536 >= 131072
+                       THEN ((z*z) // 65536) // 2 ELSE (z*z) // 65536 END,
+                  CASE WHEN (z*z) // 65536 >= 131072
+                       THEN r + (1::BIGINT << (16 - (i + 1))) ELSE r END,
+                  i + 1
+           FROM s WHERE i < 16),
+         il AS (SELECT x, r FROM s WHERE i = 16),
+         qidf AS (
+           SELECT qt.token, iln.r - ild.r AS idf_q16
+           FROM qt
+           JOIN il iln ON iln.x = 2 * (SELECT n FROM consts) + 2
+           JOIN il ild ON ild.x = 2 * qt.df + 1),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+         sc AS (
+           SELECT q.token, tf.doc_id,
+                  (q.idf_q16 * tf.tf * 22000) //
+                    (tf.tf * 10000 + 3000 +
+                     (dl.dl * 9000 * (SELECT n FROM consts)) // (SELECT a FROM consts)) AS score_q16
+           FROM tf JOIN qidf q USING (token) JOIN dl USING (doc_id)),
+         rk AS (
+           SELECT token, doc_id, score_q16,
+                  row_number() OVER (PARTITION BY token
+                    ORDER BY score_q16 DESC, doc_id ASC) AS rank
+           FROM sc)
+         SELECT token, CAST(rank AS BIGINT) AS rank, doc_id,
+                CAST(score_q16 AS BIGINT) AS score_q16
+         FROM rk WHERE rank <= 10""",
     // q40: tf-idf ORDER without tf-idf's log() (not bit-stable across
     // engines); (tf DESC, df ASC, token ASC) is integer/byte-exact.
     "q40_keywords" ->

@@ -907,6 +907,68 @@ object TextOps {
     * hostile at 100 TB). The log kernel runs on the VOCAB-sized count
     * tables, never per corpus row.
     */
+  /** q62: BM25 top-k document retrieval — the inverted-index search
+    * primitive (find the best training examples for a probe term;
+    * the retrieval side of decontamination and curriculum mining),
+    * with REAL BM25 weighting made oracle-exact by the same Log2Q16
+    * kernel as q61 (a libm-log BM25 could never hash-compare).
+    *
+    * Query terms are self-contained and deterministic: the
+    * `nQueryTerms` highest-total-frequency tokens appearing in at
+    * least `minDf` docs; ties break on token ASC.
+    *
+    * Integer BM25 (k1 = 1.2, b = 0.75, the LUCENE idf
+    * `ln(1 + (N−df+0.5)/(df+0.5))` — algebraically (N+1)/(df+0.5),
+    * so in log2 units with the ×2 clearing the halves:
+    *   idf_q16   = L(2N + 2) − L(2df + 1)
+    *               (strictly positive for ANY df ≤ N — the classical
+    *               RSJ form goes negative past df > N/2, which on a
+    *               small-vocab corpus would flip rankings)
+    *   denom_myr = 10000·tf + 3000 + (9000·dl·N) div A
+    *               (= 10000·(tf + k1(1−b) + k1·b·dl/avgdl), one
+    *               truncating div, part of the contract)
+    *   score_q16 = (idf_q16 · tf · 22000) div denom_myr
+    * All int64; every div is truncating on positive operands, so
+    * DuckDB `//` replays it. Bound: needs 9000·dl·N < 2⁶³ — at
+    * trillion-doc×100k-token extremes, rescale the myriad to Q8.
+    *
+    * Scale shape: one (token, doc_id) aggregation (the inverted
+    * index), the 20-term query set BROADCAST against it (candidates
+    * ≈ Σ df(term) rows, never the corpus), one doc_id join for
+    * lengths, and a TopKBy partial aggregation per term — no full
+    * sort, no window over a term's whole posting list. N and A are
+    * two bounded driver scalars (the trainCodebook collect protocol).
+    */
+  def bm25Search(documents: DataFrame, nQueryTerms: Int = 20, k: Int = 10,
+                 minDf: Long = 5L): DataFrame = {
+    val ta = tokArrays(documents)
+    val tok = ta.select(col("doc_id"), explode(col("toks")).as("token"))
+    val tf = tok.groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val dl = ta.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val nDocs: Long = documents.count()
+    val aTok: Long = dl.agg(coalesce(sum(col("dl")), lit(0L))).collect()(0).getLong(0)
+    val dfv = tf.groupBy(col("token")).agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
+    val qIdf = dfv
+      .filter(col("df") >= minDf)
+      .orderBy(col("ttf").desc, col("token").asc).limit(nQueryTerms)
+      .select(col("token"),
+        (graft.functions.VectorFunctions.log2_q16(lit(2 * nDocs + 2)) -
+          graft.functions.VectorFunctions.log2_q16(col("df") * 2 + 1)).as("idf_q16"))
+    val scored = tf.join(broadcast(qIdf), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .select(col("token"), col("doc_id"),
+        expr(s"(idf_q16 * tf * 22000L) div (tf * 10000L + 3000L + " +
+          s"(dl * ${9000L * nDocs}L) div ${math.max(aTok, 1L)}L)").as("score_q16"))
+    // TopKBy orders (ord DESC, id ASC) in partial aggregates — the
+    // double ord carries the long score exactly (|score| ≪ 2^53)
+    scored.groupBy(col("token"))
+      .agg(graft.functions.TopKByFunctions
+        .top_k_by(col("score_q16").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("token"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("token"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"), col("t.ord").cast("long").as("score_q16"))
+  }
+
   def perplexity(documents: DataFrame): DataFrame = {
     val model = bigramModel(documents)
     val scored = bigrams(documents)

@@ -445,6 +445,39 @@ class TextOpsSpec extends AnyFunSuite {
       s"repeated text ppl $repPpl should sit far below corpus median $medianish")
   }
 
+  test("q62 bm25: positive scores, planted term-stuffed doc ranks first, repartition-stable") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val out = TextOps.bm25Search(docs)
+    assert(out.filter(col("score_q16") <= 0).count() == 0, "lucene idf keeps scores positive")
+    assert(out.groupBy("token").count().filter(col("count") =!= 10).count() == 0)
+    // ranks are 1..10, and (rank asc) follows (score desc, doc_id asc)
+    val byTerm = out.collect().groupBy(_.getString(0))
+    byTerm.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 10L),
+        "ranks are dense 1..10")
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        val better = a.getLong(3) > b.getLong(3) ||
+          (a.getLong(3) == b.getLong(3) && a.getLong(2) < b.getLong(2))
+        assert(better, s"ordering violated: $a vs $b")
+      case _ => ()
+      }
+    }
+    // a doc that is ONLY a frequent query term repeated has the
+    // term's maximal tf/dl ratio -> it must take rank 1 for that term
+    val term = out.filter(col("rank") === 1).orderBy(col("token")).head().getString(0)
+    val planted = Seq((900002L, Seq.fill(200)(term).mkString(" "))).toDF("doc_id", "text")
+    val out2 = TextOps.bm25Search(docs.unionAll(planted))
+    assert(out2.filter(col("token") === term && col("rank") === 1)
+      .head().getLong(2) == 900002L)
+    // partitioning invariance
+    val a = out.orderBy("token", "rank").collect().toSeq
+    val b = TextOps.bm25Search(docs.repartition(7, col("doc_id")))
+      .orderBy("token", "rank").collect().toSeq
+    assert(a == b)
+  }
+
   test("q61 perplexity is partitioning-invariant") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val a = TextOps.perplexity(docs).orderBy("doc_id").collect().toSeq
