@@ -663,7 +663,47 @@ object Similarity {
     *
     * Output: (vec_id, cluster, d2) — one row per vector, all int64.
     */
-  def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
+    kmeansFit(embeddings, k, iters) match {
+      case None =>
+        embeddings.sparkSession.createDataFrame(
+          embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "vec_id BIGINT, cluster BIGINT, d2 BIGINT"))
+      case Some((cents, q)) =>
+        kmeansAssigned(q, cents)
+          .select(col("vec_id"), col("best.cid").cast("long").as("cluster"),
+            col("best.d2").as("d2"))
+    }
+
+  /** The trained q60 centroids alone (for s26's frozen-model streaming
+    * assignment): same fit, the quantized frame discarded.
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8,
+                      iters: Int = 3): Seq[(Int, Seq[Long])] =
+    kmeansFit(embeddings, k, iters).map(_._1).getOrElse(Nil)
+
+  /** One assignment pass: d2 per centroid from literal arrays, argmin
+    * via array_min over (d2, cid) structs — a PURE MAP, zero joins.
+    */
+  private def kmeansAssigned(q: DataFrame, cs: Seq[(Int, Seq[Long])]): DataFrame = {
+    val ds = cs.map { case (cid, cvec) =>
+      struct(
+        aggregate(
+          zip_with(col("q"), typedLit(cvec), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x).as("d2"),
+        lit(cid).as("cid"))
+    }
+    q.select(col("vec_id"), col("q"), array_min(array(ds: _*)).as("best"))
+  }
+
+  /** Shared q60 fit: quantize+checkpoint, hash-seed, `iters` integer
+    * Lloyd steps. None on an empty corpus; otherwise the trained
+    * centroids plus the checkpointed quantized frame (so the caller's
+    * final assignment re-reads the checkpoint, not parquet).
+    */
+  private def kmeansFit(embeddings: DataFrame, k: Int,
+                        iters: Int): Option[(Seq[(Int, Seq[Long])], DataFrame)] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val P = graft.functions.ReplayableHash.P
@@ -679,27 +719,12 @@ object Similarity {
     // global sort); cid = rank in (h, vec_id) order
     val seeds: Array[Seq[Long]] = q.orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("q")).as[Seq[Long]].collect()
-    if (seeds.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "vec_id BIGINT, cluster BIGINT, d2 BIGINT"))
+    if (seeds.isEmpty) return None
     var cents: Seq[(Int, Seq[Long])] = seeds.toSeq.zipWithIndex.map(_.swap)
-    // assignment as a pure map: d2 per centroid from literal arrays,
-    // argmin via array_min over (d2, cid) structs
-    def assigned(cs: Seq[(Int, Seq[Long])]): DataFrame = {
-      val ds = cs.map { case (cid, cvec) =>
-        struct(
-          aggregate(
-            zip_with(col("q"), typedLit(cvec), (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, x) => acc + x).as("d2"),
-          lit(cid).as("cid"))
-      }
-      q.select(col("vec_id"), col("q"), array_min(array(ds: _*)).as("best"))
-    }
     for (_ <- 1 to iters) {
       // new centroid = element-wise floor(sum/count) over members
       // (nonnegative, so div == floor); empty clusters keep previous
-      val means = assigned(cents)
+      val means = kmeansAssigned(q, cents)
         .select(col("best.cid").as("cid"), posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -710,9 +735,7 @@ object Similarity {
         .as[(Int, Seq[Long])].collect().toMap
       cents = cents.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
     }
-    assigned(cents)
-      .select(col("vec_id"), col("best.cid").cast("long").as("cluster"),
-        col("best.d2").as("d2"))
+    Some((cents, q))
   }
 
   /** The q60 oracle: the identical integer Lloyd iteration unrolled as

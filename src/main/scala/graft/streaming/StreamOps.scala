@@ -1367,6 +1367,41 @@ object StreamOps {
     packRouted(routed, capacity)
   }
 
+  /** s26 output: the q60 columns — one assignment per vector. */
+  case class KmAssign(vec_id: Long, cluster: Long, d2: Long)
+
+  /** s26: STREAMING k-means assignment — q60 as an online router
+    * (the shape a training pipeline runs once a clustering exists:
+    * every arriving embedding is bucketed to its semantic shard by a
+    * FROZEN codebook; the model must not drift with the stream).
+    * Stateless: the k·dim centroid table rides as a broadcast, each
+    * vector maps to its (cluster, d2) — no state store, no shuffle.
+    * The quantization (`floor(v·2²⁰+0.5)+2²⁰`) and the (d2 ASC, cid
+    * ASC) argmin replay batch q60's integer arithmetic EXACTLY, so
+    * streaming the training corpus against
+    * `Similarity.kmeansCentroids` reproduces q60 row-for-row
+    * (spec-asserted).
+    */
+  def streamKmeansAssign(vecs: Dataset[(Long, Seq[Float])],
+                         centroids: Seq[(Int, Seq[Long])]): Dataset[KmAssign] = {
+    import vecs.sparkSession.implicits._
+    require(centroids.nonEmpty, "frozen codebook must be non-empty")
+    val bc = vecs.sparkSession.sparkContext.broadcast(
+      centroids.map { case (cid, c) => (cid, c.toArray) }.toArray)
+    vecs.map { case (id, emb) =>
+      val q = emb.toArray.map(v => math.floor(v.toDouble * 1048576.0 + 0.5).toLong + 1048576L)
+      var bestD = Long.MaxValue
+      var bestC = Int.MaxValue
+      bc.value.foreach { case (cid, c) =>
+        var d = 0L
+        var i = 0
+        while (i < q.length) { val x = q(i) - c(i); d += x * x; i += 1 }
+        if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
+      }
+      KmAssign(id, bestC.toLong, bestD)
+    }
+  }
+
   /** s25 output: the q61 columns — ppl None for <2-token docs. */
   case class PplReport(doc_id: Long, n_bigrams: Long, nll_q16: Long,
                        ppl_q16: Option[Long])

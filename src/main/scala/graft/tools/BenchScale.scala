@@ -104,7 +104,9 @@ object BenchScale {
     "q55_pagerank",     // fixed 8 iterations, each linear in |E|
     "q56_restore_state", // one hash aggregate over the changelog
     "q57_communities",  // fixed 5 LPA rounds, each linear in |E|
-    "q58_pii_redact")   // stateless regex projection
+    "q58_pii_redact",   // stateless regex projection
+    "q61_perplexity",   // two linear aggs + one (w1,w2) probe join
+    "q62_bm25_search")  // inverted index + 20-term broadcast probe
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")

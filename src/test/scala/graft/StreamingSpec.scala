@@ -763,6 +763,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.exists(_._1 > 0))
   }
 
+  test("s26 streaming k-means assignment is row-exact vs batch q60 under the frozen codebook") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val embs = Tables.embeddings(spark, sfDir)
+    val batch = graft.operators.Similarity.kmeansAssign(embs, k = 8, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cents = graft.operators.Similarity.kmeansCentroids(embs, k = 8, iters = 3)
+    assert(cents.size == 8)
+
+    val source = MemoryStream[(Long, Seq[Float])]
+    val got = collection.mutable.Map[Long, (Long, Long)]()
+    val q = StreamOps.streamKmeansAssign(source.toDS(), cents)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.KmAssign], _: Long) =>
+        b.collect().foreach(r => got(r.vec_id) = (r.cluster, r.d2)); ()
+      }.start()
+    try {
+      val rows = embs.select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      source.addData(rows.take(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      source.addData(rows.drop(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.size == batch.size)
+    val mismatches = batch.collect {
+      case (id, b) if got(id) != b => s"$id: stream ${got(id)} batch $b"
+    }
+    assert(mismatches.isEmpty, mismatches.take(5).mkString("; "))
+    // non-vacuous: more than one cluster is actually used
+    assert(got.values.map(_._1).toSet.size > 1)
+  }
+
   test("s25 smoothing ladder: unseen bigram -> L(c1+V), unseen prefix -> L(V)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
