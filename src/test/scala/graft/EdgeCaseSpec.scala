@@ -137,6 +137,23 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.operators.Restore.restoreState(noEv).count() == 0)
   }
 
+  test("round-10 ops survive empty and degenerate inputs") {
+    import spark.implicits._
+    val noDocs = emptyLike(docs)
+    // q61: empty corpus → empty; blank/single-token corpus → zero
+    // bigrams everywhere, null ppl (no L(x≤0) evaluation may fire)
+    assert(TextOps.perplexity(noDocs).count() == 0)
+    val degenerate = Seq((1L, ""), (2L, "  "), (3L, "solo")).toDF("doc_id", "text")
+    val pp = TextOps.perplexity(degenerate).collect()
+    assert(pp.length == 3 && pp.forall(r => r.getLong(1) == 0L && r.isNullAt(3)))
+    // q62: empty corpus → empty; corpus below minDf → no query terms
+    assert(TextOps.bm25Search(noDocs).count() == 0)
+    assert(TextOps.bm25Search(degenerate).count() == 0)
+    // q60/s26: empty embeddings → empty assignment, empty codebook
+    assert(Similarity.kmeansAssign(emptyLike(emb)).count() == 0)
+    assert(Similarity.kmeansCentroids(emptyLike(emb)).isEmpty)
+  }
+
   test("simhash enforces the packed-lane token bound loudly") {
     import graft.functions.SimHashLanes.MaxTokens
     // build the oversized doc executor-side (repeat column, not a 4MB

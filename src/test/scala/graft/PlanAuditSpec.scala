@@ -161,6 +161,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s)
   }
 
+  test("q62 bm25: query-term idf broadcasts, inverted index never re-shuffles for it, no full sort") {
+    val df = graft.operators.TextOps.bm25Search(Tables.documents(spark, sfDir))
+    val s = finalPlanStr(df)
+    // the 20-term qIdf table must reach the tf frame as a broadcast
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"), s)
+    // top-k per term is the ObjectHashAggregate TopKBy kernel — never
+    // a per-term window sort over the whole posting list
+    assert(!s.contains("Window"), s)
+    assert(s.contains("ObjectHashAggregate"), s)
+  }
+
+  test("q61 perplexity: equi-joins only, aggregates partial->final, no window") {
+    val df = graft.operators.TextOps.perplexity(Tables.documents(spark, sfDir))
+    val s = finalPlanStr(df)
+    // probe + model joins: hash/merge equi-joins only (blanket sweep
+    // re-checks this; asserted here so a failure names the query)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // the count tables and the per-doc fold are ordinary hash
+    // aggregations (map-side combined); nothing plans a window sort
+    assert(s.contains("HashAggregate"), s)
+    assert(!s.contains("Window"), s)
+  }
+
   test("BLANKET SWEEP: no query plans a cartesian or nested-loop join") {
     // Every SparkEntry query executed at sf0.001, its FINAL plan
     // grepped for the two scale-killer join shapes. The dedicated
