@@ -90,6 +90,9 @@ object SparkEntry {
     // q60: oracle-exact integer k-means (k=8, 3 Lloyd iterations) —
     // the hash-checkable twin of the FP trainCodebook/q32b path
     "q60_kmeans" -> ((s, d) => Similarity.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 3)),
+    // q63: ORACLE-EXACT integer IVF KNN (the ANN family's hash-
+    // checkable member; q29/q32 stay the FP rows-only scale paths)
+    "q63_knn_ivf_exact" -> ((s, d) => Similarity.knnIvfInt(Tables.embeddings(s, d))),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
     // q59: real decode→feature extraction (64-bin histogram + Sobel)
@@ -636,6 +639,10 @@ object SparkEntry {
     // same quantize-shift, same index-215 seed hash, same truncating
     // division on the nonnegative domain.
     "q60_kmeans" -> graft.operators.Similarity.kmeansOracleSql(k = 8, iters = 3),
+    // q63: the q60 centroid CTEs extended with the IVF retrieval
+    // chain (Similarity.knnIvfIntOracleSql) — assignment, probing,
+    // and integer pair-d2 ranking all replayed
+    "q63_knn_ivf_exact" -> graft.operators.Similarity.knnIvfIntOracleSql(),
     "q36_label_centroids" ->
       """SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,
                 CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)

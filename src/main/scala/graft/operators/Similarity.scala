@@ -747,11 +747,133 @@ object Similarity {
     * folds are scalar-accumulator list_reduce — the §4-stable class
     * (probed at threads=8 before commit, per the q51 rule).
     */
-  def kmeansOracleSql(k: Int = 8, iters: Int = 3): String = {
-    val P = graft.functions.ReplayableHash.P
-    val ha = graft.functions.ReplayableHash.a(215)
-    val hb = graft.functions.ReplayableHash.b(215)
-    def assignCte(it: Int, centIn: String): String =
+  def kmeansOracleSql(k: Int = 8, iters: Int = 3): String =
+    s"""${kmeansCentroidCtes(k, iters)},
+       |${kmeansAssignCte(iters + 1, s"cent$iters")}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2
+       |FROM a${iters + 1}""".stripMargin
+
+  /** The q63 oracle: the q60 centroid CTEs (shared prefix) extended
+    * with the IVF retrieval chain — per-vector distances to ALL k
+    * final centroids ranked (d2 ASC, cid ASC), rn = 1 is the inverted-
+    * list assignment, rn ≤ nProbe the probe set, candidates = probed
+    * lists minus self, exact integer pair-d2 ranked (d2 ASC,
+    * neighbor ASC) to topK. Every fold is the §4-stable
+    * scalar-accumulator list_reduce.
+    */
+  def knnIvfIntOracleSql(k: Int = 8, iters: Int = 3, nProbe: Int = 3,
+                         topK: Int = 5): String = {
+    val d2fold =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(range(1, len(a.q) + 1),
+        |               i -> (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)])
+        |                  * (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)]))),
+        |             (acc, x) -> acc + x)""".stripMargin
+    s"""${kmeansCentroidCtes(k, iters)},
+       |dists AS (
+       |  SELECT v.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(range(1, len(v.q) + 1),
+       |               i -> (v.q[CAST(i AS INT)] - c.c[CAST(i AS INT)])
+       |                  * (v.q[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
+       |             (acc, x) -> acc + x) ASC, c.cid ASC) AS rn
+       |  FROM q v CROSS JOIN cent$iters c),
+       |assign AS (SELECT vec_id, cid FROM dists WHERE rn = 1),
+       |cand AS (
+       |  SELECT p.vec_id, n.vec_id AS neighbor_id
+       |  FROM (SELECT vec_id, cid FROM dists WHERE rn <= $nProbe) p
+       |  JOIN assign n ON n.cid = p.cid AND n.vec_id <> p.vec_id),
+       |pd AS (
+       |  SELECT c.vec_id, c.neighbor_id, $d2fold AS d2
+       |  FROM cand c
+       |  JOIN q a ON a.vec_id = c.vec_id
+       |  JOIN q b ON b.vec_id = c.neighbor_id),
+       |rk AS (
+       |  SELECT vec_id, neighbor_id, d2,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY d2 ASC, neighbor_id ASC) AS rank
+       |  FROM pd)
+       |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, d2
+       |FROM rk WHERE rank <= $topK""".stripMargin
+  }
+
+  /** q63: ORACLE-EXACT IVF KNN — approximate nearest neighbours whose
+    * every candidate and every rank HASH-MATCHES a DuckDB replay,
+    * closing the ANN family's last checkability gap (q29/q32/q32b are
+    * rows-only because FP cosine sign flips under reordering; here the
+    * whole retrieval — codebook, assignment, probing, ranking — runs
+    * in the q60 integer domain where no reordering can change a bit).
+    *
+    * Pipeline: q60's integer Lloyd codebook (shared kmeansFit — same
+    * seeds, same quantization `floor(v·2²⁰+0.5)+2²⁰`); per vector the
+    * distances to ALL k centroids sorted lexicographically as (d2,
+    * cid) structs — element 0 is the inverted-list assignment, the
+    * first nProbe elements are the probe set (↔ the oracle's
+    * row_number (d2 ASC, cid ASC)); candidates = union of probed
+    * lists minus self via ONE equi-join on cluster id; exact integer
+    * pair-d2 (zip_with fold, |d2| ≤ 64·2⁴² < 2⁵³ so the TopKBy double
+    * ord carries −d2 exactly); top-k per query by (d2 ASC,
+    * neighbor ASC) as a bounded partial aggregation — never a window
+    * sort over a posting list.
+    *
+    * Scale: candidates ≈ N²·nProbe/k — at k ≈ √N this is the provable
+    * O(N^1.5) of q32 (BenchScale probes exactly that sizing under
+    * `q63_ivf_sqrtn`). The REGISTERED oracle instance pins k = 8,
+    * iters = 3 (the unrolled-CTE checkability contract, like q60);
+    * deploy-at-scale callers pass k ≈ √N through the same code. q32's
+    * per-list cap is deliberately absent here: capping is a recall
+    * heuristic the exact-checkable contract must not hide behind —
+    * use knnIvf when lists skew.
+    *
+    * Output: (vec_id, rank, neighbor_id, d2) — queries whose probed
+    * lists hold no other vector emit no rows (inner semantics, both
+    * engines).
+    */
+  def knnIvfInt(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+                nProbe: Int = 3, topK: Int = 5): DataFrame = {
+    require(nProbe >= 1 && nProbe <= k, "1 <= nProbe <= k")
+    kmeansFit(embeddings, k, iters) match {
+      case None =>
+        embeddings.sparkSession.createDataFrame(
+          embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "vec_id BIGINT, rank BIGINT, neighbor_id BIGINT, d2 BIGINT"))
+      case Some((cents, q)) =>
+        val ds = cents.map { case (cid, cvec) =>
+          struct(
+            aggregate(
+              zip_with(col("q"), typedLit(cvec), (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, x) => acc + x).as("d2"),
+            lit(cid.toLong).as("cid"))
+        }
+        val ranked = q.select(col("vec_id"), col("q"),
+          array_sort(array(ds: _*)).as("ranked"))
+        val assign = ranked.select(col("vec_id").as("neighbor_id"),
+          col("ranked")(0)("cid").as("cluster"), col("q").as("qn"))
+        val probes = ranked
+          .select(col("vec_id"), col("q"),
+            explode(slice(col("ranked"), 1, nProbe)).as("p"))
+          .select(col("vec_id"), col("q"), col("p.cid").as("cluster"))
+        probes.join(assign, Seq("cluster"))
+          .filter(col("vec_id") =!= col("neighbor_id"))
+          .select(col("vec_id"), col("neighbor_id"),
+            aggregate(
+              zip_with(col("q"), col("qn"), (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, x) => acc + x).as("d2"))
+          .groupBy(col("vec_id"))
+          .agg(graft.functions.TopKByFunctions
+            .top_k_by((-col("d2")).cast("double"), col("neighbor_id"), topK).as("top"))
+          .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+            col("t.id").as("neighbor_id"), (-col("t.ord")).cast("long").as("d2"))
+    }
+  }
+
+  /** One oracle assignment CTE: argmin centroid per vector from
+    * `$centIn` via row_number (d2 ASC, cid ASC), carrying q and d2.
+    */
+  private def kmeansAssignCte(it: Int, centIn: String): String =
       s"""a$it AS (
          |  SELECT vec_id, q, cid, d2 FROM (
          |    SELECT v.vec_id, v.q, c.cid,
@@ -767,8 +889,16 @@ object Similarity {
          |                    * (v.q[CAST(i AS INT)] - c.c[CAST(i AS INT)]))),
          |               (acc, x) -> acc + x) ASC, c.cid ASC) AS rn
          |    FROM q v CROSS JOIN $centIn c) t WHERE rn = 1)""".stripMargin
+
+  /** Shared q60/q63 oracle prefix: quantize, hash-seed, `iters`
+    * unrolled integer Lloyd steps → final centroid CTE `cent$iters`.
+    */
+  private def kmeansCentroidCtes(k: Int, iters: Int): String = {
+    val P = graft.functions.ReplayableHash.P
+    val ha = graft.functions.ReplayableHash.a(215)
+    val hb = graft.functions.ReplayableHash.b(215)
     val steps = (1 to iters).map { it =>
-      s"""${assignCte(it, s"cent${it - 1}")},
+      s"""${kmeansAssignCte(it, s"cent${it - 1}")},
          |m$it AS (
          |  SELECT cid, i AS pos,
          |         CAST(CAST(sum(q[CAST(i AS INT)]) AS BIGINT) // count(*) AS BIGINT) AS m
@@ -789,9 +919,6 @@ object Similarity {
        |cent0 AS (
        |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, q AS c
        |  FROM q ORDER BY h, vec_id LIMIT $k),
-       |$steps,
-       |${assignCte(iters + 1, s"cent$iters")}
-       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2
-       |FROM a${iters + 1}""".stripMargin
+       |$steps""".stripMargin
   }
 }

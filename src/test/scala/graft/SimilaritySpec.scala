@@ -302,4 +302,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.schema.fieldNames.toSeq == Seq("vec_id", "cluster", "d2"))
     assert(out.count() == 0)
   }
+
+  test("q63 ivf-exact: candidates come only from probed clusters, ranks follow (d2, id)") {
+    val out = Similarity.knnIvfInt(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val assign = Similarity.kmeansAssign(emb, k = 8, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per query: ranks dense from 1, d2 non-decreasing with id tiebreak
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length.toLong))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 < b._4 || (a._4 == b._4 && a._3 < b._3), s"$a !< $b")
+        case _ => ()
+      }
+    }
+    // every emitted neighbor really sits in one of the query's probed
+    // clusters — recompute the probe sets from the same codebook
+    val cents = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
+    val qv = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1048576.0 + 0.5).toLong + 1048576L).toArray)
+      .toMap
+    val centArr = cents.map { case (cid, c) => (cid.toLong, c.toArray) }
+    def probes(id: Long): Set[Long] = centArr
+      .map { case (cid, c) =>
+        val q = qv(id)
+        var d = 0L; var i = 0
+        while (i < q.length) { val x = q(i) - c(i); d += x * x; i += 1 }
+        (d, cid)
+      }.sorted.take(3).map(_._2).toSet
+    out.foreach { case (id, _, nb, _) =>
+      assert(probes(id).contains(assign(nb)), s"$nb not in $id's probed clusters")
+    }
+    // recall@5 vs the integer brute force: measured 0.663 on this
+    // corpus (k=8, nProbe=3; 0.52 at nProbe=2, 0.77 at 4); gated at a level that catches a broken
+    // probe path without pinning the corpus
+    val bf = qv.keys.toSeq.sorted.map { id =>
+      val mine = qv(id)
+      id -> qv.toSeq.filter(_._1 != id).map { case (oid, ov) =>
+        var d = 0L; var i = 0
+        while (i < mine.length) { val x = mine(i) - ov(i); d += x * x; i += 1 }
+        (d, oid)
+      }.sorted.take(5).map(_._2).toSet
+    }.toMap
+    val hits = out.groupBy(_._1).toSeq.map { case (id, rows) =>
+      rows.map(_._3).count(bf(id).contains).toDouble / 5.0
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.55, s"recall@5 $recall below gate")
+  }
 }
