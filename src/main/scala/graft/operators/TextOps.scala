@@ -939,8 +939,9 @@ object TextOps {
     * sort, no window over a term's whole posting list. N and A are
     * two bounded driver scalars (the trainCodebook collect protocol).
     */
-  def bm25Search(documents: DataFrame, nQueryTerms: Int = 20, k: Int = 10,
-                 minDf: Long = 5L): DataFrame = {
+  /** Shared q62 pieces: (qIdf frame, tf frame, dl frame, N, A). */
+  private def bm25Parts(documents: DataFrame, nQueryTerms: Int,
+                        minDf: Long): (DataFrame, DataFrame, DataFrame, Long, Long) = {
     val ta = tokArrays(documents)
     val tok = ta.select(col("doc_id"), explode(col("toks")).as("token"))
     val tf = tok.groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
@@ -954,6 +955,22 @@ object TextOps {
       .select(col("token"),
         (graft.functions.VectorFunctions.log2_q16(lit(2 * nDocs + 2)) -
           graft.functions.VectorFunctions.log2_q16(col("df") * 2 + 1)).as("idf_q16"))
+    (qIdf, tf, dl, nDocs, aTok)
+  }
+
+  /** The frozen q62 query-term stats for s27's online scorer:
+    * (token → idf_q16, N, A) — a 20-row collect plus two bounded
+    * scalars (the bigramLmIndex protocol).
+    */
+  def bm25QueryIndex(documents: DataFrame, nQueryTerms: Int = 20,
+                     minDf: Long = 5L): (Map[String, Long], Long, Long) = {
+    val (qIdf, _, _, nDocs, aTok) = bm25Parts(documents, nQueryTerms, minDf)
+    (qIdf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap, nDocs, aTok)
+  }
+
+  def bm25Search(documents: DataFrame, nQueryTerms: Int = 20, k: Int = 10,
+                 minDf: Long = 5L): DataFrame = {
+    val (qIdf, tf, dl, nDocs, aTok) = bm25Parts(documents, nQueryTerms, minDf)
     val scored = tf.join(broadcast(qIdf), Seq("token"))
       .join(dl, Seq("doc_id"))
       .select(col("token"), col("doc_id"),

@@ -1367,6 +1367,83 @@ object StreamOps {
     packRouted(routed, capacity)
   }
 
+  /** s27 scored-arrival intermediate: one query term hit per doc. */
+  case class TermScore(token: String, doc_id: Long, score_q16: Long)
+
+  /** s27 output: the q62 columns — a term's CURRENT top-k, re-emitted
+    * in full whenever a batch touches the term (generational Append,
+    * the s16 contract: consumers take the latest generation per term).
+    */
+  case class Bm25Hit(token: String, rank: Long, doc_id: Long, score_q16: Long)
+
+  /** The frozen q62 retrieval stats for s27: query-term idf table plus
+    * the corpus constants (N docs, A tokens) the length normalization
+    * needs. 20 rows + two scalars — the bigramLmIndex protocol.
+    */
+  case class Bm25Index(idfQ16: Map[String, Long], nDocs: Long, aTok: Long)
+
+  def bm25Index(corpus: org.apache.spark.sql.DataFrame,
+                nQueryTerms: Int = 20, minDf: Long = 5L): Bm25Index = {
+    val (m, n, a) = graft.operators.TextOps.bm25QueryIndex(corpus, nQueryTerms, minDf)
+    Bm25Index(m, n, a)
+  }
+
+  /** s27: STREAMING BM25 retrieval — q62 as a continuously-maintained
+    * search result: each arriving document is scored against the
+    * FROZEN query-term stats (idf, N, A — a live-updating idf would
+    * re-rank history, exactly what the s25/s26 frozen-model family
+    * forbids), and each query term's top-k is MAINTAINED ACROSS
+    * BATCHES in state. Convergence contract (spec-asserted): after
+    * streaming the index's own training corpus — in ANY batching —
+    * each term's final generation is ROW-EXACT batch q62, because
+    * per-doc scores are arrival-independent and a bounded top-k fold
+    * is merge-invariant (the TopKBuffer property, here in state).
+    *
+    * Plan: one stateless flatMap scores a doc entirely locally (tf of
+    * query terms + dl from its own token stream — no corpus join at
+    * all, unlike batch q62's inverted-index build), then ONE shuffle
+    * on term into the k·20-row state. Scale: per-batch traffic is
+    * (docs × matched terms); state is 20 terms × k pairs — constant.
+    */
+  def streamBm25(docs: Dataset[(Long, String)], index: Bm25Index,
+                 topK: Int = 10): Dataset[Bm25Hit] = {
+    import docs.sparkSession.implicits._
+    require(index.idfQ16.nonEmpty, "frozen query-term index must be non-empty")
+    val bc = docs.sparkSession.sparkContext.broadcast(index)
+    val scored = docs.flatMap { case (id, text) =>
+      val ix = bc.value
+      val ts = normTokens(text)
+      val dl = ts.length.toLong
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      ts.foreach(t =>
+        if (ix.idfQ16.contains(t)) counts.update(t, counts.getOrElse(t, 0L) + 1L))
+      // EXACT batch arithmetic: (idf·tf·22000) div (10000·tf + 3000 +
+      // (dl·9000·N) div A), all positive-operand truncating int64
+      val lenTerm = (dl * (9000L * ix.nDocs)) / math.max(ix.aTok, 1L)
+      counts.iterator.map { case (t, tf) =>
+        TermScore(t, id,
+          (ix.idfQ16(t) * tf * 22000L) / (tf * 10000L + 3000L + lenTerm))
+      }
+    }
+    scored.groupByKey(_.token)
+      .flatMapGroupsWithState[List[(Long, Long)], Bm25Hit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (token: String, rows: Iterator[TermScore], state: GroupState[List[(Long, Long)]]) =>
+          // state: the term's current top-k as (score, doc_id), held in
+          // (score DESC, doc ASC) order — eviction is safe because each
+          // doc is scored exactly once (bounded top-k merge invariance)
+          var top = state.getOption.getOrElse(Nil)
+          rows.foreach { r =>
+            top = ((-r.score_q16, r.doc_id) :: top.map { case (s, d) => (-s, d) })
+              .sorted.take(topK).map { case (ns, d) => (-ns, d) }
+          }
+          state.update(top)
+          top.iterator.zipWithIndex.map { case ((s, d), i) =>
+            Bm25Hit(token, i + 1L, d, s)
+          }
+      }
+  }
+
   /** s26 output: the q60 columns — one assignment per vector. */
   case class KmAssign(vec_id: Long, cluster: Long, d2: Long)
 

@@ -763,6 +763,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.exists(_._1 > 0))
   }
 
+  test("s27 streaming bm25: final per-term generation converges to batch q62 under any batching") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val batch = graft.operators.TextOps.bm25Search(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val index = StreamOps.bm25Index(docs)
+
+    def run(order: Array[(Long, String)], cuts: Seq[Int]): Map[(String, Long), (Long, Long)] = {
+      val source = MemoryStream[(Long, String)]
+      // latest generation per term: overwrite the term's whole block
+      val got = collection.mutable.Map[(String, Long), (Long, Long)]()
+      val q = StreamOps.streamBm25(source.toDS(), index)
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.Bm25Hit], _: Long) =>
+          val rows = b.collect()
+          rows.map(_.token).distinct.foreach(t =>
+            got.keys.filter(_._1 == t).toSeq.foreach(got.remove))
+          rows.foreach(r => got((r.token, r.rank)) = (r.doc_id, r.score_q16))
+          ()
+        }.start()
+      try {
+        var prev = 0
+        (cuts :+ order.length).foreach { c =>
+          source.addData(order.slice(prev, c).toSeq: _*)
+          q.processAllAvailable()
+          prev = c
+        }
+      } finally q.stop()
+      got.toMap
+    }
+
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val forward = run(rows, Seq(rows.length / 3, 2 * rows.length / 3))
+    assert(forward == batch,
+      s"forward-run mismatch: ${(forward.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff forward.toSet).take(3)}")
+    // arrival order must not matter: reversed corpus, different cuts
+    val backward = run(rows.reverse, Seq(rows.length / 5))
+    assert(backward == batch, "reversed-arrival run diverged from batch q62")
+  }
+
   test("s26 streaming k-means assignment is row-exact vs batch q60 under the frozen codebook") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
