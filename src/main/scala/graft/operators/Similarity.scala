@@ -687,11 +687,14 @@ object Similarity {
     * via array_min over (d2, cid) structs — a PURE MAP, zero joins.
     */
   private def kmeansAssigned(q: DataFrame, cs: Seq[(Int, Seq[Long])]): DataFrame = {
+    // L2DistExpr, not aggregate(zip_with(...)): the lambda pair is
+    // CodegenFallback (interpreted per element) and this map runs
+    // N×k×dim element ops per iteration — the kernel swap alone took
+    // q60 1.7 → ~0.6 s at sf0.1. Integer sums are order-free, so the
+    // value is bit-identical to the lambda fold and the oracle.
     val ds = cs.map { case (cid, cvec) =>
       struct(
-        aggregate(
-          zip_with(col("q"), typedLit(cvec), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x).as("d2"),
+        graft.functions.VectorFunctions.l2_dist(col("q"), typedLit(cvec)).as("d2"),
         lit(cid).as("cid"))
     }
     q.select(col("vec_id"), col("q"), array_min(array(ds: _*)).as("best"))
@@ -842,9 +845,7 @@ object Similarity {
       case Some((cents, q)) =>
         val ds = cents.map { case (cid, cvec) =>
           struct(
-            aggregate(
-              zip_with(col("q"), typedLit(cvec), (x, y) => (x - y) * (x - y)),
-              lit(0L), (acc, x) => acc + x).as("d2"),
+            graft.functions.VectorFunctions.l2_dist(col("q"), typedLit(cvec)).as("d2"),
             lit(cid.toLong).as("cid"))
         }
         val ranked = q.select(col("vec_id"), col("q"),
@@ -858,9 +859,7 @@ object Similarity {
         probes.join(assign, Seq("cluster"))
           .filter(col("vec_id") =!= col("neighbor_id"))
           .select(col("vec_id"), col("neighbor_id"),
-            aggregate(
-              zip_with(col("q"), col("qn"), (x, y) => (x - y) * (x - y)),
-              lit(0L), (acc, x) => acc + x).as("d2"))
+            graft.functions.VectorFunctions.l2_dist(col("q"), col("qn")).as("d2"))
           .groupBy(col("vec_id"))
           .agg(graft.functions.TopKByFunctions
             .top_k_by((-col("d2")).cast("double"), col("neighbor_id"), topK).as("top"))

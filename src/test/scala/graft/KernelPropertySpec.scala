@@ -138,6 +138,27 @@ class KernelPropertySpec extends AnyFunSuite {
     docs.foreach(d => assert(graft.functions.PolyHashExpr.hash(d) == ref(d), s"eval: $d"))
   }
 
+  test("L2DistExpr: codegen equals the lambda fold; unequal lengths throw") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(21)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextInt(1 << 21).toLong),
+        Seq.fill(64)(rnd.nextInt(1 << 21).toLong)))
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      graft.functions.VectorFunctions.l2_dist(col("a"), col("b")).as("d"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}"))
+    intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+        .select(graft.functions.VectorFunctions.l2_dist(col("a"), col("b"))).collect()
+    }
+  }
+
   test("Log2Q16Expr: codegen equals the Scala model, tracks log2 within 17 ulp16, monotone") {
     import SparkTestSession.spark
     import spark.implicits._
