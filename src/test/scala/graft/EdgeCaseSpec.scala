@@ -152,6 +152,16 @@ class EdgeCaseSpec extends AnyFunSuite {
     // q60/s26: empty embeddings → empty assignment, empty codebook
     assert(Similarity.kmeansAssign(emptyLike(emb)).count() == 0)
     assert(Similarity.kmeansCentroids(emptyLike(emb)).isEmpty)
+    // q63: empty → empty with the contract schema; N < k degenerates
+    // to singleton clusters (each vector its own centroid) where the
+    // nProbe=3 probe set still finds the two other vectors
+    val e63 = Similarity.knnIvfInt(emptyLike(emb))
+    assert(e63.schema.fieldNames.toSeq == Seq("vec_id", "rank", "neighbor_id", "d2"))
+    assert(e63.count() == 0)
+    val tiny = Similarity.knnIvfInt(emb.orderBy("vec_id").limit(3)).collect()
+    assert(tiny.map(_.getLong(0)).distinct.length == 3)
+    assert(tiny.forall(r => r.getLong(3) > 0L || r.getLong(2) != r.getLong(0)))
+    assert(tiny.length == 6, "3 queries x 2 probed singleton neighbors")
   }
 
   test("simhash enforces the packed-lane token bound loudly") {
