@@ -539,8 +539,9 @@ object L2DistExpr {
   *
   * Every step is a truncating shift on nonnegative int64 — DuckDB
   * replays it verbatim as a 16-step WITH RECURSIVE over
-  * `length(bin(x))-1`, `//` and `<<` (SparkEntry.ilog2Sql), so any
-  * operator keyed on these values is oracle-checkable bit-for-bit.
+  * `length(bin(x))-1`, `//` and `<<` (the `s(x, z, r, i)` CTE in the
+  * q61/q62 oracles), so any operator keyed on these values is
+  * oracle-checkable bit-for-bit.
   * The value is within 17·2^-16 of true log2 (truncation at each
   * squaring loses < 2^-16); the DETERMINISM, not the last bit of
   * accuracy, is the contract — perplexity ranks identically.
