@@ -480,7 +480,11 @@ case class PolyHashExpr(child: Expression)
   * no accumulation-order contract to preserve — any loop order equals
   * the lambda fold and the DuckDB list_reduce replay bit-for-bit.
   * Arrays must be equal length (the quantized q60 frames always are);
-  * unequal lengths throw rather than silently truncating.
+  * unequal lengths throw rather than silently truncating. Null
+  * ELEMENTS also throw (fail-fast): ArrayData.getLong would read a
+  * null slot as 0 and produce a silently wrong distance where the
+  * lambda fold propagates NULL — the quantize() producers never emit
+  * null elements, so a null here is a caller bug worth surfacing.
   */
 case class L2DistExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -517,6 +521,9 @@ object L2DistExpr {
     var d = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"l2_dist: null element at index $i (getLong would read it as 0)")
       val x = a.getLong(i) - b.getLong(i)
       d += x * x
       i += 1

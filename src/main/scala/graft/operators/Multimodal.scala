@@ -616,36 +616,51 @@ object Multimodal {
       .toDF("doc_id", "blob_len", "blob_md5", "width", "height", "n_frames")
   }
 
-  /** 64-bit average-hash (aHash) of a decoded image: bilinear-resample
-    * to 8×8, integer luma per cell (299r + 587g + 114b, the BT.601
-    * weights ×1000 — no floating point), threshold strictly above the
-    * integer mean. All arithmetic after the resample is integer, so
-    * the hash is deterministic for a given decoded raster.
+  /** 64-bit average-hash (aHash) of a decoded image: integer BOX
+    * FILTER to 8×8 (cell (cy,cx) averages the pixels whose row maps
+    * to cy via (y·8) div h and column to cx via (x·8) div w — a true
+    * area mean, every source pixel in exactly one cell), integer luma
+    * per pixel (299r + 587g + 114b, the BT.601 weights ×1000 — no
+    * floating point), threshold strictly above the integer mean of
+    * the 64 cell values. EVERY step is truncating int64 arithmetic on
+    * nonnegative operands, so the hash is not merely deterministic —
+    * it is SQL-replayable (DuckDB `//` + the q59 splitmix64 pixel
+    * replay reproduce it bit-for-bit, which is what promoted q50 from
+    * rows-only to hash-exact). The box mean is also the more robust
+    * downsample: Graphics2D's bilinear drawImage (the previous
+    * implementation) point-samples sparsely at large ratios and its
+    * tap placement is an implementation detail no oracle could
+    * follow. Images narrower than 8 in a dimension leave some cells
+    * empty; an empty cell contributes value 0 (the q50 corpus floors
+    * dims at 8, so all 64 cells are populated there).
     */
   def aHash(src: java.awt.image.BufferedImage): Long = {
-    val dst = new java.awt.image.BufferedImage(8, 8,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val g = dst.createGraphics()
-    try {
-      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      g.drawImage(src, 0, 0, 8, 8, null)
-    } finally g.dispose()
-    val px = dst.getRGB(0, 0, 8, 8, null, 0, 8)
-    val luma = new Array[Long](64)
-    var sum = 0L
+    val w = src.getWidth
+    val h = src.getHeight
+    val px = src.getRGB(0, 0, w, h, null, 0, w)
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
     var i = 0
-    while (i < 64) {
+    while (i < px.length) {
       val p = px(i)
-      luma(i) = 299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) + 114L * (p & 0xFF)
-      sum += luma(i)
+      val l = 299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) + 114L * (p & 0xFF)
+      val cell = ((i / w * 8) / h) * 8 + (i % w * 8) / w
+      sums(cell) += l
+      cnts(cell) += 1L
       i += 1
     }
-    val mean = sum / 64L
-    var h = 0L
-    i = 0
-    while (i < 64) { if (luma(i) > mean) h |= (1L << i); i += 1 }
-    h
+    var mean = 0L
+    var k = 0
+    while (k < 64) {
+      if (cnts(k) > 0L) sums(k) /= cnts(k) else sums(k) = 0L
+      mean += sums(k)
+      k += 1
+    }
+    mean /= 64L
+    var sig = 0L
+    k = 0
+    while (k < 64) { if (sums(k) > mean) sig |= (1L << k); k += 1 }
+    sig
   }
 
   /** q50: IMAGE near-duplicate grouping by perceptual hash — the
@@ -662,9 +677,13 @@ object Multimodal {
     * identity: trim/lower/collapse-whitespace) — documents that are
     * exact-text duplicates carry byte-identical images, giving the
     * corpus the planted-duplicate structure of a real image corpus.
-    * No DuckDB oracle is possible (the values pass through PNG codec
-    * + Graphics2D resampling, not SQL) — declared rows-only, gated by
-    * the planted/perturbation specs instead, the q29/q32 pattern.
+    * HASH-EXACT oracle (promoted r11 from rows-only): the DuckDB side
+    * recomputes the poly-hash seed from the normalized text, replays
+    * the synthesizer's splitmix64 pixel stream (the q59 HUGEINT
+    * technique), and reruns the box-filter aHash — all-integer, so
+    * signature, groups, reps and keeps compare bit-for-bit. PNG
+    * losslessness plus the real ImageIO decode in the loop mean a
+    * codec defect (not just a formula slip) breaks the match.
     *
     * Scale: one narrow mapPartitions codec pass (no shuffle), one
     * hash-partitioned aggregation on the 8-byte signature, one
@@ -678,7 +697,8 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val norm = text.replaceAll("^\\s+|\\s+$", "").toLowerCase
+        val norm = text.replaceAll("^\\s+|\\s+$", "")
+          .toLowerCase(java.util.Locale.ROOT) // match Spark lower()
           .replaceAll("\\s+", " ")
         val seed = graft.functions.PolyHashExpr.hash(norm)
         // dims derive from the TEXT hash, not doc_id: identical texts

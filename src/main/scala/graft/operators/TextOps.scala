@@ -921,9 +921,13 @@ object TextOps {
     * `ln(1 + (N−df+0.5)/(df+0.5))` — algebraically (N+1)/(df+0.5),
     * so in log2 units with the ×2 clearing the halves:
     *   idf_q16   = L(2N + 2) − L(2df + 1)
-    *               (strictly positive for ANY df ≤ N — the classical
-    *               RSJ form goes negative past df > N/2, which on a
-    *               small-vocab corpus would flip rankings)
+    *               (non-negative for ANY df ≤ N — the classical RSJ
+    *               form goes negative past df > N/2, which on a
+    *               small-vocab corpus would flip rankings. Exactly 0
+    *               is reachable: Q16 truncation collides L(2N+2) with
+    *               L(2df+1) once the true log2 gap drops under 2^-16,
+    *               i.e. df within ~N/(N·ln2·2^-16) of N — roughly
+    *               N ≳ 47k with a near-ubiquitous term)
     *   denom_myr = 10000·tf + 3000 + (9000·dl·N) div A
     *               (= 10000·(tf + k1(1−b) + k1·b·dl/avgdl), one
     *               truncating div, part of the contract)

@@ -521,10 +521,15 @@ object StreamOps {
     // and explode nothing — one bad record must degrade the same way
     // here, not kill the query with an NPE
     if (text == null) Array.empty
-    else text.replaceAll("^\\s+|\\s+$", "").toLowerCase.split("\\s+").filter(_.nonEmpty)
+    else text.replaceAll("^\\s+|\\s+$", "")
+      // Locale.ROOT: Spark's lower() is locale-independent; the JVM
+      // default-locale overload would break the row-exact-vs-batch
+      // contracts under e.g. a Turkish locale ('I' → dotless i)
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
 
   def wordShingleHashes(text: String, shingleN: Int): Set[Long] = {
-    val toks = text.replaceAll("^\\s+|\\s+$", "").toLowerCase.split("\\s+")
+    val toks = text.replaceAll("^\\s+|\\s+$", "")
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val nSh = math.max(toks.length - (shingleN - 1), 1)
     (0 until nSh).iterator
       .map(i => toks.slice(i, i + shingleN).mkString(" "))
@@ -1266,8 +1271,9 @@ object StreamOps {
   /** s21: the STREAMING curation pipeline — q53's stage chain running
     * continuously on arriving documents, the full ingest path a live
     * training-data service operates: exact dedup → segment strip →
-    * decontamination → tokenize → admit → pack, each doc flowing the
-    * whole chain in its arrival batch.
+    * quality gate → decontamination → PII redaction → tokenize →
+    * admit → pack, each doc flowing the whole chain in its arrival
+    * batch.
     *
     * Contracts, each inherited from the stage's own streaming twin:
     *  - exact dedup and segment dedup are KEEP-FIRST (s20's argument:
@@ -1279,7 +1285,10 @@ object StreamOps {
     *    (TextOps.tokenizerVocabSeq / tokenMixtureRates): a stream
     *    cannot train its tokenizer or solve a global mixture on data
     *    it has not seen (batch q53 derives both from its own curated
-    *    corpus — the documented divergence);
+    *    corpus — the documented divergence); the QUALITY CUTOFFS
+    *    (`lenCut`/`alphaCut`, batch stage 3's q46 pair) are frozen
+    *    for the identical reason — a stream cannot know the corpus
+    *    percentile of a document it has not seen;
     *  - packing is PACK-ON-ARRIVAL with chunk boundaries carried
     *    across batches (s17's contract).
     *
@@ -1296,7 +1305,9 @@ object StreamOps {
   def streamCurate(docs: Dataset[CurDoc], benchShingles: Set[Long],
                    vocab: Seq[String], ratesMyriad: Map[String, Long],
                    segWords: Int = 8, shingleN: Int = 4, maxN: Int = 4,
-                   capacity: Int = 512, shards: Int = 8): Dataset[PackedSpan] = {
+                   capacity: Int = 512, shards: Int = 8,
+                   lenCut: Option[Double] = None,
+                   alphaCut: Option[Double] = None): Dataset[PackedSpan] = {
     import docs.sparkSession.implicits._
     import graft.operators.Dedup.ReplayableHash.{a, b, P}
     require(segWords > 0 && capacity >= 1 && shards >= 1)
@@ -1347,11 +1358,27 @@ object StreamOps {
           val rs = rows.toList
           val lang = rs.head.lang
           val clean = rs.filter(!_.dup).sortBy(_.seg_idx).map(_.seg).mkString(" ")
+          // quality gate against the FROZEN cutoffs (batch stage 3):
+          // same >= predicate, same NULL-ratio-fails-a-present-cutoff
+          // three-valued semantics as the batch filter
+          val alpha: Option[Double] =
+            if (clean.isEmpty) None
+            else Some(clean.replaceAll("[^A-Za-z]", "").length / clean.length.toDouble)
+          val gatePass =
+            lenCut.forall(c => clean.length.toDouble >= c) &&
+            alphaCut.forall(c => alpha.exists(_ >= c))
           val shs = wordShingleHashes(clean, shingleN)
-          if (shs.exists(bcBench.value.contains)) Iterator.empty
+          if (!gatePass || shs.exists(bcBench.value.contains)) Iterator.empty
           else {
+            // PII redaction (batch stage 5) — the same java.util.regex
+            // chain Spark's codegen'd regexp_replace runs; the REDACTED
+            // text is what tokenizes, exactly as in batch
+            val red = clean
+              .replaceAll(graft.operators.TextOps.EmailRe, "<EMAIL>")
+              .replaceAll(graft.operators.TextOps.Ipv4Re, "<IP>")
+              .replaceAll(graft.operators.TextOps.PhoneRe, "<PHONE>")
             val (nTok, _) = graft.functions.GreedyTokenStatsExpr
-              .walk(clean.toLowerCase, bcVocab.value, maxN)
+              .walk(red.toLowerCase(java.util.Locale.ROOT), bcVocab.value, maxN)
             if (nTok <= 0L) Iterator.empty
             else {
               val s = graft.functions.PolyHashExpr.hash("mixtok:" + doc)

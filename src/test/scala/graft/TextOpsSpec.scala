@@ -449,7 +449,11 @@ class TextOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val out = TextOps.bm25Search(docs)
-    assert(out.filter(col("score_q16") <= 0).count() == 0, "lucene idf keeps scores positive")
+    // non-negative, not strictly positive: Q16 truncation can collide
+    // L(2N+2) with L(2df+1) for a near-ubiquitous term once N ≳ 47k,
+    // making idf_q16 (and the score) exactly 0 — Spark and the oracle
+    // still agree, so 0 is legal
+    assert(out.filter(col("score_q16") < 0).count() == 0, "lucene idf keeps scores non-negative")
     assert(out.groupBy("token").count().filter(col("count") =!= 10).count() == 0)
     // ranks are 1..10, and (rank asc) follows (score desc, doc_id asc)
     val byTerm = out.collect().groupBy(_.getString(0))
