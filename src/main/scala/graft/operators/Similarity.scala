@@ -707,6 +707,16 @@ object Similarity {
     */
   private def kmeansFit(embeddings: DataFrame, k: Int,
                         iters: Int): Option[(Seq[(Int, Seq[Long])], DataFrame)] = {
+    // Hard bound on the literal-centroid plan shape: each centroid
+    // adds ~8 expression nodes per assignment pass, and a deploy-sized
+    // k (√N ~ tens of thousands) would silently hand janino a
+    // multi-second (or uncompilable) expression tree — the q29
+    // giant-tree lesson applied preemptively. Beyond this, the right
+    // operator is trainCodebook's join-path ANN family, not exact
+    // literal-map k-means.
+    require(k >= 1 && k <= 512,
+      s"kmeansFit: k=$k out of [1, 512] — the literal-centroid map is " +
+        "bounded by plan size; for larger k use trainCodebook's join path")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val P = graft.functions.ReplayableHash.P

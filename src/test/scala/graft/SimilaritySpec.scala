@@ -297,6 +297,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_._2).distinct.length == 3)
   }
 
+  test("q60/q63: deploy-sized k is rejected, not silently handed to janino") {
+    // the literal-centroid map is bounded by plan size (~8 expression
+    // nodes per centroid); k beyond 512 must fail fast with a pointer
+    // at trainCodebook's join path rather than build a multi-second
+    // codegen tree
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.kmeansAssign(emb, k = 513, iters = 1)
+    }
+    assert(e1.getMessage.contains("trainCodebook"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.knnIvfInt(emb, k = 513, iters = 1, nProbe = 3)
+    }
+    assert(e2.getMessage.contains("trainCodebook"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.kmeansAssign(emb, k = 0, iters = 1)
+    }.getMessage.contains("out of [1, 512]"))
+  }
+
   test("q60 k-means: empty input yields an empty frame with the contract schema") {
     val out = Similarity.kmeansAssign(emb.filter(col("vec_id") < 0), k = 8, iters = 2)
     assert(out.schema.fieldNames.toSeq == Seq("vec_id", "cluster", "d2"))
