@@ -139,7 +139,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadEnd = osBean.getSystemLoadAverage
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","order_seed":$seed,"queries":$qs,"queries_median":$qsMed,"queries_cpu":$qsCpu,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
+    // Contended-run flag: three end-of-round benches in a row (r8-r10)
+    // ran at load 4-10 and every cross-round comparison needed manual
+    // exoneration. A start load > 2 (32-core host, but the bench
+    // expects the machine to itself) marks the WHOLE artifact suspect:
+    // readers must treat per-query deltas as lower-confidence and
+    // prefer the committed quiet-host BENCH_SELF.json.
+    val contended = if (loadStart > 2.0) "\"contended\":true," else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$contended"order_seed":$seed,"queries":$qs,"queries_median":$qsMed,"queries_cpu":$qsCpu,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
     // The FULL-precision, full-name record lands in a FILE (committed
     // each round): the driver's stdout capture keeps only the last
     // 2,000 characters, and r8/r9 proved a ~6 KB line gets truncated
@@ -168,12 +175,12 @@ object Bench {
       .mkString("{", ",", "}")
     val cMed = sortedR.map { case (_, _, m, _) => f"$m%.1f" }.mkString("[", ",", "]")
     val cCpu = sortedR.map { case (_, _, _, c) => f"$c%.1f" }.mkString("[", ",", "]")
-    val compact = f"""{"metric":"total","value":$total%.2f,"unit":"sec","order_seed":$seed,"queries":$cQs,"med":$cMed,"cpu":$cCpu,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"sf":"$sfDir","full":"BENCH_SELF.json"}"""
+    val compact = f"""{"metric":"total","value":$total%.2f,"unit":"sec",$contended"order_seed":$seed,"queries":$cQs,"med":$cMed,"cpu":$cCpu,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"sf":"$sfDir","full":"BENCH_SELF.json"}"""
     // belt-and-braces: if a future query explosion pushes past the tail
     // budget, shed the ride-along arrays rather than truncate mid-JSON
     val emit =
       if (compact.length <= 1850) compact
-      else f"""{"metric":"total","value":$total%.2f,"unit":"sec","order_seed":$seed,"queries":$cQs,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"sf":"$sfDir","full":"BENCH_SELF.json"}"""
+      else f"""{"metric":"total","value":$total%.2f,"unit":"sec",$contended"order_seed":$seed,"queries":$cQs,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"sf":"$sfDir","full":"BENCH_SELF.json"}"""
     spark.stop() // before the final println: nothing may follow the JSON line
     println(emit)
   }
