@@ -158,10 +158,10 @@ object SparkEntry {
     // binds the feasible total, the rest downsample to match
     "q48_mixture_solve" -> ((s, d) => TextOps.mixtureSolve(Tables.documents(s, d),
       Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000))),
-    // NO oracle entry (rows-only by declared design, the q29/q32
-    // pattern): the signature passes through PNG decode + Graphics2D
-    // resampling, which no SQL replays — gated by MultimodalSpec's
-    // planted-duplicate + perturbation properties instead
+    // hash-exact since r11: the box-filter aHash is all-integer, so
+    // the oracle replays seed→pixels→signature→groups bit-for-bit
+    // (see the q50 oracle entry); the perceptual properties stay
+    // gated by MultimodalSpec's perturbation/cross-codec specs
     "q50_image_dedup" -> ((s, d) => Multimodal.imageDedup(Tables.documents(s, d))),
     // every 7th doc is the stand-in benchmark set — denser than q38's
     // %97 split so natural near-dup pairs CROSS the boundary at
@@ -837,6 +837,70 @@ object SparkEntry {
          JOIN dom ON dom.doc_id = d.doc_id AND dom.rn = 1
          JOIN nz ON nz.doc_id = d.doc_id
          LEFT JOIN sob s ON s.doc_id = d.doc_id""",
+    // q50 (promoted from rows-only r11): the perceptual-dedup chain
+    // replayed end to end — poly-hash seed from the NORMALIZED text,
+    // the q59 splitmix64 HUGEINT pixel replay (seed·1000003+i), then
+    // the integer box-filter aHash: luma 299r+587g+114b, cell
+    // (y·8 div h, x·8 div w), truncating cell mean, global mean over
+    // the 64 cells, bit where cell > mean. Bit 63 lands via the
+    // two's-complement identity (add −2⁶³, written −(2⁶³−1)−1 so the
+    // literal itself never overflows); DuckDB's sum(BIGINT) widens to
+    // HUGEINT, the final CAST narrows back once the value is known to
+    // fit. The Spark side decodes a REAL PNG before hashing — the
+    // oracle match is a codec gate exactly like q59's.
+    "q50_image_dedup" ->
+      s"""WITH nrm AS (
+           SELECT doc_id,
+                  lower(regexp_replace(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+', ' ', 'g')) AS nt
+           FROM documents),
+         sd AS (
+           SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(nt)+1),
+                      i -> CAST(unicode(substring(nt, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM nrm),
+         dims AS (
+           SELECT doc_id, s, CAST(8 + s % 56 AS BIGINT) AS w,
+                  CAST(8 + (s // 64) % 40 AS BIGINT) AS h
+           FROM sd),
+         idx AS (
+           SELECT doc_id, s, w, h, unnest(generate_series(0, CAST(w*h - 1 AS INT))) AS i
+           FROM dims),
+         m1 AS (SELECT doc_id, w, h, i,
+                  CAST((CAST(CAST(s * 1000003 + i AS UBIGINT) AS HUGEINT)
+                        + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+                FROM idx),
+         a1 AS (SELECT doc_id, w, h, i, CAST(xor(z, z >> 30) AS HUGEINT) AS a FROM m1),
+         m2 AS (SELECT doc_id, w, h, i,
+                  CAST(((a * 3210233709) % 4294967296 * 4294967296 + a * 484763065)
+                       % 18446744073709551616 AS UBIGINT) AS z FROM a1),
+         a2 AS (SELECT doc_id, w, h, i, CAST(xor(z, z >> 27) AS HUGEINT) AS a FROM m2),
+         m3 AS (SELECT doc_id, w, h, i,
+                  CAST(((a * 2496678331) % 4294967296 * 4294967296 + a * 321982955)
+                       % 18446744073709551616 AS UBIGINT) AS z FROM a2),
+         px AS (SELECT doc_id, w, h, i,
+                  CAST(xor(z, z >> 31) % 16777216 AS BIGINT) AS p FROM m3),
+         cv AS (
+           SELECT doc_id,
+                  ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cell,
+                  CAST(sum(299*(p // 65536) + 587*((p // 256) % 256) + 114*(p % 256)) AS BIGINT)
+                    // count(*) AS v
+           FROM px GROUP BY 1, 2),
+         mn AS (SELECT doc_id, CAST(sum(v) AS BIGINT) // 64 AS mean FROM cv GROUP BY 1),
+         sig AS (
+           SELECT cv.doc_id,
+                  CAST(sum(CASE WHEN v > mean AND cell < 63
+                                  THEN CAST(1 AS BIGINT) << CAST(cell AS INT)
+                                WHEN v > mean THEN -9223372036854775807 - 1
+                                ELSE 0 END) AS BIGINT) AS ahash
+           FROM cv JOIN mn USING (doc_id) GROUP BY 1),
+         grp AS (SELECT ahash, min(doc_id) AS group_rep,
+                        CAST(count(*) AS BIGINT) AS group_size
+                 FROM sig GROUP BY 1)
+         SELECT g2.doc_id, g2.ahash, g.group_rep,
+                CAST(g2.doc_id = g.group_rep AS BIGINT) AS keep, g.group_size
+         FROM sig g2 JOIN grp g USING (ahash)""",
     // q38: the q25 posting replay (word 4-grams, poly_hash keys) split
     // into corpus vs the deterministic every-97th-doc eval set.
     "q38_decontamination" ->
@@ -1570,11 +1634,13 @@ object SparkEntry {
                FROM events)
          WHERE rn = 1 AND last_type IS DISTINCT FROM 'error'""",
     // q53: the whole curation chain as ONE CTE pipeline — q20's
-    // canonical pick, q52's segment strip, q38's shingle overlap,
-    // q51's tokenizer (trained on the CURATED corpus via
-    // tokenizerCtesOn), q48b's rate solve + admission, q47's packing
-    // arithmetic — each block verbatim from its stage's oracle, so
-    // the compare pins the stage ORDER as well as the semantics.
+    // canonical pick, q52's segment strip, q46's quality cutoffs +
+    // gate (g_* CTEs, the sketch replay at k=1024/p5), q38's shingle
+    // overlap, q58's redaction chain (pii1/pii2/red), q51's tokenizer
+    // (trained on the CURATED+REDACTED corpus via tokenizerCtesOn),
+    // q48b's rate solve + admission, q47's packing arithmetic — each
+    // block verbatim from its stage's oracle, so the compare pins the
+    // stage ORDER as well as the semantics.
     "q53_curate" ->
       s"""WITH RECURSIVE
          corpus0 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0),
@@ -1607,9 +1673,44 @@ object SparkEntry {
            SELECT c.doc_id, c.lang,
                   CASE WHEN c.text IS NULL THEN NULL ELSE coalesce(p.ct, '') END AS text
            FROM canon c LEFT JOIN p_per p USING (doc_id)),
+         g_scored AS (
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    / CAST(nullif(length(text), 0) AS DOUBLE) AS alpha_ratio
+           FROM cleaned),
+         g_hash AS (
+           SELECT doc_id, n_chars, alpha_ratio,
+                  ((((CAST(1103515245 AS BIGINT)*421 + 12345) % 2147483648) * s
+                    + ((CAST(1103515245 AS BIGINT)*422 + 12345) % 2147483648)) % 2147483647)
+                  * 2147483647
+                  + ((((CAST(1103515245 AS BIGINT)*423 + 12345) % 2147483648) * s
+                      + ((CAST(1103515245 AS BIGINT)*424 + 12345) % 2147483648)) % 2147483647) AS h
+           FROM (SELECT doc_id, n_chars, alpha_ratio,
+                        list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(range(1, length(kk)+1),
+                            i -> CAST(unicode(substring(kk, CAST(i AS INT), 1)) AS BIGINT))),
+                          (h, c) -> (h * 31 + c) % 1000000007) AS s
+                 FROM (SELECT doc_id, n_chars, alpha_ratio,
+                              concat('q46:', CAST(doc_id AS VARCHAR)) AS kk
+                       FROM g_scored) t0) t1),
+         g_lcut AS (
+           SELECT list(v ORDER BY v)[CAST(5 * (count(*) - 1) // 100 AS INT) + 1] AS c
+           FROM (SELECT CAST(n_chars AS DOUBLE) AS v FROM g_hash
+                 WHERE n_chars IS NOT NULL
+                 ORDER BY h, CAST(n_chars AS DOUBLE) LIMIT 1024)),
+         g_acut AS (
+           SELECT list(v ORDER BY v)[CAST(5 * (count(*) - 1) // 100 AS INT) + 1] AS c
+           FROM (SELECT alpha_ratio AS v FROM g_hash
+                 WHERE alpha_ratio IS NOT NULL
+                 ORDER BY h, alpha_ratio LIMIT 1024)),
+         gated AS (
+           SELECT c.doc_id, c.lang, c.text
+           FROM cleaned c JOIN g_scored gs USING (doc_id), g_lcut, g_acut
+           WHERE (g_lcut.c IS NULL OR gs.n_chars >= g_lcut.c)
+             AND (g_acut.c IS NULL OR gs.alpha_ratio >= g_acut.c)),
          p_ctoks AS (
            SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS toks
-           FROM cleaned),
+           FROM gated),
          p_btoks AS (
            SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS toks
            FROM bench0),
@@ -1637,16 +1738,25 @@ object SparkEntry {
            SELECT doc_id, count(*) AS n_ov
            FROM p_csh JOIN p_bsh USING (s) GROUP BY 1),
          decon AS (
-           SELECT c.doc_id, c.lang, c.text FROM cleaned c
+           SELECT c.doc_id, c.lang, c.text FROM gated c
            LEFT JOIN p_ov USING (doc_id)
            WHERE COALESCE(p_ov.n_ov, 0) = 0),
-         ${tokenizerCtesOn("decon")},
+         pii1 AS (SELECT doc_id, lang,
+                    regexp_replace(text, '${graft.operators.TextOps.EmailRe}', '<EMAIL>', 'g') AS t
+                  FROM decon),
+         pii2 AS (SELECT doc_id, lang,
+                    regexp_replace(t, '${graft.operators.TextOps.Ipv4Re}', '<IP>', 'g') AS t
+                  FROM pii1),
+         red AS (SELECT doc_id, lang,
+                   regexp_replace(t, '${graft.operators.TextOps.PhoneRe}', '<PHONE>', 'g') AS text
+                 FROM pii2),
+         ${tokenizerCtesOn("red")},
          tok_counts AS (
            SELECT t.lang, t.t_myriad, COALESCE(g.c, 0) AS c
            FROM (VALUES ('de', 2000), ('en', 2000), ('es', 2000),
                         ('fr', 2000), ('zh', 2000)) t(lang, t_myriad)
            LEFT JOIN (SELECT d.lang, CAST(sum(dc.nt) AS BIGINT) AS c
-                      FROM decon d JOIN doc_counts dc ON dc.doc_id = d.doc_id
+                      FROM red d JOIN doc_counts dc ON dc.doc_id = d.doc_id
                       GROUP BY d.lang) g USING (lang)),
          tok_feas AS (SELECT MIN(c * 10000 // t_myriad) AS t_total FROM tok_counts),
          tok_rates AS (
@@ -1664,7 +1774,7 @@ object SparkEntry {
                     (h, c) -> (h * 31 + c) % 1000000007))
                  + ((CAST(1103515245 AS BIGINT)*430 + 12345) % 2147483648)) % 2147483647) % 10000 AS bucket
              FROM (SELECT doc_id, lang, concat('mixtok:', CAST(doc_id AS VARCHAR)) AS k
-                   FROM decon) t
+                   FROM red) t
              JOIN doc_counts dc ON dc.doc_id = t.doc_id) b
            JOIN tok_rates r USING (lang)
            WHERE b.bucket < r.rate_myriad),

@@ -14,15 +14,25 @@ import org.apache.spark.sql.functions._
   *   1. exact dedup (q20): canonical doc per normalized-text group;
   *   2. segment dedup (q52): cross-document boilerplate stripped,
   *      cleaned text REPLACES the original downstream;
-  *   3. decontamination (q38): docs sharing any `shingleN`-gram with
+  *   3. quality gate (q46, since r11): corpus-percentile admission on
+  *      the CLEANED text — docs below the p`gatePct` length or alpha
+  *      cutoff drop (the "drop the bottom 5%" rule a production
+  *      filter is specified with); cutoffs come from the q46
+  *      deterministic bottom-k-by-hash sketch, so the gate replays
+  *      exactly in the oracle;
+  *   4. decontamination (q38): docs sharing any `shingleN`-gram with
   *      the benchmark dropped — on the CLEANED text (boilerplate
   *      removed first means boilerplate alone cannot shield or cause
   *      a contamination hit);
-  *   4. tokenizer-budget mixture (q51 + q48b): the subword vocab
+  *   5. PII redaction (q58, since r11): emails/IPs/phones replaced by
+  *      fixed tokens BEFORE tokenizer training — the production order
+  *      (a vocab must never memorize an email), and the redacted text
+  *      is what tokenizes and packs;
+  *   6. tokenizer-budget mixture (q51 + q48b): the subword vocab
   *      trains on the CURATED corpus (not the raw one — tokenizer
   *      training after cleaning is the production order), per-language
   *      token budgets solved and admitted by the replayable hash rule;
-  *   5. sequence packing (q47b): admitted docs packed into
+  *   7. sequence packing (q47b): admitted docs packed into
   *      fixed-capacity chunks on their REAL token counts.
   *
   * Output: q47's span schema (shard, chunk, doc_id, tok_start,
@@ -58,6 +68,7 @@ object Pipeline {
              segWords: Int = 8, shingleN: Int = 4,
              vocabM: Int = 64, maxN: Int = 4,
              capacity: Int = 512, shards: Int = 8,
+             gatePct: Int = 5,
              materializeStages: Boolean = false): DataFrame = {
     // 1. exact dedup — survivors keep their original text and lang
     val canon = TextOps.dedupExact(documents).select("doc_id")
@@ -67,17 +78,57 @@ object Pipeline {
       .select(col("doc_id"), col("clean_text").as("text"))
       .join(canon.select("doc_id", "lang"), "doc_id")
     val cleaned = if (materializeStages) cleaned0.localCheckpoint(true) else cleaned0
-    // 3. decontamination against the (raw) benchmark
-    val decon0 = TextOps.decontaminate(cleaned, benchmark, shingleN)
+    // 3. quality gate: p`gatePct` cutoffs from the cleaned corpus
+    // (2-row driver collect — the trainCodebook scalar protocol),
+    // applied as a filter. s21 receives these SAME cutoffs frozen.
+    val (lenCut, alphaCut) = qualityCutoffs(cleaned, gatePct)
+    val gated = qualityGate(cleaned, lenCut, alphaCut)
+    // 4. decontamination against the (raw) benchmark
+    val decon0 = TextOps.decontaminate(gated, benchmark, shingleN)
       .filter(col("contaminated") === 0).select("doc_id")
-      .join(cleaned, "doc_id")
+      .join(gated, "doc_id")
     val decon = if (materializeStages) decon0.localCheckpoint(true) else decon0
-    // 4. vocab trained on the curated corpus; token-budget admission
-    val vocab = TextOps.tokenizerVocabSeq(decon, vocabM, maxN)
-    val admitted = TextOps.mixtureSolveTokenized(decon, targetMyriad, vocab, maxN)
-    // 5. pack the admitted docs on their tokenizer counts
+    // 5. PII redaction — the redacted text is what trains + tokenizes
+    val red = TextOps.piiRedact(decon)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(decon.select("doc_id", "lang"), "doc_id")
+    // 6. vocab trained on the curated corpus; token-budget admission
+    val vocab = TextOps.tokenizerVocabSeq(red, vocabM, maxN)
+    val admitted = TextOps.mixtureSolveTokenized(red, targetMyriad, vocab, maxN)
+    // 7. pack the admitted docs on their tokenizer counts
     TextOps.packCore(
       admitted.select(col("doc_id"), col("n_tokens").as("n_tok")),
       capacity, shards)
+  }
+
+  /** The frozen p`pct` quality cutoffs (n_chars, alpha_ratio) of a
+    * corpus, from the q46 sketch — the pair batch stage 3 applies and
+    * s21 receives as its offline-solved config. None = the metric's
+    * sample was empty (no distribution → no gate on that metric).
+    * Driver-side cost: ONE 2-row collect.
+    */
+  def qualityCutoffs(corpus: DataFrame, pct: Int = 5,
+                     k: Int = 1024): (Option[Double], Option[Double]) = {
+    val rows = TextOps.quantileGate(corpus, k = k, percentiles = Seq(pct))
+      .select(col("metric"), col("cutoff")).collect()
+    def cut(m: String): Option[Double] = rows.find(_.getString(0) == m)
+      .flatMap(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    (cut("n_chars"), cut("alpha_ratio"))
+  }
+
+  /** Stage-3 admission: docs whose cleaned n_chars and alpha_ratio
+    * clear the cutoffs (>= — the cutoff value itself passes). A doc
+    * with a NULL ratio (empty cleaned text) fails a present cutoff,
+    * exactly as in SQL three-valued logic — the oracle's WHERE clause
+    * is the same predicate.
+    */
+  def qualityGate(cleaned: DataFrame, lenCut: Option[Double],
+                  alphaCut: Option[Double]): DataFrame = {
+    val keep = TextOps.qualityScore(cleaned)
+      .select(col("doc_id"), col("n_chars"), col("alpha_ratio"))
+      .filter(
+        lenCut.map(c => col("n_chars") >= lit(c)).getOrElse(lit(true)) &&
+        alphaCut.map(c => col("alpha_ratio") >= lit(c)).getOrElse(lit(true)))
+    cleaned.join(keep.select("doc_id"), "doc_id")
   }
 }

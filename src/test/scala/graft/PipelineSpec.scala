@@ -28,10 +28,15 @@ class PipelineSpec extends AnyFunSuite {
       val cleaned = TextOps.segmentDedup(canon)
         .select(col("doc_id"), col("clean_text").as("text"))
         .join(canon.select("doc_id", "lang"), "doc_id")
-      val decon = TextOps.decontaminate(cleaned, bench)
-        .filter(col("contaminated") === 0).select("doc_id").join(cleaned, "doc_id")
-      val vocab = TextOps.tokenizerVocabSeq(decon, m = 64, maxN = 4)
-      val admitted = TextOps.mixtureSolveTokenized(decon, target, vocab)
+      val (lenCut, alphaCut) = Pipeline.qualityCutoffs(cleaned)
+      val gated = Pipeline.qualityGate(cleaned, lenCut, alphaCut)
+      val decon = TextOps.decontaminate(gated, bench)
+        .filter(col("contaminated") === 0).select("doc_id").join(gated, "doc_id")
+      val red = TextOps.piiRedact(decon)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(decon.select("doc_id", "lang"), "doc_id")
+      val vocab = TextOps.tokenizerVocabSeq(red, m = 64, maxN = 4)
+      val admitted = TextOps.mixtureSolveTokenized(red, target, vocab)
 
       // the packed docs are exactly the admitted docs (packCore drops
       // nothing: every admitted doc has n_tokens > 0 by construction)
@@ -45,7 +50,8 @@ class PipelineSpec extends AnyFunSuite {
       // at this SF — q20's bite is covered by the planted test below)
       assert(cleaned.join(corpus.withColumnRenamed("text", "raw"), "doc_id")
         .filter(col("text") =!= col("raw")).count() > 0, "q52 stage vacuous")
-      assert(decon.count() < cleaned.count(), "q38 stage vacuous")
+      assert(gated.count() < cleaned.count(), "q46 gate vacuous (p5 must bite)")
+      assert(decon.count() < gated.count(), "q38 stage vacuous")
       assert(admitted.count() < decon.count(), "mixture stage vacuous")
 
       // token conservation: each doc's packed spans sum to its
@@ -74,13 +80,16 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val uniq = (i: Int) => (0 until 24).map(j => s"w${i}_$j").mkString(" ")
     val benchRows = Seq((9001L, "en", uniq(900)), (9002L, "en", uniq(901)))
+    val piiText = s"contact me at alice@mail.example.com about ${uniq(10)}"
+    val redText = s"contact me at <EMAIL> about ${uniq(10)}"
     val corpusRows = Seq(
       (1L, "en", uniq(1)),
       (2L, "en", uniq(1)),        // exact dup of 1 -> q20 keeps only doc 1
       (3L, "en", uniq(900)),      // copies a benchmark doc -> q38 drops
       (4L, "en", uniq(4)),
       (5L, "es", uniq(5)), (6L, "de", uniq(6)),
-      (7L, "fr", uniq(7)), (8L, "zh", uniq(8)))
+      (7L, "fr", uniq(7)), (8L, "zh", uniq(8)),
+      (26L, "en", piiText))       // carries an email -> q58 redacts in-chain
     val out = Pipeline.curate(corpusRows.toDF("doc_id", "lang", "text"),
       benchRows.toDF("doc_id", "lang", "text").select("doc_id", "text"),
       target, capacity = 64)
@@ -90,5 +99,23 @@ class PipelineSpec extends AnyFunSuite {
     // the scarcest languages bind the mixture at rate ~10000, so the
     // singleton-language docs survive admission
     assert(Set(5L, 6L, 7L, 8L).subsetOf(ids), s"got $ids")
+
+    // in-chain PII redaction, pinned by IDEMPOTENCE: curating the
+    // corpus with doc 10's email RAW must equal curating it with the
+    // email pre-replaced by <EMAIL> — the chain redacts before
+    // tokenizer training, so both corpora are identical from stage 5
+    // on. (The p5 gate on this tiny corpus is the min — pass-all in
+    // both runs — so the pre-gate length difference cannot reorder
+    // anything; the equality is exact, not approximate.)
+    val preRedacted = corpusRows.map { case (id, l, t) =>
+      (id, l, if (id == 26L) redText else t)
+    }
+    val outPre = Pipeline.curate(preRedacted.toDF("doc_id", "lang", "text"),
+      benchRows.toDF("doc_id", "lang", "text").select("doc_id", "text"),
+      target, capacity = 64)
+    assert(out.collect().map(_.toString).sorted.toSeq ==
+      outPre.collect().map(_.toString).sorted.toSeq,
+      "chain output must be invariant to pre-redaction (q58 runs in-chain)")
+    assert(ids.contains(26L), "the redacted doc itself packs (bucket 21 admits at any en rate)")
   }
 }

@@ -1525,7 +1525,13 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
 
     // the stream's offline-solved config, derived exactly as batch
-    // q53 derives it (its decon set here = docs 1,4,5,6,7,8 verbatim)
+    // q53 derives it: quality cutoffs from the CLEANED corpus (= all
+    // canon docs — q52 is the identity here; only exact-dup doc 2
+    // drops before the gate), vocab/rates from its decon+redacted set
+    // (docs 1,4,5,6,7,8 — no PII patterns, so redaction is identity)
+    val cleanedDF = corpusDF.filter(col("doc_id") =!= 2L)
+    val (lenCut, alphaCut) = Pipeline.qualityCutoffs(cleanedDF, pct = 5)
+    assert(lenCut.nonEmpty && alphaCut.nonEmpty, "tiny corpus still yields cutoffs")
     val deconDF = corpusDF.filter(col("doc_id").isin(1L, 4L, 5L, 6L, 7L, 8L))
     val vocab = TextOps.tokenizerVocabSeq(deconDF, m = 64, maxN = 4)
     val rates = TextOps.tokenMixtureRates(deconDF, target, vocab)
@@ -1535,7 +1541,7 @@ class StreamingSpec extends AnyFunSuite {
       val source = MemoryStream[StreamOps.CurDoc]
       val perBatch = collection.mutable.ArrayBuffer.empty[Set[Span]]
       val q = StreamOps.streamCurate(source.toDS(), benchShingles, vocab, rates,
-        capacity = cap)
+        capacity = cap, lenCut = lenCut, alphaCut = alphaCut)
         .writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.PackedSpan], _: Long) =>
           val rows = b.collect()
