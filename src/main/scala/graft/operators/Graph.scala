@@ -284,26 +284,24 @@ object Graph {
     * checkpoint with AQE off captures the HashPartitioning; consumers
     * still plan adaptively.
     *
-    * The frame constructor is BY-NAME and evaluated only after AQE is
-    * off: a caller can't hand over a Dataset whose physical plan was
-    * already resolved under AQE (an earlier explain/collect would have
-    * frozen the stale adaptive plan and silently lost the
-    * partitioning). Session-conf toggle caveat: the flip is visible to
-    * ANY plan resolved on this session during the (short, driver-side)
-    * window — safe under graft's single-threaded operator-construction
-    * discipline, but a concurrently-planning consumer of the same
-    * session (e.g. a running streaming query's micro-batch planner)
-    * would plan that one batch with AQE off. Functionally benign
-    * (AQE-off plans are correct, just not adaptive) yet worth knowing;
-    * callers that share a session with live streams can pass a
-    * `spark.newSession()` clone's frames instead.
+    * AQE is disabled on a `spark.newSession()` CLONE — an isolated
+    * SQLConf over the same SparkContext — never on the caller's
+    * session, so a concurrently-planning consumer of that session
+    * (e.g. a running streaming query's micro-batch planner) can never
+    * observe the flip. The frame's logical plan is rebound onto the
+    * clone (Bridge.rebind), checkpointed there, and the resulting
+    * LogicalRDD — partitioning captured — rebound back to the
+    * caller's session so downstream composition stays single-session
+    * and adaptive. Rebinding starts from the LOGICAL plan, so even a
+    * frame a careless caller already resolved under AQE re-plans
+    * fresh on the clone; the by-name parameter is kept only to avoid
+    * building frames the guard then discards on error.
     */
   private[graft] def checkpointPartitioned(spark: org.apache.spark.sql.SparkSession)(mkDf: => DataFrame): DataFrame = {
-    val conf = spark.conf
-    val key = "spark.sql.adaptive.enabled"
-    val prev = conf.get(key)
-    conf.set(key, "false")
-    try mkDf.localCheckpoint(true) finally conf.set(key, prev)
+    val clone = spark.newSession()
+    clone.conf.set("spark.sql.adaptive.enabled", "false")
+    val cp = org.apache.spark.sql.graftbridge.Bridge.rebind(clone, mkDf).localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.Bridge.rebind(spark, cp)
   }
 
   /** Frees the storage blocks behind an EAGER `localCheckpoint` frame

@@ -13,6 +13,23 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Re-binds a frame's logical plan onto `target`, returning a fresh
+    * (un-executed) Dataset whose analysis and physical planning happen
+    * under the TARGET session's conf. Sessions sharing one
+    * SparkContext can exchange logical plans freely — attribute ids
+    * and concrete expression trees are session-independent — which is
+    * what lets graft build an isolated-conf plan (e.g. an AQE-off
+    * checkpoint, Graph.checkpointPartitioned) on a `newSession()`
+    * clone without toggling conf visible to concurrent planners. The
+    * classic `Dataset.ofRows` entry point is `private[sql]`, hence
+    * this bridge's package.
+    */
+  def rebind(target: org.apache.spark.sql.SparkSession,
+             df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      target.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.logical)
 }
 
 /** `ImplicitCastInputTypes` with a public-type signature. Spark 4 made

@@ -222,6 +222,32 @@ class GraphSpec extends AnyFunSuite {
     assert(!s2.contains("Exchange hashpartitioning"), s2)
   }
 
+  test("checkpointPartitioned isolates AQE on a session clone") {
+    // r11: the AQE flip happens on a spark.newSession() clone, never
+    // on the caller's session — a concurrent planner (e.g. a live
+    // streaming micro-batch) can never observe it. Pins (a) the
+    // caller conf is untouched even MID-build, and (b) the rebind
+    // path makes pre-resolution harmless: a frame the caller already
+    // collect()ed under AQE still re-plans fresh on the clone, so its
+    // checkpoint captures the partitioning anyway.
+    import spark.implicits._
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val pre = (0L to 20L).map(v => (v, v + 1)).toDF("src", "dst").repartition(col("src"))
+    pre.collect() // resolve under AQE on the caller session, deliberately
+    var midBuild = "unset"
+    val ed = Graph.checkpointPartitioned(spark) {
+      midBuild = spark.conf.get("spark.sql.adaptive.enabled")
+      pre
+    }
+    assert(midBuild == "true", "caller-session AQE conf flipped during the build")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(ed.sparkSession eq spark, "checkpoint frame must come back on the caller's session")
+    val agg = ed.groupBy(col("src")).count()
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   /** Total shuffle records WRITTEN while `body` runs — the end-to-end
     * exchange sentinel: a per-round shuffle sneaking back into an
     * iterative operator (an AQE behavior change un-capturing the
