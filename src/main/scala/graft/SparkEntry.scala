@@ -93,6 +93,13 @@ object SparkEntry {
     // q63: ORACLE-EXACT integer IVF KNN (the ANN family's hash-
     // checkable member; q29/q32 stay the FP rows-only scale paths)
     "q63_knn_ivf_exact" -> ((s, d) => Similarity.knnIvfInt(Tables.embeddings(s, d))),
+    // q64: SemDeDup — within-cluster near-dup components over the q60
+    // codebook, keep-the-outlier rule; integer end to end (hash-exact)
+    "q64_semdedup" -> ((s, d) => graft.operators.Components.semDedup(Tables.embeddings(s, d))),
+    // q65/q65b: product quantization — integer per-subspace Lloyd
+    // codebooks + ADC search over the codes; both hash-exact
+    "q65_pq_codes" -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d), kcode = 16, iters = 3)),
+    "q65b_pq_search" -> ((s, d) => Similarity.pqSearch(Tables.embeddings(s, d), kcode = 16, iters = 3)),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
     // q59: real decode→feature extraction (64-bin histogram + Sobel)
@@ -643,6 +650,14 @@ object SparkEntry {
     // chain (Similarity.knnIvfIntOracleSql) — assignment, probing,
     // and integer pair-d2 ranking all replayed
     "q63_knn_ivf_exact" -> graft.operators.Similarity.knnIvfIntOracleSql(),
+    // q64: the q60 centroid/assignment CTEs + within-cluster pair
+    // predicate + the q42 recursive closure + keep rule as row_number
+    // (d2 DESC, vec_id ASC) — Components.semDedupOracleSql
+    "q64_semdedup" -> graft.operators.Components.semDedupOracleSql(),
+    // q65/q65b: the per-subspace joint Lloyd unrolled (pqCentroidCtes)
+    // + encode / ADC LUT retrieval chains
+    "q65_pq_codes" -> graft.operators.Similarity.pqCodesOracleSql(kcode = 16, iters = 3),
+    "q65b_pq_search" -> graft.operators.Similarity.pqSearchOracleSql(kcode = 16, iters = 3),
     "q36_label_centroids" ->
       """SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,
                 CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)

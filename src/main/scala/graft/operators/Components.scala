@@ -116,4 +116,118 @@ object Components {
     */
   def dedupGroupsLsh(embeddings: DataFrame, tau: Double = 0.35): DataFrame =
     groupsFromPairs(embeddings, Similarity.embeddingDedupLsh(embeddings, tau))
+
+  /** q64: SEMANTIC dedup à la SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540) — cluster the corpus, enumerate near-dup pairs
+    * only WITHIN clusters, close them into components, and keep per
+    * component the member FARTHEST from its cluster centroid (the
+    * paper's keep-the-outlier rule: the redundant copies near the
+    * centroid carry the least marginal information), ties to the
+    * smallest vec_id. Everything runs in the q60 integer domain
+    * (quantize `floor(v·2²⁰+0.5)+2²⁰`, integer Lloyd, L2DistExpr), so
+    * unlike the cosine-based q42 family the WHOLE pipeline —
+    * codebook, assignment, pair predicate, closure, keep rule — is
+    * hash-exact against a DuckDB replay (semDedupOracleSql).
+    *
+    * Relation to q42: q42's components span the whole corpus (exact
+    * or LSH pair graph); SemDeDup's are cluster-local by construction
+    * — pairs join on cluster id, so a component can never cross a
+    * cluster boundary and each component has a well-defined centroid
+    * distance order. That locality is also the scale story: pair
+    * enumeration is Σ_c |c|² ≈ N²/k comparisons (k≈√N → O(N^1.5),
+    * the IVF sizing), never all-pairs, and the closure reuses
+    * minLabel's O(log diameter) pointer-jumping rounds. The
+    * registered instance pins k=8, iters=3 (the unrolled-CTE
+    * checkability contract, like q60/q63).
+    *
+    * tau2 is an integer threshold on the quantized scale (d2_int ≈
+    * 2⁴⁰·Σ(Δv)²); the default sits at the ~1% left-tail of the
+    * synthetic corpus's pair distances (probed: min 1.07e12, p1
+    * 1.56e12, median 2.2e12), the same "demo threshold" role as
+    * q30's cosine 0.35.
+    *
+    * Output: (vec_id, cluster, comp, keep) — comp = min vec_id
+    * reachable, keep = 1 iff farthest-from-centroid in its component;
+    * singletons keep themselves.
+    */
+  def semDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+               tau2: Long = 1500000000000L): DataFrame = {
+    Similarity.kmeansFit(embeddings, k, iters) match {
+      case None =>
+        embeddings.sparkSession.createDataFrame(
+          embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "vec_id BIGINT, cluster BIGINT, comp BIGINT, keep BIGINT"))
+      case Some((cents, q)) =>
+        // assigned reused three ways (both pair sides + the keep
+        // join), so checkpoint once — the §8 persist rule
+        val assigned = Similarity.kmeansAssigned(q, cents)
+          .select(col("vec_id"), col("q"),
+            col("best.cid").cast("long").as("cluster"), col("best.d2").as("d2"))
+          .localCheckpoint(true)
+        val pairs = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("q").as("qa"))
+          .join(assigned.select(col("cluster"), col("vec_id").as("id_b"), col("q").as("qb")),
+            Seq("cluster"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(graft.functions.VectorFunctions.l2_dist(col("qa"), col("qb")) <= lit(tau2))
+          .select(col("id_a"), col("id_b"))
+        val comps = minLabel(assigned.select(col("vec_id").as("id")), pairs)
+          .select(col("id").as("vec_id"), col("label").as("comp"))
+        val labeled = assigned.select(col("vec_id"), col("cluster"), col("d2"))
+          .join(comps, Seq("vec_id"))
+        // keeper per component via ONE struct-max aggregate (max d2,
+        // tie min id ↔ max -id) + an equi-join back — no window sort
+        val kept = labeled.groupBy(col("comp"))
+          .agg(max(struct(col("d2").as("d2"), (-col("vec_id")).as("nid"))).as("w"))
+        labeled.join(kept, Seq("comp"))
+          .select(col("vec_id"), col("cluster"), col("comp"),
+            (col("d2") === col("w.d2") && col("vec_id") === -col("w.nid"))
+              .cast("long").as("keep"))
+    }
+  }
+
+  /** The q64 oracle: the q60 centroid/assignment CTE chain (shared
+    * generators) feeding a within-cluster pair predicate, the q42
+    * recursive-CTE closure, and the keep rule as row_number
+    * (d2 DESC, vec_id ASC) ↔ Spark's struct-max. One integer domain
+    * end to end — no FP anywhere.
+    */
+  def semDedupOracleSql(k: Int = 8, iters: Int = 3,
+                        tau2: Long = 1500000000000L): String = {
+    val it = iters + 1
+    val d2fold =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(range(1, len(a.q) + 1),
+        |               i -> (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)])
+        |                  * (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)]))),
+        |             (acc, x) -> acc + x)""".stripMargin
+    // the shared prefix is non-recursive; RECURSIVE must sit on the
+    // single WITH that also introduces the closure CTE below
+    val prefix = Similarity.kmeansCentroidCtes(k, iters)
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$prefix,
+       |${Similarity.kmeansAssignCte(it, s"cent$iters")},
+       |sdpairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM a$it a JOIN a$it b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE $d2fold <= $tau2),
+       |sdedges AS (
+       |  SELECT id_a AS u, id_b AS v FROM sdpairs
+       |  UNION ALL
+       |  SELECT id_b AS u, id_a AS v FROM sdpairs),
+       |sdrec AS (
+       |  SELECT vec_id AS id, vec_id AS label FROM a$it
+       |  UNION
+       |  SELECT sdedges.v AS id, sdrec.label FROM sdrec JOIN sdedges ON sdedges.u = sdrec.id),
+       |sdcomp AS (SELECT id AS vec_id, min(label) AS comp FROM sdrec GROUP BY id),
+       |sdranked AS (
+       |  SELECT s.vec_id, s.cid, c.comp,
+       |         row_number() OVER (PARTITION BY c.comp
+       |           ORDER BY s.d2 DESC, s.vec_id ASC) AS rn
+       |  FROM a$it s JOIN sdcomp c USING (vec_id))
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, comp,
+       |       CAST(rn = 1 AS BIGINT) AS keep
+       |FROM sdranked""".stripMargin
+  }
 }

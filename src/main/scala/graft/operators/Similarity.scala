@@ -686,7 +686,7 @@ object Similarity {
   /** One assignment pass: d2 per centroid from literal arrays, argmin
     * via array_min over (d2, cid) structs — a PURE MAP, zero joins.
     */
-  private def kmeansAssigned(q: DataFrame, cs: Seq[(Int, Seq[Long])]): DataFrame = {
+  private[operators] def kmeansAssigned(q: DataFrame, cs: Seq[(Int, Seq[Long])]): DataFrame = {
     // L2DistExpr, not aggregate(zip_with(...)): the lambda pair is
     // CodegenFallback (interpreted per element) and this map runs
     // N×k×dim element ops per iteration — the kernel swap alone took
@@ -705,7 +705,7 @@ object Similarity {
     * centroids plus the checkpointed quantized frame (so the caller's
     * final assignment re-reads the checkpoint, not parquet).
     */
-  private def kmeansFit(embeddings: DataFrame, k: Int,
+  private[operators] def kmeansFit(embeddings: DataFrame, k: Int,
                         iters: Int): Option[(Seq[(Int, Seq[Long])], DataFrame)] = {
     // Hard bound on the literal-centroid plan shape: each centroid
     // adds ~8 expression nodes per assignment pass, and a deploy-sized
@@ -882,7 +882,7 @@ object Similarity {
   /** One oracle assignment CTE: argmin centroid per vector from
     * `$centIn` via row_number (d2 ASC, cid ASC), carrying q and d2.
     */
-  private def kmeansAssignCte(it: Int, centIn: String): String =
+  private[operators] def kmeansAssignCte(it: Int, centIn: String): String =
       s"""a$it AS (
          |  SELECT vec_id, q, cid, d2 FROM (
          |    SELECT v.vec_id, v.q, c.cid,
@@ -902,7 +902,7 @@ object Similarity {
   /** Shared q60/q63 oracle prefix: quantize, hash-seed, `iters`
     * unrolled integer Lloyd steps → final centroid CTE `cent$iters`.
     */
-  private def kmeansCentroidCtes(k: Int, iters: Int): String = {
+  private[operators] def kmeansCentroidCtes(k: Int, iters: Int): String = {
     val P = graft.functions.ReplayableHash.P
     val ha = graft.functions.ReplayableHash.a(215)
     val hb = graft.functions.ReplayableHash.b(215)
@@ -930,4 +930,280 @@ object Similarity {
        |  FROM q ORDER BY h, vec_id LIMIT $k),
        |$steps""".stripMargin
   }
+
+  // ==== q65: PRODUCT QUANTIZATION (Jégou/Douze/Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+  // memory-side ANN scale path the IVF family (q63) doesn't cover:
+  // compress each 64-dim vector to M=8 sub-codes (one byte-sized id
+  // per subspace) and answer queries with ASYMMETRIC DISTANCE
+  // COMPUTATION (ADC) against the codes alone. Everything runs in the
+  // q60 integer domain (same quantize `floor(v·2²⁰+0.5)+2²⁰`, same
+  // index-215 seed hash, integer Lloyd per subspace), so BOTH the
+  // encoder and the search are hash-exact against a DuckDB replay —
+  // where FAISS-style FP PQ could only be recall-gated. ====
+
+  private val PQ_M = 8 // subspaces over the 64-dim corpus vectors
+  private val PQ_D = 8 // dims per subspace
+
+  /** Shared q65 fit: quantize+hash once (the kmeansFit discipline),
+    * explode each vector into its M subvectors, then run ONE joint
+    * integer Lloyd over all subspaces — the per-subspace aggregates
+    * ride a single (sub, cid, pos) shuffle per iteration instead of M
+    * sequential jobs. Seeds are the hash-smallest `kcode` vectors,
+    * sliced per subspace (one ordering pass shared by every
+    * subspace). Returns the (sub, cid) → codeword map (driver-side,
+    * M·kcode·PQ_D longs — bounded), the checkpointed exploded frame,
+    * and the checkpointed full-vector frame (for query selection).
+    */
+  private[operators] def pqFit(embeddings: DataFrame, kcode: Int, iters: Int)
+      : Option[(Map[(Int, Int), Seq[Long]], DataFrame, DataFrame)] = {
+    require(kcode >= 1 && kcode <= 64,
+      s"pqFit: kcode=$kcode out of [1, 64] — the per-subspace argmin is a " +
+        "literal when-chain of M*kcode distance nodes; PQ's whole point is " +
+        "tiny per-subspace codebooks (the paper uses 256)")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val P = graft.functions.ReplayableHash.P
+    val ha = graft.functions.ReplayableHash.a(215)
+    val hb = graft.functions.ReplayableHash.b(215)
+    val q = embeddings.select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) + 1048576)").as("q"),
+        ((lit(ha) * (col("vec_id") % lit(P)) + lit(hb)) % lit(P)).as("h"))
+      .localCheckpoint(true)
+    val subs = (0 until PQ_M).map(m =>
+      struct(lit(m).as("sub"), slice(col("q"), m * PQ_D + 1, PQ_D).as("qs")))
+    val ex = q.select(col("vec_id"), explode(array(subs: _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.qs").as("qs"))
+      .localCheckpoint(true)
+    val seeds: Array[Seq[Long]] = q.orderBy(col("h"), col("vec_id")).limit(kcode)
+      .select(col("q")).as[Seq[Long]].collect()
+    if (seeds.isEmpty) return None
+    var cents: Map[(Int, Int), Seq[Long]] =
+      (for { m <- 0 until PQ_M; (v, j) <- seeds.zipWithIndex.toSeq }
+        yield (m, j) -> v.slice(m * PQ_D, m * PQ_D + PQ_D)).toMap
+    for (_ <- 1 to iters) {
+      // joint mean update: (sub, cid, pos) partials in one shuffle;
+      // empty cells keep their previous codeword (the q60 coalesce)
+      val means = pqAssigned(ex, cents)
+        .select(col("sub"), col("best.cid").as("cid"),
+          posexplode(col("qs")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cid"), col("pos"), expr("s div n").as("m"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("sub"), col("cid"), expr("transform(pm, x -> x.m)").as("cvec"))
+        .as[(Int, Int, Seq[Long])].collect()
+        .map { case (m, j, v) => (m, j) -> v }.toMap
+      cents = cents.map { case (key, prev) => (key, means.getOrElse(key, prev)) }
+    }
+    Some((cents, ex, q))
+  }
+
+  /** One encoding pass over the exploded frame: per (vector, sub) the
+    * argmin codeword via array_min over (d2, cid) structs from
+    * LITERAL codewords, dispatched on `sub` by a when-chain — a PURE
+    * MAP, zero joins (the kmeansAssigned shape, M-way).
+    */
+  private def pqAssigned(ex: DataFrame, cents: Map[(Int, Int), Seq[Long]]): DataFrame = {
+    val kcode = cents.keys.map(_._2).max + 1
+    val bySub = (0 until PQ_M).map { m =>
+      val ds = (0 until kcode).map { j =>
+        struct(
+          graft.functions.VectorFunctions.l2_dist(col("qs"), typedLit(cents((m, j)))).as("d2"),
+          lit(j).as("cid"))
+      }
+      array_min(array(ds: _*))
+    }
+    val bestCol = bySub.zipWithIndex.tail.foldLeft(when(col("sub") === 0, bySub.head)) {
+      case (acc, (c, m)) => acc.when(col("sub") === m, c)
+    }
+    ex.select(col("vec_id"), col("sub"), col("qs"), bestCol.as("best"))
+  }
+
+  /** q65: PQ ENCODING — each corpus vector compressed to M=8 sub-codes
+    * (its nearest codeword per subspace). Output: (vec_id, sub, code,
+    * d2) — M rows per vector, all int64; d2 is the subspace
+    * quantization error (Σ over subs = the reconstruction error the
+    * paper bounds ADC by). The registered instance pins kcode=8,
+    * iters=2 — the unrolled-CTE checkability contract (q60/q63/q64);
+    * deploy sizing is kcode=256 through the same code.
+    *
+    * Scale: the fit is `iters` joint (sub, cid, pos) aggregates (N·64
+    * narrow rows each — exactly q60's traffic); the encode itself is
+    * a pure map. Codes are M·log2(kcode) bits per vector — the
+    * memory-side story: a 10⁹-vector corpus's codes fit where raw
+    * vectors can't, which is what makes exhaustive ADC scans viable.
+    */
+  def pqCodes(embeddings: DataFrame, kcode: Int = 8, iters: Int = 2): DataFrame =
+    pqFit(embeddings, kcode, iters) match {
+      case None =>
+        embeddings.sparkSession.createDataFrame(
+          embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "vec_id BIGINT, sub BIGINT, code BIGINT, d2 BIGINT"))
+      case Some((cents, ex, _)) =>
+        pqAssigned(ex, cents).select(col("vec_id"),
+          col("sub").cast("long").as("sub"),
+          col("best.cid").cast("long").as("code"), col("best.d2").as("d2"))
+    }
+
+  /** q65b: ADC SEARCH over the PQ codes — the paper's asymmetric
+    * distance: query stays UNquantized, items are their codes, and
+    * the approximate distance is Σ_m d2(query_sub_m, codeword_m) —
+    * one lookup-table entry per (query, sub, code), M adds per item.
+    * Queries are the hash-smallest `nQueries` corpus vectors (the
+    * replayable no-RNG selection), self excluded, top-k by (adist
+    * ASC, neighbor ASC).
+    *
+    * Scale: the LUT is nQueries·M·kcode rows (driver-computed integer
+    * math from the bounded codeword map — 640 longs at the registered
+    * sizing) and BROADCASTS against the codes; per item the sum is a
+    * map-side (query, vec) partial aggregate feeding bounded TopKBy
+    * partials — no window over N, no join wider than the broadcast.
+    * |adist| ≤ 64·2⁴⁴ < 2⁵³, so the TopKBy double ord carries −adist
+    * exactly (the q63 bound argument).
+    *
+    * Output: (query_id, rank, neighbor_id, adist).
+    */
+  def pqSearch(embeddings: DataFrame, kcode: Int = 8, iters: Int = 2,
+               nQueries: Int = 10, topK: Int = 5): DataFrame =
+    pqFit(embeddings, kcode, iters) match {
+      case None =>
+        embeddings.sparkSession.createDataFrame(
+          embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "query_id BIGINT, rank BIGINT, neighbor_id BIGINT, adist BIGINT"))
+      case Some((cents, ex, q)) =>
+        val spark = embeddings.sparkSession
+        import spark.implicits._
+        val codes = pqAssigned(ex, cents)
+          .select(col("vec_id"), col("sub"), col("best.cid").as("code"))
+        val qrows: Array[(Long, Seq[Long])] = q.orderBy(col("h"), col("vec_id"))
+          .limit(nQueries).select(col("vec_id"), col("q")).as[(Long, Seq[Long])].collect()
+        val kc = cents.keys.map(_._2).max + 1
+        // the ADC lookup table: pure driver-side integer math over the
+        // bounded codeword map — same Σ(Δ)² fold as L2DistExpr
+        val lut = for {
+          (qid, qv) <- qrows.toSeq
+          m <- 0 until PQ_M
+          j <- 0 until kc
+        } yield {
+          val qs = qv.slice(m * PQ_D, m * PQ_D + PQ_D)
+          val d2 = qs.iterator.zip(cents((m, j)).iterator)
+            .map { case (a, b) => val d = a - b; d * d }.sum
+          (qid, m, j, d2)
+        }
+        codes.join(broadcast(lut.toDF("query_id", "sub", "code", "pd2")),
+            Seq("sub", "code"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("pd2")).as("adist"))
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKByFunctions
+            .top_k_by((-col("adist")).cast("double"), col("vec_id"), topK).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+            col("t.id").as("neighbor_id"), (-col("t.ord")).cast("long").as("adist"))
+    }
+
+  private def pqD2Fold(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(range(1, len($a) + 1),
+       |               i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)])
+       |                  * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))),
+       |             (acc, x) -> acc + x)""".stripMargin
+
+  /** One oracle encoding CTE: argmin codeword per (vector, sub) from
+    * `$centIn` via row_number (d2 ASC, cid ASC) — the kmeansAssignCte
+    * shape with the extra sub dimension.
+    */
+  private def pqAssignCte(it: Int, centIn: String): String =
+    s"""pa$it AS (
+       |  SELECT vec_id, sub, qs, cid, d2 FROM (
+       |    SELECT v.vec_id, v.sub, v.qs, c.cid, ${pqD2Fold("v.qs", "c.c")} AS d2,
+       |           row_number() OVER (PARTITION BY v.vec_id, v.sub
+       |             ORDER BY ${pqD2Fold("v.qs", "c.c")} ASC, c.cid ASC) AS rn
+       |    FROM pqex v JOIN $centIn c ON c.sub = v.sub) t WHERE rn = 1)""".stripMargin
+
+  /** Shared q65/q65b oracle prefix: quantize+hash (identical to the
+    * q60 `q` CTE), per-subspace seed slices, `iters` unrolled joint
+    * Lloyd steps → final codeword CTE `pqcent$iters`.
+    */
+  private def pqCentroidCtes(kcode: Int, iters: Int): String = {
+    val P = graft.functions.ReplayableHash.P
+    val ha = graft.functions.ReplayableHash.a(215)
+    val hb = graft.functions.ReplayableHash.b(215)
+    val steps = (1 to iters).map { it =>
+      s"""${pqAssignCte(it, s"pqcent${it - 1}")},
+         |pqm$it AS (
+         |  SELECT sub, cid, i AS pos,
+         |         CAST(CAST(sum(qs[CAST(i AS INT)]) AS BIGINT) // count(*) AS BIGINT) AS m
+         |  FROM pa$it, range(1, ${PQ_D + 1}) AS t(i)
+         |  GROUP BY sub, cid, i),
+         |pqcent$it AS (
+         |  SELECT c0.sub, c0.cid, coalesce(l.c, c0.c) AS c
+         |  FROM pqcent${it - 1} c0 LEFT JOIN
+         |    (SELECT sub, cid, list(m ORDER BY pos) AS c FROM pqm$it GROUP BY sub, cid) l
+         |    USING (sub, cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) + 1048576) AS q,
+       |         (($ha * (vec_id % $P) + $hb) % $P) AS h
+       |  FROM embeddings),
+       |pqseed AS (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, q
+       |  FROM q ORDER BY h, vec_id LIMIT $kcode),
+       |pqcent0 AS (
+       |  SELECT CAST(t.m AS INT) AS sub, cid,
+       |         list_slice(q, CAST(t.m*$PQ_D+1 AS BIGINT), CAST(t.m*$PQ_D+$PQ_D AS BIGINT)) AS c
+       |  FROM pqseed, range(0, $PQ_M) t(m)),
+       |pqex AS (
+       |  SELECT vec_id, CAST(t.m AS INT) AS sub,
+       |         list_slice(q, CAST(t.m*$PQ_D+1 AS BIGINT), CAST(t.m*$PQ_D+$PQ_D AS BIGINT)) AS qs
+       |  FROM q, range(0, $PQ_M) t(m)),
+       |$steps""".stripMargin
+  }
+
+  /** The q65 oracle: the joint per-subspace Lloyd unrolled as
+    * generated CTEs (the kmeansOracleSql discipline with a sub
+    * dimension), final encode as row_number (d2 ASC, cid ASC).
+    */
+  def pqCodesOracleSql(kcode: Int = 8, iters: Int = 2): String =
+    s"""${pqCentroidCtes(kcode, iters)},
+       |${pqAssignCte(iters + 1, s"pqcent$iters")}
+       |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code, d2
+       |FROM pa${iters + 1}""".stripMargin
+
+  /** The q65b oracle: the q65 chain extended with the hash-smallest
+    * query set, the (query, sub, code) LUT from the final codewords,
+    * the Σ_m lookup join, and (adist ASC, neighbor ASC) ranking.
+    */
+  def pqSearchOracleSql(kcode: Int = 8, iters: Int = 2,
+                        nQueries: Int = 10, topK: Int = 5): String =
+    s"""${pqCentroidCtes(kcode, iters)},
+       |${pqAssignCte(iters + 1, s"pqcent$iters")},
+       |pqq AS (
+       |  SELECT vec_id AS query_id, q FROM q ORDER BY h, vec_id LIMIT $nQueries),
+       |pqqs AS (
+       |  SELECT query_id, CAST(t.m AS INT) AS sub,
+       |         list_slice(q, CAST(t.m*$PQ_D+1 AS BIGINT), CAST(t.m*$PQ_D+$PQ_D AS BIGINT)) AS qs
+       |  FROM pqq, range(0, $PQ_M) t(m)),
+       |pqlut AS (
+       |  SELECT a.query_id, a.sub, b.cid AS code, ${pqD2Fold("a.qs", "b.c")} AS pd2
+       |  FROM pqqs a JOIN pqcent$iters b ON b.sub = a.sub),
+       |pqad AS (
+       |  SELECT l.query_id, k.vec_id, CAST(sum(l.pd2) AS BIGINT) AS adist
+       |  FROM pa${iters + 1} k JOIN pqlut l ON l.sub = k.sub AND l.code = k.cid
+       |  WHERE k.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |pqrk AS (
+       |  SELECT query_id, vec_id, adist,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adist ASC, vec_id ASC) AS rank
+       |  FROM pqad)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, adist
+       |FROM pqrk WHERE rank <= $topK""".stripMargin
 }

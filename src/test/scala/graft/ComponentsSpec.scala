@@ -84,6 +84,36 @@ class ComponentsSpec extends AnyFunSuite {
     assert(crossGroup.count() == 0)
   }
 
+  test("q64 semdedup: one keeper per component, cluster-local comps, keeper is the outlier") {
+    import graft.sources.Tables
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Components.semDedup(emb).localCheckpoint(true)
+    assert(out.count() == emb.count())
+    // exactly one keep per component
+    assert(out.groupBy(col("comp")).agg(sum(col("keep")).as("k"))
+      .filter(col("k") =!= 1L).count() == 0)
+    // components never cross a cluster boundary (pairs join on cluster)
+    assert(out.groupBy(col("comp")).agg(countDistinct(col("cluster")).as("c"))
+      .filter(col("c") =!= 1L).count() == 0)
+    // comp label is the minimum member id (and therefore a member)
+    assert(out.groupBy(col("comp")).agg(min(col("vec_id")).as("m"))
+      .filter(col("comp") =!= col("m")).count() == 0)
+    // keep-the-outlier: the keeper's centroid distance is its
+    // component's max — cross-checked against an independent q60
+    // refit (same seeds, same integer Lloyd → identical d2)
+    val d2 = Similarity.kmeansAssign(emb, k = 8, iters = 3)
+      .select(col("vec_id"), col("d2"))
+    val j = out.join(d2, Seq("vec_id")).localCheckpoint(true)
+    val mx = j.groupBy(col("comp")).agg(max(col("d2")).as("mx"))
+    assert(j.filter(col("keep") === 1L).join(mx, Seq("comp"))
+      .filter(col("d2") =!= col("mx")).count() == 0)
+    // empty corpus degrades to the empty typed frame
+    val empty = Components.semDedup(emb.filter(lit(false)))
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("vec_id", "cluster", "comp", "keep"))
+  }
+
   test("q42b LSH groups refine the exact groups with recall >= 0.9") {
     import graft.sources.Tables
     val emb = Tables.embeddings(spark, sfDir)

@@ -371,4 +371,77 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = hits.sum / hits.size
     assert(recall >= 0.55, s"recall@5 $recall below gate")
   }
+
+  test("q65 pq codes: M rows per vector, codes in range, Lloyd lowers reconstruction error") {
+    val out = Similarity.pqCodes(emb, kcode = 16, iters = 3).localCheckpoint(true)
+    val n = emb.count()
+    assert(out.count() == n * 8, "one row per (vector, subspace)")
+    assert(out.filter(col("code") < 0 || col("code") >= 16).count() == 0)
+    assert(out.filter(col("d2") < 0).count() == 0)
+    assert(out.groupBy(col("vec_id")).agg(countDistinct(col("sub")).as("s"))
+      .filter(col("s") =!= 8L).count() == 0)
+    // trained codebook beats the raw seeds: total quantization error
+    // after 3 Lloyd steps must not exceed the iters=0 (seed-only) error
+    val e3 = out.agg(sum(col("d2"))).collect()(0).getLong(0)
+    val e0 = Similarity.pqCodes(emb, kcode = 16, iters = 0)
+      .agg(sum(col("d2"))).collect()(0).getLong(0)
+    info(s"reconstruction error: seeds $e0 -> trained $e3")
+    assert(e3 <= e0, s"training worsened reconstruction: $e0 -> $e3")
+  }
+
+  test("q65b ADC search: a planted clone of each query shares its cell and ranks top") {
+    // plant an exact clone of each of the 10 hash-smallest vectors
+    // (= the query set): the clone gets the query's exact codes, so
+    // its ADC distance is the query's own quantization error — the
+    // cell minimum — and the (adist, id) tie-break must surface it.
+    val P = graft.functions.ReplayableHash.P
+    val ha = graft.functions.ReplayableHash.a(215)
+    val hb = graft.functions.ReplayableHash.b(215)
+    val ids = emb.select(col("vec_id")).collect().map(_.getLong(0))
+    val baseQueries = ids.map(id => ((ha * (id % P) + hb) % P, id)).sorted.take(10).map(_._2)
+    val clones = emb.filter(col("vec_id").isin(baseQueries.map(Long.box): _*))
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val out = Similarity.pqSearch(emb.unionAll(clones), kcode = 16, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the hash-smallest query set over the UNION: a clone's own hash
+    // may undercut a base query's, so recompute rather than assume
+    val unionIds = ids ++ baseQueries.map(_ + 1000000L)
+    val queryIds = unionIds.map(id => ((ha * (id % P) + hb) % P, id)).sorted.take(10).map(_._2)
+    assert(out.map(_._1).toSet == queryIds.toSet)
+    // every query with a planted twin (source↔clone) must surface it
+    // at the cell-minimum adist
+    val twinned = queryIds.flatMap { qid =>
+      if (baseQueries.contains(qid)) Some(qid -> (qid + 1000000L))
+      else if (qid >= 1000000L) Some(qid -> (qid - 1000000L))
+      else None
+    }
+    assert(twinned.nonEmpty, "query set lost every twinned vector — fixture broken")
+    val byQuery = out.groupBy(_._1)
+    twinned.foreach { case (qid, twin) =>
+      val byRank = byQuery(qid).sortBy(_._2)
+      val twinRow = byRank.find(_._3 == twin)
+      assert(twinRow.isDefined, s"query $qid: planted twin $twin missing from top-5")
+      assert(twinRow.get._4 == byRank.head._4,
+        s"query $qid: twin adist ${twinRow.get._4} above top ${byRank.head._4}")
+    }
+    // ranks dense from 1, (adist ASC, id ASC) ordering
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length.toLong))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 < b._4 || (a._4 == b._4 && a._3 < b._3), s"$a !< $b")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q65/q65b: empty corpus degrades to empty contract frames") {
+    val none = emb.filter(lit(false))
+    val c = Similarity.pqCodes(none)
+    assert(c.count() == 0 && c.columns.toSeq == Seq("vec_id", "sub", "code", "d2"))
+    val s = Similarity.pqSearch(none)
+    assert(s.count() == 0 &&
+      s.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "adist"))
+  }
 }
