@@ -1000,6 +1000,13 @@ object Similarity {
     Some((cents, ex, q))
   }
 
+  /** The trained q65 codebook alone (for s28's frozen-model streaming
+    * encoder): same fit, the exploded frames discarded.
+    */
+  def pqCodebook(embeddings: DataFrame, kcode: Int = 8,
+                 iters: Int = 2): Map[(Int, Int), Seq[Long]] =
+    pqFit(embeddings, kcode, iters).map(_._1).getOrElse(Map.empty)
+
   /** One encoding pass over the exploded frame: per (vector, sub) the
     * argmin codeword via array_min over (d2, cid) structs from
     * LITERAL codewords, dispatched on `sub` by a when-chain — a PURE

@@ -1506,6 +1506,120 @@ object StreamOps {
     }
   }
 
+  /** s28 output: the q65 columns — M rows per vector. */
+  case class PqCode(vec_id: Long, sub: Long, code: Long, d2: Long)
+
+  /** s28: STREAMING PQ ENCODING — q65 as an online compressor: every
+    * arriving embedding is encoded to its M sub-codes by a FROZEN
+    * codebook (Similarity.pqCodebook — the s26 frozen-model protocol:
+    * a drifting codebook would re-encode history). Stateless: the
+    * M·kcode·PQ_D-long codeword table rides as a broadcast, each
+    * vector flatMaps to M (sub, code, d2) rows — no state store, no
+    * shuffle. The quantization and (d2 ASC, cid ASC) argmin replay
+    * batch q65's integer arithmetic EXACTLY, so streaming the
+    * training corpus reproduces q65 row-for-row (spec-asserted).
+    */
+  def streamPqEncode(vecs: Dataset[(Long, Seq[Float])],
+                     codebook: Map[(Int, Int), Seq[Long]]): Dataset[PqCode] = {
+    import vecs.sparkSession.implicits._
+    require(codebook.nonEmpty, "frozen PQ codebook must be non-empty")
+    val M = codebook.keys.map(_._1).max + 1
+    val subDim = codebook.values.head.length
+    val bc = vecs.sparkSession.sparkContext.broadcast(
+      codebook.map { case ((m, j), c) => (m, j) -> c.toArray })
+    vecs.flatMap { case (id, emb) =>
+      val q = emb.toArray.map(v => math.floor(v.toDouble * 1048576.0 + 0.5).toLong + 1048576L)
+      (0 until M).iterator.map { m =>
+        var bestD = Long.MaxValue
+        var bestJ = Int.MaxValue
+        bc.value.foreach { case ((mm, j), c) =>
+          if (mm == m) {
+            var d = 0L
+            var i = 0
+            while (i < subDim) { val x = q(m * subDim + i) - c(i); d += x * x; i += 1 }
+            if (d < bestD || (d == bestD && j < bestJ)) { bestD = d; bestJ = j }
+          }
+        }
+        PqCode(id, m.toLong, bestJ.toLong, bestD)
+      }
+    }
+  }
+
+  /** s29 output: one keep/drop decision per vector; `rep` is the
+    * retained near-dup it was folded into (itself when kept).
+    */
+  case class SemKeep(vec_id: Long, cluster: Long, rep: Long, keep: Long)
+
+  /** s29: ONLINE SEMANTIC DEDUP — the streaming counterpart of q64:
+    * every arriving embedding routes to its cluster under the FROZEN
+    * q60 codebook (s26 protocol), then is compared against that
+    * cluster's RETAINED representatives held in state; within `tau2`
+    * of any → dropped (folded into the first such rep in id order),
+    * else retained and added to state.
+    *
+    * CONTRACT (deliberately different from batch q64, the s06
+    * retraction-difference discipline): a stream cannot apply
+    * keep-the-outlier — the outlier may arrive last, and retraction
+    * of an already-emitted keep is not available in Append mode — so
+    * the online rule is KEEP-FIRST, the classic streaming-dedup
+    * greedy (s07/s11/s20's family). Decisions follow vec_id order
+    * WITHIN each micro-batch (state rows have no arrival order after
+    * the shuffle, so id order is the deterministic tiebreak): a
+    * corpus streamed in ascending id order therefore produces the
+    * SAME retained set under ANY batching (spec-asserted), and that
+    * set is mutually > tau2 within every cluster — a maximal
+    * independent set built greedily, each dropped vector within tau2
+    * of its (smaller-id) keeper.
+    *
+    * Scale: state per cluster is the retained reps' quantized vectors
+    * — bounded by the corpus's semantic diversity at radius tau2 (the
+    * packing number), not its row count; exactly the memory a
+    * production online dedup (e.g. a dataset-ingest near-dup gate)
+    * must budget.
+    */
+  def streamSemDedup(vecs: Dataset[(Long, Seq[Float])],
+                     centroids: Seq[(Int, Seq[Long])],
+                     tau2: Long = 1500000000000L): Dataset[SemKeep] = {
+    import vecs.sparkSession.implicits._
+    require(centroids.nonEmpty, "frozen codebook must be non-empty")
+    val bc = vecs.sparkSession.sparkContext.broadcast(
+      centroids.map { case (cid, c) => (cid, c.toArray) }.toArray)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L
+      var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    val assigned = vecs.map { case (id, emb) =>
+      val q = emb.toArray.map(v => math.floor(v.toDouble * 1048576.0 + 0.5).toLong + 1048576L)
+      var bestD = Long.MaxValue
+      var bestC = Int.MaxValue
+      bc.value.foreach { case (cid, c) =>
+        val d = d2(q, c)
+        if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
+      }
+      (bestC.toLong, id, q)
+    }
+    assigned.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Array[Long])], SemKeep](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (cluster: Long, rows: Iterator[(Long, Long, Array[Long])],
+         state: GroupState[List[(Long, Array[Long])]]) =>
+          // state: retained reps (id ASC) — append-only under keep-first
+          var kept = state.getOption.getOrElse(Nil)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, id, q) =>
+            kept.find { case (_, kq) => d2(q, kq) <= tau2 } match {
+              case Some((kid, _)) => SemKeep(id, cluster, kid, 0L)
+              case None =>
+                kept = kept :+ ((id, q))
+                SemKeep(id, cluster, id, 1L)
+            }
+          }
+          state.update(kept)
+          out.iterator
+      }
+  }
+
   /** s25 output: the q61 columns — ppl None for <2-token docs. */
   case class PplReport(doc_id: Long, n_bigrams: Long, nll_q16: Long,
                        ppl_q16: Option[Long])

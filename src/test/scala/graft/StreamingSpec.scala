@@ -840,6 +840,104 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.map(_._1).toSet.size > 1)
   }
 
+  test("s28 streaming PQ encoding is row-exact vs batch q65 under the frozen codebook") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val embs = Tables.embeddings(spark, sfDir)
+    val batch = graft.operators.Similarity.pqCodes(embs, kcode = 16, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val book = graft.operators.Similarity.pqCodebook(embs, kcode = 16, iters = 3)
+    assert(book.size == 8 * 16)
+
+    val source = MemoryStream[(Long, Seq[Float])]
+    val got = collection.mutable.Map[(Long, Long), (Long, Long)]()
+    val q = StreamOps.streamPqEncode(source.toDS(), book)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.PqCode], _: Long) =>
+        b.collect().foreach(r => got((r.vec_id, r.sub)) = (r.code, r.d2)); ()
+      }.start()
+    try {
+      val rows = embs.select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      source.addData(rows.take(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      source.addData(rows.drop(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.size == batch.size)
+    val mismatches = batch.collect {
+      case (k, b) if got(k) != b => s"$k: stream ${got(k)} batch $b"
+    }
+    assert(mismatches.isEmpty, mismatches.take(5).mkString("; "))
+    assert(got.values.map(_._1).toSet.size > 1, "more than one code in use")
+  }
+
+  test("s29 online semdedup: keep-first greedy, batching-invariant on an id-ordered stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val embs = Tables.embeddings(spark, sfDir)
+    val cents = graft.operators.Similarity.kmeansCentroids(embs, k = 8, iters = 3)
+    val tau2 = 1500000000000L
+    val rows = embs.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+
+    def run(cuts: Seq[Int]): Map[Long, (Long, Long, Long)] = {
+      val source = MemoryStream[(Long, Seq[Float])]
+      val got = collection.mutable.Map[Long, (Long, Long, Long)]()
+      val q = StreamOps.streamSemDedup(source.toDS(), cents, tau2)
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.SemKeep], _: Long) =>
+          b.collect().foreach(r => got(r.vec_id) = (r.cluster, r.rep, r.keep)); ()
+        }.start()
+      try {
+        (cuts :+ rows.length).foldLeft(0) { (from, to) =>
+          source.addData(rows.slice(from, to).toSeq: _*)
+          q.processAllAvailable()
+          to
+        }
+      } finally q.stop()
+      got.toMap
+    }
+
+    val a = run(Seq(rows.length / 3, 2 * rows.length / 3))
+    val b = run(Seq(rows.length / 5))
+    assert(a == b, "id-ordered stream must be batching-invariant")
+    assert(a.size == rows.length)
+
+    // routing agrees with the frozen codebook = batch q60 clusters
+    val clusters = graft.operators.Similarity.kmeansAssign(embs, k = 8, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.forall { case (id, (c, _, _)) => clusters(id) == c })
+
+    // keep-first invariants, checked against true integer distances
+    val qv = rows.map { case (id, e) =>
+      id -> e.toArray.map(v => math.floor(v.toDouble * 1048576.0 + 0.5).toLong + 1048576L)
+    }.toMap
+    def d2(x: Array[Long], y: Array[Long]): Long =
+      x.zip(y).map { case (p, r) => val d = p - r; d * d }.sum
+    val keptByCluster = a.collect { case (id, (c, _, 1L)) => (c, id) }
+      .groupBy(_._1).map { case (c, s) => c -> s.map(_._2).toSeq.sorted }
+    // retained reps are mutually > tau2 within every cluster
+    keptByCluster.foreach { case (_, ks) =>
+      for (i <- ks.indices; j <- i + 1 until ks.length)
+        assert(d2(qv(ks(i)), qv(ks(j))) > tau2, s"kept pair ${ks(i)},${ks(j)} within tau2")
+    }
+    // every dropped vector: within tau2 of its keeper, keeper kept,
+    // keeper id smaller (keep-first in id order), same cluster
+    a.foreach { case (id, (c, rep, keep)) =>
+      if (keep == 0L) {
+        assert(rep < id && a(rep) == ((c, rep, 1L)))
+        assert(d2(qv(id), qv(rep)) <= tau2)
+      } else assert(rep == id)
+    }
+    // non-vacuous both ways
+    assert(a.values.exists(_._3 == 0L), "corpus must exercise a drop")
+    assert(a.values.count(_._3 == 1L) > 1)
+  }
+
   test("s25 smoothing ladder: unseen bigram -> L(c1+V), unseen prefix -> L(V)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
