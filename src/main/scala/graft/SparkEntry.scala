@@ -100,6 +100,9 @@ object SparkEntry {
     // codebooks + ADC search over the codes; both hash-exact
     "q65_pq_codes" -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d), kcode = 16, iters = 3)),
     "q65b_pq_search" -> ((s, d) => Similarity.pqSearch(Tables.embeddings(s, d), kcode = 16, iters = 3)),
+    // q66: the complete IVFADC system (coarse lists + residual PQ +
+    // per-list ADC) — the deployable 100 TB ANN shape, hash-exact
+    "q66_ivfadc" -> ((s, d) => Similarity.ivfadcSearch(Tables.embeddings(s, d))),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
     // q59: real decode→feature extraction (64-bin histogram + Sobel)
@@ -658,6 +661,9 @@ object SparkEntry {
     // + encode / ADC LUT retrieval chains
     "q65_pq_codes" -> graft.operators.Similarity.pqCodesOracleSql(kcode = 16, iters = 3),
     "q65b_pq_search" -> graft.operators.Similarity.pqSearchOracleSql(kcode = 16, iters = 3),
+    // q66: coarse CTEs + residual CTE + the PQ chain over it +
+    // probe/LUT/Σ/rank — Similarity.ivfadcOracleSql
+    "q66_ivfadc" -> graft.operators.Similarity.ivfadcOracleSql(),
     "q36_label_centroids" ->
       """SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,
                 CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)

@@ -957,12 +957,7 @@ object Similarity {
     */
   private[operators] def pqFit(embeddings: DataFrame, kcode: Int, iters: Int)
       : Option[(Map[(Int, Int), Seq[Long]], DataFrame, DataFrame)] = {
-    require(kcode >= 1 && kcode <= 64,
-      s"pqFit: kcode=$kcode out of [1, 64] — the per-subspace argmin is a " +
-        "literal when-chain of M*kcode distance nodes; PQ's whole point is " +
-        "tiny per-subspace codebooks (the paper uses 256)")
     val spark = embeddings.sparkSession
-    import spark.implicits._
     val P = graft.functions.ReplayableHash.P
     val ha = graft.functions.ReplayableHash.a(215)
     val hb = graft.functions.ReplayableHash.b(215)
@@ -970,6 +965,23 @@ object Similarity {
         expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) + 1048576)").as("q"),
         ((lit(ha) * (col("vec_id") % lit(P)) + lit(hb)) % lit(P)).as("h"))
       .localCheckpoint(true)
+    pqFitQ(q, kcode, iters).map { case (cents, ex) => (cents, ex, q) }
+  }
+
+  /** The fit core over an ALREADY-integer frame (vec_id, q:
+    * array<long>, h) — shared by q65 (quantized embeddings) and q66
+    * (coarse-residual vectors). Any common shift of `q`'s domain
+    * cancels in every distance, so callers only owe nonnegativity
+    * (the truncating-div ↔ floor contract of the mean update).
+    */
+  private[operators] def pqFitQ(q: DataFrame, kcode: Int, iters: Int)
+      : Option[(Map[(Int, Int), Seq[Long]], DataFrame)] = {
+    require(kcode >= 1 && kcode <= 64,
+      s"pqFit: kcode=$kcode out of [1, 64] — the per-subspace argmin is a " +
+        "literal when-chain of M*kcode distance nodes; PQ's whole point is " +
+        "tiny per-subspace codebooks (the paper uses 256)")
+    val spark = q.sparkSession
+    import spark.implicits._
     val subs = (0 until PQ_M).map(m =>
       struct(lit(m).as("sub"), slice(col("q"), m * PQ_D + 1, PQ_D).as("qs")))
     val ex = q.select(col("vec_id"), explode(array(subs: _*)).as("s"))
@@ -997,7 +1009,7 @@ object Similarity {
         .map { case (m, j, v) => (m, j) -> v }.toMap
       cents = cents.map { case (key, prev) => (key, means.getOrElse(key, prev)) }
     }
-    Some((cents, ex, q))
+    Some((cents, ex))
   }
 
   /** The trained q65 codebook alone (for s28's frozen-model streaming
@@ -1133,14 +1145,13 @@ object Similarity {
        |             ORDER BY ${pqD2Fold("v.qs", "c.c")} ASC, c.cid ASC) AS rn
        |    FROM pqex v JOIN $centIn c ON c.sub = v.sub) t WHERE rn = 1)""".stripMargin
 
-  /** Shared q65/q65b oracle prefix: quantize+hash (identical to the
-    * q60 `q` CTE), per-subspace seed slices, `iters` unrolled joint
-    * Lloyd steps → final codeword CTE `pqcent$iters`.
+  /** The PQ oracle chain over an arbitrary source CTE exposing
+    * (vec_id, q, h) — per-subspace seed slices, `iters` unrolled
+    * joint Lloyd steps → final codeword CTE `pqcent$iters`. Shared by
+    * q65 (src = the quantized `q`) and q66 (src = the coarse-residual
+    * CTE).
     */
-  private def pqCentroidCtes(kcode: Int, iters: Int): String = {
-    val P = graft.functions.ReplayableHash.P
-    val ha = graft.functions.ReplayableHash.a(215)
-    val hb = graft.functions.ReplayableHash.b(215)
+  private[operators] def pqChainCtes(kcode: Int, iters: Int, src: String): String = {
     val steps = (1 to iters).map { it =>
       s"""${pqAssignCte(it, s"pqcent${it - 1}")},
          |pqm$it AS (
@@ -1154,15 +1165,9 @@ object Similarity {
          |    (SELECT sub, cid, list(m ORDER BY pos) AS c FROM pqm$it GROUP BY sub, cid) l
          |    USING (sub, cid))""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (
-       |  SELECT vec_id,
-       |         list_transform(embedding,
-       |           v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) + 1048576) AS q,
-       |         (($ha * (vec_id % $P) + $hb) % $P) AS h
-       |  FROM embeddings),
-       |pqseed AS (
+    s"""pqseed AS (
        |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, q
-       |  FROM q ORDER BY h, vec_id LIMIT $kcode),
+       |  FROM $src ORDER BY h, vec_id LIMIT $kcode),
        |pqcent0 AS (
        |  SELECT CAST(t.m AS INT) AS sub, cid,
        |         list_slice(q, CAST(t.m*$PQ_D+1 AS BIGINT), CAST(t.m*$PQ_D+$PQ_D AS BIGINT)) AS c
@@ -1170,8 +1175,24 @@ object Similarity {
        |pqex AS (
        |  SELECT vec_id, CAST(t.m AS INT) AS sub,
        |         list_slice(q, CAST(t.m*$PQ_D+1 AS BIGINT), CAST(t.m*$PQ_D+$PQ_D AS BIGINT)) AS qs
-       |  FROM q, range(0, $PQ_M) t(m)),
+       |  FROM $src, range(0, $PQ_M) t(m)),
        |$steps""".stripMargin
+  }
+
+  /** Shared q65/q65b oracle prefix: quantize+hash (identical to the
+    * q60 `q` CTE) feeding the PQ chain.
+    */
+  private def pqCentroidCtes(kcode: Int, iters: Int): String = {
+    val P = graft.functions.ReplayableHash.P
+    val ha = graft.functions.ReplayableHash.a(215)
+    val hb = graft.functions.ReplayableHash.b(215)
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) + 1048576) AS q,
+       |         (($ha * (vec_id % $P) + $hb) % $P) AS h
+       |  FROM embeddings),
+       |${pqChainCtes(kcode, iters, "q")}""".stripMargin
   }
 
   /** The q65 oracle: the joint per-subspace Lloyd unrolled as
@@ -1213,4 +1234,163 @@ object Similarity {
        |  FROM pqad)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, adist
        |FROM pqrk WHERE rank <= $topK""".stripMargin
+
+  // ==== q66: IVFADC — the COMPLETE Jégou et al. system (TPAMI 2011
+  // §IV): coarse quantizer (the q60 integer Lloyd codebook) routes
+  // vectors to inverted lists, PQ codebooks are trained on the coarse
+  // RESIDUALS (where PQ's distortion is smallest — the paper's key
+  // design), and a query probes nProbe lists with a PER-LIST residual
+  // lookup table. This is the deployable 100 TB ANN shape — FAISS's
+  // IndexIVFPQ — with every stage in the shared integer domain, so
+  // the ENTIRE system (coarse codebook, residuals, PQ codebooks,
+  // probing, ADC ranking) is hash-exact against a DuckDB replay. ====
+
+  /** Residuals are re-shifted by 2²² so the PQ mean update's
+    * truncating div stays on the nonnegative domain (coords ∈
+    * [0, 2²¹] ⇒ residuals ∈ ±2²¹ ⇒ shifted ∈ [2²¹, 2²²+2²¹]); a
+    * common shift cancels in every distance. |adist| ≤ 64·2⁴⁴ < 2⁵³
+    * keeps the TopKBy double ord exact (the q63 bound argument).
+    */
+  private val IVFADC_SHIFT = 4194304L
+
+  /** q66: IVFADC search. Scale shape: coarse assignment and residual
+    * computation are pure literal maps (zero joins); PQ training is
+    * the q65 joint aggregate; the query-side LUT is nQueries·nProbe·
+    * M·kcode rows of driver integer math (3,840 longs at the
+    * registered sizing) BROADCAST against the codes; candidate rows =
+    * only vectors in probed lists (≈ N·nProbe/kCoarse per query — the
+    * IVF pruning, where flat ADC scans all N); ranking is bounded
+    * TopKBy partials. Registered contract pins kCoarse=8/kcode=16/
+    * pqIters=2/nProbe=3 (the unrolled-CTE checkability bound); deploy
+    * sizing kCoarse≈√N, kcode=256 is the same code.
+    *
+    * Output: (query_id, rank, neighbor_id, adist) — queries whose
+    * probed lists hold no other vector emit no rows (q63 semantics).
+    */
+  def ivfadcSearch(embeddings: DataFrame, kCoarse: Int = 8, coarseIters: Int = 3,
+                   kcode: Int = 16, pqIters: Int = 2, nProbe: Int = 3,
+                   nQueries: Int = 10, topK: Int = 5): DataFrame = {
+    require(nProbe >= 1 && nProbe <= kCoarse, "1 <= nProbe <= kCoarse")
+    val emptyOut = () => embeddings.sparkSession.createDataFrame(
+      embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "query_id BIGINT, rank BIGINT, neighbor_id BIGINT, adist BIGINT"))
+    kmeansFit(embeddings, kCoarse, coarseIters) match {
+      case None => emptyOut()
+      case Some((coarse, q)) =>
+        val spark = embeddings.sparkSession
+        import spark.implicits._
+        val ds = coarse.map { case (cid, cvec) =>
+          struct(
+            graft.functions.VectorFunctions.l2_dist(col("q"), typedLit(cvec)).as("d2"),
+            lit(cid).as("cid"))
+        }
+        val assigned = q
+          .select(col("vec_id"), col("q"), col("h"), array_min(array(ds: _*)).as("best"))
+          .select(col("vec_id"), col("q"), col("h"), col("best.cid").as("cid"))
+        // shifted residual r = q − cent[cid] + 2²² as a literal
+        // when-chain — still a pure map, zero joins
+        def resExpr(c: Seq[Long]) =
+          zip_with(col("q"), typedLit(c), (a, b) => a - b + lit(IVFADC_SHIFT))
+        val resCol = coarse.tail.foldLeft(
+            when(col("cid") === coarse.head._1, resExpr(coarse.head._2))) {
+          case (acc, (cid, c)) => acc.when(col("cid") === cid, resExpr(c))
+        }
+        val rq = assigned.select(col("vec_id"), resCol.as("q"), col("h"), col("cid"))
+          .localCheckpoint(true)
+        pqFitQ(rq.select(col("vec_id"), col("q"), col("h")), kcode, pqIters) match {
+          case None => emptyOut()
+          case Some((book, ex)) =>
+            val codes = pqAssigned(ex, book)
+              .select(col("vec_id"), col("sub"), col("best.cid").as("code"))
+              .join(rq.select(col("vec_id"), col("cid")), Seq("vec_id"))
+            val qrows = q.orderBy(col("h"), col("vec_id")).limit(nQueries)
+              .select(col("vec_id"), col("q")).as[(Long, Seq[Long])].collect()
+            val kc = book.keys.map(_._2).max + 1
+            def dist(a: Seq[Long], b: Seq[Long]): Long =
+              a.iterator.zip(b.iterator).map { case (x, y) => val d = x - y; d * d }.sum
+            val coarseMap = coarse.toMap
+            // per (query, probed list): the residual LUT — driver-side
+            // integer math over the bounded codebooks
+            val lut = for {
+              (qid, qv) <- qrows.toSeq
+              (_, pcid) <- coarse.map { case (cid, c) => (dist(qv, c), cid) }
+                .sorted.take(nProbe)
+              rqv = qv.zip(coarseMap(pcid)).map { case (a, b) => a - b + IVFADC_SHIFT }
+              m <- 0 until PQ_M
+              j <- 0 until kc
+            } yield (qid, pcid, m, j, dist(rqv.slice(m * PQ_D, m * PQ_D + PQ_D), book((m, j))))
+            codes.join(broadcast(lut.toDF("query_id", "cid", "sub", "code", "pd2")),
+                Seq("cid", "sub", "code"))
+              .filter(col("vec_id") =!= col("query_id"))
+              .groupBy(col("query_id"), col("vec_id"))
+              .agg(sum(col("pd2")).as("adist"))
+              .groupBy(col("query_id"))
+              .agg(graft.functions.TopKByFunctions
+                .top_k_by((-col("adist")).cast("double"), col("vec_id"), topK).as("top"))
+              .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+              .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+                col("t.id").as("neighbor_id"), (-col("t.ord")).cast("long").as("adist"))
+        }
+    }
+  }
+
+  /** The q66 oracle: q60's coarse CTEs + assignment, the shifted
+    * residual CTE, the PQ chain over it (shared pqChainCtes), then
+    * probe/LUT/Σ/rank — the whole IVFADC system replayed.
+    */
+  def ivfadcOracleSql(kCoarse: Int = 8, coarseIters: Int = 3, kcode: Int = 16,
+                      pqIters: Int = 2, nProbe: Int = 3, nQueries: Int = 10,
+                      topK: Int = 5): String = {
+    val ca = coarseIters + 1
+    val pit = pqIters + 1
+    s"""${kmeansCentroidCtes(kCoarse, coarseIters)},
+       |${kmeansAssignCte(ca, s"cent$coarseIters")},
+       |ivres AS (
+       |  SELECT a.vec_id,
+       |         list_transform(range(1, 65),
+       |           i -> a.q[CAST(i AS INT)] - c.c[CAST(i AS INT)] + $IVFADC_SHIFT) AS q,
+       |         s.h AS h, a.cid AS ccid
+       |  FROM a$ca a JOIN cent$coarseIters c ON c.cid = a.cid
+       |  JOIN q s ON s.vec_id = a.vec_id),
+       |${pqChainCtes(kcode, pqIters, "ivres")},
+       |${pqAssignCte(pit, s"pqcent$pqIters")},
+       |ivq AS (
+       |  SELECT vec_id AS query_id, q FROM q ORDER BY h, vec_id LIMIT $nQueries),
+       |ivprobe AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT v.query_id, c.cid,
+       |           row_number() OVER (PARTITION BY v.query_id
+       |             ORDER BY ${pqD2Fold("v.q", "c.c")} ASC, c.cid ASC) AS rn
+       |    FROM ivq v CROSS JOIN cent$coarseIters c) t WHERE rn <= $nProbe),
+       |ivrq AS (
+       |  SELECT p.query_id, p.cid AS ccid,
+       |         list_transform(range(1, 65),
+       |           i -> v.q[CAST(i AS INT)] - c.c[CAST(i AS INT)] + $IVFADC_SHIFT) AS q
+       |  FROM ivprobe p JOIN ivq v ON v.query_id = p.query_id
+       |  JOIN cent$coarseIters c ON c.cid = p.cid),
+       |ivrqs AS (
+       |  SELECT query_id, ccid, CAST(t.m AS INT) AS sub,
+       |         list_slice(q, CAST(t.m*$PQ_D+1 AS BIGINT), CAST(t.m*$PQ_D+$PQ_D AS BIGINT)) AS qs
+       |  FROM ivrq, range(0, $PQ_M) t(m)),
+       |ivlut AS (
+       |  SELECT a.query_id, a.ccid, a.sub, b.cid AS code, ${pqD2Fold("a.qs", "b.c")} AS pd2
+       |  FROM ivrqs a JOIN pqcent$pqIters b ON b.sub = a.sub),
+       |ivcodes AS (
+       |  SELECT k.vec_id, r.ccid, k.sub, k.cid AS code
+       |  FROM pa$pit k JOIN ivres r ON r.vec_id = k.vec_id),
+       |ivad AS (
+       |  SELECT l.query_id, k.vec_id, CAST(sum(l.pd2) AS BIGINT) AS adist
+       |  FROM ivcodes k
+       |  JOIN ivlut l ON l.ccid = k.ccid AND l.sub = k.sub AND l.code = k.code
+       |  WHERE k.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |ivrk AS (
+       |  SELECT query_id, vec_id, adist,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adist ASC, vec_id ASC) AS rank
+       |  FROM ivad)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, adist
+       |FROM ivrk WHERE rank <= $topK""".stripMargin
+  }
 }

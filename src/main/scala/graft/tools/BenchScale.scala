@@ -106,7 +106,9 @@ object BenchScale {
     "q57_communities",  // fixed 5 LPA rounds, each linear in |E|
     "q58_pii_redact",   // stateless regex projection
     "q61_perplexity",   // two linear aggs + one (w1,w2) probe join
-    "q62_bm25_search")  // inverted index + 20-term broadcast probe
+    "q62_bm25_search",  // inverted index + 20-term broadcast probe
+    "q65_pq_codes",     // joint Lloyd aggs + pure-map encode: linear
+    "q65b_pq_search")   // broadcast LUT + (query,vec) partial agg: linear
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")
@@ -299,6 +301,15 @@ object BenchScale {
         val e = graft.sources.Tables.embeddings(s, dir)
         val k = math.max(8, math.ceil(math.sqrt(e.count().toDouble)).toInt)
         graft.operators.Similarity.knnIvfInt(e, k = k, iters = 1)
+      }, "skew_bounded", dirs),
+      // q64 at the DEPLOY sizing (k ≈ √N, not the oracle-pinned k=8):
+      // within-cluster pairs ≈ N²/k ⇒ O(N^1.5) — asserted < 1.7. At
+      // the registered fixed k the pair join would read ~2.0 (the q63
+      // checkability-vs-scale split, same scaladoc note).
+      ("q64_semdedup_sqrtn", (s: SparkSession, dir: String) => {
+        val e = graft.sources.Tables.embeddings(s, dir)
+        val k = math.max(8, math.ceil(math.sqrt(e.count().toDouble)).toInt)
+        graft.operators.Components.semDedup(e, k = k, iters = 1)
       }, "skew_bounded", dirs))
     val results = entries.map { case (report, query, fam, ds) =>
       val m = ds.map(measure(query, _)) // ascending size: n/4, n/2, n

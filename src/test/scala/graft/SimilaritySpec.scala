@@ -436,6 +436,73 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q66 ivfadc: candidates come only from probed lists, planted twin surfaces at its list minimum") {
+    val P = graft.functions.ReplayableHash.P
+    val ha = graft.functions.ReplayableHash.a(215)
+    val hb = graft.functions.ReplayableHash.b(215)
+    val ids = emb.select(col("vec_id")).collect().map(_.getLong(0))
+    val baseQueries = ids.map(id => ((ha * (id % P) + hb) % P, id)).sorted.take(10).map(_._2)
+    val clones = emb.filter(col("vec_id").isin(baseQueries.map(Long.box): _*))
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val union = emb.unionAll(clones)
+    val out = Similarity.ivfadcSearch(union)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // ranks dense from 1, (adist ASC, id ASC) ordering
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length.toLong))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 < b._4 || (a._4 == b._4 && a._3 < b._3), s"$a !< $b")
+        case _ => ()
+      }
+    }
+    // every emitted neighbor sits in one of the query's probed coarse
+    // lists — recompute probe sets from the same integer codebook
+    val cents = Similarity.kmeansCentroids(union, k = 8, iters = 3)
+    val qv = union.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1048576.0 + 0.5).toLong + 1048576L).toArray)
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    val centArr = cents.map { case (cid, c) => (cid.toLong, c.toArray) }
+    def assignOf(id: Long): Long =
+      centArr.map { case (cid, c) => (d2(qv(id), c), cid) }.min._2
+    def probesOf(id: Long): Set[Long] =
+      centArr.map { case (cid, c) => (d2(qv(id), c), cid) }.sorted.take(3).map(_._2).toSet
+    out.foreach { case (id, _, nb, _) =>
+      assert(probesOf(id).contains(assignOf(nb)), s"$nb not in $id's probed lists")
+    }
+    // a query's twin shares its coarse list (identical vector) and
+    // its residual codes, so its adist is the query's own residual
+    // quantization error — the minimum over its probed lists' cells
+    val unionIds = ids ++ baseQueries.map(_ + 1000000L)
+    val queryIds = unionIds.map(id => ((ha * (id % P) + hb) % P, id)).sorted.take(10).map(_._2)
+    val twinned = queryIds.flatMap { qid =>
+      if (baseQueries.contains(qid)) Some(qid -> (qid + 1000000L))
+      else if (qid >= 1000000L) Some(qid -> (qid - 1000000L))
+      else None
+    }
+    assert(twinned.nonEmpty)
+    val byQuery = out.groupBy(_._1)
+    twinned.foreach { case (qid, twin) =>
+      val byRank = byQuery(qid).sortBy(_._2)
+      val twinRow = byRank.find(_._3 == twin)
+      assert(twinRow.isDefined, s"query $qid: twin $twin missing from top-5")
+      assert(twinRow.get._4 == byRank.head._4,
+        s"query $qid: twin adist ${twinRow.get._4} above top ${byRank.head._4}")
+    }
+    // empty corpus contract
+    val none = Similarity.ivfadcSearch(emb.filter(lit(false)))
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "adist"))
+  }
+
   test("q65/q65b: empty corpus degrades to empty contract frames") {
     val none = emb.filter(lit(false))
     val c = Similarity.pqCodes(none)
