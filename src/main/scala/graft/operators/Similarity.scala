@@ -1275,65 +1275,93 @@ object Similarity {
       embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
         "query_id BIGINT, rank BIGINT, neighbor_id BIGINT, adist BIGINT"))
-    kmeansFit(embeddings, kCoarse, coarseIters) match {
+    ivfadcFit(embeddings, kCoarse, coarseIters, kcode, pqIters) match {
       case None => emptyOut()
-      case Some((coarse, q)) =>
+      case Some((coarse, book, codes, q)) =>
         val spark = embeddings.sparkSession
         import spark.implicits._
-        val ds = coarse.map { case (cid, cvec) =>
-          struct(
-            graft.functions.VectorFunctions.l2_dist(col("q"), typedLit(cvec)).as("d2"),
-            lit(cid).as("cid"))
-        }
-        val assigned = q
-          .select(col("vec_id"), col("q"), col("h"), array_min(array(ds: _*)).as("best"))
-          .select(col("vec_id"), col("q"), col("h"), col("best.cid").as("cid"))
-        // shifted residual r = q − cent[cid] + 2²² as a literal
-        // when-chain — still a pure map, zero joins
-        def resExpr(c: Seq[Long]) =
-          zip_with(col("q"), typedLit(c), (a, b) => a - b + lit(IVFADC_SHIFT))
-        val resCol = coarse.tail.foldLeft(
-            when(col("cid") === coarse.head._1, resExpr(coarse.head._2))) {
-          case (acc, (cid, c)) => acc.when(col("cid") === cid, resExpr(c))
-        }
-        val rq = assigned.select(col("vec_id"), resCol.as("q"), col("h"), col("cid"))
-          .localCheckpoint(true)
-        pqFitQ(rq.select(col("vec_id"), col("q"), col("h")), kcode, pqIters) match {
-          case None => emptyOut()
-          case Some((book, ex)) =>
-            val codes = pqAssigned(ex, book)
-              .select(col("vec_id"), col("sub"), col("best.cid").as("code"))
-              .join(rq.select(col("vec_id"), col("cid")), Seq("vec_id"))
-            val qrows = q.orderBy(col("h"), col("vec_id")).limit(nQueries)
-              .select(col("vec_id"), col("q")).as[(Long, Seq[Long])].collect()
-            val kc = book.keys.map(_._2).max + 1
-            def dist(a: Seq[Long], b: Seq[Long]): Long =
-              a.iterator.zip(b.iterator).map { case (x, y) => val d = x - y; d * d }.sum
-            val coarseMap = coarse.toMap
-            // per (query, probed list): the residual LUT — driver-side
-            // integer math over the bounded codebooks
-            val lut = for {
-              (qid, qv) <- qrows.toSeq
-              (_, pcid) <- coarse.map { case (cid, c) => (dist(qv, c), cid) }
-                .sorted.take(nProbe)
-              rqv = qv.zip(coarseMap(pcid)).map { case (a, b) => a - b + IVFADC_SHIFT }
-              m <- 0 until PQ_M
-              j <- 0 until kc
-            } yield (qid, pcid, m, j, dist(rqv.slice(m * PQ_D, m * PQ_D + PQ_D), book((m, j))))
-            codes.join(broadcast(lut.toDF("query_id", "cid", "sub", "code", "pd2")),
-                Seq("cid", "sub", "code"))
-              .filter(col("vec_id") =!= col("query_id"))
-              .groupBy(col("query_id"), col("vec_id"))
-              .agg(sum(col("pd2")).as("adist"))
-              .groupBy(col("query_id"))
-              .agg(graft.functions.TopKByFunctions
-                .top_k_by((-col("adist")).cast("double"), col("vec_id"), topK).as("top"))
-              .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
-              .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-                col("t.id").as("neighbor_id"), (-col("t.ord")).cast("long").as("adist"))
-        }
+        val qrows = q.orderBy(col("h"), col("vec_id")).limit(nQueries)
+          .select(col("vec_id"), col("q")).as[(Long, Seq[Long])].collect()
+        val kc = book.keys.map(_._2).max + 1
+        val coarseMap = coarse.toMap
+        // per (query, probed list): the residual LUT — driver-side
+        // integer math over the bounded codebooks
+        val lut = for {
+          (qid, qv) <- qrows.toSeq
+          (_, pcid) <- coarse.map { case (cid, c) => (intD2(qv, c), cid) }
+            .sorted.take(nProbe)
+          rqv = qv.zip(coarseMap(pcid)).map { case (a, b) => a - b + IVFADC_SHIFT }
+          m <- 0 until PQ_M
+          j <- 0 until kc
+        } yield (qid, pcid, m, j, intD2(rqv.slice(m * PQ_D, m * PQ_D + PQ_D), book((m, j))))
+        codes.join(broadcast(lut.toDF("query_id", "cid", "sub", "code", "pd2")),
+            Seq("cid", "sub", "code"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("pd2")).as("adist"))
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKByFunctions
+            .top_k_by((-col("adist")).cast("double"), col("vec_id"), topK).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+            col("t.id").as("neighbor_id"), (-col("t.ord")).cast("long").as("adist"))
     }
   }
+
+  /** The shared q66 fit: coarse codebook + assignment (pure literal
+    * map), shifted residuals (literal when-chain, checkpointed), PQ
+    * codebooks trained on them, and the per-vector codes frame
+    * (vec_id, sub, code, cid). None on an empty corpus.
+    */
+  private[operators] def ivfadcFit(embeddings: DataFrame, kCoarse: Int,
+                                   coarseIters: Int, kcode: Int, pqIters: Int)
+      : Option[(Seq[(Int, Seq[Long])], Map[(Int, Int), Seq[Long]], DataFrame, DataFrame)] =
+    kmeansFit(embeddings, kCoarse, coarseIters).flatMap { case (coarse, q) =>
+      val ds = coarse.map { case (cid, cvec) =>
+        struct(
+          graft.functions.VectorFunctions.l2_dist(col("q"), typedLit(cvec)).as("d2"),
+          lit(cid).as("cid"))
+      }
+      val assigned = q
+        .select(col("vec_id"), col("q"), col("h"), array_min(array(ds: _*)).as("best"))
+        .select(col("vec_id"), col("q"), col("h"), col("best.cid").as("cid"))
+      // shifted residual r = q − cent[cid] + 2²² as a literal
+      // when-chain — still a pure map, zero joins
+      def resExpr(c: Seq[Long]) =
+        zip_with(col("q"), typedLit(c), (a, b) => a - b + lit(IVFADC_SHIFT))
+      val resCol = coarse.tail.foldLeft(
+          when(col("cid") === coarse.head._1, resExpr(coarse.head._2))) {
+        case (acc, (cid, c)) => acc.when(col("cid") === cid, resExpr(c))
+      }
+      val rq = assigned.select(col("vec_id"), resCol.as("q"), col("h"), col("cid"))
+        .localCheckpoint(true)
+      pqFitQ(rq.select(col("vec_id"), col("q"), col("h")), kcode, pqIters).map {
+        case (book, ex) =>
+          val codes = pqAssigned(ex, book)
+            .select(col("vec_id"), col("sub"), col("best.cid").as("code"))
+            .join(rq.select(col("vec_id"), col("cid")), Seq("vec_id"))
+          (coarse, book, codes, q)
+      }
+    }
+
+  /** The trained q66 model alone (for s30's frozen-model streaming
+    * search): coarse codebook, residual PQ codebooks, and the
+    * hash-smallest query set with full integer vectors.
+    */
+  def ivfadcModel(embeddings: DataFrame, kCoarse: Int = 8, coarseIters: Int = 3,
+                  kcode: Int = 16, pqIters: Int = 2, nQueries: Int = 10)
+      : Option[(Seq[(Int, Seq[Long])], Map[(Int, Int), Seq[Long]], Seq[(Long, Seq[Long])])] =
+    ivfadcFit(embeddings, kCoarse, coarseIters, kcode, pqIters).map {
+      case (coarse, book, _, q) =>
+        val spark = embeddings.sparkSession
+        import spark.implicits._
+        val qrows = q.orderBy(col("h"), col("vec_id")).limit(nQueries)
+          .select(col("vec_id"), col("q")).as[(Long, Seq[Long])].collect()
+        (coarse, book, qrows.toSeq)
+    }
+
+  private[operators] def intD2(a: Seq[Long], b: Seq[Long]): Long =
+    a.iterator.zip(b.iterator).map { case (x, y) => val d = x - y; d * d }.sum
 
   /** The q66 oracle: q60's coarse CTEs + assignment, the shifted
     * residual CTE, the PQ chain over it (shared pqChainCtes), then

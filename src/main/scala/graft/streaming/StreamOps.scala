@@ -1620,6 +1620,115 @@ object StreamOps {
       }
   }
 
+  /** s30 output: the q66 columns — a query's CURRENT top-k, re-emitted
+    * in full whenever a batch touches it (the s27 generational-Append
+    * contract: consumers take the latest generation per query).
+    */
+  case class AdcHit(query_id: Long, rank: Long, neighbor_id: Long, adist: Long)
+
+  /** The frozen q66 retrieval model for s30: coarse centroids (for
+    * routing), residual PQ codebooks (for encoding), and per-(query,
+    * probed-list) ADC lookup tables `lut[(qid, ccid)](m)(code)` —
+    * nQueries·nProbe·M·kcode longs, the bm25Index bounded-collect
+    * protocol.
+    */
+  case class IvfadcIndex(coarse: Array[(Int, Array[Long])],
+                         book: Map[(Int, Int), Array[Long]],
+                         lut: Map[(Long, Int), Array[Array[Long]]])
+
+  /** Index a reference corpus's IVFADC model for streaming search —
+    * same fit as batch q66 (`Similarity.ivfadcModel`), LUTs computed
+    * driver-side with the same integer fold.
+    */
+  def ivfadcIndex(embeddings: org.apache.spark.sql.DataFrame, kCoarse: Int = 8,
+                  coarseIters: Int = 3, kcode: Int = 16, pqIters: Int = 2,
+                  nProbe: Int = 3, nQueries: Int = 10): IvfadcIndex = {
+    val (coarse, book, queries) = graft.operators.Similarity
+      .ivfadcModel(embeddings, kCoarse, coarseIters, kcode, pqIters, nQueries)
+      .getOrElse(throw new IllegalArgumentException(
+        "ivfadcIndex: reference corpus is empty"))
+    val kc = book.keys.map(_._2).max + 1
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => val d = x - y; d * d }.sum
+    val shift = 4194304L // IVFADC_SHIFT: residuals re-shifted nonnegative
+    val coarseMap = coarse.toMap
+    val lut = (for {
+      (qid, qv) <- queries
+      (_, pcid) <- coarse.map { case (cid, c) => (d2(qv, c), cid) }.sorted.take(nProbe)
+      rqv = qv.zip(coarseMap(pcid)).map { case (a, b) => a - b + shift }
+    } yield (qid, pcid) -> Array.tabulate(8, kc)((m, j) =>
+      d2(rqv.slice(m * 8, m * 8 + 8), book((m, j)).toSeq))).toMap
+    IvfadcIndex(coarse.map { case (cid, c) => (cid, c.toArray) }.toArray,
+      book.map { case (k, v) => k -> v.toArray }, lut)
+  }
+
+  /** s30: STREAMING IVFADC — q66 as a continuously-maintained ANN
+    * result over a FROZEN model (coarse codebook, residual PQ
+    * codebooks, query LUTs — the s25/s26/s27 frozen-model family: a
+    * drifting codebook would re-encode history). Each arriving
+    * vector: route to its coarse list, encode its residual to M
+    * codes, look up its ADC distance to every query probing that
+    * list (pure broadcast-table sums — no corpus join), then ONE
+    * shuffle on query_id into the per-query top-k state (the s27
+    * maintained-top-k shape). Convergence contract (spec-asserted):
+    * streaming the index's training corpus in ANY batching makes
+    * each query's final generation ROW-EXACT batch q66 — per-vector
+    * scores are arrival-independent ints and a bounded (adist ASC,
+    * id ASC) top-k fold is merge-invariant.
+    */
+  def streamIvfadc(vecs: Dataset[(Long, Seq[Float])], index: IvfadcIndex,
+                   topK: Int = 5): Dataset[AdcHit] = {
+    import vecs.sparkSession.implicits._
+    require(index.lut.nonEmpty, "frozen IVFADC index must be non-empty")
+    val bc = vecs.sparkSession.sparkContext.broadcast(index)
+    val scored = vecs.flatMap { case (id, emb) =>
+      val ix = bc.value
+      val q = emb.toArray.map(v => math.floor(v.toDouble * 1048576.0 + 0.5).toLong + 1048576L)
+      var bestD = Long.MaxValue
+      var bestC = Int.MaxValue
+      ix.coarse.foreach { case (cid, c) =>
+        var d = 0L; var i = 0
+        while (i < q.length) { val x = q(i) - c(i); d += x * x; i += 1 }
+        if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
+      }
+      val shift = 4194304L
+      val cvec = ix.coarse.find(_._1 == bestC).get._2
+      val r = Array.tabulate(q.length)(i => q(i) - cvec(i) + shift)
+      val codes = Array.tabulate(8) { m =>
+        var bd = Long.MaxValue; var bj = Int.MaxValue
+        ix.book.foreach { case ((mm, j), c) =>
+          if (mm == m) {
+            var d = 0L; var i = 0
+            while (i < 8) { val x = r(m * 8 + i) - c(i); d += x * x; i += 1 }
+            if (d < bd || (d == bd && j < bj)) { bd = d; bj = j }
+          }
+        }
+        bj
+      }
+      ix.lut.iterator.collect {
+        case ((qid, ccid), tab) if ccid == bestC && qid != id =>
+          (qid, id, (0 until 8).map(m => tab(m)(codes(m))).sum)
+      }
+    }
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long)], AdcHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (qid: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[List[(Long, Long)]]) =>
+          // state: the query's current top-k as (adist, vec_id) in
+          // (adist ASC, id ASC) order — each vector scored exactly
+          // once, so bounded-top-k eviction is merge-safe
+          var top = state.getOption.getOrElse(Nil)
+          rows.foreach { case (_, vid, ad) =>
+            top = ((ad, vid) :: top).sorted.take(topK)
+          }
+          state.update(top)
+          top.iterator.zipWithIndex.map { case ((ad, vid), i) =>
+            AdcHit(qid, i + 1L, vid, ad)
+          }
+      }
+  }
+
   /** s25 output: the q61 columns — ppl None for <2-token docs. */
   case class PplReport(doc_id: Long, n_bigrams: Long, nll_q16: Long,
                        ppl_q16: Option[Long])

@@ -938,6 +938,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.values.count(_._3 == 1L) > 1)
   }
 
+  test("s30 streaming ivfadc converges to batch q66 under any batching") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val embs = Tables.embeddings(spark, sfDir)
+    val batch = graft.operators.Similarity.ivfadcSearch(embs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(_._2).map(t => (t._3, t._4)).toSeq }
+    assert(batch.nonEmpty)
+    val index = StreamOps.ivfadcIndex(embs)
+    val rows = embs.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    def run(data: Array[(Long, Seq[Float])], cuts: Seq[Int]): Map[Long, Seq[(Long, Long)]] = {
+      val source = MemoryStream[(Long, Seq[Float])]
+      // generational Append: keep only the LATEST generation per query
+      val got = collection.mutable.Map[Long, Seq[(Long, Long)]]()
+      val q = StreamOps.streamIvfadc(source.toDS(), index)
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.AdcHit], _: Long) =>
+          b.collect().groupBy(_.query_id).foreach { case (qid, hs) =>
+            got(qid) = hs.sortBy(_.rank).map(h => (h.neighbor_id, h.adist)).toSeq
+          }; ()
+        }.start()
+      try {
+        (cuts :+ data.length).foldLeft(0) { (from, to) =>
+          source.addData(data.slice(from, to).toSeq: _*)
+          q.processAllAvailable()
+          to
+        }
+      } finally q.stop()
+      got.toMap
+    }
+
+    val forward = run(rows, Seq(rows.length / 3, 2 * rows.length / 3))
+    assert(forward == batch,
+      s"forward mismatch: ${(forward.toSet diff batch.toSet).take(2)} / ${(batch.toSet diff forward.toSet).take(2)}")
+    val backward = run(rows.reverse, Seq(rows.length / 5))
+    assert(backward == batch, "reversed-arrival run diverged from batch q66")
+  }
+
   test("s25 smoothing ladder: unseen bigram -> L(c1+V), unseen prefix -> L(V)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
