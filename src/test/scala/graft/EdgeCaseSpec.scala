@@ -162,6 +162,14 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(tiny.map(_.getLong(0)).distinct.length == 3)
     assert(tiny.forall(r => r.getLong(3) > 0L || r.getLong(2) != r.getLong(0)))
     assert(tiny.length == 6, "3 queries x 2 probed singleton neighbors")
+
+    // q66 at N < kCoarse (and N < kcode): singleton coarse lists,
+    // under-filled codebooks — the probe set still reaches the two
+    // other vectors, no self-matches, ranks dense
+    val t66 = Similarity.ivfadcSearch(emb.orderBy("vec_id").limit(3)).collect()
+    assert(t66.map(_.getLong(0)).distinct.length == 3)
+    assert(t66.forall(r => r.getLong(2) != r.getLong(0)), "no self-match")
+    assert(t66.length == 6, "3 queries x 2 probed singleton neighbors")
   }
 
   test("simhash enforces the packed-lane token bound loudly") {
