@@ -103,6 +103,10 @@ object SparkEntry {
     // q66: the complete IVFADC system (coarse lists + residual PQ +
     // per-list ADC) — the deployable 100 TB ANN shape, hash-exact
     "q66_ivfadc" -> ((s, d) => Similarity.ivfadcSearch(Tables.embeddings(s, d))),
+    // q67: BPE merge training — the tokenizer-training step q51's
+    // greedy inference consumes; deterministic single-pass merge
+    // contract, hash-exact vs the unrolled-CTE replay
+    "q67_bpe_train" -> ((s, d) => graft.operators.Bpe.bpeTrain(Tables.documents(s, d))),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
     // q59: real decode→feature extraction (64-bin histogram + Sobel)
@@ -664,6 +668,9 @@ object SparkEntry {
     // q66: coarse CTEs + residual CTE + the PQ chain over it +
     // probe/LUT/Σ/rank — Similarity.ivfadcOracleSql
     "q66_ivfadc" -> graft.operators.Similarity.ivfadcOracleSql(),
+    // q67: word-freq base + 24 unrolled (pair-count, argmax, apply)
+    // CTE triples — Bpe.bpeTrainOracleSql
+    "q67_bpe_train" -> graft.operators.Bpe.bpeTrainOracleSql(),
     "q36_label_centroids" ->
       """SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,
                 CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)

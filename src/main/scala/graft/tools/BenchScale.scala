@@ -108,7 +108,8 @@ object BenchScale {
     "q61_perplexity",   // two linear aggs + one (w1,w2) probe join
     "q62_bm25_search",  // inverted index + 20-term broadcast probe
     "q65_pq_codes",     // joint Lloyd aggs + pure-map encode: linear
-    "q65b_pq_search")   // broadcast LUT + (query,vec) partial agg: linear
+    "q65b_pq_search",   // broadcast LUT + (query,vec) partial agg: linear
+    "q67_bpe_train")    // ONE corpus token agg; loop on the vocab-bounded table
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** q67 BPE merge training: value gate is the DuckDB unrolled-CTE
+  * oracle; these pin the algorithm against hand replays — the
+  * deterministic tie-breaks, the separator-consumption run contract,
+  * and partitioning invariance.
+  */
+class BpeSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.operators.Bpe
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  private def rules(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+
+  test("hand-replayed micro corpus: counts, ties, and merge order") {
+    // words: low x3, lower x2, newest x1
+    val out = rules(Bpe.bpeTrain(docs("low low low", "lower lower", "newest"), merges = 5))
+    assert(out == Seq(
+      (1L, "l", "o", 5L),   // (l,o)=5 ties (o,w)=5 -> lex smallest
+      (2L, "lo", "w", 5L),
+      (3L, "e", "r", 2L),   // (e,r)=2 ties (low,e)=2 -> 'e' < 'low'
+      (4L, "low", "er", 2L),
+      (5L, "e", "s", 1L)),  // all-1 tail: lex smallest of newest's pairs
+      s"got $out")
+  }
+
+  test("run contract: 'aaaa' merges alternately, leftover pair re-learned") {
+    // the documented single-pass separator-consumption variant:
+    // |a|a|a|a| --(a,a)--> |aa|a|a| (NOT canonical (aa)(aa)); the
+    // leftover (a,a) pair is still countable and re-learned at rank 2
+    val out = rules(Bpe.bpeTrain(docs("aaaa"), merges = 2))
+    assert(out == Seq((1L, "a", "a", 3L), (2L, "a", "a", 1L)), s"got $out")
+  }
+
+  test("deterministic under repartitioning") {
+    import graft.sources.Tables
+    val d = Tables.documents(spark, sfDir)
+    val a = rules(Bpe.bpeTrain(d, merges = 8))
+    val b = rules(Bpe.bpeTrain(d.repartition(7), merges = 8))
+    assert(a == b)
+    assert(a.size == 8 && a.map(_._1) == (1L to 8L))
+  }
+
+  test("degenerate corpora: empty input and single-char words") {
+    val empty = Bpe.bpeTrain(docs().limit(0))
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("rank", "lhs", "rhs", "cnt"))
+    // single-char words have no pairs: training stops at zero rules
+    assert(Bpe.bpeTrain(docs("a b c a b")).count() == 0)
+  }
+}
