@@ -107,6 +107,9 @@ object SparkEntry {
     // greedy inference consumes; deterministic single-pass merge
     // contract, hash-exact vs the unrolled-CTE replay
     "q67_bpe_train" -> ((s, d) => graft.operators.Bpe.bpeTrain(Tables.documents(s, d))),
+    // q68: the train→apply composition — corpus encoded with q67's
+    // rules as one nested-replace pure map
+    "q68_bpe_encode" -> ((s, d) => graft.operators.Bpe.bpeEncode(Tables.documents(s, d))),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
     // q59: real decode→feature extraction (64-bin histogram + Sobel)
@@ -671,6 +674,8 @@ object SparkEntry {
     // q67: word-freq base + 24 unrolled (pair-count, argmax, apply)
     // CTE triples — Bpe.bpeTrainOracleSql
     "q67_bpe_train" -> graft.operators.Bpe.bpeTrainOracleSql(),
+    // q68: the q67 chain + scalar-subquery nested-replace encode
+    "q68_bpe_encode" -> graft.operators.Bpe.bpeEncodeOracleSql(),
     "q36_label_centroids" ->
       """SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,
                 CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)

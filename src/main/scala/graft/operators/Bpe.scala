@@ -85,6 +85,85 @@ object Bpe {
         org.apache.spark.sql.Row(t._1, t._2, t._3, t._4))), outSchema)
   }
 
+  /** q68: BPE ENCODING of the corpus with the rules q67 just learned —
+    * the train→apply composition a tokenizer pipeline actually runs
+    * (and the subword-level twin of q51's vocab-greedy inference).
+    * Trains on the same corpus (identical loop, so the rules are the
+    * q67 output bit-for-bit), then encodes EVERY document: tokens →
+    * 0x01-packed symbols → the K merges applied IN RANK ORDER as K
+    * nested plain `replace`s — one pure-map expression over the
+    * corpus, zero joins, corpus touched exactly twice total (the
+    * train aggregate + the encode scan). Out-of-vocabulary words
+    * (outside the train cap) are still encoded — rules apply wherever
+    * their pair occurs, the standard BPE property. Output: (doc_id,
+    * n_subwords, subtext) where subtext is the space-joined subword
+    * stream of the normalized document — hash-exact vs the oracle
+    * that re-derives the rules through the q67 CTE chain and encodes
+    * with scalar-subquery replaces (exhausted merges degrade to
+    * chr(2) no-op patterns).
+    */
+  def bpeEncode(documents: DataFrame, vocabCap: Int = 256, merges: Int = 24): DataFrame = {
+    val spark = documents.sparkSession
+    val rules = bpeTrain(documents, vocabCap, merges).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val toks = filter(
+      split(lower(TextOps.wsTrim(coalesce(col("text"), lit("")))), "\\s+"),
+      t => length(t) > 0 && !t.contains(SEP))
+    val encoded = (t: Column) => {
+      val packed = concat(lit(SEP), regexp_replace(t, "(.)", "$1" + SEP))
+      val merged = rules.foldLeft(packed) { case (acc, (_, l, r)) =>
+        org.apache.spark.sql.functions.replace(acc,
+          lit(SEP + l + SEP + r + SEP), lit(SEP + l + r + SEP))
+      }
+      btrim(translate(merged, SEP, " "))
+    }
+    documents.select(col("doc_id"),
+        array_join(transform(toks, encoded), " ").as("subtext"))
+      .select(col("doc_id"),
+        when(length(col("subtext")) === 0, lit(0L))
+          .otherwise(size(split(col("subtext"), " ")).cast("long")).as("n_subwords"),
+        col("subtext"))
+  }
+
+  /** The q68 oracle: the q67 chain re-derives the rules, then the
+    * encode replays as nested replaces whose patterns come from
+    * scalar subqueries over the bm CTEs.
+    */
+  def bpeEncodeOracleSql(vocabCap: Int = 256, merges: Int = 24): String = {
+    val trainSql = bpeTrainOracleSql(vocabCap, merges)
+    // keep only the WITH chain: strip the final merge-list SELECT
+    val chain = trainSql.substring(0, trainSql.lastIndexOf("SELECT CAST(rank"))
+      .trim.stripSuffix(",")
+    val packed = "chr(1) || regexp_replace(t, '(.)', '\\1' || chr(1), 'g')"
+    // DuckDB lambdas reject subqueries, so the 24 pattern/replacement
+    // pairs ride as columns of a cross-joined single-row CTE the
+    // lambda captures
+    val ruleCols = (1 to merges).map { k =>
+      s"""coalesce((SELECT chr(1)||l||chr(1)||r||chr(1) FROM bm$k), chr(2)) AS p$k,
+         |    coalesce((SELECT chr(1)||l||r||chr(1) FROM bm$k), chr(2)) AS s$k""".stripMargin
+    }.mkString(",\n    ")
+    val mergedExpr = (1 to merges).foldLeft(packed) { (acc, k) =>
+      s"replace($acc, p$k, s$k)"
+    }
+    s"""$chain,
+       |brules AS MATERIALIZED (
+       |  SELECT
+       |    $ruleCols),
+       |enc AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         array_to_string(list_transform(
+       |           list_filter(regexp_split_to_array(
+       |               lower(regexp_replace(coalesce(text, ''), '^\\s+|\\s+$$', '', 'g')), '\\s+'),
+       |             t -> length(t) > 0 AND NOT contains(t, chr(1))),
+       |           t -> trim(translate($mergedExpr, chr(1), ' '))), ' ') AS subtext
+       |  FROM documents CROSS JOIN brules)
+       |SELECT doc_id,
+       |       CASE WHEN length(subtext) = 0 THEN 0
+       |            ELSE CAST(len(string_split(subtext, ' ')) AS BIGINT) END AS n_subwords,
+       |       subtext
+       |FROM enc""".stripMargin
+  }
+
   /** The q67 oracle: the identical loop unrolled — per merge one pair
     * aggregate (unnest over a dependent range list), a 1-row argmax
     * CTE, and a LEFT-JOIN-coalesce apply so an exhausted corpus

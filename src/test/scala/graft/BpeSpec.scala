@@ -50,6 +50,28 @@ class BpeSpec extends AnyFunSuite {
     assert(a.size == 8 && a.map(_._1) == (1L to 8L))
   }
 
+  test("q68 encode: hand corpus segments as trained, reassembly invariant holds") {
+    val corpus = docs("low low low", "lower lower", "newest")
+    val out = Bpe.bpeEncode(corpus, merges = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    // rules (hand-replayed above): l+o, lo+w, e+r, low+er
+    assert(out(0) == ((0L, 3L, "low low low")))
+    assert(out(1) == ((1L, 2L, "lower lower")))          // low+er merged fully
+    assert(out(2)._1 == 2L && out(2)._3.startsWith("n")) // newest stays multi-symbol
+    // reassembly: stripping spaces from the subword stream recovers the
+    // normalized character stream exactly
+    val enc = Bpe.bpeEncode(corpus).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    corpus.collect().foreach { r =>
+      val toks = r.getString(1).toLowerCase.trim.split("\\s+").mkString("")
+      assert(enc(r.getLong(0)).replace(" ", "") == toks)
+    }
+    // zero merges = pure character segmentation; merges only shrink
+    val n0 = Bpe.bpeEncode(corpus, merges = 0).agg(sum(col("n_subwords"))).collect()(0).getLong(0)
+    val n24 = Bpe.bpeEncode(corpus, merges = 24).agg(sum(col("n_subwords"))).collect()(0).getLong(0)
+    assert(n0 == corpus.collect().map(_.getString(1).count(!_.isWhitespace)).sum)
+    assert(n24 <= n0)
+  }
+
   test("degenerate corpora: empty input and single-char words") {
     val empty = Bpe.bpeTrain(docs().limit(0))
     assert(empty.count() == 0 &&
