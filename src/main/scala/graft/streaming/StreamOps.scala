@@ -1729,6 +1729,41 @@ object StreamOps {
       }
   }
 
+  /** s31 output: the q68 columns — one row per arriving document. */
+  case class BpeDoc(doc_id: Long, n_subwords: Long, subtext: String)
+
+  /** s31: STREAMING BPE ENCODING — q68 as an online tokenizer: every
+    * arriving document is subword-encoded by a FROZEN rule list
+    * (Bpe.bpeTrain's output collected once — the s26/s28 frozen-model
+    * protocol: evolving rules would re-segment history). Stateless: a
+    * rank-ordered array of (pattern, replacement) pairs rides as a
+    * broadcast, each doc maps to its subword stream with plain
+    * java String.replace per rule — the same left-to-right
+    * non-overlapping semantics as the batch expression and the DuckDB
+    * oracle (the q67 run contract), so streaming the training corpus
+    * reproduces q68 row-for-row (spec-asserted).
+    */
+  def streamBpeEncode(docs: Dataset[(Long, String)],
+                      rules: Seq[(String, String)]): Dataset[BpeDoc] = {
+    import docs.sparkSession.implicits._
+    require(rules.nonEmpty, "frozen BPE rule list must be non-empty")
+    val SEP = "\u0001"
+    val bc = docs.sparkSession.sparkContext.broadcast(rules.map { case (l, r) =>
+      (SEP + l + SEP + r + SEP, SEP + l + r + SEP)
+    }.toArray)
+    docs.map { case (id, text) =>
+      val toks = Option(text).getOrElse("").trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(t => t.nonEmpty && !t.contains(SEP))
+      val subtext = toks.map { t =>
+        var packed = SEP + t.map(c => s"$c$SEP").mkString
+        bc.value.foreach { case (p, s) => packed = packed.replace(p, s) }
+        packed.replace(SEP, " ").trim
+      }.mkString(" ")
+      val n = if (subtext.isEmpty) 0L else subtext.split(" ").length.toLong
+      BpeDoc(id, n, subtext)
+    }
+  }
+
   /** s25 output: the q61 columns — ppl None for <2-token docs. */
   case class PplReport(doc_id: Long, n_bigrams: Long, nll_q16: Long,
                        ppl_q16: Option[Long])

@@ -979,6 +979,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(backward == batch, "reversed-arrival run diverged from batch q66")
   }
 
+  test("s31 streaming BPE encoding is row-exact vs batch q68 under the frozen rules") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val d = Tables.documents(spark, sfDir)
+    val batch = graft.operators.Bpe.bpeEncode(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val rules = graft.operators.Bpe.bpeTrain(d)
+      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rules.size == 24)
+
+    val source = MemoryStream[(Long, String)]
+    val got = collection.mutable.Map[Long, (Long, String)]()
+    val q = StreamOps.streamBpeEncode(source.toDS(), rules)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.BpeDoc], _: Long) =>
+        b.collect().foreach(r => got(r.doc_id) = (r.n_subwords, r.subtext)); ()
+      }.start()
+    try {
+      val rows = d.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      source.addData(rows.take(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      source.addData(rows.drop(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.size == batch.size)
+    val mismatches = batch.collect {
+      case (id, b) if got(id) != b => s"$id: stream ${got(id)._1} batch ${b._1}"
+    }
+    assert(mismatches.isEmpty, mismatches.take(5).mkString("; "))
+    assert(got.values.exists(_._1 > 0L))
+  }
+
   test("s25 smoothing ladder: unseen bigram -> L(c1+V), unseen prefix -> L(V)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
