@@ -110,6 +110,9 @@ object SparkEntry {
     // q68: the train→apply composition — corpus encoded with q67's
     // rules as one nested-replace pure map
     "q68_bpe_encode" -> ((s, d) => graft.operators.Bpe.bpeEncode(Tables.documents(s, d))),
+    // q69: DSIR importance resampling — hashed-bigram target/raw
+    // log-ratio scoring in Q16, top-M keep; hash-exact
+    "q69_dsir" -> ((s, d) => graft.operators.Dsir.dsirSelect(Tables.documents(s, d))),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
     // q59: real decode→feature extraction (64-bin histogram + Sobel)
@@ -676,6 +679,9 @@ object SparkEntry {
     "q67_bpe_train" -> graft.operators.Bpe.bpeTrainOracleSql(),
     // q68: the q67 chain + scalar-subquery nested-replace encode
     "q68_bpe_encode" -> graft.operators.Bpe.bpeEncodeOracleSql(),
+    // q69: q37 char-fold buckets + two bag models + the q61 recursive
+    // log2 kernel + row_number keep — Dsir.dsirOracleSql
+    "q69_dsir" -> graft.operators.Dsir.dsirOracleSql(),
     "q36_label_centroids" ->
       """SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,
                 CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
