@@ -34,7 +34,32 @@ object Dsir {
     */
   def dsirSelect(documents: DataFrame, targetLang: String = "en",
                  buckets: Int = 1024, keepTop: Int = 100): DataFrame = {
-    require(buckets >= 2 && keepTop >= 1, "buckets >= 2, keepTop >= 1")
+    require(keepTop >= 1, "keepTop >= 1")
+    val (docB, wt) = dsirModel(documents, targetLang, buckets)
+    val scored = docB.join(broadcast(wt), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"), sum(col("n") * col("w")).as("imp_q16"))
+    val full = documents.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("imp_q16"), lit(0L)).as("imp_q16"))
+      .localCheckpoint(true)
+    val kept = full.orderBy(col("imp_q16").desc, col("doc_id").asc).limit(keepTop)
+      .select(col("doc_id"), lit(1L).as("k"))
+    full.join(broadcast(kept), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"), col("imp_q16"),
+        coalesce(col("k"), lit(0L)).as("keep"))
+  }
+
+  /** The shared q69 model build: the per-(doc, bucket) count frame
+    * (narrow, checkpointed — reused by both model aggregates and the
+    * scoring join) and the ≤B-row Q16 weight table. Also the s32
+    * frozen-model source (dsirWeights collects the weight frame).
+    */
+  private[operators] def dsirModel(documents: DataFrame, targetLang: String,
+                                   buckets: Int): (DataFrame, DataFrame) = {
+    require(buckets >= 2, "buckets >= 2")
     val P = graft.functions.ReplayableHash.P
     val ha = graft.functions.ReplayableHash.a(216)
     val hb = graft.functions.ReplayableHash.b(216)
@@ -69,21 +94,16 @@ object Dsir {
     val lR = graft.functions.Log2Q16Expr.compute(rTot + buckets)
     val wt = w0.select(col("bucket"),
       (L(col("c_t") + lit(1L)) - lit(lT) - L(col("c_r") + lit(1L)) + lit(lR)).as("w"))
-    val scored = docB.join(broadcast(wt), Seq("bucket"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n")).as("n_bigrams"), sum(col("n") * col("w")).as("imp_q16"))
-    val full = documents.select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("imp_q16"), lit(0L)).as("imp_q16"))
-      .localCheckpoint(true)
-    val kept = full.orderBy(col("imp_q16").desc, col("doc_id").asc).limit(keepTop)
-      .select(col("doc_id"), lit(1L).as("k"))
-    full.join(broadcast(kept), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_bigrams"), col("imp_q16"),
-        coalesce(col("k"), lit(0L)).as("keep"))
+    (docB, wt)
   }
+
+  /** The frozen q69 weight table alone (for s32's streaming scorer):
+    * bucket → w_q16, ≤ B entries — the bounded-collect protocol.
+    */
+  def dsirWeights(documents: DataFrame, targetLang: String = "en",
+                  buckets: Int = 1024): Map[Long, Long] =
+    dsirModel(documents, targetLang, buckets)._2.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** The q69 oracle: bigram buckets via the q37 char-fold + index-216
     * universal hash, both bag models, the Q16 log-ratio through the

@@ -1764,6 +1764,78 @@ object StreamOps {
     }
   }
 
+  /** s32 output: the current top-M selection, re-emitted in full
+    * whenever a batch changes it (generational Append, the s27/s30
+    * contract: consumers take the latest generation).
+    */
+  case class DsirPick(rank: Long, doc_id: Long, imp_q16: Long)
+
+  /** The frozen q69 model for s32: the bucket→w_q16 table (≤ B rows,
+    * Dsir.dsirWeights) plus the hash constants the bucketing needs.
+    */
+  case class DsirIndex(weights: Map[Long, Long], buckets: Int)
+
+  def dsirIndex(corpus: org.apache.spark.sql.DataFrame, targetLang: String = "en",
+                buckets: Int = 1024): DsirIndex =
+    DsirIndex(graft.operators.Dsir.dsirWeights(corpus, targetLang, buckets), buckets)
+
+  /** s32: STREAMING DSIR — q69 as a continuously-maintained data
+    * selection: each arriving document scores against the FROZEN
+    * weight table (a live-updating model would re-score history — the
+    * s25/s26/s27 frozen-model rule) and the corpus-wide top-M keep
+    * set is MAINTAINED ACROSS BATCHES in state. Buckets a frozen
+    * model never saw carry weight 0 (the OOV rule, documented —
+    * impossible when streaming the training corpus itself, where
+    * every bucket is corpus-present by construction).
+    *
+    * Plan: one stateless map scores a doc entirely locally (tokens →
+    * bigrams → PolyHashExpr.hash + index-216 post-mix → Σ w), then
+    * ONE shuffle into the single M-pair selection state. Convergence
+    * contract (spec-asserted): after streaming the training corpus in
+    * ANY batching, the final generation is EXACTLY batch q69's keep
+    * set in (imp DESC, doc_id ASC) order — per-doc scores are
+    * arrival-independent ints and a bounded top-M fold is
+    * merge-invariant.
+    */
+  def streamDsir(docs: Dataset[(Long, String)], index: DsirIndex,
+                 keepTop: Int = 100): Dataset[DsirPick] = {
+    import docs.sparkSession.implicits._
+    require(index.weights.nonEmpty, "frozen DSIR weight table must be non-empty")
+    val P = graft.functions.ReplayableHash.P
+    val ha = graft.functions.ReplayableHash.a(216)
+    val hb = graft.functions.ReplayableHash.b(216)
+    val bc = docs.sparkSession.sparkContext.broadcast(index)
+    val scored = docs.map { case (id, text) =>
+      val ix = bc.value
+      val ts = normTokens(text)
+      var imp = 0L
+      var i = 0
+      while (i < ts.length - 1) {
+        val h = graft.functions.PolyHashExpr.hash(ts(i) + " " + ts(i + 1))
+        val b = ((ha * h + hb) % P) % ix.buckets
+        imp += ix.weights.getOrElse(b, 0L)
+        i += 1
+      }
+      (id, imp)
+    }
+    scored.groupByKey(_ => 0)
+      .flatMapGroupsWithState[List[(Long, Long)], DsirPick](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[(Long, Long)], state: GroupState[List[(Long, Long)]]) =>
+          // state: the current top-M as (-imp, doc_id), ascending ==
+          // (imp DESC, doc_id ASC); each doc scored exactly once, so
+          // bounded eviction is merge-safe
+          var top = state.getOption.getOrElse(Nil)
+          rows.foreach { case (id, imp) =>
+            top = ((-imp, id) :: top).sorted.take(keepTop)
+          }
+          state.update(top)
+          top.iterator.zipWithIndex.map { case ((ni, id), i) =>
+            DsirPick(i + 1L, id, -ni)
+          }
+      }
+  }
+
   /** s25 output: the q61 columns — ppl None for <2-token docs. */
   case class PplReport(doc_id: Long, n_bigrams: Long, nll_q16: Long,
                        ppl_q16: Option[Long])

@@ -1014,6 +1014,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.exists(_._1 > 0L))
   }
 
+  test("s32 streaming DSIR selection converges to batch q69 under any batching") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val d = Tables.documents(spark, sfDir)
+    val batchKeep = graft.operators.Dsir.dsirSelect(d)
+      .filter(col("keep") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy { case (id, imp) => (-imp, id) }
+      .zipWithIndex.map { case ((id, imp), i) => (i + 1L, id, imp) }.toSeq
+    assert(batchKeep.nonEmpty)
+    val index = StreamOps.dsirIndex(d)
+    val rows = d.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    def run(data: Array[(Long, String)], cuts: Seq[Int]): Seq[(Long, Long, Long)] = {
+      val source = MemoryStream[(Long, String)]
+      var gen = Seq.empty[(Long, Long, Long)]
+      val q = StreamOps.streamDsir(source.toDS(), index)
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.DsirPick], _: Long) =>
+          val g = b.collect()
+          if (g.nonEmpty) gen = g.sortBy(_.rank).map(p => (p.rank, p.doc_id, p.imp_q16)).toSeq
+          ()
+        }.start()
+      try {
+        (cuts :+ data.length).foldLeft(0) { (from, to) =>
+          source.addData(data.slice(from, to).toSeq: _*)
+          q.processAllAvailable()
+          to
+        }
+      } finally q.stop()
+      gen
+    }
+
+    val forward = run(rows, Seq(rows.length / 3, 2 * rows.length / 3))
+    assert(forward == batchKeep,
+      s"forward mismatch: ${forward.take(3)} vs ${batchKeep.take(3)}")
+    val backward = run(rows.reverse, Seq(rows.length / 5))
+    assert(backward == batchKeep, "reversed-arrival run diverged from batch q69")
+  }
+
   test("s25 smoothing ladder: unseen bigram -> L(c1+V), unseen prefix -> L(V)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
