@@ -109,7 +109,9 @@ object BenchScale {
     "q62_bm25_search",  // inverted index + 20-term broadcast probe
     "q65_pq_codes",     // joint Lloyd aggs + pure-map encode: linear
     "q65b_pq_search",   // broadcast LUT + (query,vec) partial agg: linear
-    "q67_bpe_train")    // ONE corpus token agg; loop on the vocab-bounded table
+    "q67_bpe_train",    // ONE corpus token agg; loop on the vocab-bounded table
+    "q68_bpe_encode",   // train agg + one pure-map nested-replace encode scan
+    "q69_dsir")         // one (doc,bucket) agg; B-sized models; broadcast scoring
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")
