@@ -113,6 +113,9 @@ object SparkEntry {
     // q69: DSIR importance resampling — hashed-bigram target/raw
     // log-ratio scoring in Q16, top-M keep; hash-exact
     "q69_dsir" -> ((s, d) => graft.operators.Dsir.dsirSelect(Tables.documents(s, d))),
+    // q70: Gopher rule battery — per-rule booleans + conjunctive pass,
+    // integer myriad ratios; a stateless narrow projection
+    "q70_gopher_rules" -> ((s, d) => graft.operators.QualityRules.gopherRules(Tables.documents(s, d))),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
     // q59: real decode→feature extraction (64-bin histogram + Sobel)
@@ -682,6 +685,8 @@ object SparkEntry {
     // q69: q37 char-fold buckets + two bag models + the q61 recursive
     // log2 kernel + row_number keep — Dsir.dsirOracleSql
     "q69_dsir" -> graft.operators.Dsir.dsirOracleSql(),
+    // q70: the same list ops + integer myriad ratios replayed
+    "q70_gopher_rules" -> graft.operators.QualityRules.gopherRulesOracleSql,
     "q36_label_centroids" ->
       """SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,
                 CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
