@@ -1832,6 +1832,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("s22_out").collect().map(_.toString).sorted.toSeq == batch)
   }
 
+  test("s33 streaming gopher rules: the BATCH operator runs on a stream unmodified, row-exact") {
+    // gopherRules is a stateless narrow projection (the s22 class), so
+    // the streaming twin is the SAME code path on a streaming frame —
+    // strongest parity statement available; pins streaming
+    // admissibility (no accidental agg/sort in the battery).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 25).map(_ => "the").mkString(" ")),
+      (2L, "short doc"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+    val batch = graft.operators.QualityRules.gopherRules(docs.toDF("doc_id", "text"))
+      .collect().map(_.toString).sorted.toSeq
+    val source = MemoryStream[(Long, String)]
+    val q = graft.operators.QualityRules.gopherRules(
+        source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("s33_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      source.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("s33_out").collect().map(_.toString).sorted.toSeq == batch)
+  }
+
   test("s23 streaming restore: multi-batch changelog converges row-exact to the batch LWW fold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
