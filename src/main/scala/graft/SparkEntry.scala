@@ -116,6 +116,10 @@ object SparkEntry {
     // q70: Gopher rule battery — per-rule booleans + conjunctive pass,
     // integer myriad ratios; a stateless narrow projection
     "q70_gopher_rules" -> ((s, d) => graft.operators.QualityRules.gopherRules(Tables.documents(s, d))),
+    // q71: ExactSubstr duplicated-span removal (Lee et al. 2021) —
+    // k-token window digests, keep-first, span-union cut; hash-exact
+    "q71_substring_dedup" -> ((s, d) =>
+      graft.operators.ExactSubstr.substringDedup(Tables.documents(s, d))),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
     // q59: real decode→feature extraction (64-bin histogram + Sobel)
@@ -687,6 +691,9 @@ object SparkEntry {
     "q69_dsir" -> graft.operators.Dsir.dsirOracleSql(),
     // q70: the same list ops + integer myriad ratios replayed
     "q70_gopher_rules" -> graft.operators.QualityRules.gopherRulesOracleSql,
+    // q71: identical window/first/cut chain, md5 digests, nested
+    // index-lambda reconstruction
+    "q71_substring_dedup" -> graft.operators.ExactSubstr.substringDedupOracleSql(),
     "q36_label_centroids" ->
       """SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,
                 CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
