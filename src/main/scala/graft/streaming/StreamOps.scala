@@ -1764,6 +1764,56 @@ object StreamOps {
     }
   }
 
+  /** s34 output: the q71 columns — one row per arriving document. */
+  case class CleanDoc(doc_id: Long, n_tokens: Long, n_removed: Long, clean_text: String)
+
+  /** s34: STREAMING ExactSubstr — q71 as an online duplicated-span
+    * cutter: every arriving document is cleaned against the FROZEN
+    * dup-window table of the reference corpus
+    * (ExactSubstr.dupWindowTable: digest → first (doc_id, pos), dup
+    * digests only — the s26/s28/s31 frozen-model protocol; a
+    * live-updating dup set would re-cut history). An arriving window
+    * is cut unless it IS the table's recorded first occurrence, so
+    * replaying the training corpus itself is ROW-EXACT vs batch q71
+    * (the first copy survives, every later copy is cut), and a NEW
+    * document is cut wherever it repeats the frozen corpus — the
+    * ingest-dedup semantics. Stateless: a broadcast table + one pure
+    * map, no shuffle, no state store. The table's boundedness is
+    * asserted at build time (dupWindowTable's cap); past the cap the
+    * stream-static explode-join shape is the scale path.
+    *
+    * Window digests are Md5.hex over the space-joined window — the
+    * same bytes SQL md5() hashes in batch q71, and tokenization is
+    * Locale.ROOT-lowercased to match Spark's locale-independent
+    * lower() (the s25/s27 lesson).
+    */
+  def streamSubstringDedup(docs: Dataset[(Long, String)],
+                           dupTable: Map[String, (Long, Int)],
+                           k: Int = 6): Dataset[CleanDoc] = {
+    import docs.sparkSession.implicits._
+    require(k >= 2, "substring window must span at least 2 tokens")
+    val bc = docs.sparkSession.sparkContext.broadcast(dupTable)
+    docs.map { case (id, text) =>
+      val toks = Option(text).getOrElse("").trim
+        .toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      val n = toks.length
+      val covered = new Array[Boolean](n)
+      var i = 0
+      while (i + k <= n) {
+        val h = graft.functions.Md5.hex(toks.slice(i, i + k).mkString(" "))
+        bc.value.get(h) match {
+          case Some((fdoc, fpos)) if fdoc != id || fpos != i + 1 =>
+            var j = i; while (j < i + k) { covered(j) = true; j += 1 }
+          case _ =>
+        }
+        i += 1
+      }
+      val kept = toks.indices.collect { case j if !covered(j) => toks(j) }
+      CleanDoc(id, n.toLong, (n - kept.length).toLong, kept.mkString(" "))
+    }
+  }
+
   /** s32 output: the current top-M selection, re-emitted in full
     * whenever a batch changes it (generational Append, the s27/s30
     * contract: consumers take the latest generation).

@@ -1860,6 +1860,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("s33_out").collect().map(_.toString).sorted.toSeq == batch)
   }
 
+  test("s34 streaming substring dedup is row-exact vs batch q71 under the frozen dup table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val d = Tables.documents(spark, sfDir)
+    val batch = graft.operators.ExactSubstr.substringDedup(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val table = graft.operators.ExactSubstr.dupWindowTable(d)
+    assert(table.nonEmpty)
+
+    val source = MemoryStream[(Long, String)]
+    val got = collection.mutable.Map[Long, (Long, Long, String)]()
+    val q = StreamOps.streamSubstringDedup(source.toDS(), table)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.CleanDoc], _: Long) =>
+        b.collect().foreach(r => got(r.doc_id) = (r.n_tokens, r.n_removed, r.clean_text)); ()
+      }.start()
+    try {
+      val rows = d.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      source.addData(rows.take(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      source.addData(rows.drop(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      // a NEW document that repeats a frozen-corpus span is cut on
+      // ingest even though batch never saw its doc_id: clone the text
+      // of a doc the batch run cut
+      val victim = batch.collect { case (id, (_, rm, _)) if rm > 0 => id }.min
+      val vtext = rows.find(_._1 == victim).get._2
+      source.addData((999999L, vtext))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val mismatches = batch.collect {
+      case (id, b) if got(id) != b => s"$id: stream ${got(id)} batch $b"
+    }
+    assert(mismatches.isEmpty, mismatches.take(5).mkString("; "))
+    // ingest semantics: the clone is cut at least as hard as the
+    // batch-cut original (its whole duplicated region repeats the
+    // frozen corpus, and the original's kept first copy now also
+    // counts against it)
+    val victim = batch.collect { case (id, (_, rm, _)) if rm > 0 => id }.min
+    assert(got(999999L)._2 >= batch(victim)._2,
+      s"clone cut ${got(999999L)._2} < original's ${batch(victim)._2}")
+  }
+
   test("s23 streaming restore: multi-batch changelog converges row-exact to the batch LWW fold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
