@@ -111,7 +111,9 @@ object BenchScale {
     "q65b_pq_search",   // broadcast LUT + (query,vec) partial agg: linear
     "q67_bpe_train",    // ONE corpus token agg; loop on the vocab-bounded table
     "q68_bpe_encode",   // train agg + one pure-map nested-replace encode scan
-    "q69_dsir")         // one (doc,bucket) agg; B-sized models; broadcast scoring
+    "q69_dsir",         // one (doc,bucket) agg; B-sized models; broadcast scoring
+    "q71_substring_dedup", // N·L window digests: one agg + one probe join, linear
+    "q72_nb_classifier") // one (doc,bucket) agg; B-row model; broadcast scoring
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")
