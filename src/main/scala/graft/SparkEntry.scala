@@ -120,6 +120,10 @@ object SparkEntry {
     // k-token window digests, keep-first, span-union cut; hash-exact
     "q71_substring_dedup" -> ((s, d) =>
       graft.operators.ExactSubstr.substringDedup(Tables.documents(s, d))),
+    // q72: fastText-style NB classifier — hashed unigram+bigram bag,
+    // even/odd train/holdout split, Q16 log-odds + prior; hash-exact
+    "q72_nb_classifier" -> ((s, d) =>
+      graft.operators.Classifier.nbClassify(Tables.documents(s, d))),
     // -- LLM-data-pipeline: multimodal plumbing (q31) --
     "q31_multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(Tables.documents(s, d))),
     // q59: real decode→feature extraction (64-bin histogram + Sobel)
@@ -694,6 +698,9 @@ object SparkEntry {
     // q71: identical window/first/cut chain, md5 digests, nested
     // index-lambda reconstruction
     "q71_substring_dedup" -> graft.operators.ExactSubstr.substringDedupOracleSql(),
+    // q72: feature union + index-218 buckets + one conditional train
+    // agg + the q61 recursive log2 kernel + prior and >=0 decision
+    "q72_nb_classifier" -> graft.operators.Classifier.nbClassifyOracleSql(),
     "q36_label_centroids" ->
       """SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,
                 CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
@@ -1724,11 +1731,41 @@ object SparkEntry {
            SELECT c.doc_id, c.lang,
                   CASE WHEN c.text IS NULL THEN NULL ELSE coalesce(p.ct, '') END AS text
            FROM canon c LEFT JOIN p_per p USING (doc_id)),
+         x_toks AS (
+           SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+'),
+                    t -> length(t) > 0) AS toks
+           FROM cleaned),
+         x_w AS (
+           SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+5], ' ')) AS h
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 4)) AS i
+                 FROM x_toks WHERE len(toks) >= 6) xq),
+         x_m AS (
+           SELECT doc_id, pos,
+                  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                  count(*) OVER (PARTITION BY h) AS c
+           FROM x_w),
+         x_starts AS (
+           SELECT doc_id, list_sort(list(pos)) AS st
+           FROM x_m WHERE rn > 1 AND c >= 2 GROUP BY 1),
+         x_fin AS (
+           SELECT t.doc_id, t.toks, coalesce(s.st, []) AS st
+           FROM x_toks t LEFT JOIN x_starts s USING (doc_id)),
+         x_cut AS (
+           SELECT doc_id,
+                  list_filter(toks,
+                    (tk, i) -> len(list_filter(st, p -> i >= p AND i < p + 6)) = 0) AS kept
+           FROM x_fin),
+         subclean AS (
+           SELECT c.doc_id, c.lang,
+                  CASE WHEN c.text IS NULL THEN NULL
+                       ELSE coalesce(array_to_string(x.kept, ' '), '') END AS text
+           FROM cleaned c LEFT JOIN x_cut x USING (doc_id)),
          g_scored AS (
            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                     / CAST(nullif(length(text), 0) AS DOUBLE) AS alpha_ratio
-           FROM cleaned),
+           FROM subclean),
          g_hash AS (
            SELECT doc_id, n_chars, alpha_ratio,
                   ((((CAST(1103515245 AS BIGINT)*421 + 12345) % 2147483648) * s
@@ -1756,7 +1793,7 @@ object SparkEntry {
                  ORDER BY h, alpha_ratio LIMIT 1024)),
          gated AS (
            SELECT c.doc_id, c.lang, c.text
-           FROM cleaned c JOIN g_scored gs USING (doc_id), g_lcut, g_acut
+           FROM subclean c JOIN g_scored gs USING (doc_id), g_lcut, g_acut
            WHERE (g_lcut.c IS NULL OR gs.n_chars >= g_lcut.c)
              AND (g_acut.c IS NULL OR gs.alpha_ratio >= g_acut.c)),
          p_ctoks AS (

@@ -14,25 +14,31 @@ import org.apache.spark.sql.functions._
   *   1. exact dedup (q20): canonical doc per normalized-text group;
   *   2. segment dedup (q52): cross-document boilerplate stripped,
   *      cleaned text REPLACES the original downstream;
-  *   3. quality gate (q46, since r11): corpus-percentile admission on
+  *   3. substring dedup (q71, since late r11): unaligned duplicated
+  *      spans the 8-word-aligned segment pass cannot see are cut by
+  *      the ExactSubstr keep-first rule — the RefinedWeb/Lee et al.
+  *      residue pass, run on the segment-cleaned text so the two
+  *      dedup stages compose (aligned boilerplate first, unaligned
+  *      residue second);
+  *   4. quality gate (q46, since r11): corpus-percentile admission on
   *      the CLEANED text — docs below the p`gatePct` length or alpha
   *      cutoff drop (the "drop the bottom 5%" rule a production
   *      filter is specified with); cutoffs come from the q46
   *      deterministic bottom-k-by-hash sketch, so the gate replays
   *      exactly in the oracle;
-  *   4. decontamination (q38): docs sharing any `shingleN`-gram with
+  *   5. decontamination (q38): docs sharing any `shingleN`-gram with
   *      the benchmark dropped — on the CLEANED text (boilerplate
   *      removed first means boilerplate alone cannot shield or cause
   *      a contamination hit);
-  *   5. PII redaction (q58, since r11): emails/IPs/phones replaced by
+  *   6. PII redaction (q58, since r11): emails/IPs/phones replaced by
   *      fixed tokens BEFORE tokenizer training — the production order
   *      (a vocab must never memorize an email), and the redacted text
   *      is what tokenizes and packs;
-  *   6. tokenizer-budget mixture (q51 + q48b): the subword vocab
+  *   7. tokenizer-budget mixture (q51 + q48b): the subword vocab
   *      trains on the CURATED corpus (not the raw one — tokenizer
   *      training after cleaning is the production order), per-language
   *      token budgets solved and admitted by the replayable hash rule;
-  *   7. sequence packing (q47b): admitted docs packed into
+  *   8. sequence packing (q47b): admitted docs packed into
   *      fixed-capacity chunks on their REAL token counts.
   *
   * Output: q47's span schema (shard, chunk, doc_id, tok_start,
@@ -68,7 +74,7 @@ object Pipeline {
              segWords: Int = 8, shingleN: Int = 4,
              vocabM: Int = 64, maxN: Int = 4,
              capacity: Int = 512, shards: Int = 8,
-             gatePct: Int = 5,
+             gatePct: Int = 5, subK: Int = 6,
              materializeStages: Boolean = false): DataFrame = {
     // 1. exact dedup — survivors keep their original text and lang
     val canon = TextOps.dedupExact(documents).select("doc_id")
@@ -78,24 +84,36 @@ object Pipeline {
       .select(col("doc_id"), col("clean_text").as("text"))
       .join(canon.select("doc_id", "lang"), "doc_id")
     val cleaned = if (materializeStages) cleaned0.localCheckpoint(true) else cleaned0
-    // 3. quality gate: p`gatePct` cutoffs from the cleaned corpus
+    // 3. substring dedup — unaligned duplicated spans cut from the
+    // segment-cleaned text (q71 keep-first); a NULL original stays
+    // NULL (the stage-2 discipline), and the cut text is what every
+    // later stage sees
+    val sub0 = ExactSubstr.substringDedup(cleaned, subK)
+      .select(col("doc_id"), col("clean_text"))
+    val subbed0 = cleaned.select(col("doc_id"), col("lang"), col("text").as("orig"))
+      .join(sub0, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("orig").isNull, lit(null).cast("string"))
+          .otherwise(col("clean_text")).as("text"))
+    val subbed = if (materializeStages) subbed0.localCheckpoint(true) else subbed0
+    // 4. quality gate: p`gatePct` cutoffs from the cut corpus
     // (2-row driver collect — the trainCodebook scalar protocol),
     // applied as a filter. s21 receives these SAME cutoffs frozen.
-    val (lenCut, alphaCut) = qualityCutoffs(cleaned, gatePct)
-    val gated = qualityGate(cleaned, lenCut, alphaCut)
-    // 4. decontamination against the (raw) benchmark
+    val (lenCut, alphaCut) = qualityCutoffs(subbed, gatePct)
+    val gated = qualityGate(subbed, lenCut, alphaCut)
+    // 5. decontamination against the (raw) benchmark
     val decon0 = TextOps.decontaminate(gated, benchmark, shingleN)
       .filter(col("contaminated") === 0).select("doc_id")
       .join(gated, "doc_id")
     val decon = if (materializeStages) decon0.localCheckpoint(true) else decon0
-    // 5. PII redaction — the redacted text is what trains + tokenizes
+    // 6. PII redaction — the redacted text is what trains + tokenizes
     val red = TextOps.piiRedact(decon)
       .select(col("doc_id"), col("clean_text").as("text"))
       .join(decon.select("doc_id", "lang"), "doc_id")
-    // 6. vocab trained on the curated corpus; token-budget admission
+    // 7. vocab trained on the curated corpus; token-budget admission
     val vocab = TextOps.tokenizerVocabSeq(red, vocabM, maxN)
     val admitted = TextOps.mixtureSolveTokenized(red, targetMyriad, vocab, maxN)
-    // 7. pack the admitted docs on their tokenizer counts
+    // 8. pack the admitted docs on their tokenizer counts
     TextOps.packCore(
       admitted.select(col("doc_id"), col("n_tokens").as("n_tok")),
       capacity, shards)
@@ -116,7 +134,7 @@ object Pipeline {
     (cut("n_chars"), cut("alpha_ratio"))
   }
 
-  /** Stage-3 admission: docs whose cleaned n_chars and alpha_ratio
+  /** Stage-4 admission: docs whose cleaned n_chars and alpha_ratio
     * clear the cutoffs (>= — the cutoff value itself passes). A doc
     * with a NULL ratio (empty cleaned text) fails a present cutoff,
     * exactly as in SQL three-valued logic — the oracle's WHERE clause

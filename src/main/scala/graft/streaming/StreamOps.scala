@@ -1268,17 +1268,32 @@ object StreamOps {
   case class CurSegV(doc_id: Long, lang: String, seg_idx: Int,
                      seg: String, dup: Boolean)
 
+  /** s21 intermediate: a segment-cleaned document awaiting the
+    * substring-dedup stage.
+    */
+  case class CurClean(doc_id: Long, lang: String, clean: String)
+
+  /** s21 intermediate: one q71 window verdict. pos is 1-based; the
+    * pos==0 row is the doc's SENTINEL, carrying the cleaned text as
+    * `payload` so the final regroup needs no second stream (its state
+    * key "d:<id>" can never collide with a 32-char md5 digest).
+    */
+  case class CurWinV(doc_id: Long, lang: String, pos: Int,
+                     dup: Boolean, payload: String)
+
   /** s21: the STREAMING curation pipeline — q53's stage chain running
     * continuously on arriving documents, the full ingest path a live
     * training-data service operates: exact dedup → segment strip →
-    * quality gate → decontamination → PII redaction → tokenize →
-    * admit → pack, each doc flowing the whole chain in its arrival
-    * batch.
+    * substring dedup → quality gate → decontamination → PII
+    * redaction → tokenize → admit → pack, each doc flowing the whole
+    * chain in its arrival batch.
     *
     * Contracts, each inherited from the stage's own streaming twin:
-    *  - exact dedup and segment dedup are KEEP-FIRST (s20's argument:
-    *    an online cleaner cannot retract what it already emitted);
-    *    within a batch the smallest doc_id claims (sorted fold);
+    *  - exact dedup, segment dedup, and substring dedup are
+    *    KEEP-FIRST (s20's argument: an online cleaner cannot retract
+    *    what it already emitted); within a batch the smallest
+    *    (doc_id, pos) claims (sorted fold) — the batch q71 rule
+    *    exactly;
     *  - the benchmark shingle set is FROZEN (s13's broadcast
     *    assumption) and the VOCAB and per-language ADMISSION RATES
     *    are given — solved OFFLINE from a corpus snapshot
@@ -1286,7 +1301,7 @@ object StreamOps {
     *    cannot train its tokenizer or solve a global mixture on data
     *    it has not seen (batch q53 derives both from its own curated
     *    corpus — the documented divergence); the QUALITY CUTOFFS
-    *    (`lenCut`/`alphaCut`, batch stage 3's q46 pair) are frozen
+    *    (`lenCut`/`alphaCut`, batch stage 4's q46 pair) are frozen
     *    for the identical reason — a stream cannot know the corpus
     *    percentile of a document it has not seen;
     *  - packing is PACK-ON-ARRIVAL with chunk boundaries carried
@@ -1307,7 +1322,8 @@ object StreamOps {
                    segWords: Int = 8, shingleN: Int = 4, maxN: Int = 4,
                    capacity: Int = 512, shards: Int = 8,
                    lenCut: Option[Double] = None,
-                   alphaCut: Option[Double] = None): Dataset[PackedSpan] = {
+                   alphaCut: Option[Double] = None,
+                   subK: Int = 6): Dataset[PackedSpan] = {
     import docs.sparkSession.implicits._
     import graft.operators.Dedup.ReplayableHash.{a, b, P}
     require(segWords > 0 && capacity >= 1 && shards >= 1)
@@ -1348,17 +1364,62 @@ object StreamOps {
           rs.iterator.map(r => r.copy(dup = r.doc_id != owner))
       }
 
-    // 3. reassemble per doc, then the stateless tail of the chain:
-    // decontaminate (frozen benchmark) → tokenize (given vocab) →
-    // admit (given rates, index-214 hash) → route to a pack shard
-    val routed = verdicts.groupByKey(_.doc_id)
-      .flatMapGroupsWithState[Byte, RoutedDoc](
+    // 3. reassemble per doc into the segment-cleaned text
+    val cleanDocs = verdicts.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Byte, CurClean](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (doc: Long, rows: Iterator[CurSegV], _: GroupState[Byte]) =>
           val rs = rows.toList
-          val lang = rs.head.lang
-          val clean = rs.filter(!_.dup).sortBy(_.seg_idx).map(_.seg).mkString(" ")
-          // quality gate against the FROZEN cutoffs (batch stage 3):
+          Iterator.single(CurClean(doc, rs.head.lang,
+            rs.filter(!_.dup).sortBy(_.seg_idx).map(_.seg).mkString(" ")))
+      }
+
+    // 3b. substring dedup (batch stage 3, q71): window digests keyed
+    // by md5, keep-first on (doc_id, pos) — the sorted fold makes a
+    // single batch exactly batch q71's global first; across batches
+    // first-arrival-wins (the s20 contract). Each doc also ships one
+    // sentinel row carrying its text, so stage 4 regroups the cut
+    // input without a second stream.
+    val winVerdicts = cleanDocs.flatMap { d =>
+      val toks: Array[String] =
+        if (d.clean.isEmpty) Array.empty else d.clean.split(" ")
+      val wins = (0 to toks.length - subK).iterator.map { j =>
+        (graft.functions.Md5.hex(toks.slice(j, j + subK).mkString(" ")),
+          CurWinV(d.doc_id, d.lang, j + 1, dup = false, payload = null))
+      }
+      wins ++ Iterator.single(
+        ("d:" + d.doc_id, CurWinV(d.doc_id, d.lang, 0, dup = false, payload = d.clean)))
+    }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Int), CurWinV](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, CurWinV)], state: GroupState[(Long, Int)]) =>
+          val rs = rows.map(_._2).toSeq.sortBy(r => (r.doc_id, r.pos))
+          val owner = state.getOption.getOrElse((rs.head.doc_id, rs.head.pos))
+          if (!state.exists) state.update(owner)
+          rs.iterator.map(r => r.copy(dup = (r.doc_id, r.pos) != owner))
+      }
+
+    // 4. per-doc span cut, then the stateless tail of the chain:
+    // gate (frozen cutoffs) → decontaminate (frozen benchmark) →
+    // tokenize (given vocab) → admit (given rates, index-214 hash) →
+    // route to a pack shard
+    val routed = winVerdicts.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Byte, RoutedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (doc: Long, rows: Iterator[CurWinV], _: GroupState[Byte]) =>
+          val rs = rows.toList
+          // single-batch contract: a doc's sentinel and windows share
+          // its arrival batch (the same contract the seg regroup has)
+          val sentinel = rs.find(_.pos == 0).get
+          val lang = sentinel.lang
+          val toks: Array[String] =
+            if (sentinel.payload.isEmpty) Array.empty else sentinel.payload.split(" ")
+          val starts = rs.collect { case r if r.pos > 0 && r.dup => r.pos }
+          val clean = toks.indices.collect {
+            case j if !starts.exists(p => j + 1 >= p && j + 1 < p + subK) => toks(j)
+          }.mkString(" ")
+          // quality gate against the FROZEN cutoffs (batch stage 4):
           // same >= predicate, same NULL-ratio-fails-a-present-cutoff
           // three-valued semantics as the batch filter
           val alpha: Option[Double] =
@@ -1370,7 +1431,7 @@ object StreamOps {
           val shs = wordShingleHashes(clean, shingleN)
           if (!gatePass || shs.exists(bcBench.value.contains)) Iterator.empty
           else {
-            // PII redaction (batch stage 5) — the same java.util.regex
+            // PII redaction (batch stage 6) — the same java.util.regex
             // chain Spark's codegen'd regexp_replace runs; the REDACTED
             // text is what tokenizes, exactly as in batch
             val red = clean
@@ -1811,6 +1872,42 @@ object StreamOps {
       }
       val kept = toks.indices.collect { case j if !covered(j) => toks(j) }
       CleanDoc(id, n.toLong, (n - kept.length).toLong, kept.mkString(" "))
+    }
+  }
+
+  /** s35 output: the q72 columns — one row per arriving document. */
+  case class NbScore(doc_id: Long, is_train: Long, n_feats: Long,
+                     score_q16: Long, pred: Long)
+
+  /** s35: STREAMING NB classification — q72 as an online scorer:
+    * every arriving document is scored by the FROZEN weight table +
+    * prior (Classifier.nbModel, exactly B entries — the s26/s28/s31
+    * frozen-model protocol: a live-updating model would re-score
+    * history). Every possible bucket has a weight (add-one smoothing
+    * covers unseen features), so scoring is total: stateless
+    * broadcast + one pure map, no shuffle, no state. Streams are
+    * ROW-EXACT vs batch q72 on any corpus (spec, multi-batch) because
+    * per-doc scores depend only on the doc and the frozen model.
+    */
+  def streamNbClassify(docs: Dataset[(Long, String)],
+                       model: graft.operators.Classifier.NbModel): Dataset[NbScore] = {
+    import docs.sparkSession.implicits._
+    require(model.weights.size == model.buckets, "frozen model must cover all buckets")
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val ha = graft.operators.Dedup.ReplayableHash.a(218)
+    val hb = graft.operators.Dedup.ReplayableHash.b(218)
+    val P = graft.operators.Dedup.ReplayableHash.P
+    docs.map { case (id, text) =>
+      val m = bc.value
+      val ts = normTokens(text)
+      val feats = ts.iterator ++
+        ts.iterator.sliding(2).withPartial(false).map(_.mkString(" "))
+      var n = 0L; var s = m.priorQ16
+      feats.foreach { f =>
+        val b = ((ha * graft.functions.PolyHashExpr.hash(f) + hb) % P) % m.buckets
+        n += 1L; s += m.weights(b)
+      }
+      NbScore(id, if (id % 2 == 0) 1L else 0L, n, s, if (s >= 0L) 1L else 0L)
     }
   }
 

@@ -28,8 +28,14 @@ class PipelineSpec extends AnyFunSuite {
       val cleaned = TextOps.segmentDedup(canon)
         .select(col("doc_id"), col("clean_text").as("text"))
         .join(canon.select("doc_id", "lang"), "doc_id")
-      val (lenCut, alphaCut) = Pipeline.qualityCutoffs(cleaned)
-      val gated = Pipeline.qualityGate(cleaned, lenCut, alphaCut)
+      val subbed = cleaned.select(col("doc_id"), col("lang"), col("text").as("orig"))
+        .join(graft.operators.ExactSubstr.substringDedup(cleaned)
+          .select(col("doc_id"), col("clean_text")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(col("orig").isNull, lit(null).cast("string"))
+            .otherwise(col("clean_text")).as("text"))
+      val (lenCut, alphaCut) = Pipeline.qualityCutoffs(subbed)
+      val gated = Pipeline.qualityGate(subbed, lenCut, alphaCut)
       val decon = TextOps.decontaminate(gated, bench)
         .filter(col("contaminated") === 0).select("doc_id").join(gated, "doc_id")
       val red = TextOps.piiRedact(decon)
@@ -50,7 +56,10 @@ class PipelineSpec extends AnyFunSuite {
       // at this SF — q20's bite is covered by the planted test below)
       assert(cleaned.join(corpus.withColumnRenamed("text", "raw"), "doc_id")
         .filter(col("text") =!= col("raw")).count() > 0, "q52 stage vacuous")
-      assert(gated.count() < cleaned.count(), "q46 gate vacuous (p5 must bite)")
+      assert(subbed.join(cleaned.withColumnRenamed("text", "pre"), "doc_id")
+        .filter(col("text") =!= col("pre")).count() > 0,
+        "q71 stage vacuous (unaligned dup spans must survive q52 and be cut here)")
+      assert(gated.count() < subbed.count(), "q46 gate vacuous (p5 must bite)")
       assert(decon.count() < gated.count(), "q38 stage vacuous")
       assert(admitted.count() < decon.count(), "mixture stage vacuous")
 
@@ -103,7 +112,7 @@ class PipelineSpec extends AnyFunSuite {
     // in-chain PII redaction, pinned by IDEMPOTENCE: curating the
     // corpus with doc 10's email RAW must equal curating it with the
     // email pre-replaced by <EMAIL> — the chain redacts before
-    // tokenizer training, so both corpora are identical from stage 5
+    // tokenizer training, so both corpora are identical from stage 6
     // on. (The p5 gate on this tiny corpus is the min — pass-all in
     // both runs — so the pre-gate length difference cannot reorder
     // anything; the equality is exact, not approximate.)

@@ -1787,6 +1787,25 @@ class StreamingSpec extends AnyFunSuite {
     second.groupBy(s => (s._1, s._2)).foreach { case (_, ss) =>
       assert(ss.map(_._5).sum <= cap)
     }
+
+    // substring stage (q71) bites ACROSS batches: doc 15 embeds doc
+    // 1's full 24-token run UNALIGNED (3-token prefix, so no 8-word
+    // segment matches and the seg stage passes it intact); the window
+    // state from batch 1 marks the run dup, the cut leaves 6 tokens,
+    // and the frozen length gate drops it. The control doc 14 — same
+    // token count, all fresh — packs.
+    // (both scenario docs reuse id 11 — fresh streams each drive, and
+    // 11's admission bucket is known to clear the en rate above)
+    val extras = (0 until 6).map(j => s"x9${j}_pad").mkString(" ")
+    val docA = StreamOps.CurDoc(11L, "en", uniq(14) + " " + extras)
+    val docB = StreamOps.CurDoc(11L, "en",
+      extras.split(" ").take(3).mkString(" ") + " " + uniq(1) + " " +
+        extras.split(" ").drop(3).mkString(" "))
+    val gotA = drive(Seq(corpusRows, Seq(docA)))
+    assert(gotA.lift(1).exists(_.exists(_._3 == 11L)), "fresh 30-token doc must pack")
+    val gotB = drive(Seq(corpusRows, Seq(docB)))
+    assert(!gotB.lift(1).exists(_.exists(_._3 == 11L)),
+      "unaligned span-copy must be cut by the window state and dropped at the gate")
   }
 
   test("s04 kafka config surface builds; file substitution streams real rows") {
@@ -1904,6 +1923,42 @@ class StreamingSpec extends AnyFunSuite {
     val victim = batch.collect { case (id, (_, rm, _)) if rm > 0 => id }.min
     assert(got(999999L)._2 >= batch(victim)._2,
       s"clone cut ${got(999999L)._2} < original's ${batch(victim)._2}")
+  }
+
+  test("s35 streaming NB classification is row-exact vs batch q72 under the frozen model") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val d = Tables.documents(spark, sfDir)
+    val batch = graft.operators.Classifier.nbClassify(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val model = graft.operators.Classifier.nbModel(d)
+
+    val source = MemoryStream[(Long, String)]
+    val got = collection.mutable.Map[Long, (Long, Long, Long, Long)]()
+    val q = StreamOps.streamNbClassify(source.toDS(), model)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.NbScore], _: Long) =>
+        b.collect().foreach(r =>
+          got(r.doc_id) = (r.is_train, r.n_feats, r.score_q16, r.pred)); ()
+      }.start()
+    try {
+      val rows = d.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      source.addData(rows.take(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      source.addData(rows.drop(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.size == batch.size)
+    val mismatches = batch.collect {
+      case (id, b) if got(id) != b => s"$id: stream ${got(id)} batch $b"
+    }
+    assert(mismatches.isEmpty, mismatches.take(5).mkString("; "))
+    // both classes actually predicted (the model is not a constant)
+    assert(got.values.exists(_._4 == 1L) && got.values.exists(_._4 == 0L))
   }
 
   test("s23 streaming restore: multi-batch changelog converges row-exact to the batch LWW fold") {
