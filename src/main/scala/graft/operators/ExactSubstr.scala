@@ -62,17 +62,44 @@ object ExactSubstr {
     * whitespace by construction).
     */
   def substringDedup(documents: DataFrame, k: Int = 6): DataFrame = {
-    require(k >= 2, "substring window must span at least 2 tokens")
-    // Materialize the token array ONCE per select chain (the §8
-    // multi-reference guard: `toks` is referenced by both the
-    // sequence bound and the per-element slice, so CollapseProject
-    // keeps the split out of the lambda).
-    val toks = documents.select(col("doc_id"),
+    val starts = windowStarts(documents, k)
+    tokFrame(documents).join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("st"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        expr(s"filter(toks, (t, j) -> NOT exists(st, p -> j+1 >= p AND j+1 < p + $k))")
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
+  /** Materialize the token array ONCE per select chain (the §8
+    * multi-reference guard: `toks` is referenced by both the sequence
+    * bound and the per-element slice, so CollapseProject keeps the
+    * split out of the lambda).
+    */
+  private def tokFrame(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
       filter(split(lower(TextOps.wsTrim(col("text"))), "\\s+"),
         t => length(t) > 0).as("toks"))
+
+  /** The marked-start side of q71 alone: per document, the sorted
+    * 1-based positions of every non-first duplicated k-token window
+    * — a NARROW (doc_id, array<int>) frame with no text, bounded by
+    * the corpus's duplicated-window mass. Exposed separately so a
+    * caller with an EXPENSIVE lineage (the q53 chain) can checkpoint
+    * this frame once (the q69 docB narrow-checkpoint class) and apply
+    * the cut as a pure map, instead of letting every downstream
+    * consumer re-derive the whole window machinery — at 10× bench
+    * scale the un-checkpointed chain multiplied the upstream stages
+    * past single-JVM execution memory.
+    */
+  def windowStarts(documents: DataFrame, k: Int = 6): DataFrame = {
+    require(k >= 2, "substring window must span at least 2 tokens")
     // One (doc_id, pos, digest) row per k-token window; text never
     // leaves the map side — only the md5 digest enters the shuffle.
-    val wins = toks
+    val wins = tokFrame(documents)
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(toks) - ${k - 1}), " +
@@ -90,19 +117,9 @@ object ExactSubstr {
       .filter(col("doc_id") =!= col("fdoc") || col("pos") =!= col("fpos"))
       .select(col("doc_id"), col("pos"))
     // Per-doc start list (<= tokens-per-doc entries), sorted for a
-    // deterministic array; joined back on doc_id and applied as one
-    // pure-map reconstruction.
-    val starts = marked.groupBy(col("doc_id"))
+    // deterministic array.
+    marked.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
-    toks.join(starts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("toks"),
-        coalesce(col("starts"), array().cast("array<int>")).as("st"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        expr(s"filter(toks, (t, j) -> NOT exists(st, p -> j+1 >= p AND j+1 < p + $k))")
-          .as("kept"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
-        concat_ws(" ", col("kept")).as("clean_text"))
   }
 
   /** The frozen first-occurrence table for s34's streaming twin:

@@ -87,14 +87,26 @@ object Pipeline {
     // 3. substring dedup — unaligned duplicated spans cut from the
     // segment-cleaned text (q71 keep-first); a NULL original stays
     // NULL (the stage-2 discipline), and the cut text is what every
-    // later stage sees
-    val sub0 = ExactSubstr.substringDedup(cleaned, subK)
-      .select(col("doc_id"), col("clean_text"))
-    val subbed0 = cleaned.select(col("doc_id"), col("lang"), col("text").as("orig"))
-      .join(sub0, Seq("doc_id"), "left")
+    // later stage sees. The marked-start frame is ALWAYS checkpointed:
+    // it is narrow (doc_id + int positions, no text — the q69 docB
+    // class), and without it every downstream consumer would re-derive
+    // the whole window machinery on top of the stage-1/2 lineage
+    // (measured past single-JVM execution memory at 10× bench scale).
+    // The cut itself is then one broadcast-scale join + a pure map, so
+    // each downstream pass still evaluates the corpus text exactly as
+    // often as it did before this stage existed.
+    val starts = ExactSubstr.windowStarts(cleaned, subK).localCheckpoint(true)
+    val subbed0 = cleaned
+      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("text"),
+        coalesce(col("starts"), array().cast("array<int>")).as("st"),
+        filter(split(lower(TextOps.wsTrim(col("text"))), "\\s+"),
+          t => length(t) > 0).as("toks"))
       .select(col("doc_id"), col("lang"),
-        when(col("orig").isNull, lit(null).cast("string"))
-          .otherwise(col("clean_text")).as("text"))
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", expr(
+            s"filter(toks, (t, j) -> NOT exists(st, p -> j+1 >= p AND j+1 < p + $subK))")))
+          .as("text"))
     val subbed = if (materializeStages) subbed0.localCheckpoint(true) else subbed0
     // 4. quality gate: p`gatePct` cutoffs from the cut corpus
     // (2-row driver collect — the trainCodebook scalar protocol),
