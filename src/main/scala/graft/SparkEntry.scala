@@ -139,10 +139,21 @@ object SparkEntry {
       TextOps.decontaminate(docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0))
     }),
+    // q73: q38's output through the bloom-join shape (benchmark bloom
+    // prefilter + exact confirm) — same split, same oracle SQL.
+    "q73_bloom_decontam" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      TextOps.decontaminateBloom(docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+    }),
     "q39_repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
     // q61: bigram-LM perplexity in Q16 fixed-point (the Log2Q16Expr
     // kernel — no libm, so the whole score hash-compares)
     "q61_perplexity" -> ((s, d) => TextOps.perplexity(Tables.documents(s, d))),
+    // q74: CCNet head/middle/tail buckets — the q61 kernel + per-lang
+    // q46 sketch cutoffs (33/67), all integer/replayable
+    "q74_ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(Tables.documents(s, d), k = 256)),
     // q62: integer-exact BM25 top-k retrieval over the same kernel
     "q62_bm25_search" -> ((s, d) => TextOps.bm25Search(Tables.documents(s, d))),
     // q58: the synthetic corpus is PII-free (checked: zero '@', zero
@@ -253,6 +264,47 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
+  /** q38's oracle SQL — shared verbatim by q73 (the bloom prefilter
+    * is exactness-preserving, so both operators hash-compare against
+    * the identical DuckDB replay).
+    */
+  private val decontamSql: String =
+    """WITH ctoks AS (
+           SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
+           FROM documents WHERE doc_id % 97 <> 0),
+         btoks AS (
+           SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
+           FROM documents WHERE doc_id % 97 = 0),
+         csh AS (
+           SELECT DISTINCT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(sh)+1),
+                      i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 3, 1) + 1),
+                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS sh
+                 FROM ctoks) x),
+         bsh AS (
+           SELECT DISTINCT
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(sh)+1),
+                      i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 3, 1) + 1),
+                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS sh
+                 FROM btoks) x),
+         sizes AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY 1),
+         ov AS (SELECT doc_id, count(*) AS n_overlap FROM csh JOIN bsh USING (s) GROUP BY 1)
+         SELECT d.doc_id,
+                COALESCE(sizes.n_shingles, 0) AS n_shingles,
+                COALESCE(ov.n_overlap, 0) AS n_overlap,
+                CAST(COALESCE(ov.n_overlap, 0) >= 1 AS BIGINT) AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+         LEFT JOIN sizes USING (doc_id)
+         LEFT JOIN ov USING (doc_id)"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_repartition" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
@@ -961,42 +1013,11 @@ object SparkEntry {
          FROM sig g2 JOIN grp g USING (ahash)""",
     // q38: the q25 posting replay (word 4-grams, poly_hash keys) split
     // into corpus vs the deterministic every-97th-doc eval set.
-    "q38_decontamination" ->
-      """WITH ctoks AS (
-           SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
-           FROM documents WHERE doc_id % 97 <> 0),
-         btoks AS (
-           SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
-           FROM documents WHERE doc_id % 97 = 0),
-         csh AS (
-           SELECT DISTINCT doc_id,
-                  list_reduce(list_prepend(CAST(0 AS BIGINT),
-                    list_transform(range(1, length(sh)+1),
-                      i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
-                    (h, c) -> (h * 31 + c) % 1000000007) AS s
-           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
-                   range(1, greatest(len(toks) - 3, 1) + 1),
-                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS sh
-                 FROM ctoks) x),
-         bsh AS (
-           SELECT DISTINCT
-                  list_reduce(list_prepend(CAST(0 AS BIGINT),
-                    list_transform(range(1, length(sh)+1),
-                      i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
-                    (h, c) -> (h * 31 + c) % 1000000007) AS s
-           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
-                   range(1, greatest(len(toks) - 3, 1) + 1),
-                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS sh
-                 FROM btoks) x),
-         sizes AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY 1),
-         ov AS (SELECT doc_id, count(*) AS n_overlap FROM csh JOIN bsh USING (s) GROUP BY 1)
-         SELECT d.doc_id,
-                COALESCE(sizes.n_shingles, 0) AS n_shingles,
-                COALESCE(ov.n_overlap, 0) AS n_overlap,
-                CAST(COALESCE(ov.n_overlap, 0) >= 1 AS BIGINT) AS contaminated
-         FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
-         LEFT JOIN sizes USING (doc_id)
-         LEFT JOIN ov USING (doc_id)""",
+    "q38_decontamination" -> decontamSql,
+    // q73: the bloom prefilter is exactness-preserving (FPs die in the
+    // confirm join), so the oracle IS q38's — the strongest possible
+    // statement of "same semantics, different physical shape".
+    "q73_bloom_decontam" -> decontamSql,
     // q39: every ratio is integer-count / integer-count in IEEE double
     // — bit-identical across engines. DuckDB range() is end-EXCLUSIVE
     // vs Spark sequence()'s inclusive, hence the +1s.
@@ -1123,6 +1144,89 @@ object SparkEntry {
                 CAST(sc.nll_sum // sc.n_bigrams AS BIGINT) AS ppl_q16
          FROM (SELECT doc_id FROM documents) d
          LEFT JOIN scored sc USING (doc_id)""",
+    // q74: the q61 perplexity replay extended with lang, then the q46
+    // bottom-k-by-hash sketch PER LANGUAGE (row_number over (h, v)
+    // stands in for the per-group LIMIT) and the inclusive 33/67
+    // bucket CASE. Hash indexes 220/221 → LCG seeds 441-444.
+    "q74_ccnet_buckets" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'),
+                    t -> length(t) > 0) AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM toks) x),
+         uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         v AS (SELECT count(DISTINCT t) AS v
+               FROM (SELECT unnest(toks) AS t FROM toks) x),
+         bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         vals AS (
+           SELECT DISTINCT x FROM (
+             SELECT c12 + 1 AS x FROM bgc
+             UNION SELECT c1 + (SELECT v FROM v) AS x FROM uni) u),
+         s(x, z, r, i) AS (
+           SELECT x, (x * 65536) // (1::BIGINT << (length(bin(x)) - 1)),
+                  CAST(length(bin(x)) - 1 AS BIGINT) * 65536, 0
+           FROM vals
+           UNION ALL
+           SELECT x,
+                  CASE WHEN (z*z) // 65536 >= 131072
+                       THEN ((z*z) // 65536) // 2 ELSE (z*z) // 65536 END,
+                  CASE WHEN (z*z) // 65536 >= 131072
+                       THEN r + (1::BIGINT << (16 - (i + 1))) ELSE r END,
+                  i + 1
+           FROM s WHERE i < 16),
+         il AS (SELECT x, r FROM s WHERE i = 16),
+         model AS (
+           SELECT b.w1, b.w2, ild.r - iln.r AS nll_q16
+           FROM bgc b
+           JOIN uni u ON u.w1 = b.w1
+           JOIN il ild ON ild.x = u.c1 + (SELECT v FROM v)
+           JOIN il iln ON iln.x = b.c12 + 1),
+         scored AS (
+           SELECT bg.doc_id, count(*) AS n_bigrams, sum(m.nll_q16) AS nll_sum
+           FROM bg JOIN model m ON m.w1 = bg.w1 AND m.w2 = bg.w2
+           GROUP BY 1),
+         pplq AS (
+           SELECT d.doc_id, d.lang,
+                  CAST(sc.nll_sum // sc.n_bigrams AS BIGINT) AS ppl_q16
+           FROM documents d
+           LEFT JOIN scored sc USING (doc_id)),
+         hashed AS (
+           SELECT lang, CAST(ppl_q16 AS DOUBLE) AS v,
+                  ((((CAST(1103515245 AS BIGINT)*441 + 12345) % 2147483648) * s
+                    + ((CAST(1103515245 AS BIGINT)*442 + 12345) % 2147483648)) % 2147483647)
+                  * 2147483647
+                  + ((((CAST(1103515245 AS BIGINT)*443 + 12345) % 2147483648) * s
+                      + ((CAST(1103515245 AS BIGINT)*444 + 12345) % 2147483648)) % 2147483647) AS h
+           FROM (
+             SELECT lang, ppl_q16,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(kk)+1),
+                        i -> CAST(unicode(substring(kk, CAST(i AS INT), 1)) AS BIGINT))),
+                      (h, c) -> (h * 31 + c) % 1000000007) AS s
+             FROM (SELECT lang, ppl_q16,
+                          concat('q74:', CAST(doc_id AS VARCHAR)) AS kk
+                   FROM pplq WHERE ppl_q16 IS NOT NULL) t0) t1),
+         ranked AS (
+           SELECT lang, v,
+                  row_number() OVER (PARTITION BY lang ORDER BY h, v) AS rn
+           FROM hashed),
+         arr AS (
+           SELECT lang, list(v ORDER BY v) AS sample, count(*) AS n
+           FROM ranked WHERE rn <= 256 GROUP BY 1),
+         cuts AS (
+           SELECT lang,
+                  CAST(sample[CAST(33 * (n - 1) // 100 AS INT) + 1] AS BIGINT) AS c33,
+                  CAST(sample[CAST(67 * (n - 1) // 100 AS INT) + 1] AS BIGINT) AS c67
+           FROM arr)
+         SELECT p.doc_id, p.lang, p.ppl_q16,
+                CASE WHEN p.ppl_q16 IS NULL THEN NULL
+                     WHEN p.ppl_q16 <= c.c33 THEN 'head'
+                     WHEN p.ppl_q16 <= c.c67 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM pplq p LEFT JOIN cuts c USING (lang)""",
     // q62: the whole BM25 computation replayed — query-term
     // selection, the Q16 idf via the same recursive-CTE log2, the
     // myriad-scaled length normalization, and the (score DESC,

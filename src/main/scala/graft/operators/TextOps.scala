@@ -217,6 +217,80 @@ object TextOps {
         (col("n_overlap") >= minOverlap).cast("long").as("contaminated"))
   }
 
+  /** q73: BLOOM-PREFILTERED decontamination — q38's semantics bit-for-bit
+    * (same shingles, same counts, same contaminated flag; the oracle IS
+    * q38's SQL), restructured around the classic bloom-join so the
+    * corpus side never shuffles its full posting set:
+    *
+    *   1. benchmark shingles → ONE Spark `BloomFilterAggregate` (the
+    *      engine's own runtime-filter sketch, reused as a declared
+    *      operator — merge-invariant bitwise-OR combine, so the build
+    *      is partition-deterministic);
+    *   2. the serialized filter rides the plan as a foldable binary
+    *      literal and `BloomFilterMightContain` (codegen'd, constant
+    *      deserialized once per task) prefilters corpus postings
+    *      map-side — only might-contain survivors enter the join;
+    *   3. the exact confirm join against the benchmark shingle set
+    *      kills the false positives, restoring q38's exact output.
+    *
+    * Why it exists next to q38: q38 broadcasts the benchmark SHINGLE
+    * SET into the join — fine while the eval suite is thousands of
+    * docs, but an all-benchmarks suite at 100 TB corpus scale can
+    * reach 10⁸ shingles (~800 MB of long keys — past broadcast
+    * comfort), forcing the join to shuffle EVERY corpus posting. The
+    * bloom at ~10 bits/item is 64× smaller than the 8-byte key set
+    * (10⁸ shingles ≈ 125 MB — still a broadcast), and after the ~0.8%
+    * FP prefilter the confirm join's corpus side is contamination-
+    * sized, not corpus-sized: either side now broadcasts, and the
+    * corpus text/posting mass never enters an exchange. This is the
+    * declared-operator form of the bloom Spark's own
+    * InjectRuntimeFilter would only apply under a shuffle join, with
+    * the threshold choices (bits/item, confirm side) in the
+    * operator's hands.
+    *
+    * Sizing: one tiny count(distinct) action over the benchmark side
+    * fixes the filter size (the trainCodebook scalar-sizing
+    * protocol); the benchmark shingle frame is localCheckpoint'd once
+    * and reused by the sizing count, the bloom build, and the confirm
+    * join (the §8 eager-checkpoint rule — no CacheManager leak).
+    *
+    * Determinism: the bloom's BITS depend only on the inserted set
+    * (fixed hash family, OR-combine), and false positives only ever
+    * ADD rows to the confirm join's input, never decide the output —
+    * so the result is exactly `decontaminate`'s for every input, which
+    * the spec asserts frame-vs-frame and the driver hash-checks
+    * against the shared oracle.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         shingleN: Int = 4, minOverlap: Int = 1,
+                         bitsPerItem: Int = 10): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(bitsPerItem >= 2, "a usable bloom needs >= 2 bits per item")
+    val corpusSh = Dedup.postings(corpus, shingleN)
+    val benchSh = Dedup.postings(benchmark, shingleN)
+      .select(col("shingle")).distinct().localCheckpoint(true)
+    val nItems = math.max(benchSh.count(), 1L)
+    val bloom = benchSh.agg(Bridge.column(
+      BloomFilterAggregate(Bridge.expression(col("shingle")),
+        Literal(nItems), Literal(nItems * bitsPerItem), 0, 0)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pre = corpusSh.filter(Bridge.column(BloomFilterMightContain(
+      Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(col("shingle")))))
+    val overlap = pre.join(benchSh, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    val sizes = corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    corpus.select(col("doc_id"))
+      .join(sizes, Seq("doc_id"), "left")
+      .join(overlap, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shingles", "n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap") >= minOverlap).cast("long").as("contaminated"))
+  }
+
   /** q39: repetition-based quality stats — the Gopher/C4 family of
     * repetitiousness filters: distinct-token ratio, the fraction of
     * 2-gram occurrences claimed by the single most frequent 2-gram,
@@ -988,6 +1062,62 @@ object TextOps {
       .select(col("token"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("token"), (col("pos") + 1).cast("long").as("rank"),
         col("t.id").as("doc_id"), col("t.ord").cast("long").as("score_q16"))
+  }
+
+  /** q74: CCNet-style perplexity bucketing (Wenzek et al., LREC 2020,
+    * arXiv:1911.00359 §4.3) — the head/middle/tail corpus partition
+    * every CCNet-descended pipeline ships: per LANGUAGE, documents are
+    * split at the 33rd/67th perplexity percentiles of that language's
+    * distribution (lower perplexity = closer to the LM's training
+    * register = "head"). Composes two existing kernels: the q61
+    * Q16-integer bigram-LM perplexity (no libm — scores hash-compare)
+    * and the q46 deterministic bottom-k-by-hash quantile sketch
+    * (per-lang cutoffs replay exactly in SQL, where a sampled or
+    * t-digest percentile could not).
+    *
+    * Scale shape: the per-doc (doc_id, lang, ppl) frame is NARROW
+    * (the q69 docB checkpoint class) and feeds two consumers (the
+    * sketch and the final bucket map), so it is localCheckpoint'd
+    * once — the bigram model join never re-derives. The sketch is one
+    * bounded aggregate (k doubles per language, map-side partials
+    * combine); the cutoff table is languages-count rows and
+    * BROADCASTS back; the bucket decision is a pure map. No global
+    * sort, no corpus window — the per-lang percentile a naive build
+    * would compute with rank() OVER (PARTITION BY lang) (a full
+    * shuffle of the corpus into language partitions, with the
+    * dominant language's partition a straggler at 100 TB) costs one
+    * k-row sketch here.
+    *
+    * Docs with no bigrams have NULL perplexity and NULL bucket
+    * (CCNet drops them; the flag is attributable). Cutoff membership
+    * is inclusive: ppl <= c33 → head, <= c67 → middle, else tail.
+    */
+  def ccnetBuckets(documents: DataFrame, k: Int = 1024): DataFrame = {
+    import graft.operators.Dedup.ReplayableHash.{a, b, P}
+    val withLang = documents.select(col("doc_id"), col("lang"))
+      .join(perplexity(documents), Seq("doc_id"))
+      .localCheckpoint(true)
+    val s = graft.functions.VectorFunctions.poly_hash(
+      concat(lit("q74:"), col("doc_id").cast("string")))
+    val h1 = (lit(a(220)) * s + lit(b(220))) % lit(P)
+    val h2 = (lit(a(221)) * s + lit(b(221))) % lit(P)
+    val cuts = withLang.filter(col("ppl_q16").isNotNull)
+      .select(col("lang"), (h1 * lit(P) + h2).as("h"),
+        col("ppl_q16").cast("double").as("v"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.QuantileFunctions
+        .quantile_sketch(col("h"), col("v"), k).as("sample"))
+      .select(col("lang"),
+        expr("try_element_at(sample, CAST(33 * (size(sample) - 1) DIV 100 AS INT) + 1)")
+          .cast("long").as("c33"),
+        expr("try_element_at(sample, CAST(67 * (size(sample) - 1) DIV 100 AS INT) + 1)")
+          .cast("long").as("c67"))
+    withLang.join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("ppl_q16"),
+        when(col("ppl_q16").isNull, lit(null).cast("string"))
+          .when(col("ppl_q16") <= col("c33"), lit("head"))
+          .when(col("ppl_q16") <= col("c67"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
   }
 
   def perplexity(documents: DataFrame): DataFrame = {

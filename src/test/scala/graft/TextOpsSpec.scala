@@ -112,6 +112,83 @@ class TextOpsSpec extends AnyFunSuite {
     assert(full.count() == docs.filter(col("doc_id") % 97 =!= 0).count())
   }
 
+  test("q73 bloom decontamination is frame-identical to exact q38") {
+    import spark.implicits._
+    // hand corpus: a copier, a disjoint doc, an exact-one-gram doc
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words then alpha beta gamma delta epsilon and more"),
+      (2L, "totally different vocabulary nothing shared here at all"),
+      (3L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val exact = TextOps.decontaminate(corpus, bench)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val bloom = TextOps.decontaminateBloom(corpus, bench)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(bloom.toSeq == exact.toSeq)
+    // the real corpus split: identical frames (FPs all die in the
+    // confirm join) — this is the operator's whole contract
+    val c = docs.filter(col("doc_id") % 97 =!= 0)
+    val b = docs.filter(col("doc_id") % 97 === 0)
+    val full = TextOps.decontaminateBloom(c, b)
+    assert(full.count() == c.count())
+    assert(full.exceptAll(TextOps.decontaminate(c, b)).count() == 0)
+    // tiny bitsPerItem (2) floods the prefilter with FPs — output
+    // must STILL be exact (the confirm join is the correctness gate)
+    val flood = TextOps.decontaminateBloom(corpus, bench, bitsPerItem = 2)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(flood.toSeq == exact.toSeq)
+  }
+
+  test("q74 ccnet buckets: per-lang monotone partition, nulls attributable") {
+    val out = TextOps.ccnetBuckets(docs, k = 256)
+    // one row per document
+    assert(out.count() == docs.count())
+    // a doc has a bucket iff it has a perplexity
+    assert(out.filter(col("ppl_q16").isNull =!= col("bucket").isNull).count() == 0)
+    // within every language the buckets are a MONOTONE partition:
+    // max(head) <= min(middle) <= max(middle) <= min(tail)
+    val stats = out.filter(col("bucket").isNotNull)
+      .groupBy(col("lang"), col("bucket"))
+      .agg(min(col("ppl_q16")).as("lo"), max(col("ppl_q16")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val langs = stats.keys.map(_._1).toSet
+    assert(langs.nonEmpty)
+    for (l <- langs) {
+      val hi = stats.get((l, "head")).map(_._2)
+      val mLo = stats.get((l, "middle")).map(_._1)
+      val mHi = stats.get((l, "middle")).map(_._2)
+      val tLo = stats.get((l, "tail")).map(_._1)
+      for (h <- hi; m <- mLo) assert(h <= m, s"$l head/middle overlap")
+      for (m <- mHi; t <- tLo) assert(m <= t, s"$l middle/tail overlap")
+    }
+    // on the real corpus every major language has all three buckets
+    // and the head share sits near a third (sketch cutoffs, not exact)
+    val byLang = out.filter(col("bucket").isNotNull)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val major = byLang.filter(_._2 >= 50).keys
+    assert(major.nonEmpty)
+    for (l <- major) {
+      val n = byLang(l).toDouble
+      val h = stats.get((l, "head")).map(_._3).getOrElse(0L).toDouble
+      assert(stats.contains((l, "middle")) && stats.contains((l, "tail")), s"$l missing a bucket")
+      assert(h / n > 0.15 && h / n < 0.55, s"$l head share ${h / n}")
+    }
+    // degenerate docs (under 2 tokens) bucket to null, not a crash
+    import spark.implicits._
+    val tiny = Seq((1L, "en", "solo"), (2L, "en", ""), (3L, "en", "two words here"))
+      .toDF("doc_id", "lang", "text")
+    val t = TextOps.ccnetBuckets(tiny, k = 16).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(t(1L).isEmpty && t(2L).isEmpty && t(3L).nonEmpty)
+    // deterministic under repartitioning
+    val again = TextOps.ccnetBuckets(docs.repartition(7), k = 256)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+  }
+
   test("q39 repetition stats separate a repetitive doc from a varied one") {
     import spark.implicits._
     val d = Seq(
