@@ -1093,15 +1093,27 @@ object TextOps {
     * is inclusive: ppl <= c33 → head, <= c67 → middle, else tail.
     */
   def ccnetBuckets(documents: DataFrame, k: Int = 1024): DataFrame = {
-    import graft.operators.Dedup.ReplayableHash.{a, b, P}
     val withLang = documents.select(col("doc_id"), col("lang"))
       .join(perplexity(documents), Seq("doc_id"))
       .localCheckpoint(true)
+    withLang.join(broadcast(ccnetCutFrame(withLang, k)), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("ppl_q16"),
+        when(col("ppl_q16").isNull, lit(null).cast("string"))
+          .when(col("ppl_q16") <= col("c33"), lit("head"))
+          .when(col("ppl_q16") <= col("c67"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** The per-language (c33, c67) cutoff frame over a (lang, ppl_q16)
+    * carrying frame — the q46 bottom-k-by-hash sketch per language.
+    */
+  private def ccnetCutFrame(withLang: DataFrame, k: Int): DataFrame = {
+    import graft.operators.Dedup.ReplayableHash.{a, b, P}
     val s = graft.functions.VectorFunctions.poly_hash(
       concat(lit("q74:"), col("doc_id").cast("string")))
     val h1 = (lit(a(220)) * s + lit(b(220))) % lit(P)
     val h2 = (lit(a(221)) * s + lit(b(221))) % lit(P)
-    val cuts = withLang.filter(col("ppl_q16").isNotNull)
+    withLang.filter(col("ppl_q16").isNotNull)
       .select(col("lang"), (h1 * lit(P) + h2).as("h"),
         col("ppl_q16").cast("double").as("v"))
       .groupBy(col("lang"))
@@ -1112,12 +1124,17 @@ object TextOps {
           .cast("long").as("c33"),
         expr("try_element_at(sample, CAST(67 * (size(sample) - 1) DIV 100 AS INT) + 1)")
           .cast("long").as("c67"))
-    withLang.join(broadcast(cuts), Seq("lang"), "left")
-      .select(col("doc_id"), col("lang"), col("ppl_q16"),
-        when(col("ppl_q16").isNull, lit(null).cast("string"))
-          .when(col("ppl_q16") <= col("c33"), lit("head"))
-          .when(col("ppl_q16") <= col("c67"), lit("middle"))
-          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** The frozen per-language cutoffs for s36's online bucketer:
+    * lang → (c33, c67) — a languages-count collect (the
+    * bigramLmIndex scalar protocol).
+    */
+  def ccnetCutoffs(documents: DataFrame, k: Int = 1024): Map[String, (Long, Long)] = {
+    val withLang = documents.select(col("doc_id"), col("lang"))
+      .join(perplexity(documents), Seq("doc_id"))
+    ccnetCutFrame(withLang, k).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
   }
 
   def perplexity(documents: DataFrame): DataFrame = {

@@ -2051,6 +2051,53 @@ object StreamOps {
       }
     }
   }
+
+  /** s36 output: the q74 columns — bucket None when ppl is None. */
+  case class BucketReport(doc_id: Long, lang: String,
+                          ppl_q16: Option[Long], bucket: Option[String])
+
+  /** s36: STREAMING CCNet bucketing — q74 as an online corpus router:
+    * every arriving (doc_id, lang, text) is perplexity-scored by the
+    * FROZEN reference LM (the s25 index — byte-identical Q16
+    * arithmetic) and routed head/middle/tail by the FROZEN
+    * per-language cutoffs (TextOps.ccnetCutoffs; a drifting cutoff
+    * table would re-bucket history — the s26/s28/s31/s35 frozen-model
+    * rule). Stateless: two broadcast tables + one pure map, no
+    * shuffle, no state. Streaming the training corpus is ROW-EXACT vs
+    * batch q74 (spec, multi-batch): on it every bigram is
+    * model-present and every scored lang has cutoffs, so the
+    * smoothing ladder and the unknown-lang rule (no cutoffs → "tail",
+    * matching batch's null-propagating CASE) never fire; both are the
+    * documented graceful paths for genuinely novel input.
+    */
+  def streamCcnetBuckets(docs: Dataset[(Long, String, String)],
+                         index: BigramLmIndex,
+                         cuts: Map[String, (Long, Long)]): Dataset[BucketReport] = {
+    import docs.sparkSession.implicits._
+    val bcIx = docs.sparkSession.sparkContext.broadcast(index)
+    val bcCuts = docs.sparkSession.sparkContext.broadcast(cuts)
+    docs.map { case (id, lang, text) =>
+      val ts = normTokens(text)
+      val ix = bcIx.value
+      if (ts.length < 2) BucketReport(id, lang, None, None)
+      else {
+        var nll = 0L
+        var i = 0
+        while (i < ts.length - 1) {
+          nll += ix.nll.getOrElse((ts(i), ts(i + 1)),
+            ix.ilDen.getOrElse(ts(i), ix.oovNll))
+          i += 1
+        }
+        val ppl = nll / (ts.length - 1).toLong
+        val bucket = bcCuts.value.get(lang) match {
+          case Some((c33, c67)) =>
+            if (ppl <= c33) "head" else if (ppl <= c67) "middle" else "tail"
+          case None => "tail"
+        }
+        BucketReport(id, lang, Some(ppl), Some(bucket))
+      }
+    }
+  }
 }
 
 /** s04: the Kafka source/sink config surface (Streams.java:35-49 —

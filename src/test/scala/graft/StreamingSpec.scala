@@ -1961,6 +1961,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.exists(_._4 == 1L) && got.values.exists(_._4 == 0L))
   }
 
+  test("s36 streaming ccnet bucketing is row-exact vs batch q74 under the frozen model") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val d = Tables.documents(spark, sfDir)
+    val batch = graft.operators.TextOps.ccnetBuckets(d, k = 256)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.getString(3))))).toMap
+    val index = StreamOps.bigramLmIndex(d)
+    val cuts = graft.operators.TextOps.ccnetCutoffs(d, k = 256)
+
+    val source = MemoryStream[(Long, String, String)]
+    val got = collection.mutable.Map[Long, (String, Option[Long], Option[String])]()
+    val q = StreamOps.streamCcnetBuckets(source.toDS(), index, cuts)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.BucketReport], _: Long) =>
+        b.collect().foreach(r => got(r.doc_id) = (r.lang, r.ppl_q16, r.bucket)); ()
+      }.start()
+    try {
+      val rows = d.select(col("doc_id"), col("lang"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      source.addData(rows.take(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      source.addData(rows.drop(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.size == batch.size)
+    val mismatches = batch.collect {
+      case (id, b) if got(id) != b => s"$id: stream ${got(id)} batch $b"
+    }
+    assert(mismatches.isEmpty, mismatches.take(5).mkString("; "))
+    // all three buckets actually emitted
+    val bs = got.values.flatMap(_._3).toSet
+    assert(bs == Set("head", "middle", "tail"), bs.toString)
+    // a genuinely novel doc (unseen lang + unseen vocab) routes to the
+    // documented graceful path: smoothed ppl, bucket tail
+    val source2 = MemoryStream[(Long, String, String)]
+    val got2 = collection.mutable.Map[Long, (String, Option[Long], Option[String])]()
+    val q2 = StreamOps.streamCcnetBuckets(source2.toDS(), index, cuts)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.BucketReport], _: Long) =>
+        b.collect().foreach(r => got2(r.doc_id) = (r.lang, r.ppl_q16, r.bucket)); ()
+      }.start()
+    try {
+      source2.addData((900001L, "zz", "zzq wwk vvt uup"), (900002L, "zz", "solo"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(got2(900001L)._2.nonEmpty && got2(900001L)._3.contains("tail"))
+    assert(got2(900002L) == (("zz", None, None)))
+  }
+
   test("s23 streaming restore: multi-batch changelog converges row-exact to the batch LWW fold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
