@@ -285,6 +285,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("q73 bloom decontamination: might_contain prefilter sits map-side under the confirm join") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val df = graft.operators.TextOps.decontaminateBloom(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0))
+    val s = finalPlanStr(df)
+    // the bloom prefilter must appear as a Filter (codegen'd
+    // might_contain over the foldable literal), not be lost to a
+    // post-join residual — it is the operator's entire point
+    assert(s.contains("might_contain"), s)
+    // after the prefilter both confirm-join sides are tiny: broadcast,
+    // never a cartesian
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q74 ccnet buckets: cutoff table broadcasts, no per-language corpus window") {
+    val docs = Tables.documents(spark, sfDir)
+    val df = graft.operators.TextOps.ccnetBuckets(docs, k = 256)
+    val s = finalPlanStr(df)
+    // the bucket decision joins the languages-count cutoff table by
+    // broadcast; the per-lang percentile must come from the bounded
+    // sketch aggregate, NEVER a rank window partitioned by lang (the
+    // dominant-language straggler at scale)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"), s)
+    assert(!s.contains("Window"), s)
+    assert(!s.contains("Exchange SinglePartition"), s)
+  }
+
   test("q47 packing: one partial->final window per shard, no global sort") {
     val docs = Tables.documents(spark, sfDir)
     val df = graft.operators.TextOps.packSequences(docs, capacity = 256, shards = 8)
