@@ -154,6 +154,8 @@ object SparkEntry {
     // q74: CCNet head/middle/tail buckets — the q61 kernel + per-lang
     // q46 sketch cutoffs (33/67), all integer/replayable
     "q74_ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(Tables.documents(s, d), k = 256)),
+    // q76: the dataset-card rollup — per-lang + total, sketch percentiles
+    "q76_corpus_card" -> ((s, d) => TextOps.corpusCard(Tables.documents(s, d), k = 256)),
     // q62: integer-exact BM25 top-k retrieval over the same kernel
     "q62_bm25_search" -> ((s, d) => TextOps.bm25Search(Tables.documents(s, d))),
     // q58: the synthetic corpus is PII-free (checked: zero '@', zero
@@ -177,6 +179,26 @@ object SparkEntry {
             lit(" "), col("text")))
           .otherwise(col("text")))
       TextOps.piiRedact(planted)
+    }),
+    // q75: the corpus is clean ASCII (NFC-invariant by construction),
+    // so non-ASCII is PLANTED deterministically from doc_id — a
+    // decomposed suffix, a composed one, zero-width and control chars
+    // (the q58 self-contained-construction discipline)
+    "q75_normalize" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val planted = docs.withColumn("text",
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(concat(col("text"),
+            // \\u escapes, not literal chars: the combining/zero-width
+            // bytes must survive every editor and diff untouched
+            when(col("doc_id") % 6 === 0, lit(" cafe\u0301"))  // e + combining acute
+              .when(col("doc_id") % 6 === 1, lit(" A\u030A"))  // A + combining ring
+              .when(col("doc_id") % 6 === 2, lit(" caf\u00E9")) // composed e-acute
+              .when(col("doc_id") % 6 === 3, lit("\u200Bx"))   // zero-width space
+              .when(col("doc_id") % 6 === 4, lit("\u0007x"))   // C0 control (BEL)
+              .otherwise(lit("")))))
+      TextOps.normalizeText(planted)
     }),
     "q40_keywords" -> ((s, d) => TextOps.keywords(Tables.documents(s, d))),
     "q41_audio_meta" -> ((s, d) => Multimodal.audioMeta(Tables.documents(s, d))),
@@ -1283,6 +1305,83 @@ object SparkEntry {
          SELECT token, CAST(rank AS BIGINT) AS rank, doc_id,
                 CAST(score_q16 AS BIGINT) AS score_q16
          FROM rk WHERE rank <= 10""",
+    // q76: the rollup replay — per-lang groups + GROUPING()-tagged
+    // total, the q46 sketch per lang (row_number over (h, v)) and
+    // once unpartitioned for the total row. Hash indexes 222/223 →
+    // LCG seeds 445-448.
+    "q76_corpus_card" ->
+      """WITH per AS (
+           SELECT doc_id, lang,
+                  CAST(length(text) AS BIGINT) AS nc,
+                  CASE WHEN text IS NULL THEN NULL
+                       ELSE CAST(len(list_filter(
+                              regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'),
+                              t -> length(t) > 0)) AS BIGINT) END AS nt,
+                  ((((CAST(1103515245 AS BIGINT)*445 + 12345) % 2147483648) * s
+                    + ((CAST(1103515245 AS BIGINT)*446 + 12345) % 2147483648)) % 2147483647)
+                  * 2147483647
+                  + ((((CAST(1103515245 AS BIGINT)*447 + 12345) % 2147483648) * s
+                      + ((CAST(1103515245 AS BIGINT)*448 + 12345) % 2147483648)) % 2147483647) AS h
+           FROM (SELECT doc_id, lang, text,
+                        list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(range(1, length(kk)+1),
+                            i -> CAST(unicode(substring(kk, CAST(i AS INT), 1)) AS BIGINT))),
+                          (h, c) -> (h * 31 + c) % 1000000007) AS s
+                 FROM (SELECT doc_id, lang, text,
+                              concat('q76:', CAST(doc_id AS VARCHAR)) AS kk
+                       FROM documents) t0) t1),
+         grp AS (
+           SELECT CASE WHEN GROUPING(lang) = 1 THEN '__total__' ELSE lang END AS lang,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(count(nc) AS BIGINT) AS n_text,
+                  CAST(COALESCE(sum(nt), 0) AS BIGINT) AS n_tokens,
+                  CAST(COALESCE(sum(nc), 0) AS BIGINT) AS n_chars
+           FROM per GROUP BY ROLLUP(lang)),
+         r1 AS (SELECT lang, CAST(nc AS DOUBLE) AS v,
+                       row_number() OVER (PARTITION BY lang ORDER BY h, CAST(nc AS DOUBLE)) AS rn
+                FROM per WHERE nc IS NOT NULL),
+         a1 AS (SELECT lang, list(v ORDER BY v) AS sample, count(*) AS n
+                FROM r1 WHERE rn <= 256 GROUP BY 1),
+         rt AS (SELECT CAST(nc AS DOUBLE) AS v,
+                       row_number() OVER (ORDER BY h, CAST(nc AS DOUBLE)) AS rn
+                FROM per WHERE nc IS NOT NULL),
+         at AS (SELECT '__total__' AS lang, list(v ORDER BY v) AS sample, count(*) AS n
+                FROM rt WHERE rn <= 256),
+         sk AS (SELECT * FROM a1 UNION ALL SELECT * FROM at)
+         SELECT g.lang, g.n_docs, g.n_text, g.n_tokens, g.n_chars,
+                CASE WHEN g.n_text > 0 THEN g.n_tokens // g.n_text END AS avg_tokens,
+                CAST(sk.sample[CAST(50 * (sk.n - 1) // 100 AS INT) + 1] AS BIGINT) AS p50_chars,
+                CAST(sk.sample[CAST(90 * (sk.n - 1) // 100 AS INT) + 1] AS BIGINT) AS p90_chars
+         FROM grp g LEFT JOIN sk USING (lang)""",
+    // q75: plant via chr() (no raw unicode in SQL text), then the
+    // same NFC → strip → trim+collapse chain; nfc_normalize is
+    // utf8proc's stabilized Unicode algorithm — identical to the
+    // JDK's (probed: composed/decomposed/ligature all agree).
+    "q75_normalize" ->
+      """WITH planted AS (
+           SELECT doc_id,
+                  CASE WHEN text IS NULL THEN NULL
+                       WHEN doc_id % 6 = 0 THEN text || ' caf' || chr(101) || chr(769)
+                       WHEN doc_id % 6 = 1 THEN text || ' ' || chr(65) || chr(778)
+                       WHEN doc_id % 6 = 2 THEN text || ' caf' || chr(233)
+                       WHEN doc_id % 6 = 3 THEN text || chr(8203) || 'x'
+                       WHEN doc_id % 6 = 4 THEN text || chr(7) || 'x'
+                       ELSE text END AS text
+           FROM documents),
+         n AS (SELECT doc_id, text, nfc_normalize(text) AS nfc FROM planted),
+         st AS (SELECT doc_id, text, nfc,
+                  regexp_replace(nfc,
+                    '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}\x{200B}-\x{200D}\x{FEFF}]',
+                    '', 'g') AS stripped
+                FROM n),
+         fin AS (SELECT doc_id, text, nfc, stripped,
+                   regexp_replace(regexp_replace(stripped, '^\s+|\s+$', '', 'g'),
+                     '\s+', ' ', 'g') AS norm_text
+                 FROM st)
+         SELECT doc_id, norm_text,
+                CAST(length(nfc) - length(stripped) AS BIGINT) AS n_removed,
+                CAST(norm_text IS DISTINCT FROM text AS BIGINT) AS changed
+         FROM fin""",
     // q40: tf-idf ORDER without tf-idf's log() (not bit-stable across
     // engines); (tf DESC, df ASC, token ASC) is integer/byte-exact.
     "q40_keywords" ->

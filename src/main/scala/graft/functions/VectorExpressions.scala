@@ -470,6 +470,54 @@ case class PolyHashExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization of a string column (the q75 kernel).
+  * Spark has NO built-in normalization function, so this is the
+  * canonical custom-Expression case (SURVEY §2 preference order (b)):
+  * a thin codegen'd shim over `java.text.Normalizer` — the JDK's
+  * implementation of the Unicode-standard canonical composition, the
+  * SAME algorithm DuckDB's utf8proc `nfc_normalize` implements, which
+  * is what makes the operator oracle-checkable (probed identical on
+  * composed/decomposed/ligature cases; normalization of assigned
+  * codepoints is stabilized by the Unicode policy, so engine version
+  * skew cannot bite).
+  *
+  * ASCII fast path: NFC is the identity on ASCII, and UTF8String
+  * tracks full-ASCII-ness — the overwhelmingly common case costs one
+  * branch and ZERO copies (the bytes pass through untouched), so a
+  * 100 TB mostly-ASCII corpus pays the String round-trip only on the
+  * rows that can actually change.
+  */
+case class NfcNormalizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nfc_normalize needs string, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    NfcNormalizeExpr.nfc(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NfcNormalizeExpr.nfc($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalizeExpr {
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    if (s.isFullAscii) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+}
+
 /** Squared L2 distance of two bigint-array columns in one tight int64
   * loop — the q60/q63 hot-path kernel. The higher-order
   * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0L, +)`
@@ -736,6 +784,12 @@ object VectorFunctions {
     */
   def l2_dist(a: Column, b: Column): Column =
     Bridge.column(L2DistExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Unicode NFC normalization of a string column (the q75 kernel;
+    * DuckDB-oracle-reproducible via utf8proc's nfc_normalize).
+    */
+  def nfc_normalize(s: Column): Column =
+    Bridge.column(NfcNormalizeExpr(Bridge.expression(s)))
 
   /** The 22 packed SimHash parity lanes of a token-hash column. */
   def simhash_lanes(h: Column): Column =

@@ -291,6 +291,47 @@ object TextOps {
         (col("n_overlap") >= minOverlap).cast("long").as("contaminated"))
   }
 
+  /** q75: canonical Unicode text normalization — the stage every
+    * hashing/dedup pipeline runs FIRST (a decomposed "café" and a
+    * composed one must hash identically, or exact dedup (q20),
+    * shingle dedup (q25/q27) and substring dedup (q71) all silently
+    * miss duplicates that differ only in encoding):
+    *
+    *   1. NFC canonical composition (NfcNormalizeExpr — the q75
+    *      kernel; Spark has no built-in, the JDK and utf8proc both
+    *      implement the stabilized Unicode algorithm, so the step is
+    *      oracle-checkable);
+    *   2. control / zero-width stripping: C0 (except \t \n \r), DEL,
+    *      C1, ZWSP..ZWJ, BOM — the invisible characters that defeat
+    *      text-identity comparisons (the pattern is in the Java∩RE2
+    *      identical subset, the q58 discipline);
+    *   3. whitespace canonicalization: trim + collapse runs to one
+    *      space (post-strip the surviving whitespace alphabet is
+    *      common to both regex engines).
+    *
+    * Output per doc: (doc_id, norm_text, n_removed, changed) —
+    * n_removed counts stripped codepoints (step 2), changed flags any
+    * difference from the input (null-safe: null text → null outputs,
+    * changed 0). Stateless narrow projection — no shuffle, no join,
+    * scan prunes to (doc_id, text): the q70 cheapest-possible
+    * pre-pass class, and the ASCII fast path makes the NFC step free
+    * on the rows that cannot change.
+    */
+  def normalizeText(documents: DataFrame): DataFrame = {
+    val ctrl = "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}" +
+      "\\x{007F}-\\x{009F}\\x{200B}-\\x{200D}\\x{FEFF}]"
+    documents
+      .select(col("doc_id"), col("text"),
+        graft.functions.VectorFunctions.nfc_normalize(col("text")).as("nfc"))
+      .select(col("doc_id"), col("text"), col("nfc"),
+        regexp_replace(col("nfc"), ctrl, "").as("stripped"))
+      .select(col("doc_id"), col("text"), col("nfc"), col("stripped"),
+        regexp_replace(wsTrim(col("stripped")), "\\s+", " ").as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        (length(col("nfc")) - length(col("stripped"))).cast("long").as("n_removed"),
+        (!(col("norm_text") <=> col("text"))).cast("long").as("changed"))
+  }
+
   /** q39: repetition-based quality stats — the Gopher/C4 family of
     * repetitiousness filters: distinct-token ratio, the fraction of
     * 2-gram occurrences claimed by the single most frequent 2-gram,
@@ -1135,6 +1176,58 @@ object TextOps {
       .join(perplexity(documents), Seq("doc_id"))
     ccnetCutFrame(withLang, k).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  /** q76: the CORPUS CARD — the per-language summary table every
+    * dataset release ships (HuggingFace dataset cards, the Pile/C4
+    * papers' composition tables): doc counts, token/char mass, mean
+    * document length, and length percentiles, per language PLUS the
+    * corpus-total rollup row. One scan, one ROLLUP aggregate — the
+    * grouping-sets shape Spark and DuckDB both execute natively — and
+    * every statistic is replayable: counts/sums are integers, the
+    * mean is an integer div, and p50/p90 come from the q46
+    * deterministic bottom-k-by-hash sketch (a per-group bounded
+    * aggregate, NOT a percentile window — the dominant language is
+    * the straggler partition a window would create at 100 TB; fresh
+    * hash indexes 222/223).
+    *
+    * Null-text docs count in n_docs but contribute nothing else
+    * (count(text) vs count(*) makes the gap attributable). The total
+    * row's lang is the literal "__total__" via grouping() — NOT null —
+    * so a genuinely-null lang group could never collide with it.
+    */
+  def corpusCard(documents: DataFrame, k: Int = 1024): DataFrame = {
+    import graft.operators.Dedup.ReplayableHash.{a, b, P}
+    val s = graft.functions.VectorFunctions.poly_hash(
+      concat(lit("q76:"), col("doc_id").cast("string")))
+    val h1 = (lit(a(222)) * s + lit(b(222))) % lit(P)
+    val h2 = (lit(a(223)) * s + lit(b(223))) % lit(P)
+    val perDoc = documents.select(col("lang"),
+      length(col("text")).cast("long").as("nc"),
+      when(col("text").isNull, lit(null).cast("long"))
+        .otherwise(size(filter(split(lower(wsTrim(col("text"))), "\\s+"),
+          t => length(t) > 0)).cast("long")).as("nt"),
+      (h1 * lit(P) + h2).as("h"))
+    perDoc.rollup(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("nc")).as("n_text"),
+        coalesce(sum(col("nt")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("nc")), lit(0L)).as("n_chars"),
+        graft.functions.QuantileFunctions
+          .quantile_sketch(col("h"), col("nc").cast("double"), k).as("sample"),
+        // grouping() is only legal IN the rollup's aggregate list —
+        // carry the tag out as a column
+        grouping(col("lang")).as("g"))
+      .select(
+        when(col("g") === 1, lit("__total__"))
+          .otherwise(col("lang")).as("lang"),
+        col("n_docs"), col("n_text"), col("n_tokens"), col("n_chars"),
+        when(col("n_text") > 0, expr("n_tokens div n_text"))
+          .otherwise(lit(null).cast("long")).as("avg_tokens"),
+        expr("try_element_at(sample, CAST(50 * (size(sample) - 1) DIV 100 AS INT) + 1)")
+          .cast("long").as("p50_chars"),
+        expr("try_element_at(sample, CAST(90 * (size(sample) - 1) DIV 100 AS INT) + 1)")
+          .cast("long").as("p90_chars"))
   }
 
   def perplexity(documents: DataFrame): DataFrame = {

@@ -113,7 +113,9 @@ object BenchScale {
     "q68_bpe_encode",   // train agg + one pure-map nested-replace encode scan
     "q69_dsir",         // one (doc,bucket) agg; B-sized models; broadcast scoring
     "q71_substring_dedup", // N·L window digests: one agg + one probe join, linear
-    "q72_nb_classifier") // one (doc,bucket) agg; B-row model; broadcast scoring
+    "q72_nb_classifier", // one (doc,bucket) agg; B-row model; broadcast scoring
+    "q73_bloom_decontam", // q38 + a map-side bloom prefilter: still linear
+    "q74_ccnet_buckets") // q61 + bounded per-lang sketch + broadcast cutoffs
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")

@@ -1879,6 +1879,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("s33_out").collect().map(_.toString).sorted.toSeq == batch)
   }
 
+  test("s37 streaming normalization: the BATCH operator runs on a stream unmodified, row-exact") {
+    // normalizeText is a stateless narrow projection (the s22/s33
+    // class): the streaming twin IS the batch code path on a streaming
+    // frame; pins streaming admissibility of the NFC kernel + regex
+    // chain (no accidental agg/sort), incl. null and planted-unicode
+    // rows.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "caf" + "e\u0301  x"),
+      (2L, "caf\u00E9 x"),
+      (3L, "a\u200Bb\u0007c"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String]))
+    val batch = graft.operators.TextOps.normalizeText(docs.toDF("doc_id", "text"))
+      .collect().map(_.toString).sorted.toSeq
+    val source = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.normalizeText(
+        source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("s37_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      source.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("s37_out").collect().map(_.toString).sorted.toSeq == batch)
+  }
+
   test("s34 streaming substring dedup is row-exact vs batch q71 under the frozen dup table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

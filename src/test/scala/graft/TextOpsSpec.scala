@@ -189,6 +189,72 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
   }
 
+  test("q75 normalization: composed/decomposed unify, invisibles strip, ascii intact") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "caf" + "e\u0301" + "  x"),  // decomposed + double space
+      (2L, "caf\u00E9 x"),              // composed, already canonical
+      (3L, "a\u200Bb\u0007c"),          // zero-width + control
+      (4L, "  plain   text  "),         // whitespace only
+      (5L, null.asInstanceOf[String]),  // null stays null
+      (6L, "clean"))                    // nothing to do
+      .toDF("doc_id", "text")
+    val out = TextOps.normalizeText(d).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getLong(3)))).toMap
+    // the dedup-unification property this stage exists for: the
+    // decomposed and composed spellings normalize to the SAME bytes
+    assert(out(1L)._1 == out(2L)._1, s"${out(1L)} vs ${out(2L)}")
+    assert(out(1L)._1.contains("caf\u00E9 x"))
+    assert(out(1L)._3 == 1L && out(2L)._3 == 0L)
+    assert(out(3L) == ((Some("abc"), Some(2L), 1L)))
+    assert(out(4L) == ((Some("plain text"), Some(0L), 1L)))
+    assert(out(5L) == ((None, None, 0L)))
+    assert(out(6L) == ((Some("clean"), Some(0L), 0L)))
+    // kernel fast path: full-ASCII input passes through byte-identical
+    val k = d.filter(col("doc_id") === 6L)
+      .select(graft.functions.VectorFunctions.nfc_normalize(col("text")))
+      .head().getString(0)
+    assert(k == "clean")
+    // on the real (ASCII) corpus nothing is removed and the operator
+    // emits one row per doc
+    val full = TextOps.normalizeText(docs)
+    assert(full.count() == docs.count())
+    assert(full.filter(col("n_removed") > 0).count() == 0)
+  }
+
+  test("q76 corpus card: total row is the column-sum of the language rows") {
+    val out = TextOps.corpusCard(docs, k = 256).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val langRows = out.filter(_._1 != "__total__").values
+    val tot = out("__total__")
+    // the rollup total is exactly the sum of its parts
+    assert(langRows.map(_.getLong(1)).sum == tot.getLong(1)) // n_docs
+    assert(langRows.map(_.getLong(3)).sum == tot.getLong(3)) // n_tokens
+    assert(langRows.map(_.getLong(4)).sum == tot.getLong(4)) // n_chars
+    assert(tot.getLong(1) == docs.count())
+    // percentiles ordered and inside the observed range per lang
+    for (r <- out.values; if r.getLong(2) > 0) {
+      val (p50, p90) = (r.getLong(6), r.getLong(7))
+      assert(p50 <= p90, s"${r.getString(0)}: $p50 > $p90")
+      assert(p50 > 0)
+      // mean tokens is a plausible integer (tokens <= chars)
+      assert(r.getLong(5) <= r.getLong(4) / math.max(r.getLong(2), 1L))
+    }
+    // null text: counted in n_docs, absent from n_text and the sums
+    import spark.implicits._
+    val d = Seq((1L, "en", "five words of plain text"),
+      (2L, "en", null.asInstanceOf[String]), (3L, "fr", "deux mots"))
+      .toDF("doc_id", "lang", "text")
+    val card = TextOps.corpusCard(d, k = 16).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(card("en").getLong(1) == 2L && card("en").getLong(2) == 1L)
+    assert(card("en").getLong(3) == 5L)
+    assert(card("fr").getLong(3) == 2L)
+    assert(card("__total__").getLong(1) == 3L && card("__total__").getLong(3) == 7L)
+  }
+
   test("q39 repetition stats separate a repetitive doc from a varied one") {
     import spark.implicits._
     val d = Seq(
