@@ -1904,8 +1904,16 @@ object SparkEntry {
     // stage ORDER as well as the semantics.
     "q53_curate" ->
       s"""WITH RECURSIVE
-         corpus0 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0),
-         bench0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         corpus0 AS (SELECT doc_id, lang,
+             regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+               '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),
+               '^\\s+|\\s+$$', '', 'g'), '\\s+', ' ', 'g') AS text
+           FROM documents WHERE doc_id % 97 <> 0),
+         bench0 AS (SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+               '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),
+               '^\\s+|\\s+$$', '', 'g'), '\\s+', ' ', 'g') AS text
+           FROM documents WHERE doc_id % 97 = 0),
          canon AS (
            SELECT c.doc_id, c.lang, c.text FROM corpus0 c
            JOIN (SELECT min(doc_id) AS k FROM corpus0

@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   * rekey → join → explode → enrich → reassemble; this is that idea at
   * training-data scale):
   *
+  *   0. unicode canonicalization (q75, since late r11): NFC +
+  *      control/zero-width strip + whitespace collapse on corpus AND
+  *      benchmark text before any hashing — encoding-variant
+  *      duplicates must land in the same digest groups, and a
+  *      decomposed benchmark copy must still register as
+  *      contamination;
   *   1. exact dedup (q20): canonical doc per normalized-text group;
   *   2. segment dedup (q52): cross-document boilerplate stripped,
   *      cleaned text REPLACES the original downstream;
@@ -76,9 +82,18 @@ object Pipeline {
              capacity: Int = 512, shards: Int = 8,
              gatePct: Int = 5, subK: Int = 6,
              materializeStages: Boolean = false): DataFrame = {
-    // 1. exact dedup — survivors keep their original text and lang
-    val canon = TextOps.dedupExact(documents).select("doc_id")
-      .join(documents, "doc_id")
+    // 0. unicode canonicalization (q75, since late r11) — the
+    // production opening move: NFC + control/zero-width strip +
+    // whitespace collapse BEFORE any hashing, so encoding-variant
+    // duplicates ("café" composed vs decomposed) land in the same
+    // dedup groups instead of slipping every digest-keyed stage.
+    // A stateless narrow projection (zero-copy on full-ASCII rows);
+    // null text propagates.
+    val docs0 = documents.select(col("doc_id"), col("lang"),
+      TextOps.normalizeCol(col("text")).as("text"))
+    // 1. exact dedup — survivors keep their canonical text and lang
+    val canon = TextOps.dedupExact(docs0).select("doc_id")
+      .join(docs0, "doc_id")
     // 2. segment dedup — cleaned text replaces the original
     val cleaned0 = TextOps.segmentDedup(canon, segWords)
       .select(col("doc_id"), col("clean_text").as("text"))
@@ -113,8 +128,11 @@ object Pipeline {
     // applied as a filter. s21 receives these SAME cutoffs frozen.
     val (lenCut, alphaCut) = qualityCutoffs(subbed, gatePct)
     val gated = qualityGate(subbed, lenCut, alphaCut)
-    // 5. decontamination against the (raw) benchmark
-    val decon0 = TextOps.decontaminate(gated, benchmark, shingleN)
+    // 5. decontamination against the CANONICALIZED benchmark (stage-0
+    // form on both sides: a decomposed benchmark copy still hits)
+    val bench0 = benchmark.select(col("doc_id"),
+      TextOps.normalizeCol(col("text")).as("text"))
+    val decon0 = TextOps.decontaminate(gated, bench0, shingleN)
       .filter(col("contaminated") === 0).select("doc_id")
       .join(gated, "doc_id")
     val decon = if (materializeStages) decon0.localCheckpoint(true) else decon0

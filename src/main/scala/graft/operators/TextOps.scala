@@ -317,9 +317,38 @@ object TextOps {
     * pre-pass class, and the ASCII fast path makes the NFC step free
     * on the rows that cannot change.
     */
-  def normalizeText(documents: DataFrame): DataFrame = {
-    val ctrl = "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}" +
+  /** The q75 strip class: C0 (less \t \n \r), DEL, C1, ZWSP..ZWJ, BOM
+    * — in the Java∩RE2-identical subset (the q58 discipline). Shared
+    * by the operator, the q53 chain's stage 0, and the s21 stream
+    * twin's JVM-side mirror.
+    */
+  private[graft] val CtrlClass =
+    "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}" +
       "\\x{007F}-\\x{009F}\\x{200B}-\\x{200D}\\x{FEFF}]"
+
+  /** The q75 canonical form as ONE column expression (NFC → strip →
+    * trim+collapse) — the composition the chain's stage 0 applies.
+    */
+  private[graft] def normalizeCol(text: Column): Column =
+    regexp_replace(wsTrim(regexp_replace(
+      graft.functions.VectorFunctions.nfc_normalize(text), CtrlClass, "")),
+      "\\s+", " ")
+
+  /** The byte-identical JVM-side twin of `normalizeCol` for streaming
+    * mappers (java.util.regex is the SAME engine Spark's
+    * regexp_replace runs, and NfcNormalizeExpr.nfc is the shared NFC
+    * kernel) — null-propagating like the column form.
+    */
+  private[graft] def normalizeStr(text: String): String =
+    if (text == null) null
+    else graft.functions.NfcNormalizeExpr.nfc(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text)).toString
+      .replaceAll(CtrlClass, "")
+      .replaceAll("^\\s+|\\s+$", "")
+      .replaceAll("\\s+", " ")
+
+  def normalizeText(documents: DataFrame): DataFrame = {
+    val ctrl = CtrlClass
     documents
       .select(col("doc_id"), col("text"),
         graft.functions.VectorFunctions.nfc_normalize(col("text")).as("nfc"))

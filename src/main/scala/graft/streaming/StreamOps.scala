@@ -574,6 +574,19 @@ object StreamOps {
       .collect().map(_.getLong(0)).toSet
   }
 
+  /** The q53 chain's frozen benchmark shingles: the benchmark is
+    * stage-0-canonicalized FIRST (batch `Pipeline.curate` parity — a
+    * decomposed benchmark copy must still register), then shingled as
+    * in q38. s13's plain `benchmarkShingleSet` stays un-normalized,
+    * matching batch q38.
+    */
+  def curateBenchShingles(benchmark: org.apache.spark.sql.DataFrame,
+                          shingleN: Int = 4): Set[Long] = {
+    import org.apache.spark.sql.functions.col
+    benchmarkShingleSet(benchmark.select(col("doc_id"),
+      graft.operators.TextOps.normalizeCol(col("text")).as("text")), shingleN)
+  }
+
   /** s13: STREAMING train/eval decontamination — q38 as an online
     * admission check (the shape an ingest service runs: score each
     * arriving document against the frozen eval set BEFORE it enters
@@ -1329,13 +1342,18 @@ object StreamOps {
     require(segWords > 0 && capacity >= 1 && shards >= 1)
     val sc = docs.sparkSession.sparkContext
     val bcBench = sc.broadcast(benchShingles)
+    // 0. unicode canonicalization — the batch chain's stage 0 run as
+    // a stateless pure map (normalizeStr is the byte-identical JVM
+    // mirror of normalizeCol: shared NFC kernel + the same
+    // java.util.regex patterns Spark's regexp_replace compiles)
+    val docs0 = docs.map(d => d.copy(text = graft.operators.TextOps.normalizeStr(d.text)))
     val bcVocab = sc.broadcast {
       val hs = new java.util.HashSet[String]()
       vocab.foreach(hs.add); hs
     }
 
     // 1. exact dedup, keep-first, keyed by md5 of the normalized text
-    val canon = docs
+    val canon = docs0
       .filter(d => d.text != null && normTokens(d.text).nonEmpty)
       .groupByKey(d => graft.functions.Md5.hex(normTokens(d.text).mkString(" ")))
       .flatMapGroupsWithState[Long, CurDoc](

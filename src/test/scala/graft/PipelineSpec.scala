@@ -127,4 +127,33 @@ class PipelineSpec extends AnyFunSuite {
       "chain output must be invariant to pre-redaction (q58 runs in-chain)")
     assert(ids.contains(26L), "the redacted doc itself packs (bucket 21 admits at any en rate)")
   }
+
+  test("q53 curate stage 0: encoding-variant duplicates and benchmark copies canonicalize away") {
+    import spark.implicits._
+    val uniq = (i: Int) => (0 until 24).map(j => s"w${i}_$j").mkString(" ")
+    // ZERO-WIDTH + doubled-space copy of doc 1 and a DECOMPOSED copy
+    // of the accented doc: both must land in doc 1's/doc 11's exact-
+    // dedup group after NFC+strip+collapse (pre-r11 they slipped every
+    // digest stage); a zero-width benchmark copy must still register
+    // as contamination
+    val accented = "caf\u00E9 " + uniq(11)           // composed
+    val accentedDec = "cafe\u0301 " + uniq(11)       // decomposed twin
+    val benchRows = Seq((9001L, uniq(900)))
+    val corpusRows = Seq(
+      (1L, "en", uniq(1)),
+      (2L, "en", uniq(1).replace(" ", "  \u200B")), // invisible-variant dup of 1
+      (3L, "en", uniq(900) + "\u200B"),             // benchmark copy in disguise
+      (11L, "en", accented),
+      (12L, "en", accentedDec),                     // NFC twin of 11
+      (5L, "es", uniq(5)), (6L, "de", uniq(6)),
+      (7L, "fr", uniq(7)), (8L, "zh", uniq(8)))
+    val out = Pipeline.curate(corpusRows.toDF("doc_id", "lang", "text"),
+      benchRows.toDF("doc_id", "text"), target, capacity = 64)
+    val ids = out.select("doc_id").distinct().as[Long].collect().toSet
+    assert(ids.contains(1L) && !ids.contains(2L),
+      s"invisible-variant dup must canonicalize into doc 1's group: $ids")
+    assert(!ids.contains(3L), "disguised benchmark copy must still be dropped")
+    assert(ids.contains(11L) && !ids.contains(12L),
+      s"decomposed twin must dedup against the composed doc: $ids")
+  }
 }

@@ -1751,7 +1751,7 @@ class StreamingSpec extends AnyFunSuite {
     val deconDF = corpusDF.filter(col("doc_id").isin(1L, 4L, 5L, 6L, 7L, 8L))
     val vocab = TextOps.tokenizerVocabSeq(deconDF, m = 64, maxN = 4)
     val rates = TextOps.tokenMixtureRates(deconDF, target, vocab)
-    val benchShingles = StreamOps.benchmarkShingleSet(benchDF, shingleN = 4)
+    val benchShingles = StreamOps.curateBenchShingles(benchDF, shingleN = 4)
 
     def drive(batches: Seq[Seq[StreamOps.CurDoc]]): Seq[Set[Span]] = {
       val source = MemoryStream[StreamOps.CurDoc]
