@@ -116,6 +116,13 @@ object SparkEntry {
     // q70: Gopher rule battery — per-rule booleans + conjunctive pass,
     // integer myriad ratios; a stateless narrow projection
     "q70_gopher_rules" -> ((s, d) => graft.operators.QualityRules.gopherRules(Tables.documents(s, d))),
+    // q77: C4 line-level cleaning — the corpus has no line structure,
+    // so lines/punctuation/lorem/braces are PLANTED deterministically
+    // from (doc_id, word index) (the q75 discipline); the operator
+    // itself never reads doc_id
+    "q77_c4_clean" -> ((s, d) =>
+      graft.operators.QualityRules.c4Clean(
+        graft.operators.QualityRules.c4Plant(Tables.documents(s, d)))),
     // q71: ExactSubstr duplicated-span removal (Lee et al. 2021) —
     // k-token window digests, keep-first, span-union cut; hash-exact
     "q71_substring_dedup" -> ((s, d) =>
@@ -769,6 +776,9 @@ object SparkEntry {
     "q69_dsir" -> graft.operators.Dsir.dsirOracleSql(),
     // q70: the same list ops + integer myriad ratios replayed
     "q70_gopher_rules" -> graft.operators.QualityRules.gopherRulesOracleSql,
+    // q77: the identical planting (1-based indexed list_transform) +
+    // line filter / replace-chain sentence count replayed
+    "q77_c4_clean" -> graft.operators.QualityRules.c4CleanOracleSql,
     // q71: identical window/first/cut chain, md5 digests, nested
     // index-lambda reconstruction
     "q71_substring_dedup" -> graft.operators.ExactSubstr.substringDedupOracleSql(),

@@ -45,4 +45,65 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(out(4L).getAs[Long]("n_words") == 0L &&
       out(4L).getAs[Long]("pass") == 0L, "blank text fails")
   }
+
+  test("q77 c4Clean: hand-replayed line geometry — keep/drop per rule, sentence gate, page rules") {
+    import spark.implicits._
+    val keepDot = "one two three four five."
+    val keepBang = "another full line here ok!"
+    val keepQuote = "he said the word was \"fine\""
+    val dropShort = "too short."
+    val dropNoPunct = "five words but no punct x"
+    val docs = Seq(
+      // 3 kept lines (. ! ") -> n_sent 3 (the quote line contributes 0
+      // marks via replace-count... the dot inside keepDot + bang) —
+      // wait: n_sent counts .!? occurrences in KEPT text
+      (1L, Seq(keepDot, dropShort, keepBang, dropNoPunct, keepQuote, "x. y? z!").mkString("\n")),
+      (2L, Seq(keepDot, keepBang).mkString("\n")),             // 2 sent -> r_sent fails
+      (3L, Seq("lorem ipsum here", keepDot, keepBang, keepQuote, "and a third one lands here.").mkString("\n")),
+      (4L, Seq(keepDot, keepBang, "and a third one lands here.", "code { brace }").mkString("\n")),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = QualityRules.c4Clean(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: the 6th line "x. y? z!" is 3 words -> dropped by word
+    // count even though it ends terminal; kept = dot, bang, quote
+    assert(out(1L).getAs[String]("clean_text") ==
+      Seq(keepDot, keepBang, keepQuote).mkString("\n"))
+    assert(out(1L).getAs[Long]("n_lines") == 6L)
+    assert(out(1L).getAs[Long]("n_kept") == 3L)
+    // kept text carries '.' (keepDot) + '!' (keepBang) + 0 from the
+    // quote line = 2 marks -> r_sent FAILS at the 3-sentence gate
+    assert(out(1L).getAs[Long]("n_sent") == 2L)
+    assert(out(1L).getAs[Long]("r_sent") == 0L && out(1L).getAs[Long]("pass") == 0L)
+    // doc 2: both lines kept, 2 sentences -> sentence gate fails
+    assert(out(2L).getAs[Long]("n_kept") == 2L && out(2L).getAs[Long]("r_sent") == 0L)
+    // doc 3: lorem page rule fires regardless of clean content
+    assert(out(3L).getAs[Long]("n_sent") >= 3L && out(3L).getAs[Long]("r_sent") == 1L)
+    assert(out(3L).getAs[Long]("r_lorem") == 0L && out(3L).getAs[Long]("pass") == 0L)
+    // doc 4: brace page rule; the brace line itself was dropped from
+    // clean (no terminal punct) but the PAGE is still rejected
+    assert(!out(4L).getAs[String]("clean_text").contains("{"))
+    assert(out(4L).getAs[Long]("r_brace") == 0L && out(4L).getAs[Long]("pass") == 0L)
+    // doc 5: null text -> null clean, zeroed counters, fails
+    assert(out(5L).isNullAt(out(5L).fieldIndex("clean_text")))
+    assert(out(5L).getAs[Long]("n_lines") == 0L && out(5L).getAs[Long]("pass") == 0L)
+  }
+
+  test("q77 planted corpus: every rule fires non-degenerately and pass is the conjunction") {
+    val out = QualityRules.c4Clean(
+      QualityRules.c4Plant(Tables.documents(spark, sfDir))).localCheckpoint(true)
+    val n = out.count()
+    val p = out.filter(col("pass") === 1L).count()
+    assert(p > 0 && p < n, s"degenerate cleaner: $p/$n pass")
+    // the planting fires each page rule on its residue class
+    assert(out.filter(col("r_lorem") === 0L).count() > 0, "lorem rule never fires")
+    assert(out.filter(col("r_brace") === 0L).count() > 0, "brace rule never fires")
+    assert(out.filter(col("r_sent") === 0L).count() > 0, "sentence gate never fires")
+    // line rules actually EDIT: kept strictly below raw lines somewhere,
+    // nonzero keeps somewhere
+    assert(out.filter(col("n_kept") < col("n_lines")).count() > 0)
+    assert(out.filter(col("n_kept") > 0L).count() > 0)
+    assert(out.filter(col("pass") =!=
+      (col("r_lorem") === 1L && col("r_brace") === 1L &&
+        col("r_sent") === 1L && col("r_lines") === 1L).cast("long")).count() == 0)
+  }
 }

@@ -1909,6 +1909,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("s37_out").collect().map(_.toString).sorted.toSeq == batch)
   }
 
+  test("s38 streaming C4 line cleaning: the BATCH operator runs on a stream unmodified, row-exact") {
+    // c4Clean is a stateless narrow projection (the s22/s33/s37
+    // class): the streaming twin IS the batch code path on a
+    // streaming frame; pins streaming admissibility of the line
+    // filter / replace chain, incl. multi-line, page-rule, blank and
+    // null rows.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five.\nshort.\nanother full line here ok!\nthird full sentence lands here."),
+      (2L, "lorem ipsum\none two three four five."),
+      (3L, "a { b"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String]))
+    val batch = graft.operators.QualityRules.c4Clean(docs.toDF("doc_id", "text"))
+      .collect().map(_.toString).sorted.toSeq
+    val source = MemoryStream[(Long, String)]
+    val q = graft.operators.QualityRules.c4Clean(
+        source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("s38_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      source.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("s38_out").collect().map(_.toString).sorted.toSeq == batch)
+  }
+
   test("s34 streaming substring dedup is row-exact vs batch q71 under the frozen dup table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
