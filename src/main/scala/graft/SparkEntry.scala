@@ -116,6 +116,9 @@ object SparkEntry {
     // q70: Gopher rule battery — per-rule booleans + conjunctive pass,
     // integer myriad ratios; a stateless narrow projection
     "q70_gopher_rules" -> ((s, d) => graft.operators.QualityRules.gopherRules(Tables.documents(s, d))),
+    // q78: deterministic epoch shuffle — the doc-level training-order
+    // permutation (shard, pos, bijective global_pos), no global sort
+    "q78_epoch_shuffle" -> ((s, d) => TextOps.epochShuffle(Tables.documents(s, d))),
     // q77: C4 line-level cleaning — the corpus has no line structure,
     // so lines/punctuation/lorem/braces are PLANTED deterministically
     // from (doc_id, word index) (the q75 discipline); the operator
@@ -779,6 +782,9 @@ object SparkEntry {
     // q77: the identical planting (1-based indexed list_transform) +
     // line filter / replace-chain sentence count replayed
     "q77_c4_clean" -> graft.operators.QualityRules.c4CleanOracleSql,
+    // q78: same hash draws + per-shard row_number; a window prefix sum
+    // stands in for the driver-side offset fold
+    "q78_epoch_shuffle" -> TextOps.epochShuffleOracleSql(),
     // q71: identical window/first/cut chain, md5 digests, nested
     // index-lambda reconstruction
     "q71_substring_dedup" -> graft.operators.ExactSubstr.substringDedupOracleSql(),

@@ -610,6 +610,92 @@ object TextOps {
           greatest(lit(0L), col("chunk") * capacity - col("off"))).as("n_toks"))
   }
 
+  /** q78: DETERMINISTIC EPOCH SHUFFLE — the global training-order
+    * permutation every LM run materializes before reading a corpus:
+    * a pseudo-random bijection doc → (shard, pos, global_pos) that
+    * breaks source/domain ordering, is reproducible across runs and
+    * cluster sizes (pure function of doc_id — no RNG state, unlike
+    * `orderBy(rand(seed))` whose sampling depends on partitioning),
+    * and never global-sorts. q47 routes docs to shards to PACK
+    * token chunks; this emits the document-level PERMUTATION itself —
+    * the epoch order a doc-granular loader consumes, with a bijective
+    * `global_pos` q47 has no analog of.
+    *
+    * Shape: shard = universal-hash(index 230) of the poly-hashed id;
+    * within-shard order by an INDEPENDENT draw (index 231 — ordering
+    * by the routing key would order within a shard by the same
+    * residue classes that routed it) with doc_id tie-break;
+    * `global_pos` = shard offset + within-shard rank, where offsets
+    * are the prefix sum of the `shards` per-shard counts — a bounded
+    * driver-side fold (the k-means centroid-collect discipline)
+    * broadcast back onto a pure map. The result is a global order
+    * with NO global sort: one narrow scan, ONE exchange on shard,
+    * each shard sorts independently (set `shards` so one shard fits a
+    * task's sort budget at 100 TB), and the S-row offset table rides
+    * the closure.
+    */
+  def epochShuffle(documents: DataFrame, shards: Int = 32): DataFrame = {
+    require(shards >= 1 && shards <= (1 << 20), "shards must be sane")
+    import Dedup.ReplayableHash.{a, b, P}
+    val s = graft.functions.VectorFunctions.poly_hash(
+      concat(lit("epoch:"), col("doc_id").cast("string")))
+    val keyed = documents
+      .select(col("doc_id"), s.as("s"))
+      .select(col("doc_id"),
+        (((lit(a(230)) * col("s") + lit(b(230))) % lit(P)) % lit(shards.toLong)).as("shard"),
+        ((lit(a(231)) * col("s") + lit(b(231))) % lit(P)).as("h2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h2"), col("doc_id"))
+    val ranked = keyed
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .localCheckpoint(true) // counts + output both read it; never re-derive the sort
+    val counts = ranked.groupBy(col("shard")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = (0L until shards.toLong).map { sh =>
+      val o = (sh, acc); acc += counts.getOrElse(sh, 0L); o
+    }
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("shard", "off"))
+    ranked.join(offDf, "shard")
+      .select(col("doc_id"), col("shard"), col("pos"),
+        (col("off") + col("pos")).as("global_pos"))
+  }
+
+  /** The q78 oracle: identical char-fold poly-hash + universal
+    * post-mix draws, row_number per shard, and a window prefix-sum
+    * standing in for the driver-side offset fold.
+    */
+  def epochShuffleOracleSql(shards: Int = 32): String = {
+    import Dedup.ReplayableHash.{a, b, P}
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(1, length(kk)+1),
+       |             i -> CAST(unicode(substring(kk, CAST(i AS INT), 1)) AS BIGINT))),
+       |           (h, c) -> (h * 31 + c) % 1000000007) AS s
+       |  FROM (SELECT doc_id, 'epoch:' || CAST(doc_id AS VARCHAR) AS kk
+       |        FROM documents) t),
+       |r AS (
+       |  SELECT doc_id,
+       |         (${a(230)} * s + ${b(230)}) % $P % $shards AS shard,
+       |         (${a(231)} * s + ${b(231)}) % $P AS h2
+       |  FROM k),
+       |p AS (
+       |  SELECT doc_id, shard,
+       |         CAST(row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1 AS BIGINT) AS pos
+       |  FROM r),
+       |o AS (SELECT shard, count(*) AS c FROM p GROUP BY 1),
+       |off AS (
+       |  SELECT shard,
+       |         CAST(coalesce(sum(c) OVER (ORDER BY shard
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM o)
+       |SELECT p.doc_id, p.shard, p.pos, off.off + p.pos AS global_pos
+       |FROM p JOIN off USING (shard)""".stripMargin
+  }
+
   /** q51 TRAINING half: the tokenizer vocabulary — the top-`m`
     * 2..maxN code-point grams of the corpus's whitespace-split
     * lowercased words by frequency, ties broken by gram (binary UTF-8

@@ -632,4 +632,48 @@ class TextOpsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("q78 epoch shuffle: bijective global order, dense shard ranks, balanced, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val out = TextOps.epochShuffle(docs, shards = 8).localCheckpoint(true)
+    assert(out.count() == n, "permutation covers every doc")
+    // global_pos is a bijection onto 0..N-1
+    val gp = out.agg(countDistinct(col("global_pos")),
+      min(col("global_pos")), max(col("global_pos"))).head()
+    assert(gp.getLong(0) == n && gp.getLong(1) == 0L && gp.getLong(2) == n - 1)
+    // within-shard positions are dense 0..|shard|-1, and global_pos
+    // lays shards out contiguously in shard order
+    val perShard = out.groupBy(col("shard"))
+      .agg(count(lit(1)).as("c"), max(col("pos")).as("mx"),
+        min(col("global_pos")).as("gmin"), max(col("global_pos")).as("gmax"))
+      .orderBy(col("shard")).collect()
+    perShard.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) - 1, s"non-dense pos in shard ${r.getLong(0)}")
+      assert(r.getLong(4) - r.getLong(3) + 1 == r.getLong(1), "shard block not contiguous")
+    }
+    perShard.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(3) == a.getLong(4) + 1, "shard blocks out of order")
+      case _ => ()
+    }
+    // the avalanche post-mix balances shards (hash, not residue-class,
+    // routing): every shard within 2x of the uniform share
+    val share = n.toDouble / 8
+    perShard.foreach(r => assert(r.getLong(1) > share / 2 && r.getLong(1) < share * 2,
+      s"skewed shard: ${r.getLong(1)} vs uniform $share"))
+    // the order actually shuffles: the doc_id sequence read in epoch
+    // order is far from sorted (few adjacent-id pairs stay adjacent)
+    val order = out.orderBy(col("global_pos")).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val adjacentKept = order.sliding(2).count {
+      case Array(x, y) => y == x + 1
+      case _ => false
+    }
+    assert(adjacentKept < n / 20, s"order too close to identity: $adjacentKept adjacent pairs")
+    // pure function of doc_id: repartitioning changes nothing
+    val a = out.orderBy("doc_id").collect().toSeq
+    val b = TextOps.epochShuffle(docs.repartition(7, col("doc_id")), shards = 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
 }
