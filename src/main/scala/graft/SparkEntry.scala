@@ -90,6 +90,10 @@ object SparkEntry {
     // q60: oracle-exact integer k-means (k=8, 3 Lloyd iterations) —
     // the hash-checkable twin of the FP trainCodebook/q32b path
     "q60_kmeans" -> ((s, d) => Similarity.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 3)),
+    // q79: cluster-balanced sampling — q60 clusters + per-cluster
+    // hash-quota keep (quota 40 < N/k at sf0.01: selection bites)
+    "q79_cluster_sample" -> ((s, d) =>
+      Similarity.clusterSample(Tables.embeddings(s, d), k = 8, iters = 3, quota = 40)),
     // q63: ORACLE-EXACT integer IVF KNN (the ANN family's hash-
     // checkable member; q29/q32 stay the FP rows-only scale paths)
     "q63_knn_ivf_exact" -> ((s, d) => Similarity.knnIvfInt(Tables.embeddings(s, d))),
@@ -754,6 +758,9 @@ object SparkEntry {
     // same quantize-shift, same index-215 seed hash, same truncating
     // division on the nonnegative domain.
     "q60_kmeans" -> graft.operators.Similarity.kmeansOracleSql(k = 8, iters = 3),
+    // q79: the q60 centroid CTEs + hash draw + capped per-cluster rank
+    "q79_cluster_sample" ->
+      graft.operators.Similarity.clusterSampleOracleSql(k = 8, iters = 3, quota = 40),
     // q63: the q60 centroid CTEs extended with the IVF retrieval
     // chain (Similarity.knnIvfIntOracleSql) — assignment, probing,
     // and integer pair-d2 ranking all replayed

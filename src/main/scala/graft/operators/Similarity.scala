@@ -760,6 +760,83 @@ object Similarity {
     * folds are scalar-accumulator list_reduce — the §4-stable class
     * (probed at threads=8 before commit, per the q51 rule).
     */
+  /** q79: CLUSTER-BALANCED SAMPLING — the diversity-preserving subset
+    * selection step of corpus curation (cluster the embedding space,
+    * then take a bounded per-cluster quota): uniform sampling
+    * over-represents dense regions, so pipelines that want coverage
+    * sample per cluster instead (the cluster-then-cap recipe behind
+    * SemDeDup-style curation and per-domain balancing, composed here
+    * from the library's own proven kernels — q60's integer Lloyd for
+    * the clusters, q37's deterministic hash selection, q28's bounded
+    * TopKBy for the per-group cap).
+    *
+    * Keep = the `quota` hash-smallest members per cluster, order by
+    * (universal-hash(index 232) of the poly-hashed id, vec_id) — a
+    * pure function of vec_id, so the sample is reproducible across
+    * runs and partitionings; clusters smaller than the quota keep
+    * everything (both paths exercised at the registered sizing:
+    * quota=40 vs N/k=62.5 at sf0.01).
+    *
+    * Scale: assignment is q60's literal-centroid pure map (zero
+    * joins); the cap is ONE aggregate keyed by cluster whose
+    * TypedImperativeAggregate state is ≤ quota rows per cluster PER
+    * PARTITION (map-side partials — never a row_number window over
+    * the corpus, whose dominant-cluster partition is the 100 TB
+    * straggler). Output: (vec_id, cluster, r) with r the 1-based
+    * within-cluster sample rank.
+    */
+  def clusterSample(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+                    quota: Int = 40): DataFrame = {
+    require(quota >= 1, "quota >= 1")
+    val P = graft.functions.ReplayableHash.P
+    val ha = graft.functions.ReplayableHash.a(232)
+    val hb = graft.functions.ReplayableHash.b(232)
+    val s = graft.functions.VectorFunctions.poly_hash(
+      concat(lit("cbal:"), col("vec_id").cast("string")))
+    kmeansAssign(embeddings, k, iters)
+      .select(col("vec_id"), col("cluster"),
+        ((lit(ha) * s + lit(hb)) % lit(P)).as("h"))
+      // bottom-k by h == top-k by -h under TopKBy's (ord DESC, id ASC);
+      // h < 2³¹ so the double ord is exact, ties fall to vec_id ASC —
+      // identical to the oracle's (h ASC, vec_id ASC) row_number
+      .groupBy(col("cluster"))
+      .agg(graft.functions.TopKByFunctions.top_k_by(
+        -col("h").cast("double"), col("vec_id"), quota).as("top"))
+      .select(col("cluster"), posexplode(col("top")))
+      .select(col("col.id").as("vec_id"), col("cluster"),
+        (col("pos") + 1).cast("long").as("r"))
+  }
+
+  /** The q79 oracle: the q60 centroid CTEs + the identical hash draw,
+    * rank as row_number (h ASC, vec_id ASC) capped at the quota.
+    */
+  def clusterSampleOracleSql(k: Int = 8, iters: Int = 3,
+                             quota: Int = 40): String = {
+    val P = graft.functions.ReplayableHash.P
+    val ha = graft.functions.ReplayableHash.a(232)
+    val hb = graft.functions.ReplayableHash.b(232)
+    s"""${kmeansCentroidCtes(k, iters)},
+       |${kmeansAssignCte(iters + 1, s"cent$iters")},
+       |sd AS (
+       |  SELECT vec_id,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(1, length(kk)+1),
+       |             i -> CAST(unicode(substring(kk, CAST(i AS INT), 1)) AS BIGINT))),
+       |           (h, c) -> (h * 31 + c) % 1000000007) AS s
+       |  FROM (SELECT vec_id, 'cbal:' || CAST(vec_id AS VARCHAR) AS kk
+       |        FROM embeddings) t),
+       |jj AS (
+       |  SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+       |         ($ha * sd.s + $hb) % $P AS h
+       |  FROM a${iters + 1} a JOIN sd USING (vec_id)),
+       |rr AS (
+       |  SELECT vec_id, cluster,
+       |         CAST(row_number() OVER (PARTITION BY cluster
+       |           ORDER BY h ASC, vec_id ASC) AS BIGINT) AS r
+       |  FROM jj)
+       |SELECT vec_id, cluster, r FROM rr WHERE r <= $quota""".stripMargin
+  }
+
   def kmeansOracleSql(k: Int = 8, iters: Int = 3): String =
     s"""${kmeansCentroidCtes(k, iters)},
        |${kmeansAssignCte(iters + 1, s"cent$iters")}

@@ -511,4 +511,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(s.count() == 0 &&
       s.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "adist"))
   }
+
+  test("q79 cluster sample: exact per-cluster quota, dense ranks, subset of assignment, deterministic") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val assigned = Similarity.kmeansAssign(emb, k = 8, iters = 3).localCheckpoint(true)
+    val sizes = assigned.groupBy("cluster").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Similarity.clusterSample(emb, k = 8, iters = 3, quota = 40)
+      .localCheckpoint(true)
+    // per cluster: exactly min(quota, |cluster|) rows, ranks dense 1..c
+    val got = out.groupBy("cluster")
+      .agg(count(lit(1)).as("c"), min(col("r")).as("mn"), max(col("r")).as("mx"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == sizes.keySet, "sample must cover every cluster")
+    got.foreach { case (cl, (c, mn, mx)) =>
+      assert(c == math.min(40L, sizes(cl)), s"cluster $cl quota: $c vs ${sizes(cl)}")
+      assert(mn == 1L && mx == c, s"cluster $cl ranks not dense")
+    }
+    // the cap actually bites at the registered sizing
+    assert(sizes.values.exists(_ > 40L), "sizing degenerate: no cluster above quota")
+    // kept rows carry their assignment's cluster
+    assert(out.join(assigned.select(col("vec_id"), col("cluster").as("ac")), "vec_id")
+      .filter(col("cluster") =!= col("ac")).count() == 0)
+    // quota above every cluster size keeps everything
+    assert(Similarity.clusterSample(emb, k = 8, iters = 3, quota = 100000).count() ==
+      assigned.count())
+    // pure function of vec_id: repartitioning changes nothing
+    val a = out.orderBy("cluster", "r").collect().toSeq
+    val b = Similarity.clusterSample(emb.repartition(7, col("vec_id")),
+      k = 8, iters = 3, quota = 40).orderBy("cluster", "r").collect().toSeq
+    assert(a == b)
+  }
 }
