@@ -1699,6 +1699,74 @@ object StreamOps {
       }
   }
 
+  /** s39 output: one admit/reject decision per vector; `r` is the
+    * 1-based admission rank within the cluster (0 when rejected).
+    */
+  case class QuotaKeep(vec_id: Long, cluster: Long, r: Long, keep: Long)
+
+  /** s39: ONLINE CLUSTER-QUOTA ADMISSION — q79 as an ingest gate:
+    * every arriving embedding routes to its cluster under the FROZEN
+    * q60 codebook (the s26 protocol) and is ADMITTED while the
+    * cluster's quota has room, else rejected — the streaming form of
+    * cluster-balanced selection (cap each semantic region's intake;
+    * dense regions saturate early and stop consuming budget).
+    *
+    * CONTRACT (the s29 contract-difference discipline): batch q79
+    * keeps the quota hash-SMALLEST members per cluster over the whole
+    * corpus; a stream cannot know the global hash order, so the
+    * online rule is quota'd KEEP-FIRST. Within each micro-batch,
+    * decisions follow the batch operator's selection order — the
+    * (universal-hash(232), vec_id) draw — so a stream presented in
+    * that global order (any prefix batching of it) reproduces q79
+    * ROW-EXACTLY, ranks included (spec-asserted); under ANY arrival
+    * order, every cluster still admits exactly min(quota, |cluster|)
+    * vectors (spec-asserted on a reversed stream).
+    *
+    * Scale: state per cluster is ONE long (the admitted count) —
+    * the cheapest stateful operator in the library; routing and the
+    * hash draw are stateless broadcast maps.
+    */
+  def streamClusterSample(vecs: Dataset[(Long, Seq[Float])],
+                          centroids: Seq[(Int, Seq[Long])],
+                          quota: Int = 40): Dataset[QuotaKeep] = {
+    import vecs.sparkSession.implicits._
+    require(centroids.nonEmpty, "frozen codebook must be non-empty")
+    require(quota >= 1, "quota >= 1")
+    val bc = vecs.sparkSession.sparkContext.broadcast(
+      centroids.map { case (cid, c) => (cid, c.toArray) }.toArray)
+    val P = graft.functions.ReplayableHash.P
+    val ha = graft.functions.ReplayableHash.a(232)
+    val hb = graft.functions.ReplayableHash.b(232)
+    val assigned = vecs.map { case (id, emb) =>
+      val q = emb.toArray.map(v => math.floor(v.toDouble * 1048576.0 + 0.5).toLong + 1048576L)
+      var bestD = Long.MaxValue
+      var bestC = Int.MaxValue
+      bc.value.foreach { case (cid, c) =>
+        var d = 0L
+        var i = 0
+        while (i < q.length) { val x = q(i) - c(i); d += x * x; i += 1 }
+        if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
+      }
+      // the batch selection draw, byte-identical (PolyHashExpr.hash is
+      // the expression's own fold; ROOT-locale-free: pure digits)
+      val h = (ha * graft.functions.PolyHashExpr.hash("cbal:" + id) + hb) % P
+      (bestC.toLong, id, h)
+    }
+    assigned.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, QuotaKeep](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (cluster: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._3, r._2)).map { case (_, id, _) =>
+            if (n < quota) { n += 1; QuotaKeep(id, cluster, n, 1L) }
+            else QuotaKeep(id, cluster, 0L, 0L)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   /** s30 output: the q66 columns — a query's CURRENT top-k, re-emitted
     * in full whenever a batch touches it (the s27 generational-Append
     * contract: consumers take the latest generation per query).

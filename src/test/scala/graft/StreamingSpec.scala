@@ -938,6 +938,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.values.count(_._3 == 1L) > 1)
   }
 
+  test("s39 online cluster-quota admission: selection-ordered stream is row-exact vs batch q79; any order fills quotas exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val embs = Tables.embeddings(spark, sfDir)
+    val cents = graft.operators.Similarity.kmeansCentroids(embs, k = 8, iters = 3)
+    val batch = graft.operators.Similarity.clusterSample(embs, k = 8, iters = 3, quota = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val P = graft.functions.ReplayableHash.P
+    val ha = graft.functions.ReplayableHash.a(232)
+    val hb = graft.functions.ReplayableHash.b(232)
+    def hOf(id: Long): Long =
+      (ha * graft.functions.PolyHashExpr.hash("cbal:" + id) + hb) % P
+    val rows = embs.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ordered = rows.sortBy(t => (hOf(t._1), t._1)).toSeq
+
+    def run(data: Seq[(Long, Seq[Float])], cuts: Seq[Int]): Seq[StreamOps.QuotaKeep] = {
+      val source = MemoryStream[(Long, Seq[Float])]
+      val got = collection.mutable.ArrayBuffer[StreamOps.QuotaKeep]()
+      val q = StreamOps.streamClusterSample(source.toDS(), cents, quota = 40)
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.QuotaKeep], _: Long) =>
+          got ++= b.collect(); ()
+        }.start()
+      try {
+        (cuts :+ data.length).foldLeft(0) { (from, to) =>
+          source.addData(data.slice(from, to): _*)
+          q.processAllAvailable()
+          to
+        }
+      } finally q.stop()
+      got.toSeq
+    }
+
+    // a stream in the batch operator's selection order — any prefix
+    // batching of it — reproduces q79 row-exactly, ranks included
+    val a = run(ordered, Seq(ordered.length / 3, 2 * ordered.length / 3))
+    assert(a.size == rows.length, "every vector gets a decision")
+    assert(a.filter(_.keep == 1L).map(k => (k.vec_id, k.cluster, k.r)).toSet == batch)
+    a.filter(_.keep == 0L).foreach(k => assert(k.r == 0L))
+
+    // ANY arrival order still admits exactly min(quota, |cluster|):
+    // the reversed stream fills every quota, on a different member set
+    val sizes = graft.operators.Similarity.kmeansAssign(embs, k = 8, iters = 3)
+      .groupBy("cluster").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = run(ordered.reverse, Seq(ordered.length / 2))
+    val keptBy = b.filter(_.keep == 1L).groupBy(_.cluster)
+    assert(keptBy.keySet == sizes.keySet)
+    keptBy.foreach { case (c, ks) =>
+      assert(ks.size.toLong == math.min(40L, sizes(c)), s"cluster $c quota not filled")
+      assert(ks.map(_.r).sorted == (1L to ks.size.toLong), s"cluster $c ranks not dense")
+    }
+    // the contract DIFFERENCE is real: arrival order changes the set
+    assert(b.filter(_.keep == 1L).map(k => (k.vec_id, k.cluster, k.r)).toSet != batch,
+      "reversed stream should admit a different set when the cap bites")
+  }
+
   test("s30 streaming ivfadc converges to batch q66 under any batching") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
