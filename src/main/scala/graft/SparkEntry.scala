@@ -220,6 +220,10 @@ object SparkEntry {
       graft.operators.Components.dedupGroups(Tables.embeddings(s, d))),
     "q42b_dedup_groups_lsh" -> ((s, d) =>
       graft.operators.Components.dedupGroupsLsh(Tables.embeddings(s, d))),
+    // q80: leakage-free train/val/test split — near-dup COMPONENTS
+    // (q25 pairs + q42 closure) are the unit of assignment
+    "q80_leakage_split" -> ((s, d) =>
+      graft.operators.Components.leakageSplit(Tables.documents(s, d))),
     "q43_video_meta" -> ((s, d) => Multimodal.videoMeta(Tables.documents(s, d))),
     "q44_range_join" -> ((s, d) => Analytics.rangeJoinBursts(Tables.events(s, d))),
     "q45_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(Tables.documents(s, d))),
@@ -1533,6 +1537,10 @@ object SparkEntry {
          SELECT id AS vec_id, min(label) AS group_rep,
                 CAST(id = min(label) AS BIGINT) AS keep
          FROM rec GROUP BY id""",
+    // q80: the q25 pair CTEs + the q42 recursive closure + the
+    // component-keyed split draw
+    "q80_leakage_split" ->
+      graft.operators.Components.leakageSplitOracleSql(),
     // q43: frame count and dims on the Spark side come from a REAL
     // multi-frame GIF parse; the oracle predicts them from the same
     // metadata the synthesizer used (the q31/q41 contract, third

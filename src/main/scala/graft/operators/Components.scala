@@ -117,6 +117,127 @@ object Components {
   def dedupGroupsLsh(embeddings: DataFrame, tau: Double = 0.35): DataFrame =
     groupsFromPairs(embeddings, Similarity.embeddingDedupLsh(embeddings, tau))
 
+  /** q80: LEAKAGE-FREE TRAIN/VAL/TEST SPLIT — the evaluation-hygiene
+    * step a naive per-document hash split gets wrong: near-duplicate
+    * documents falling on opposite sides of a split leak training
+    * content into eval (the reason decontamination papers report
+    * split-level dedup; cf. Lee et al. 2021 §5's eval-overlap
+    * findings). The unit of assignment must be the near-dup
+    * COMPONENT, not the document: build the q25 banded-MinHash pair
+    * graph (exact-Jaccard verified at `tau`), close it with the q42
+    * pointer-jumping minLabel, then draw the split from a universal
+    * hash (fresh index 233) of the COMPONENT label — every member of
+    * a component lands in the same split by construction, and
+    * singleton docs get an unbiased independent draw. Myriad-integer
+    * split bounds (default 8000/1000/1000), the q37 no-FP discipline.
+    *
+    * Scale: candidate pairs are the occupancy-bounded banded set
+    * (never all-pairs), the closure is O(log diameter) rounds, the
+    * split itself a pure map — every stage is the 100 TB-proven
+    * machinery it reuses. Output: (doc_id, component, bucket, split).
+    */
+  def leakageSplit(documents: DataFrame, numPerm: Int = 32, bands: Int = 8,
+                   shingleN: Int = 3, tau: Double = 0.5,
+                   valMyriad: Int = 1000, testMyriad: Int = 1000): DataFrame = {
+    require(valMyriad >= 0 && testMyriad >= 0 && valMyriad + testMyriad <= 10000,
+      "split bounds are parts-per-myriad")
+    val pairs = Dedup.minHashPairs(documents, numPerm, bands, shingleN)
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"))
+    val labels = minLabel(documents.select(col("doc_id").as("id")), pairs)
+    val P = graft.functions.ReplayableHash.P
+    val ha = graft.functions.ReplayableHash.a(233)
+    val hb = graft.functions.ReplayableHash.b(233)
+    val s = graft.functions.VectorFunctions.poly_hash(
+      concat(lit("split:"), col("component").cast("string")))
+    val trainBound = 10000L - valMyriad - testMyriad
+    val valBound = 10000L - testMyriad
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+      .withColumn("bucket", (lit(ha) * s + lit(hb)) % lit(P) % lit(10000L))
+      .withColumn("split",
+        when(col("bucket") < lit(trainBound), lit("train"))
+          .when(col("bucket") < lit(valBound), lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** The q80 oracle: the q25 pair CTEs (verbatim through `verified`),
+    * the q42 recursive closure, and the identical component-keyed
+    * split draw.
+    */
+  def leakageSplitOracleSql(tau: Double = 0.5, valMyriad: Int = 1000,
+                            testMyriad: Int = 1000): String = {
+    val P = graft.functions.ReplayableHash.P
+    val ha = graft.functions.ReplayableHash.a(233)
+    val hb = graft.functions.ReplayableHash.b(233)
+    val trainBound = 10000L - valMyriad - testMyriad
+    val valBound = 10000L - testMyriad
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS toks
+       |  FROM documents),
+       |shs AS (
+       |  SELECT DISTINCT doc_id,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(1, length(sh)+1),
+       |             i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
+       |           (h, c) -> (h * 31 + c) % 1000000007) AS s
+       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+       |          range(1, greatest(len(toks) - 2, 1) + 1),
+       |          i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')))) AS sh
+       |        FROM toks) x),
+       |sig AS (
+       |  SELECT doc_id, i,
+       |         min((((1103515245*(2*i+1) + 12345) % 2147483648) * s
+       |              + ((1103515245*(2*i+2) + 12345) % 2147483648)) % 2147483647) AS m
+       |  FROM shs, range(0, 32) t(i)
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band_id,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(m ORDER BY i)),
+       |           (acc, x) -> (acc * 131 + x) % 1000000007) AS band_sig
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY 1),
+       |common AS (
+       |  SELECT id_a, id_b, count(*) AS n_common
+       |  FROM cand
+       |  JOIN shs pa ON pa.doc_id = id_a
+       |  JOIN shs pb ON pb.doc_id = id_b AND pa.s = pb.s
+       |  GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+       |           / CAST(sa.n_sh + sb.n_sh - COALESCE(cm.n_common, 0) AS DOUBLE) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+       |  JOIN sizes sa ON sa.doc_id = c.id_a
+       |  JOIN sizes sb ON sb.doc_id = c.id_b),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM verified WHERE jaccard >= $tau
+       |  UNION ALL
+       |  SELECT id_b AS u, id_a AS v FROM verified WHERE jaccard >= $tau),
+       |rec AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT edges.v AS id, rec.label FROM rec JOIN edges ON edges.u = rec.id),
+       |comp AS (SELECT id AS doc_id, min(label) AS component FROM rec GROUP BY id),
+       |draw AS (
+       |  SELECT doc_id, component,
+       |         ($ha * list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(1, length(kk)+1),
+       |              i -> CAST(unicode(substring(kk, CAST(i AS INT), 1)) AS BIGINT))),
+       |            (h, c) -> (h * 31 + c) % 1000000007) + $hb) % $P % 10000 AS bucket
+       |  FROM (SELECT doc_id, component, 'split:' || CAST(component AS VARCHAR) AS kk
+       |        FROM comp) t)
+       |SELECT doc_id, component, bucket,
+       |       CASE WHEN bucket < $trainBound THEN 'train'
+       |            WHEN bucket < $valBound THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM draw""".stripMargin
+  }
+
   /** q64: SEMANTIC dedup à la SemDeDup (Abbas et al. 2023,
     * arXiv:2303.09540) — cluster the corpus, enumerate near-dup pairs
     * only WITHIN clusters, close them into components, and keep per

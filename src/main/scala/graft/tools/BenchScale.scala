@@ -115,7 +115,9 @@ object BenchScale {
     "q71_substring_dedup", // N·L window digests: one agg + one probe join, linear
     "q72_nb_classifier", // one (doc,bucket) agg; B-row model; broadcast scoring
     "q73_bloom_decontam", // q38 + a map-side bloom prefilter: still linear
-    "q74_ccnet_buckets") // q61 + bounded per-lang sketch + broadcast cutoffs
+    "q74_ccnet_buckets", // q61 + bounded per-lang sketch + broadcast cutoffs
+    "q78_epoch_shuffle", // one exchange + per-shard sorts + bounded offsets
+    "q79_cluster_sample") // q60 pure-map assign + one quota-bounded agg
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")

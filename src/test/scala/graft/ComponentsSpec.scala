@@ -148,4 +148,49 @@ class ComponentsSpec extends AnyFunSuite {
     info(f"q42b group recall: $correct/$total = $recall%.3f")
     assert(recall >= 0.9, f"group recall $recall%.3f < 0.9")
   }
+
+  test("q80 leakage split: near-dup pairs never straddle splits; planted chain shares one split; deterministic") {
+    import spark.implicits._
+    import graft.sources.Tables
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // plant a near-dup CHAIN across three docs: clone two corpus texts
+    // and a lightly-perturbed third, at fresh ids — they must all land
+    // in ONE component and ONE split
+    val donor = base.filter(col("doc_id") === 0L).head().getString(1)
+    val planted = Seq(
+      (900001L, donor),
+      (900002L, donor + " extra tail words here"),
+      (900003L, donor)).toDF("doc_id", "text")
+    val docs = base.unionAll(planted)
+    val out = Components.leakageSplit(docs).localCheckpoint(true)
+    assert(out.count() == docs.count(), "one decision per doc")
+    // THE invariant: every verified near-dup pair is split-consistent
+    val pairs = graft.operators.Dedup.minHashPairs(docs)
+      .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    assert(pairs.count() > 0, "corpus+planting must yield near-dup pairs")
+    val leak = pairs
+      .join(out.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(out.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(leak.count() == 0, "near-dup pair crossed a split boundary")
+    // the planted chain: one component (min member = the donor's
+    // component), one split
+    val ch = out.filter(col("doc_id").isin(0L, 900001L, 900002L, 900003L)).collect()
+    assert(ch.map(_.getAs[Long]("component")).distinct.length == 1)
+    assert(ch.map(_.getAs[String]("split")).distinct.length == 1)
+    // myriad bounds respected and all three splits materialize at the
+    // default 8000/1000/1000 on ~500 components
+    val bySplit = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), s"missing split: $bySplit")
+    val n = out.count().toDouble
+    assert(bySplit("train") / n > 0.6, s"train share degenerate: $bySplit")
+    assert(bySplit("val") + bySplit("test") > 0, s"eval empty: $bySplit")
+    // pure function of content: repartitioning changes nothing
+    val a = out.orderBy("doc_id").collect().toSeq
+    val b = Components.leakageSplit(docs.repartition(7, col("doc_id")))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
 }
