@@ -1945,9 +1945,10 @@ object SparkEntry {
                '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),
                '^\\s+|\\s+$$', '', 'g'), '\\s+', ' ', 'g') AS text
            FROM documents WHERE doc_id % 97 = 0),
+         ${graft.operators.QualityRules.gopherFilterCtes("corpus0")},
          canon AS (
-           SELECT c.doc_id, c.lang, c.text FROM corpus0 c
-           JOIN (SELECT min(doc_id) AS k FROM corpus0
+           SELECT c.doc_id, c.lang, c.text FROM ruled c
+           JOIN (SELECT min(doc_id) AS k FROM ruled
                  GROUP BY md5(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+', ' ', 'g'))) g
              ON g.k = c.doc_id),
          p_segs AS (

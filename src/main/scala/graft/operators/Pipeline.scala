@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   *      duplicates must land in the same digest groups, and a
   *      decomposed benchmark copy must still register as
   *      contamination;
+  *   0b. rule battery (q70, since post-r76): the rule-FIRST drop —
+  *      Gopher-style document-shape gates (word count, mean word
+  *      length, symbol/alpha ratios, stopword presence) as a
+  *      stateless conjunction, run before any hashing so the
+  *      expensive stages never pay for junk documents (rule-first
+  *      ordering is the battery's whole point at 100 TB);
   *   1. exact dedup (q20): canonical doc per normalized-text group;
   *   2. segment dedup (q52): cross-document boilerplate stripped,
   *      cleaned text REPLACES the original downstream;
@@ -81,7 +87,8 @@ object Pipeline {
              vocabM: Int = 64, maxN: Int = 4,
              capacity: Int = 512, shards: Int = 8,
              gatePct: Int = 5, subK: Int = 6,
-             materializeStages: Boolean = false): DataFrame = {
+             materializeStages: Boolean = false,
+             ruleGate: Boolean = true): DataFrame = {
     // 0. unicode canonicalization (q75, since late r11) — the
     // production opening move: NFC + control/zero-width strip +
     // whitespace collapse BEFORE any hashing, so encoding-variant
@@ -91,9 +98,25 @@ object Pipeline {
     // null text propagates.
     val docs0 = documents.select(col("doc_id"), col("lang"),
       TextOps.normalizeCol(col("text")).as("text"))
+    // 0b. rule battery (q70, since post-r76) — the rule-FIRST drop
+    // every web curation pipeline runs before any expensive stage:
+    // a stateless conjunction of document-shape gates, cheapest
+    // filter first so dedup/shingling never pay for junk documents.
+    // Runs on the canonicalized text (metrics must not see control
+    // chars); null text fails the word-count rule and drops here,
+    // in both engines.
+    // `ruleGate = false` bypasses the battery for corpora whose
+    // synthetic vocabularies can't satisfy it (hand-planted spec
+    // corpora use digit-bearing words that fail the alpha rule) —
+    // the registered configuration keeps it ON.
+    val ruled =
+      if (!ruleGate) docs0
+      else QualityRules.gopherRules(docs0)
+        .filter(col("pass") === 1L).select("doc_id")
+        .join(docs0, "doc_id")
     // 1. exact dedup — survivors keep their canonical text and lang
-    val canon = TextOps.dedupExact(docs0).select("doc_id")
-      .join(docs0, "doc_id")
+    val canon = TextOps.dedupExact(ruled).select("doc_id")
+      .join(ruled, "doc_id")
     // 2. segment dedup — cleaned text replaces the original
     val cleaned0 = TextOps.segmentDedup(canon, segWords)
       .select(col("doc_id"), col("clean_text").as("text"))

@@ -109,6 +109,58 @@ object QualityRules {
        |            AND n_stop >= $MinStopwords AS BIGINT) AS pass
        |FROM m""".stripMargin
 
+  /** JVM-side twin of the `pass` conjunction for the streaming chain
+    * (s21) — same tokenization contract as the Column battery
+    * (trim + ROOT-locale lower + \\s+ split, empties dropped), same
+    * integer myriad ratios, same thresholds. Null/blank text fails
+    * (n_words = 0 misses MinWords), matching the batch filter's
+    * null-drop semantics.
+    */
+  def gopherPassJvm(text: String): Boolean = {
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.replaceAll("^\\s+|\\s+$", "")
+        .toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    val n = toks.length.toLong
+    if (n < MinWords || n > MaxWords) return false
+    val chars = toks.map(_.length.toLong).sum
+    val alphaWords = toks.count(_.matches("[a-z]+")).toLong
+    val symWords = toks.count(t => t.contains("#") || t.contains("...")).toLong
+    val nStop = toks.count(Stopwords.contains).toLong
+    val wlenX100 = chars * 100 / n
+    val alphaMyriad = alphaWords * 10000 / n
+    val symbolMyriad = symWords * 10000 / n
+    wlenX100 >= MinWlenX100 && wlenX100 <= MaxWlenX100 &&
+      alphaMyriad >= MinAlphaMyriad && symbolMyriad <= MaxSymbolMyriad &&
+      nStop >= MinStopwords
+  }
+
+  /** The q70 pass predicate as an oracle CTE pair for chain replays
+    * (q53): metrics over `srcCte`'s (doc_id, text), a `ruled` CTE
+    * keeping only passing docs. Mirrors gopherRulesOracleSql minus
+    * the per-rule reporting.
+    */
+  def gopherFilterCtes(srcCte: String): String =
+    s"""r_m AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+       |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS chars,
+       |         CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$$'))) AS BIGINT) AS alpha_words,
+       |         CAST(len(list_filter(toks, x -> regexp_matches(x, '#|\\.\\.\\.'))) AS BIGINT) AS sym_words,
+       |         CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','is','it','that','for'))) AS BIGINT) AS n_stop
+       |  FROM (SELECT doc_id, list_filter(
+       |          regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+'),
+       |          x -> length(x) > 0) AS toks
+       |        FROM $srcCte) t),
+       |ruled AS MATERIALIZED (
+       |  SELECT c.* FROM $srcCte c JOIN r_m USING (doc_id)
+       |  WHERE n_words >= $MinWords AND n_words <= $MaxWords
+       |    AND chars * 100 // n_words >= $MinWlenX100
+       |    AND chars * 100 // n_words <= $MaxWlenX100
+       |    AND alpha_words * 10000 // n_words >= $MinAlphaMyriad
+       |    AND sym_words * 10000 // n_words <= $MaxSymbolMyriad
+       |    AND n_stop >= $MinStopwords)""".stripMargin
+
   // ---------------------------------------------------------------- q77
 
   private val C4MinLineWords = 5L

@@ -1336,7 +1336,8 @@ object StreamOps {
                    capacity: Int = 512, shards: Int = 8,
                    lenCut: Option[Double] = None,
                    alphaCut: Option[Double] = None,
-                   subK: Int = 6): Dataset[PackedSpan] = {
+                   subK: Int = 6,
+                   ruleGate: Boolean = true): Dataset[PackedSpan] = {
     import docs.sparkSession.implicits._
     import graft.operators.Dedup.ReplayableHash.{a, b, P}
     require(segWords > 0 && capacity >= 1 && shards >= 1)
@@ -1346,7 +1347,14 @@ object StreamOps {
     // a stateless pure map (normalizeStr is the byte-identical JVM
     // mirror of normalizeCol: shared NFC kernel + the same
     // java.util.regex patterns Spark's regexp_replace compiles)
-    val docs0 = docs.map(d => d.copy(text = graft.operators.TextOps.normalizeStr(d.text)))
+    val docs00 = docs.map(d => d.copy(text = graft.operators.TextOps.normalizeStr(d.text)))
+    // 0b. rule battery — the batch chain's stateless q70 conjunction
+    // (gopherPassJvm mirrors the Column battery's tokenization and
+    // integer myriad thresholds exactly); null/junk documents drop
+    // before any keyed state is touched
+    val docs0 =
+      if (!ruleGate) docs00
+      else docs00.filter(d => graft.operators.QualityRules.gopherPassJvm(d.text))
     val bcVocab = sc.broadcast {
       val hs = new java.util.HashSet[String]()
       vocab.foreach(hs.add); hs

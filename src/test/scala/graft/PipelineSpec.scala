@@ -23,8 +23,11 @@ class PipelineSpec extends AnyFunSuite {
     val out = Pipeline.curate(corpus, bench, target)
     out.persist()
     try {
-      // stage recomputation for the invariants
-      val canon = TextOps.dedupExact(corpus).select("doc_id").join(corpus, "doc_id")
+      // stage recomputation for the invariants (the real corpus is
+      // stage-0-invariant, so raw text stands in for normalized)
+      val ruled = graft.operators.QualityRules.gopherRules(corpus)
+        .filter(col("pass") === 1L).select("doc_id").join(corpus, "doc_id")
+      val canon = TextOps.dedupExact(ruled).select("doc_id").join(ruled, "doc_id")
       val cleaned = TextOps.segmentDedup(canon)
         .select(col("doc_id"), col("clean_text").as("text"))
         .join(canon.select("doc_id", "lang"), "doc_id")
@@ -51,7 +54,9 @@ class PipelineSpec extends AnyFunSuite {
       assert(packedIds.join(admitted, "doc_id").count() == admitted.count())
       // ...which are a subset of the decontaminated, canonical corpus
       assert(admitted.join(decon, "doc_id").count() == admitted.count())
-      assert(decon.count() <= canon.count() && canon.count() <= corpus.count())
+      assert(decon.count() <= canon.count() && canon.count() <= ruled.count())
+      // the rule battery bites on the real corpus (stage 0b vacuity)
+      assert(ruled.count() < corpus.count(), "q70 rule stage vacuous")
       // stages that bite on the real corpus (no exact text dups exist
       // at this SF — q20's bite is covered by the planted test below)
       assert(cleaned.join(corpus.withColumnRenamed("text", "raw"), "doc_id")
@@ -101,7 +106,7 @@ class PipelineSpec extends AnyFunSuite {
       (26L, "en", piiText))       // carries an email -> q58 redacts in-chain
     val out = Pipeline.curate(corpusRows.toDF("doc_id", "lang", "text"),
       benchRows.toDF("doc_id", "lang", "text").select("doc_id", "text"),
-      target, capacity = 64)
+      target, capacity = 64, ruleGate = false)
     val ids = out.select("doc_id").distinct().as[Long].collect().toSet
     assert(!ids.contains(2L), "exact dup of an earlier doc must not pack")
     assert(!ids.contains(3L), "benchmark copy must not pack")
@@ -121,11 +126,38 @@ class PipelineSpec extends AnyFunSuite {
     }
     val outPre = Pipeline.curate(preRedacted.toDF("doc_id", "lang", "text"),
       benchRows.toDF("doc_id", "lang", "text").select("doc_id", "text"),
-      target, capacity = 64)
+      target, capacity = 64, ruleGate = false)
     assert(out.collect().map(_.toString).sorted.toSeq ==
       outPre.collect().map(_.toString).sorted.toSeq,
       "chain output must be invariant to pre-redaction (q58 runs in-chain)")
     assert(ids.contains(26L), "the redacted doc itself packs (bucket 21 admits at any en rate)")
+  }
+
+  test("q53 curate stage 0b: junk documents drop at the rule battery; the drop is attributable to it") {
+    import spark.implicits._
+    // battery-PASSING docs: all-alpha 3-char words (wlen_x100 = 300,
+    // exactly the MinWlenX100 boundary — pinned passing), two
+    // stopwords, 24 words, letters distinct per doc so neither exact
+    // dedup nor the q71 window pass collapses them
+    def okDoc(i: Int): String =
+      (Seq("the", "and") ++ (0 until 22).map(j =>
+        "" + ('a' + i).toChar + "w" + ('a' + j).toChar)).mkString(" ")
+    val corpusRows = Seq.tabulate(6)(i => ((i + 1).toLong, "en", okDoc(i))) ++ Seq(
+      (40L, "en", "x9 y7"),                    // fails words + alpha
+      (41L, "en", null.asInstanceOf[String]))  // null text: 0 words
+    val benchRows = Seq((9001L, "qaqa qbqb qcqc qdqd qeqe qfqf"))
+    val out = Pipeline.curate(corpusRows.toDF("doc_id", "lang", "text"),
+      benchRows.toDF("doc_id", "text"), Map("en" -> 10000), capacity = 64)
+    val ids = out.select("doc_id").distinct().as[Long].collect().toSet
+    assert((1L to 6L).toSet.subsetOf(ids), s"battery-passing docs must pack: $ids")
+    assert(!ids.contains(40L) && !ids.contains(41L), s"junk must drop at 0b: $ids")
+    // attribution: with the gate OFF the same junk doc packs — the
+    // drop above is the battery's, not a later stage's
+    val idsOff = Pipeline.curate(corpusRows.toDF("doc_id", "lang", "text"),
+      benchRows.toDF("doc_id", "text"), Map("en" -> 10000), capacity = 64,
+      ruleGate = false)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(idsOff.contains(40L), s"gate-off run must admit the junk doc: $idsOff")
   }
 
   test("q53 curate stage 0: encoding-variant duplicates and benchmark copies canonicalize away") {
@@ -148,7 +180,7 @@ class PipelineSpec extends AnyFunSuite {
       (5L, "es", uniq(5)), (6L, "de", uniq(6)),
       (7L, "fr", uniq(7)), (8L, "zh", uniq(8)))
     val out = Pipeline.curate(corpusRows.toDF("doc_id", "lang", "text"),
-      benchRows.toDF("doc_id", "text"), target, capacity = 64)
+      benchRows.toDF("doc_id", "text"), target, capacity = 64, ruleGate = false)
     val ids = out.select("doc_id").distinct().as[Long].collect().toSet
     assert(ids.contains(1L) && !ids.contains(2L),
       s"invisible-variant dup must canonicalize into doc 1's group: $ids")

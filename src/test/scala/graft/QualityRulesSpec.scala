@@ -46,6 +46,29 @@ class QualityRulesSpec extends AnyFunSuite {
       out(4L).getAs[Long]("pass") == 0L, "blank text fails")
   }
 
+  test("gopherPassJvm (the s21 streaming twin) agrees with the Column battery row-for-row") {
+    import spark.implicits._
+    val words20 = (1 to 20).map(_ => "the").mkString(" ")
+    val texts = Seq(
+      null.asInstanceOf[String], "", "   ", "two words",
+      words20,                                    // wlen 300 boundary (3-char words)
+      (1 to 20).map(_ => "tempo").mkString(" "),  // 5-char: wlen 500 passes, no stopword
+      (1 to 20).map(_ => "theory").mkString(" "), // 6-char: wlen 600 fails
+      s"$words20 ### ... ###",                    // symbol breach
+      (1 to 25).map(i => s"x$i").mkString(" "),   // digit words: alpha 0
+      s"  $words20  extra   spacing\tacross\nlines the and of ")
+    val planted = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val byId = QualityRules.gopherRules(planted).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("pass") == 1L)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(QualityRules.gopherPassJvm(t) == byId(i.toLong),
+        s"JVM/Column battery disagree on doc $i: ${Option(t).map(_.take(40))}")
+    }
+    // both paths exercised
+    assert(byId.values.exists(identity) && byId.values.exists(!_))
+  }
+
   test("q77 c4Clean: hand-replayed line geometry — keep/drop per rule, sentence gate, page rules") {
     import spark.implicits._
     val keepDot = "one two three four five."
