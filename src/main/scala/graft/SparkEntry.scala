@@ -161,6 +161,14 @@ object SparkEntry {
       TextOps.decontaminateBloom(docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0))
     }),
+    // q81: per-benchmark-ITEM contamination report (q38's split, the
+    // eval-card flip side: dirty-doc and hit-shingle counts per item)
+    "q81_contamination_report" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      TextOps.contaminationReport(docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+    }),
     "q39_repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
     // q61: bigram-LM perplexity in Q16 fixed-point (the Log2Q16Expr
     // kernel — no libm, so the whole score hash-compares)
@@ -344,6 +352,51 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
          LEFT JOIN sizes USING (doc_id)
          LEFT JOIN ov USING (doc_id)"""
+
+  /** q81's oracle: the q38 shingle CTEs re-aggregated per BENCHMARK
+    * item (bsh keeps its doc_id as bench_id; hits join counted by
+    * distinct corpus doc and distinct shingle).
+    */
+  private val contamReportSql: String =
+    """WITH ctoks AS (
+           SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
+           FROM documents WHERE doc_id % 97 <> 0),
+         btoks AS (
+           SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
+           FROM documents WHERE doc_id % 97 = 0),
+         csh AS (
+           SELECT DISTINCT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(sh)+1),
+                      i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 3, 1) + 1),
+                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS sh
+                 FROM ctoks) x),
+         bsh AS (
+           SELECT DISTINCT doc_id AS bench_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(sh)+1),
+                      i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 3, 1) + 1),
+                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS sh
+                 FROM btoks) x),
+         hits AS (SELECT DISTINCT bench_id, csh.doc_id, s FROM csh JOIN bsh USING (s)),
+         dirty AS (SELECT bench_id, count(DISTINCT doc_id) AS n_dirty_docs FROM hits GROUP BY 1),
+         hitsh AS (SELECT bench_id, count(DISTINCT s) AS n_hit_shingles FROM hits GROUP BY 1),
+         sizes AS (SELECT bench_id, count(*) AS n_shingles FROM bsh GROUP BY 1)
+         SELECT b.bench_id,
+                COALESCE(sizes.n_shingles, 0) AS n_shingles,
+                COALESCE(hitsh.n_hit_shingles, 0) AS n_hit_shingles,
+                COALESCE(dirty.n_dirty_docs, 0) AS n_dirty_docs,
+                CAST(COALESCE(dirty.n_dirty_docs, 0) = 0 AS BIGINT) AS clean
+         FROM (SELECT doc_id AS bench_id FROM documents WHERE doc_id % 97 = 0) b
+         LEFT JOIN sizes USING (bench_id)
+         LEFT JOIN hitsh USING (bench_id)
+         LEFT JOIN dirty USING (bench_id)"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_repartition" ->
@@ -1067,6 +1120,7 @@ object SparkEntry {
     // confirm join), so the oracle IS q38's — the strongest possible
     // statement of "same semantics, different physical shape".
     "q73_bloom_decontam" -> decontamSql,
+    "q81_contamination_report" -> contamReportSql,
     // q39: every ratio is integer-count / integer-count in IEEE double
     // — bit-identical across engines. DuckDB range() is end-EXCLUSIVE
     // vs Spark sequence()'s inclusive, hence the +1s.

@@ -291,6 +291,51 @@ object TextOps {
         (col("n_overlap") >= minOverlap).cast("long").as("contaminated"))
   }
 
+  /** q81: per-BENCHMARK-ITEM contamination report — the flip side of
+    * q38/q73 (those answer "which corpus docs are dirty?"; this
+    * answers "how contaminated is each EVAL ITEM?"), i.e. the
+    * eval-overlap table a dataset release publishes per benchmark
+    * (the GPT-3 appendix-C / PaLM-style dirty-vs-clean accounting).
+    * Per benchmark doc: its distinct-shingle count, how many of those
+    * shingles appear anywhere in the corpus (n_hit_shingles), how
+    * many distinct corpus docs share at least one shingle
+    * (n_dirty_docs), and a `clean` flag (no corpus doc overlaps).
+    *
+    * Scale shape (the q38 inversion is what makes it cheap): the
+    * BENCHMARK side is eval-suite-sized, so it broadcasts and the
+    * corpus posting stream is filtered MAP-SIDE — only actual hits
+    * (contamination-sized, not corpus-sized) ever enter an exchange.
+    * The hit frame is localCheckpoint'd once (§8 eager-checkpoint
+    * rule) because both aggregates consume it; re-deriving it would
+    * re-shingle the corpus twice. Reference for the shingle contract:
+    * Dedup.postings (q21 poly-hash fingerprint family), so the whole
+    * report replays in DuckDB and hash-compares.
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          shingleN: Int = 4): DataFrame = {
+    val corpusSh = Dedup.postings(corpus, shingleN)
+    val benchSh = Dedup.postings(benchmark, shingleN)
+      .withColumnRenamed("doc_id", "bench_id")
+      .localCheckpoint(true)
+    val hits = corpusSh
+      .join(broadcast(benchSh), Seq("shingle"))
+      .select(col("bench_id"), col("doc_id"), col("shingle"))
+      .localCheckpoint(true)
+    val dirty = hits.select(col("bench_id"), col("doc_id")).distinct()
+      .groupBy(col("bench_id")).agg(count(lit(1)).as("n_dirty_docs"))
+    val hitSh = hits.select(col("bench_id"), col("shingle")).distinct()
+      .groupBy(col("bench_id")).agg(count(lit(1)).as("n_hit_shingles"))
+    val sizes = benchSh.groupBy(col("bench_id")).agg(count(lit(1)).as("n_shingles"))
+    benchmark.select(col("doc_id").as("bench_id"))
+      .join(sizes, Seq("bench_id"), "left")
+      .join(hitSh, Seq("bench_id"), "left")
+      .join(dirty, Seq("bench_id"), "left")
+      .na.fill(0L, Seq("n_shingles", "n_hit_shingles", "n_dirty_docs"))
+      .select(col("bench_id"), col("n_shingles"), col("n_hit_shingles"),
+        col("n_dirty_docs"),
+        (col("n_dirty_docs") === 0L).cast("long").as("clean"))
+  }
+
   /** q75: canonical Unicode text normalization — the stage every
     * hashing/dedup pipeline runs FIRST (a decomposed "café" and a
     * composed one must hash identically, or exact dedup (q20),

@@ -301,6 +301,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("q81 contamination report: benchmark side broadcasts, corpus postings filtered map-side") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val df = graft.operators.TextOps.contaminationReport(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0))
+    val s = finalPlanStr(df)
+    // the hit join must be broadcast (benchmark side is eval-sized);
+    // corpus posting mass must never enter a shuffle un-filtered —
+    // the only exchanges are over the contamination-sized hit frame
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("Exchange SinglePartition"), s)
+  }
+
   test("q74 ccnet buckets: cutoff table broadcasts, no per-language corpus window") {
     val docs = Tables.documents(spark, sfDir)
     val df = graft.operators.TextOps.ccnetBuckets(docs, k = 256)

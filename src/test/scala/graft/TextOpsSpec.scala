@@ -141,6 +141,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(flood.toSeq == exact.toSeq)
   }
 
+  test("q81 contamination report: per-benchmark dirty-doc and hit-shingle accounting") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"), // copied below
+      (200L, "unique benchmark phrasing never appearing in any corpus doc"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words then alpha beta gamma delta epsilon and more"),
+      (2L, "totally different vocabulary nothing shared here at all"),
+      (3L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = TextOps.contaminationReport(corpus, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // bench 100 (5 shingles): docs 1 and 3 both overlap it; doc 1 hits
+    // "alpha beta gamma delta" + "beta gamma delta epsilon", doc 3 the
+    // first only -> 2 distinct hit shingles, 2 dirty docs, not clean
+    assert(out(100L) == ((5L, 2L, 2L, 0L)), s"bench 100: ${out(100L)}")
+    // bench 200 (6 shingles): disjoint -> clean, zero hits
+    assert(out(200L) == ((6L, 0L, 0L, 1L)), s"bench 200: ${out(200L)}")
+    // one row per benchmark item; consistency with q38 on the real split:
+    // some corpus doc is contaminated iff some bench item is dirty
+    val c = docs.filter(col("doc_id") % 97 =!= 0)
+    val b = docs.filter(col("doc_id") % 97 === 0)
+    val rep = TextOps.contaminationReport(c, b)
+    assert(rep.count() == b.count())
+    val anyDirty = rep.filter(col("n_dirty_docs") > 0).count() > 0
+    val anyContam = TextOps.decontaminate(c, b).filter(col("contaminated") === 1).count() > 0
+    assert(anyDirty == anyContam)
+    // hit shingles never exceed the item's shingle count
+    assert(rep.filter(col("n_hit_shingles") > col("n_shingles")).count() == 0)
+    // determinism under repartition
+    assertSameRows(rep, TextOps.contaminationReport(c.repartition(13), b.repartition(7)))
+  }
+
   test("q74 ccnet buckets: per-lang monotone partition, nulls attributable") {
     val out = TextOps.ccnetBuckets(docs, k = 256)
     // one row per document
