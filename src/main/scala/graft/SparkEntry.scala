@@ -107,6 +107,9 @@ object SparkEntry {
     // q66: the complete IVFADC system (coarse lists + residual PQ +
     // per-list ADC) — the deployable 100 TB ANN shape, hash-exact
     "q66_ivfadc" -> ((s, d) => Similarity.ivfadcSearch(Tables.embeddings(s, d))),
+    // q82: SQ8 scalar quantization — one byte per dimension, integer
+    // codes + reconstruction error, hash-exact
+    "q82_sq8" -> ((s, d) => Similarity.sq8Codes(Tables.embeddings(s, d))),
     // q67: BPE merge training — the tokenizer-training step q51's
     // greedy inference consumes; deterministic single-pass merge
     // contract, hash-exact vs the unrolled-CTE replay
@@ -833,6 +836,7 @@ object SparkEntry {
     // q66: coarse CTEs + residual CTE + the PQ chain over it +
     // probe/LUT/Σ/rank — Similarity.ivfadcOracleSql
     "q66_ivfadc" -> graft.operators.Similarity.ivfadcOracleSql(),
+    "q82_sq8" -> graft.operators.Similarity.sq8OracleSql,
     // q67: word-freq base + 24 unrolled (pair-count, argmax, apply)
     // CTE triples — Bpe.bpeTrainOracleSql
     "q67_bpe_train" -> graft.operators.Bpe.bpeTrainOracleSql(),

@@ -1203,6 +1203,85 @@ object Similarity {
             col("t.id").as("neighbor_id"), (-col("t.ord")).cast("long").as("adist"))
     }
 
+  // ==== q82: SCALAR QUANTIZATION (SQ8) — the third member of the
+  // compression family next to PQ (q65) and IVFADC (q66): one byte
+  // per DIMENSION (FAISS ScalarQuantizer QT_8bit semantics — train =
+  // per-dimension min/max, encode = uniform 256-level grid), the
+  // memory-reduction path used when PQ's codebook granularity is too
+  // lossy and 4× compression of float32 is enough. Everything runs in
+  // the q60 integer domain (quantize `floor(v·2²⁰+0.5)+2²⁰` — the
+  // shift makes the whole encode nonnegative, so truncating div IS
+  // floor on both engines), so codes AND per-dimension reconstruction
+  // error are hash-exact against the DuckDB replay. ====
+
+  /** q82: SQ8 encode — per (vec, dim): the byte code and the integer
+    * reconstruction error.
+    *
+    *   code_d = ((vq_d − min_d)·255) div (max_d − min_d)   (span 0 → 0)
+    *   err_d  = (vq_d − min_d) − (code_d·span_d) div 255   (≥ 0: floor)
+    *
+    * Train is ONE 64-group min/max aggregate (map-side partials; 64
+    * partial rows per task, never a per-dim shuffle of vectors) whose
+    * 64 (min, span) pairs collect to the driver — the trainCodebook
+    * bounded-collect protocol — and ride the encode as array LITERALS:
+    * the encode pass is a PURE MAP (zero joins, zero exchanges) over
+    * the once-checkpointed quantized frame, exactly q60's
+    * literal-centroid shape. Overflow: spans < 2²², (vq−min)·255 <
+    * 2³⁰ ≪ 2⁶³.
+    *
+    * Output: (vec_id, pos, code, err), one row per dimension, all
+    * int64 — the code table IS the compressed index a search layer
+    * (q65b-style ADC) would probe.
+    */
+  def sq8Codes(embeddings: DataFrame): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) + 1048576)").as("q"))
+      .localCheckpoint(true) // scanned twice: train + encode
+    val mm = q.select(posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect().sortBy(_.getInt(0)).map(r => (r.getLong(1), r.getLong(2)))
+    if (mm.isEmpty)
+      return embeddings.sparkSession.createDataFrame(
+        embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, pos BIGINT, code BIGINT, err BIGINT"))
+    val mins = mm.map(_._1).mkString("array(", "L,", "L)")
+    val spans = mm.map { case (a, b) => b - a }.mkString("array(", "L,", "L)")
+    q.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("v"),
+        expr(s"element_at($mins, CAST(pos AS INT) + 1)").as("mn"),
+        expr(s"element_at($spans, CAST(pos AS INT) + 1)").as("sp"))
+      .select(col("vec_id"), col("pos"),
+        expr("CASE WHEN sp > 0 THEN ((v - mn) * 255) div sp ELSE CAST(0 AS BIGINT) END").as("code"),
+        col("v"), col("mn"), col("sp"))
+      .select(col("vec_id"), col("pos"), col("code"),
+        expr("(v - mn) - (code * sp) div 255").as("err"))
+  }
+
+  /** The q82 oracle: identical quantize-shift, per-dim min/max as one
+    * grouped aggregate, same truncating `//` (nonnegative domain makes
+    * it floor on both engines).
+    */
+  def sq8OracleSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) + 1048576) AS q
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, q[CAST(i AS INT)] AS v
+      |  FROM qv, range(1, 65) AS t(i)),
+      |mm AS (
+      |  SELECT pos, min(v) AS mn, max(v) - min(v) AS sp
+      |  FROM ex GROUP BY pos)
+      |SELECT e.vec_id, e.pos,
+      |       CASE WHEN mm.sp > 0 THEN ((e.v - mm.mn) * 255) // mm.sp
+      |            ELSE CAST(0 AS BIGINT) END AS code,
+      |       (e.v - mm.mn)
+      |         - (CASE WHEN mm.sp > 0 THEN ((e.v - mm.mn) * 255) // mm.sp
+      |                 ELSE CAST(0 AS BIGINT) END * mm.sp) // 255 AS err
+      |FROM ex e JOIN mm USING (pos)""".stripMargin
+
   private def pqD2Fold(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |             list_transform(range(1, len($a) + 1),

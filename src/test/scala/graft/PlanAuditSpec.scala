@@ -315,6 +315,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("Exchange SinglePartition"), s)
   }
 
+  test("q82 sq8: encode is a pure map — zero joins, zero windows in the final plan") {
+    val df = graft.operators.Similarity.sq8Codes(Tables.embeddings(spark, sfDir))
+    val s = finalPlanStr(df)
+    // the 64 (min, span) pairs ride as array LITERALS (the q60
+    // literal-centroid shape): the encode pass may not plan a join, a
+    // window, or any single-partition exchange
+    assert(!s.contains("Join"), s)
+    assert(!s.contains("Window"), s)
+    assert(!s.contains("Exchange SinglePartition"), s)
+  }
+
   test("q74 ccnet buckets: cutoff table broadcasts, no per-language corpus window") {
     val docs = Tables.documents(spark, sfDir)
     val df = graft.operators.TextOps.ccnetBuckets(docs, k = 256)

@@ -389,6 +389,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e3 <= e0, s"training worsened reconstruction: $e0 -> $e3")
   }
 
+  test("q82 sq8: codes span the byte grid, grid endpoints are exact, errors bounded") {
+    val out = Similarity.sq8Codes(emb).localCheckpoint(true)
+    val n = emb.count()
+    assert(out.count() == n * 64, "one row per (vector, dimension)")
+    assert(out.filter(col("code") < 0 || col("code") > 255).count() == 0)
+    assert(out.filter(col("err") < 0).count() == 0)
+    // per dimension the min maps to code 0 and the max to code 255,
+    // both with ZERO reconstruction error (the grid endpoints)
+    val ends = out.groupBy(col("pos")).agg(
+      min(col("code")).as("cmin"), max(col("code")).as("cmax"),
+      min(struct(col("code"), col("err"))).as("lo"),
+      max(struct(col("code"), col("err"))).as("hi"))
+    assert(ends.filter(col("cmin") =!= 0L || col("cmax") =!= 255L).count() == 0,
+      "every dimension must span the full byte grid (min->0, max->255)")
+    assert(ends.filter(col("lo.err") =!= 0L || col("hi.err") =!= 0L).count() == 0,
+      "grid endpoints must reconstruct exactly")
+    // a quantization cell is span/255 wide: err can never reach a full
+    // cell plus the floor slack (err*255 <= span + 255)
+    val q = emb.selectExpr("vec_id",
+      "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) + 1048576) AS qv")
+      .selectExpr("posexplode(qv) AS (pos, v)")
+      .groupBy(col("pos")).agg((max(col("v")) - min(col("v"))).as("sp"))
+    assert(out.join(q.withColumn("pos", col("pos").cast("long")), Seq("pos"))
+      .filter(col("err") * 255 > col("sp") + 255).count() == 0)
+    // determinism under repartitioning
+    assertSameRows(out, Similarity.sq8Codes(emb.repartition(13)))
+    // degenerate span: a constant dimension encodes to code 0, err 0
+    import spark.implicits._
+    val flat = Seq((1L, Seq.fill(64)(0.5f)), (2L, Seq.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val f = Similarity.sq8Codes(flat)
+    assert(f.count() == 128)
+    assert(f.filter(col("code") =!= 0L || col("err") =!= 0L).count() == 0)
+  }
+
   test("q65b ADC search: a planted clone of each query shares its cell and ranks top") {
     // plant an exact clone of each of the 10 hash-smallest vectors
     // (= the query set): the clone gets the query's exact codes, so
