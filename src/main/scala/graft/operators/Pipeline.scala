@@ -160,9 +160,12 @@ object Pipeline {
       .join(gated, "doc_id")
     val decon = if (materializeStages) decon0.localCheckpoint(true) else decon0
     // 6. PII redaction — the redacted text is what trains + tokenizes
-    val red = TextOps.piiRedact(decon)
+    // (checkpointed with the other text stages when materializing: the
+    // vocab collect and the mixture solve both act on it)
+    val red0 = TextOps.piiRedact(decon)
       .select(col("doc_id"), col("clean_text").as("text"))
       .join(decon.select("doc_id", "lang"), "doc_id")
+    val red = if (materializeStages) red0.localCheckpoint(true) else red0
     // 7. vocab trained on the curated corpus; token-budget admission
     val vocab = TextOps.tokenizerVocabSeq(red, vocabM, maxN)
     val admitted = TextOps.mixtureSolveTokenized(red, targetMyriad, vocab, maxN)
