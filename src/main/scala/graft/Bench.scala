@@ -111,6 +111,20 @@ object Bench {
       // min-of-3" was a major-collection landing inside one query's
       // slot — the operator measures 0.25-0.35s steady in this JVM and
       // isolated ones (see tools/BenchProbe.scala).
+      // Also DROP every persistent block left by the previous query:
+      // localCheckpoint frames (q53's materialized stages, q71's
+      // starts, the codebook fits) are freed by the ContextCleaner
+      // only after their RDD objects are GC'd — asynchronously, and
+      // System.gc() is a hint. Left resident, ~90 queries of
+      // checkpoint blocks squeeze unified memory and the graph
+      // queries' own per-round checkpoints start spilling: r11
+      // round-close measured q57 at 30 s min / 212 s CPU inside the
+      // full bench vs 4.8 s / 38 s isolated, with medians degrading
+      // across passes — the accumulating-blocks signature. Each query
+      // slot now starts with an empty block manager (blocking=true:
+      // the removal must not race into the timed region).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       val passes = if (codecFamily(name)) 5 else 3
       val times = (1 to passes).map { i =>
