@@ -1632,6 +1632,50 @@ object StreamOps {
     }
   }
 
+  /** s40 output: the q82 columns — one row per dimension. */
+  case class Sq8Code(vec_id: Long, pos: Long, code: Long, err: Long)
+
+  /** s40: STREAMING SQ8 ENCODING — q82 as an online compressor: every
+    * arriving embedding is encoded to its per-dimension byte codes by
+    * a FROZEN grid (Similarity.sq8Grid — the s26/s28 frozen-model
+    * protocol: a drifting grid would re-encode history). Stateless:
+    * the 64 (min, span) pairs ride as a broadcast-closure array, each
+    * vector flatMaps to its 64 (pos, code, err) rows — no state
+    * store, no shuffle. The quantize-shift and truncating division
+    * replay batch q82's integer arithmetic EXACTLY on in-grid inputs,
+    * so streaming the training corpus reproduces q82 row-for-row
+    * under any batching (spec-asserted).
+    *
+    * Novel inputs (a streamed vector OUTSIDE the frozen grid — the
+    * case batch training never sees) CLAMP to the grid ends, the
+    * production SQ rule: code pins to 0/255 and `err` carries the
+    * signed residual vs the clamped reconstruction — attributable,
+    * never an exception (the s36 unknown-lang-→-tail discipline).
+    * In-grid rows never clamp, so the batch contract is untouched.
+    */
+  def streamSq8Encode(vecs: Dataset[(Long, Seq[Float])],
+                      grid: Seq[(Long, Long)]): Dataset[Sq8Code] = {
+    import vecs.sparkSession.implicits._
+    require(grid.nonEmpty, "frozen SQ8 grid must be non-empty")
+    val g = grid.toArray
+    vecs.flatMap { case (id, emb) =>
+      val q = emb.toArray.map(v => math.floor(v.toDouble * 1048576.0 + 0.5).toLong + 1048576L)
+      q.indices.iterator.map { i =>
+        val (mn, sp) = g(i)
+        val x = q(i) - mn
+        // in-grid (0 <= x <= sp): identical to batch q82 (nonnegative
+        // operands make / floor); out-of-grid: clamp to the byte ends
+        val code =
+          if (sp <= 0L) 0L
+          else if (x < 0L) 0L
+          else if (x > sp) 255L
+          else x * 255L / sp
+        val err = if (sp <= 0L) x else x - code * sp / 255L
+        Sq8Code(id, i.toLong, code, err)
+      }
+    }
+  }
+
   /** s29 output: one keep/drop decision per vector; `rep` is the
     * retained near-dup it was folded into (itself when kept).
     */

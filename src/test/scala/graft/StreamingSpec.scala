@@ -874,6 +874,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.map(_._1).toSet.size > 1, "more than one code in use")
   }
 
+  test("s40 streaming SQ8 encoding is row-exact vs batch q82 under the frozen grid; novel inputs clamp") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val embs = Tables.embeddings(spark, sfDir)
+    val batch = graft.operators.Similarity.sq8Codes(embs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val grid = graft.operators.Similarity.sq8Grid(embs)
+    assert(grid.size == 64)
+
+    def run(rows: Seq[(Long, Seq[Float])], cut: Int): Map[(Long, Long), (Long, Long)] = {
+      val source = MemoryStream[(Long, Seq[Float])]
+      val got = collection.mutable.Map[(Long, Long), (Long, Long)]()
+      val q = StreamOps.streamSq8Encode(source.toDS(), grid)
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.Sq8Code], _: Long) =>
+          b.collect().foreach(r => got((r.vec_id, r.pos)) = (r.code, r.err)); ()
+        }.start()
+      try {
+        source.addData(rows.take(cut): _*)
+        q.processAllAvailable()
+        source.addData(rows.drop(cut): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      got.toMap
+    }
+
+    val rows = embs.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val got = run(rows, rows.length / 2)
+    assert(got.size == batch.size)
+    val mism = batch.collect { case (k, b) if got(k) != b => s"$k: stream ${got(k)} batch $b" }
+    assert(mism.isEmpty, mism.take(5).mkString("; "))
+
+    // novel out-of-grid vectors clamp to the byte ends, never throw:
+    // far below every dim -> code 0 (negative residual), far above ->
+    // code 255 (positive residual)
+    val novel = run(Seq((-1L, Seq.fill(64)(-100.0f)), (-2L, Seq.fill(64)(100.0f))), 1)
+    assert(novel.size == 128)
+    assert(novel.collect { case ((-1L, _), (c, e)) => c == 0L && e < 0L }.forall(identity))
+    assert(novel.collect { case ((-2L, _), (c, e)) => c == 255L && e > 0L }.forall(identity))
+  }
+
   test("s29 online semdedup: keep-first greedy, batching-invariant on an id-ordered stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
