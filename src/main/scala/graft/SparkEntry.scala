@@ -66,6 +66,20 @@ object SparkEntry {
     // -- LLM-data-pipeline: text analysis (SURVEY §2 q20-q24) --
     "q20_dedup_exact" -> ((s, d) => TextOps.dedupExact(Tables.documents(s, d))),
     "q21_doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(Tables.documents(s, d))),
+    // q83: snapshot diff — v2 derived deterministically from the
+    // corpus (drop %17, edit %13 by a planted suffix, add %19 rows
+    // under shifted ids), so the delta table is oracle-replayable
+    "q83_dataset_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val added = docs.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      TextOps.datasetDiff(docs, base.unionByName(added))
+    }),
     "q22_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "q23_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "q24_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
@@ -557,6 +571,23 @@ object SparkEntry {
                 md5(regexp_replace(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+', ' ', 'g')) AS text_hash,
                 count(*) AS n_dups
          FROM documents GROUP BY 2""",
+    "q83_dataset_diff" ->
+      """WITH newsnap AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 10000000 AS doc_id, text
+           FROM documents WHERE doc_id % 19 = 0),
+         a AS (SELECT doc_id, md5(text) AS h_old, 1 AS in_old FROM documents),
+         b AS (SELECT doc_id, md5(text) AS h_new, 1 AS in_new FROM newsnap)
+         SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                CASE WHEN a.in_old IS NULL THEN 'added'
+                     WHEN b.in_new IS NULL THEN 'removed'
+                     WHEN a.h_old IS NOT DISTINCT FROM b.h_new THEN 'unchanged'
+                     ELSE 'changed' END AS status,
+                a.h_old, b.h_new
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""",
     "q21_doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5,
                 list_reduce(

@@ -63,6 +63,36 @@ object TextOps {
       md5(col("text")).as("fp_md5"),
       graft.functions.VectorFunctions.poly_hash(col("text")).as("fp_poly"))
 
+  /** q83: DATASET SNAPSHOT DIFF — the versioning audit every dataset
+    * release ships (what changed between corpus v1 and v2: the HF
+    * dataset-revision / DVC-style delta table): per doc_id one of
+    * added / removed / changed / unchanged, decided by CONTENT digest
+    * (md5 of the text), not by metadata.
+    *
+    * Scale shape: each side reduces to a (doc_id, digest, presence)
+    * frame BEFORE the join, so the one shuffle carries fixed-width
+    * digests — corpus text never enters the exchange (the q20
+    * fixed-width-key rule). Presence is tracked by explicit flags,
+    * NOT digest nullness: a document with NULL text still EXISTS in a
+    * snapshot, and null-safe digest equality (`<=>` ↔ IS NOT DISTINCT
+    * FROM) classifies null→null as unchanged in both engines.
+    *
+    * Output: (doc_id, status, h_old, h_new).
+    */
+  def datasetDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val a = oldSnap.select(col("doc_id"), md5(col("text")).as("h_old"),
+      lit(1L).as("in_old"))
+    val b = newSnap.select(col("doc_id"), md5(col("text")).as("h_new"),
+      lit(1L).as("in_new"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(col("h_old") <=> col("h_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("h_old"), col("h_new"))
+  }
+
   /** q22: token counting — whitespace tokens and a BPE-ish regex
     * tokenization (letter runs | digit runs | single punctuation), the
     * usual cheap proxy for subword token counts in corpus budgeting.

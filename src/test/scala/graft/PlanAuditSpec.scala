@@ -326,6 +326,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("Exchange SinglePartition"), s)
   }
 
+  test("q83 dataset diff: digests computed below the join — text never enters the exchange") {
+    val df = graft.SparkEntry.queries("q83_dataset_diff")(spark, sfDir)
+    val s = finalPlanStr(df)
+    // each snapshot reduces to (doc_id, md5, flag) BEFORE the full
+    // outer join: the md5 projection must sit under the join and the
+    // join must be an equi-join (full outer → shuffle, never BNLJ)
+    assert(s.contains("md5"), s)
+    assert(s.contains("FullOuter"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q74 ccnet buckets: cutoff table broadcasts, no per-language corpus window") {
     val docs = Tables.documents(spark, sfDir)
     val df = graft.operators.TextOps.ccnetBuckets(docs, k = 256)

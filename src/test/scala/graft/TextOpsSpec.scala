@@ -175,6 +175,37 @@ class TextOpsSpec extends AnyFunSuite {
     assertSameRows(rep, TextOps.contaminationReport(c.repartition(13), b.repartition(7)))
   }
 
+  test("q83 dataset diff: added/removed/changed/unchanged by content digest, null-text aware") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, null: String), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "alpha"), (2L, "beta CHANGED"), (3L, null: String), (5L, "echo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.datasetDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", // null text exists in both: presence flags, not digest nullness
+      4L -> "removed", 5L -> "added"), out.toString)
+    // a null text replaced by real text is CHANGED, not added
+    val neu2 = Seq((3L, "now present")).toDF("doc_id", "text")
+    assert(TextOps.datasetDiff(old, neu2).filter(col("doc_id") === 3L)
+      .head().getString(1) == "changed")
+    // registered derivation: every %17 doc removed, every shifted id
+    // added, untouched residues unchanged
+    val full = graft.SparkEntry.queries("q83_dataset_diff")(spark, sfDir)
+      .localCheckpoint(true)
+    assert(full.filter(col("status") === "removed")
+      .filter(col("doc_id") % 17 =!= 0).count() == 0)
+    assert(full.filter(col("status") === "added")
+      .filter(col("doc_id") < 10000000L).count() == 0)
+    assert(full.filter(col("doc_id") % 17 =!= 0 && col("doc_id") % 13 =!= 0
+      && col("doc_id") < 10000000L && col("status") =!= "unchanged").count() == 0)
+    // one row per doc_id across both snapshots
+    assert(full.groupBy(col("doc_id")).count().filter(col("count") > 1).count() == 0)
+    assertSameRows(TextOps.datasetDiff(old.repartition(7), neu.repartition(3)),
+      TextOps.datasetDiff(old, neu))
+  }
+
   test("q74 ccnet buckets: per-lang monotone partition, nulls attributable") {
     val out = TextOps.ccnetBuckets(docs, k = 256)
     // one row per document
