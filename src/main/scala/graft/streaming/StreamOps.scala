@@ -587,6 +587,40 @@ object StreamOps {
       graft.operators.TextOps.normalizeCol(col("text")).as("text")), shingleN)
   }
 
+  /** s41: STREAMING snapshot diff — q83 as an online ingest auditor:
+    * every arriving v2 document is classified added / changed /
+    * unchanged against the FROZEN v1 snapshot by a STREAM-STATIC left
+    * join on the digest frame. The old side is corpus-sized, so it is
+    * NOT collected (the s13 broadcast-set shortcut is for eval-sized
+    * sets only): it stays a static DataFrame and Spark plans the join
+    * per micro-batch — at scale the static side's digest projection
+    * is what shuffles/broadcasts, never its text (q83's
+    * fixed-width-key rule carried over).
+    *
+    * CONTRACT (deliberately different from batch q83, the s06/s29
+    * contract-difference discipline): `removed` is UNDECIDABLE online
+    * — a v1 doc absent so far may still arrive — so the stream emits
+    * only the three decidable statuses and the removed set is a
+    * close-of-stream reconciliation (batch q83 on the accumulated
+    * snapshot). For every streamed doc the verdict is row-exact vs
+    * q83 (spec), under any batching: the decision is a pure function
+    * of (doc_id, text) and the frozen v1.
+    */
+  def streamDatasetDiff(newDocs: Dataset[(Long, String)],
+                        oldSnap: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, md5, when}
+    val a = oldSnap.select(col("doc_id"), md5(col("text")).as("h_old"),
+      lit(1L).as("in_old"))
+    newDocs.toDF("doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("h_new"))
+      .join(a, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("in_old").isNull, lit("added"))
+          .when(col("h_old") <=> col("h_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("h_old"), col("h_new"))
+  }
+
   /** s13: STREAMING train/eval decontamination — q38 as an online
     * admission check (the shape an ingest service runs: score each
     * arriving document against the frozen eval set BEFORE it enters

@@ -874,6 +874,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.map(_._1).toSet.size > 1, "more than one code in use")
   }
 
+  test("s41 streaming snapshot diff is row-exact vs batch q83 on decidable statuses") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val docs = Tables.documents(spark, sfDir)
+    // the registered q83 v2 derivation, streamed
+    val base = docs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val added = docs.filter(col("doc_id") % 19 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val v2rows = base.unionByName(added)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batch = graft.SparkEntry.queries("q83_dataset_diff")(spark, sfDir)
+      .filter(col("status") =!= "removed")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val source = MemoryStream[(Long, String)]
+    val got = collection.mutable.Map[Long, String]()
+    val q = StreamOps.streamDatasetDiff(source.toDS(), docs)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got(r.getLong(0)) = r.getString(1)); ()
+      }.start()
+    try {
+      source.addData(v2rows.take(v2rows.length / 2): _*)
+      q.processAllAvailable()
+      source.addData(v2rows.drop(v2rows.length / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // every streamed doc classified, row-exact vs batch; no 'removed'
+    // can exist online (the declared contract difference)
+    assert(got.size == batch.size)
+    val mism = batch.collect { case (k, s) if got(k) != s => s"$k: stream ${got(k)} batch $s" }
+    assert(mism.isEmpty, mism.take(5).mkString("; "))
+    assert(!got.values.exists(_ == "removed"))
+    assert(Set("added", "changed", "unchanged").subsetOf(got.values.toSet),
+      s"all three decidable statuses exercised: ${got.values.toSet}")
+  }
+
   test("s40 streaming SQ8 encoding is row-exact vs batch q82 under the frozen grid; novel inputs clamp") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
