@@ -117,7 +117,9 @@ object BenchScale {
     "q73_bloom_decontam", // q38 + a map-side bloom prefilter: still linear
     "q74_ccnet_buckets", // q61 + bounded per-lang sketch + broadcast cutoffs
     "q78_epoch_shuffle", // one exchange + per-shard sorts + bounded offsets
-    "q79_cluster_sample") // q60 pure-map assign + one quota-bounded agg
+    "q79_cluster_sample", // q60 pure-map assign + one quota-bounded agg
+    "q82_sq8",           // one 64-group min/max agg + a pure-map encode
+    "q83_dataset_diff")  // two digest projections + one digest-keyed join
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")
