@@ -187,6 +187,9 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0))
     }),
     "q39_repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
+    // q84: memorization risk — fraction of a doc's distinct 4-grams
+    // occurring in >1 corpus documents (duplication-driven signal)
+    "q84_memorization_risk" -> ((s, d) => TextOps.memorizationRisk(Tables.documents(s, d))),
     // q61: bigram-LM perplexity in Q16 fixed-point (the Log2Q16Expr
     // kernel — no libm, so the whole score hash-compares)
     "q61_perplexity" -> ((s, d) => TextOps.perplexity(Tables.documents(s, d))),
@@ -1161,6 +1164,32 @@ object SparkEntry {
     // q38: the q25 posting replay (word 4-grams, poly_hash keys) split
     // into corpus vs the deterministic every-97th-doc eval set.
     "q38_decontamination" -> decontamSql,
+    "q84_memorization_risk" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(g)+1),
+                      i -> CAST(unicode(substring(g, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 3, 1) + 1),
+                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS g
+                 FROM t) x),
+         dfreq AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1),
+         dup AS (SELECT doc_id, count(*) AS n_dup FROM sh JOIN dfreq USING (s) GROUP BY 1),
+         sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1)
+         SELECT d.doc_id,
+                COALESCE(sizes.n_shingles, 0) AS n_shingles,
+                COALESCE(dup.n_dup, 0) AS n_dup,
+                CASE WHEN COALESCE(sizes.n_shingles, 0) > 0
+                     THEN CAST(COALESCE(dup.n_dup, 0) AS DOUBLE) / sizes.n_shingles
+                     ELSE NULL END AS dup_ratio
+         FROM documents d
+         LEFT JOIN sizes USING (doc_id)
+         LEFT JOIN dup USING (doc_id)""",
     // q73: the bloom prefilter is exactness-preserving (FPs die in the
     // confirm join), so the oracle IS q38's — the strongest possible
     // statement of "same semantics, different physical shape".

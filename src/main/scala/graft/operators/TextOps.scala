@@ -366,6 +366,51 @@ object TextOps {
         (col("n_dirty_docs") === 0L).cast("long").as("clean"))
   }
 
+  /** q84: MEMORIZATION-RISK scoring — the duplication-driven signal
+    * from the dedup literature (sequences repeated across a corpus
+    * are the ones models memorize; Lee et al. 2021 §6, Carlini et al.
+    * 2022): per document, the fraction of its distinct word
+    * `shingleN`-grams that occur in MORE than `dfCap` distinct corpus
+    * documents. High ratio = the document is mostly corpus-repeated
+    * content (boilerplate, licenses, chain letters) — the docs to
+    * drop or downweight before training even when no single near-dup
+    * partner exists (the signal q25/q27 pairwise dedup cannot see).
+    *
+    * Three linear exchanges, each on narrow frames: postings → df
+    * aggregate keyed by the 8-byte shingle hash (map-side partials),
+    * postings⋈df equi-join on the hash (text never enters an
+    * exchange — the q20 fixed-width-key rule), per-doc count
+    * aggregate. dup_ratio is one double division replayed identically
+    * in DuckDB (IEEE, both engines).
+    *
+    * Output: (doc_id, n_shingles, n_dup, dup_ratio); docs with no
+    * shingles (null/short text) keep n_shingles=0 and a NULL ratio —
+    * attributable, the q74 discipline.
+    */
+  def memorizationRisk(documents: DataFrame, shingleN: Int = 4,
+                       dfCap: Int = 1): DataFrame = {
+    // null-text docs contribute NO shingles (they keep their summary
+    // row with n_shingles=0 / NULL ratio): made EXPLICIT because the
+    // engines disagree on the implicit path — Spark's concat_ws
+    // skips nulls and manufactures one empty shingle where DuckDB's
+    // lambda chain propagates NULL to zero rows (probed r11).
+    val post = Dedup.postings(documents.filter(col("text").isNotNull), shingleN)
+    val df = post.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+    val dup = post.join(df, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    documents.select(col("doc_id"))
+      .join(sizes, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shingles", "n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        when(col("n_shingles") > 0,
+          col("n_dup").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(null).cast("double")).as("dup_ratio"))
+  }
+
   /** q75: canonical Unicode text normalization — the stage every
     * hashing/dedup pipeline runs FIRST (a decomposed "café" and a
     * composed one must hash identically, or exact dedup (q20),

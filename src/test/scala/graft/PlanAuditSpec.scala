@@ -337,6 +337,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q84 memorization risk: narrow hash-keyed exchanges only, no window, no cartesian") {
+    val df = graft.operators.TextOps.memorizationRisk(Tables.documents(spark, sfDir))
+    val s = finalPlanStr(df)
+    // df agg, postings⋈df, per-doc aggs: all keyed by the 8-byte
+    // shingle hash or doc_id — never a window, never text in a join
+    assert(!s.contains("Window"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("Exchange SinglePartition"), s)
+  }
+
   test("q74 ccnet buckets: cutoff table broadcasts, no per-language corpus window") {
     val docs = Tables.documents(spark, sfDir)
     val df = graft.operators.TextOps.ccnetBuckets(docs, k = 256)

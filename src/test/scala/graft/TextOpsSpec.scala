@@ -206,6 +206,32 @@ class TextOpsSpec extends AnyFunSuite {
       TextOps.datasetDiff(old, neu))
   }
 
+  test("q84 memorization risk: corpus-repeated shingles drive the ratio, unique text scores 0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),      // shares its first 4-gram with doc 2
+      (2L, "alpha beta gamma delta different end"),
+      (3L, "totally unique vocabulary nothing shared here at all"),
+      (4L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextOps.memorizationRisk(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    // doc 1: 2 shingles, 1 repeated ("alpha beta gamma delta") -> 0.5
+    assert(out(1L) == ((2L, 1L, 0.5)), s"doc 1: ${out(1L)}")
+    // doc 2: 3 shingles, 1 repeated
+    assert(out(2L)._1 == 3L && out(2L)._2 == 1L, s"doc 2: ${out(2L)}")
+    // unique doc scores 0; null text has no shingles and a NULL ratio
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+    assert(out(4L) == ((0L, 0L, null)), s"doc 4: ${out(4L)}")
+    // corpus-level sanity: one row per doc, ratio within [0, 1]
+    val full = TextOps.memorizationRisk(docs).localCheckpoint(true)
+    assert(full.count() == docs.count())
+    assert(full.filter(col("dup_ratio") < 0 || col("dup_ratio") > 1).count() == 0)
+    assert(full.filter(col("n_dup") > col("n_shingles")).count() == 0)
+    assertSameRows(full, TextOps.memorizationRisk(docs.repartition(13)))
+  }
+
   test("q74 ccnet buckets: per-lang monotone partition, nulls attributable") {
     val out = TextOps.ccnetBuckets(docs, k = 256)
     // one row per document
