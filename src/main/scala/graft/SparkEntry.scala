@@ -190,6 +190,8 @@ object SparkEntry {
     // q84: memorization risk — fraction of a doc's distinct 4-grams
     // occurring in >1 corpus documents (duplication-driven signal)
     "q84_memorization_risk" -> ((s, d) => TextOps.memorizationRisk(Tables.documents(s, d))),
+    // q85: retrieval passage chunking — 64-word windows at stride 32
+    "q85_chunk_passages" -> ((s, d) => TextOps.chunkPassages(Tables.documents(s, d))),
     // q61: bigram-LM perplexity in Q16 fixed-point (the Log2Q16Expr
     // kernel — no libm, so the whole score hash-compares)
     "q61_perplexity" -> ((s, d) => TextOps.perplexity(Tables.documents(s, d))),
@@ -1164,6 +1166,22 @@ object SparkEntry {
     // q38: the q25 posting replay (word 4-grams, poly_hash keys) split
     // into corpus vs the deterministic every-97th-doc eval set.
     "q38_decontamination" -> decontamSql,
+    "q85_chunk_passages" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         n AS (
+           SELECT doc_id, toks,
+                  1 + (greatest(len(toks) - 64, 0) + 31) // 32 AS k
+           FROM t),
+         e AS (SELECT doc_id, toks, unnest(range(1, k + 1)) AS i FROM n)
+         SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+                CAST(len(list_slice(toks, CAST((i - 1) * 32 + 1 AS INT),
+                                    CAST((i - 1) * 32 + 64 AS INT))) AS BIGINT) AS n_words,
+                array_to_string(list_slice(toks, CAST((i - 1) * 32 + 1 AS INT),
+                                           CAST((i - 1) * 32 + 64 AS INT)), ' ') AS chunk
+         FROM e""",
     "q84_memorization_risk" ->
       """WITH t AS (
            SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks

@@ -411,6 +411,44 @@ object TextOps {
           .otherwise(lit(null).cast("double")).as("dup_ratio"))
   }
 
+  /** q85: RETRIEVAL PASSAGE CHUNKING — the corpus→passages transform
+    * every retrieval/RAG indexing pipeline runs before embedding:
+    * sliding word windows of `window` tokens at `stride` (overlap =
+    * window − stride keeps answers that straddle a boundary inside
+    * at least one passage — the standard recipe; cf. the DPR-style
+    * 100-word passage convention, Karpukhin et al. 2020 §3.1).
+    * Chunk count k = 1 + ceil(max(len − window, 0) / stride) covers
+    * every token; the tail chunk may be shorter. Text is preserved
+    * VERBATIM (no lowering — retrieval passages embed the original
+    * text; only the q22 whitespace-trim/split tokenization is shared).
+    *
+    * Scale: a stateless narrow projection — tokens materialized in a
+    * projection BEFORE the transform lambda (the §8 per-element
+    * re-evaluation rule), one generate, zero exchanges: the cheapest
+    * operator class at 100 TB. Ceil is (a + stride − 1) div stride on
+    * nonnegative ints — floor-div, identical in both engines.
+    *
+    * Output: (doc_id, chunk_id, n_words, chunk); null-text docs
+    * produce no passages (explicit filter — the q84 engine-agreement
+    * rule).
+    */
+  def chunkPassages(documents: DataFrame, window: Int = 64,
+                    stride: Int = 32): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    documents.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        split(wsTrim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        expr(s"1 + (greatest(size(toks) - $window, 0) + ${stride - 1}) div $stride").as("k"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(k - 1 AS INT)),
+            i -> struct(size(slice(toks, i * $stride + 1, $window)) AS n,
+                        concat_ws(' ', slice(toks, i * $stride + 1, $window)) AS c))""")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col.n").cast("long").as("n_words"), col("col.c").as("chunk"))
+  }
+
   /** q75: canonical Unicode text normalization — the stage every
     * hashing/dedup pipeline runs FIRST (a decomposed "café" and a
     * composed one must hash identically, or exact dedup (q20),

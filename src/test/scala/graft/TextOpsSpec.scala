@@ -232,6 +232,36 @@ class TextOpsSpec extends AnyFunSuite {
     assertSameRows(full, TextOps.memorizationRisk(docs.repartition(13)))
   }
 
+  test("q85 passage chunking: full coverage with overlap, verbatim text, tail shorter") {
+    import spark.implicits._
+    // 10 words, window 4, stride 2 -> k = 1 + ceil(6/2) = 4 chunks
+    val doc = Seq((1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"), (2L, null: String),
+      (3L, "short text")).toDF("doc_id", "text")
+    val out = TextOps.chunkPassages(doc, window = 4, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out((1L, 0L)) == ((4L, "w0 w1 w2 w3")))
+    assert(out((1L, 1L)) == ((4L, "w2 w3 w4 w5")))
+    assert(out((1L, 2L)) == ((4L, "w4 w5 w6 w7")))
+    assert(out((1L, 3L)) == ((4L, "w6 w7 w8 w9")))
+    assert(!out.contains((1L, 4L)))
+    // shorter-than-window doc: one whole-doc chunk; null text: none
+    assert(out((3L, 0L)) == ((2L, "short text")))
+    assert(!out.keys.exists(_._1 == 2L))
+    // coverage invariant on the corpus: every token index lands in
+    // some chunk — total words == len for stride == window (disjoint),
+    // and >= len with overlap
+    val full = TextOps.chunkPassages(docs).localCheckpoint(true)
+    val lens = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(graft.operators.TextOps.wsTrim(col("text")), "\\s+")).as("len"))
+    val sums = full.groupBy(col("doc_id")).agg(sum(col("n_words")).as("s"),
+      max(col("chunk_id")).as("mx"))
+      .join(lens, "doc_id")
+    assert(sums.filter(col("s") < col("len")).count() == 0, "tokens dropped")
+    // last chunk starts before the text ends (no fully-empty tail)
+    assert(full.filter(col("n_words") <= 0).count() == 0)
+    assertSameRows(full, TextOps.chunkPassages(docs.repartition(13)))
+  }
+
   test("q74 ccnet buckets: per-lang monotone partition, nulls attributable") {
     val out = TextOps.ccnetBuckets(docs, k = 256)
     // one row per document
