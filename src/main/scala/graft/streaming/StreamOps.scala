@@ -587,6 +587,73 @@ object StreamOps {
       graft.operators.TextOps.normalizeCol(col("text")).as("text")), shingleN)
   }
 
+  /** s42 output: one corpus-card row per language (the q76 columns,
+    * minus the `__total__` rollup — see the contract below).
+    */
+  case class CardRow(lang: String, n_docs: Long, n_text: Long,
+                     n_tokens: Long, n_chars: Long,
+                     avg_tokens: Option[Long],
+                     p50_chars: Option[Long], p90_chars: Option[Long])
+
+  /** s42 state: the four integer masses plus the bottom-k-by-hash
+    * sketch (the q46/q76 deterministic sample — k smallest (h, nc)
+    * pairs, MERGEABLE: union-then-keep-k commutes with any batching).
+    */
+  case class CardState(nDocs: Long, nText: Long, nToks: Long,
+                       nChars: Long, sketch: List[(Long, Long)])
+
+  /** s42: STREAMING corpus card — q76 maintained continuously: the
+    * per-language release statistics updated as documents arrive (the
+    * live ingest dashboard a corpus-building run watches). Keyed
+    * state per LANGUAGE — languages-count entries, each four longs +
+    * the ≤k-pair sketch: bounded by design, never by corpus size.
+    * Every per-doc quantity is the byte-identical JVM twin of batch
+    * q76's columns (normTokens ↔ the lower/wsTrim/split tokenization,
+    * PolyHashExpr.hash("q76:"+id) with draws 222/223 ↔ the sketch
+    * hash), and bottom-k-by-hash is a pure function of the SET — so
+    * after any prefix of batches each language's row equals batch q76
+    * on the documents seen so far, and at end-of-stream the card is
+    * ROW-EXACT vs q76 under ANY batching (spec).
+    *
+    * CONTRACT (the s41 discipline): the `__total__` ROLLUP row is a
+    * close-of-stream reconciliation — emitting it online would
+    * require a second all-languages state key updated by every row (a
+    * single-partition hotspot at scale); the batch rollup over the
+    * emitted rows is one languages-count aggregate.
+    */
+  def streamCorpusCard(docs: Dataset[(Long, String, String)],
+                       k: Int = 1024): Dataset[CardRow] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup.ReplayableHash.{a, b, P}
+    docs.groupByKey(_._2)
+      .flatMapGroupsWithState[CardState, CardRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (lang, rows, state: GroupState[CardState]) =>
+          var st = state.getOption.getOrElse(CardState(0L, 0L, 0L, 0L, Nil))
+          rows.foreach { case (id, _, text) =>
+            if (text == null)
+              st = st.copy(nDocs = st.nDocs + 1)
+            else {
+              val s = graft.functions.PolyHashExpr.hash("q76:" + id)
+              val h = ((a(222) * s + b(222)) % P) * P + (a(223) * s + b(223)) % P
+              val nc = text.codePointCount(0, text.length).toLong
+              val nt = normTokens(text).length.toLong
+              st = CardState(st.nDocs + 1, st.nText + 1, st.nToks + nt,
+                st.nChars + nc,
+                ((h, nc) :: st.sketch).sorted.take(k))
+            }
+          }
+          state.update(st)
+          val vs = st.sketch.map(_._2).sorted.toIndexedSeq
+          def pct(p: Int): Option[Long] =
+            if (vs.isEmpty) None else Some(vs(p * (vs.size - 1) / 100))
+          Iterator.single(CardRow(lang, st.nDocs, st.nText, st.nToks,
+            st.nChars,
+            if (st.nText > 0) Some(st.nToks / st.nText) else None,
+            pct(50), pct(90)))
+      }
+  }
+
   /** s41: STREAMING snapshot diff — q83 as an online ingest auditor:
     * every arriving v2 document is classified added / changed /
     * unchanged against the FROZEN v1 snapshot by a STREAM-STATIC left

@@ -874,6 +874,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.map(_._1).toSet.size > 1, "more than one code in use")
   }
 
+  test("s42 streaming corpus card converges row-exact to batch q76 per language") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val docs = Tables.documents(spark, sfDir)
+    val batch = graft.operators.TextOps.corpusCard(docs)
+      .filter(col("lang") =!= "__total__")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toMap
+
+    def run(cut: Int): Map[String, (Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])] = {
+      val source = MemoryStream[(Long, String, String)]
+      val got = collection.mutable.Map[String, (Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]()
+      val q = StreamOps.streamCorpusCard(source.toDS())
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.CardRow], _: Long) =>
+          b.collect().foreach(r => got(r.lang) =
+            (r.n_docs, r.n_text, r.n_tokens, r.n_chars,
+             r.avg_tokens, r.p50_chars, r.p90_chars)); ()
+        }.start()
+      try {
+        val rows = docs.select(col("doc_id"), col("lang"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        source.addData(rows.take(cut).toSeq: _*)
+        q.processAllAvailable()
+        source.addData(rows.drop(cut).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      got.toMap
+    }
+
+    val n = docs.count().toInt
+    val got = run(n / 2)
+    assert(got.keySet == batch.keySet)
+    val mism = batch.collect { case (l, b) if got(l) != b => s"$l: stream ${got(l)} batch $b" }
+    assert(mism.isEmpty, mism.take(3).mkString("; "))
+    // batching-invariance: a different cut converges to the same card
+    assert(run(n / 3) == got)
+  }
+
   test("s41 streaming snapshot diff is row-exact vs batch q83 on decidable statuses") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
