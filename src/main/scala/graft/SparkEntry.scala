@@ -124,6 +124,8 @@ object SparkEntry {
     // q82: SQ8 scalar quantization — one byte per dimension, integer
     // codes + reconstruction error, hash-exact
     "q82_sq8" -> ((s, d) => Similarity.sq8Codes(Tables.embeddings(s, d))),
+    // q86: embedding outlier screen — per-cluster p95 distance gate
+    "q86_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(Tables.embeddings(s, d))),
     // q67: BPE merge training — the tokenizer-training step q51's
     // greedy inference consumes; deterministic single-pass merge
     // contract, hash-exact vs the unrolled-CTE replay
@@ -883,6 +885,7 @@ object SparkEntry {
     // probe/LUT/Σ/rank — Similarity.ivfadcOracleSql
     "q66_ivfadc" -> graft.operators.Similarity.ivfadcOracleSql(),
     "q82_sq8" -> graft.operators.Similarity.sq8OracleSql,
+    "q86_embedding_outliers" -> graft.operators.Similarity.embeddingOutliersOracleSql(),
     // q67: word-freq base + 24 unrolled (pair-count, argmax, apply)
     // CTE triples — Bpe.bpeTrainOracleSql
     "q67_bpe_train" -> graft.operators.Bpe.bpeTrainOracleSql(),

@@ -1296,6 +1296,82 @@ object Similarity {
       |                 ELSE CAST(0 AS BIGINT) END * mm.sp) // 255 AS err
       |FROM ex e JOIN mm USING (pos)""".stripMargin
 
+  /** q86: EMBEDDING OUTLIER scoring — the noise/poison screen run
+    * before a corpus's embeddings feed retrieval or clustering
+    * (points far from every semantic region are OCR garbage, adversarial
+    * inserts, or mis-embedded blobs — the SemDeDup-complement: q64
+    * prunes points too CLOSE together, this flags points too FAR from
+    * everything): each vector's q60 integer-Lloyd assignment distance
+    * d2 is compared to its own CLUSTER's p`pct` distance cutoff, and
+    * `outlier` = d2 strictly above the cutoff.
+    *
+    * Per-cluster cutoffs come from the q46 deterministic bottom-k-by-
+    * hash sketch over d2 (fresh draws 234/235 on the poly-hashed
+    * vec_id) — ONE bounded aggregate with map-side partials, never a
+    * rank window over the corpus (the dominant cluster is the 100 TB
+    * straggler) — broadcast back onto the checkpointed assignment
+    * frame as a pure map. Everything integer/replayable ⇒ hash-exact
+    * vs the DuckDB replay (q60 CTEs + row_number-over-(h,v) sketch).
+    *
+    * Output: (vec_id, cluster, d2, cut, outlier).
+    */
+  def embeddingOutliers(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+                        pct: Int = 95, sk: Int = 256): DataFrame = {
+    import graft.functions.ReplayableHash.{a, b, P}
+    val assigned = kmeansAssign(embeddings, k, iters).localCheckpoint(true)
+    val s = graft.functions.VectorFunctions.poly_hash(
+      concat(lit("q86:"), col("vec_id").cast("string")))
+    val h = ((lit(a(234)) * s + lit(b(234))) % lit(P)) * lit(P) +
+      (lit(a(235)) * s + lit(b(235))) % lit(P)
+    val cuts = assigned
+      .select(col("cluster"), h.as("h"), col("d2").cast("double").as("v"))
+      .groupBy(col("cluster"))
+      .agg(graft.functions.QuantileFunctions
+        .quantile_sketch(col("h"), col("v"), sk).as("sample"))
+      .select(col("cluster"),
+        expr(s"try_element_at(sample, CAST($pct * (size(sample) - 1) DIV 100 AS INT) + 1)")
+          .cast("long").as("cut"))
+    assigned.join(broadcast(cuts), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("d2"), col("cut"),
+        (col("d2") > col("cut")).cast("long").as("outlier"))
+  }
+
+  /** The q86 oracle: the q60 centroid/assignment CTEs + the sketch
+    * replayed as row_number over (h, v) per cluster (the q76 form).
+    */
+  def embeddingOutliersOracleSql(k: Int = 8, iters: Int = 3,
+                                 pct: Int = 95, sk: Int = 256): String = {
+    val P = graft.functions.ReplayableHash.P
+    val (a1, b1) = (graft.functions.ReplayableHash.a(234), graft.functions.ReplayableHash.b(234))
+    val (a2, b2) = (graft.functions.ReplayableHash.a(235), graft.functions.ReplayableHash.b(235))
+    s"""${kmeansCentroidCtes(k, iters)},
+       |${kmeansAssignCte(iters + 1, s"cent$iters")},
+       |sd AS (
+       |  SELECT vec_id,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(1, length(kk)+1),
+       |             i -> CAST(unicode(substring(kk, CAST(i AS INT), 1)) AS BIGINT))),
+       |           (h, c) -> (h * 31 + c) % 1000000007) AS s
+       |  FROM (SELECT vec_id, 'q86:' || CAST(vec_id AS VARCHAR) AS kk
+       |        FROM embeddings) t),
+       |jj AS (
+       |  SELECT x.vec_id, CAST(x.cid AS BIGINT) AS cluster, x.d2,
+       |         (($a1 * sd.s + $b1) % $P) * $P + (($a2 * sd.s + $b2) % $P) AS h
+       |  FROM a${iters + 1} x JOIN sd USING (vec_id)),
+       |rr AS (
+       |  SELECT cluster, CAST(d2 AS DOUBLE) AS v,
+       |         row_number() OVER (PARTITION BY cluster
+       |           ORDER BY h, CAST(d2 AS DOUBLE)) AS rn
+       |  FROM jj),
+       |cc AS (
+       |  SELECT cluster,
+       |         CAST(list(v ORDER BY v)[CAST($pct * (count(*) - 1) // 100 AS INT) + 1] AS BIGINT) AS cut
+       |  FROM rr WHERE rn <= $sk GROUP BY 1)
+       |SELECT jj.vec_id, jj.cluster, jj.d2, cc.cut,
+       |       CAST(jj.d2 > cc.cut AS BIGINT) AS outlier
+       |FROM jj JOIN cc USING (cluster)""".stripMargin
+  }
+
   private def pqD2Fold(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |             list_transform(range(1, len($a) + 1),

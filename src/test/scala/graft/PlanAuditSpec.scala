@@ -347,6 +347,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("Exchange SinglePartition"), s)
   }
 
+  test("q86 embedding outliers: cutoff table broadcasts onto the checkpointed assignment, no corpus window") {
+    val df = graft.operators.Similarity.embeddingOutliers(Tables.embeddings(spark, sfDir))
+    val s = finalPlanStr(df)
+    // per-cluster cutoffs come from the bounded sketch aggregate and
+    // broadcast back — never a rank window partitioned by cluster
+    // (the dominant cluster is the 100 TB straggler)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"), s)
+    assert(!s.contains("Window"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q74 ccnet buckets: cutoff table broadcasts, no per-language corpus window") {
     val docs = Tables.documents(spark, sfDir)
     val df = graft.operators.TextOps.ccnetBuckets(docs, k = 256)

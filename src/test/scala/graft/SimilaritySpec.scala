@@ -424,6 +424,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(f.filter(col("code") =!= 0L || col("err") =!= 0L).count() == 0)
   }
 
+  test("q86 embedding outliers: per-cluster gate, planted far point flagged, ~5% rate") {
+    val out = Similarity.embeddingOutliers(emb).localCheckpoint(true)
+    assert(out.count() == emb.count())
+    // the cutoff is its cluster's p95: the outlier share per cluster
+    // is bounded (strictly-above on a 256-sample sketch of a larger
+    // cluster can drift; the whole-corpus rate must stay small)
+    val rate = out.filter(col("outlier") === 1L).count().toDouble / out.count()
+    assert(rate > 0.0 && rate < 0.15, s"outlier rate $rate")
+    // every outlier sits strictly above its cluster's cut; every
+    // inlier at or below
+    assert(out.filter(col("outlier") === 1L && col("d2") <= col("cut")).count() == 0)
+    assert(out.filter(col("outlier") === 0L && col("d2") > col("cut")).count() == 0)
+    // a planted cluster-TAIL point is flagged. Plant geometry matters:
+    // a globally-far implant is ABSORBED by Lloyd as its own singleton
+    // cluster (probed: even a 1.8-per-dim point steals a centroid and
+    // its cut becomes its own d2 — the documented limitation of any
+    // cluster-distance gate), so the honest plant extends an EXISTING
+    // cluster's farthest member 1.2× beyond its centroid: it stays in
+    // the cluster's basin and lands strictly above the p95 cut. The
+    // planted id's index-215 hash is chosen LARGE so it cannot seed.
+    import spark.implicits._
+    import graft.functions.ReplayableHash.{a, b, P}
+    val farId = (1000000L to 1000100L)
+      .maxBy(id => (a(215) * (id % P) + b(215)) % P)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val worst = Similarity.kmeansAssign(base, 8, 3).orderBy(desc("d2")).head()
+    val cents = Similarity.kmeansCentroids(base, 8, 3).toMap
+    val cf = cents(worst.getLong(1).toInt)
+      .map(q => (q - 1048576L).toDouble / 1048576.0)
+    val mf = emb.filter(col("vec_id") === worst.getLong(0))
+      .head().getSeq[Float](1)
+    val pf = cf.zip(mf).map { case (cv, mv) => (cv + 1.2 * (mv - cv)).toFloat }
+    val withFar = Similarity.embeddingOutliers(
+      base.unionByName(Seq((farId, pf)).toDF("vec_id", "embedding")))
+    assert(withFar.filter(col("vec_id") === farId).head().getLong(4) == 1L,
+      "planted cluster-tail point must be an outlier")
+    // determinism under repartitioning
+    assertSameRows(out, Similarity.embeddingOutliers(emb.repartition(13)))
+  }
+
   test("q65b ADC search: a planted clone of each query shares its cell and ranks top") {
     // plant an exact clone of each of the 10 hash-smallest vectors
     // (= the query set): the clone gets the query's exact codes, so
