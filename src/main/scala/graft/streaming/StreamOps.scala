@@ -587,6 +587,63 @@ object StreamOps {
       graft.operators.TextOps.normalizeCol(col("text")).as("text")), shingleN)
   }
 
+  /** s43: STREAMING memorization-risk scoring — q84 as an online
+    * admission signal: every arriving document scored against the
+    * FROZEN duplicate-shingle table (the shingles with corpus df >
+    * dfCap — q84's `dfreq` frame, frozen exactly as s34 freezes the
+    * dup-window table: a drifting df table would re-score history).
+    * The dup table is corpus-derived but DUPLICATION-sized, not
+    * corpus-sized; it still stays a DataFrame (stream-static equi-join
+    * on the 8-byte hash — at 100 TB the static side shuffles/
+    * broadcasts digests only, the s41 discipline, never a driver
+    * collect). Shingle bytes are IDENTICAL to batch (shared
+    * wordShingleHashes ↔ Dedup.postings), so a training-corpus stream
+    * reproduces q84 ROW-EXACTLY under any batching (spec).
+    *
+    * State note (the s01 stateful-agg class): each document arrives
+    * WHOLE in one input row, so its aggregate finalizes in the batch
+    * it arrives in and never updates again — but Spark's streaming
+    * aggregation cannot know that and keeps the (n_shingles, n_dup)
+    * pair per doc_id. Three longs per scored doc: a production ingest
+    * deployment bounds the scoring window with a watermark/state TTL
+    * (transformWithState TTLConfig), exactly as it would for s01.
+    */
+  def streamMemorizationRisk(docs: Dataset[(Long, String)],
+                             dupShingles: org.apache.spark.sql.DataFrame,
+                             shingleN: Int = 4): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when, count, coalesce}
+    val perDoc = docs.flatMap { case (id, text) =>
+      if (text == null) Iterator.single((id, None: Option[Long]))
+      else {
+        val shs = wordShingleHashes(text, shingleN)
+        if (shs.isEmpty) Iterator.single((id, None))
+        else shs.iterator.map(h => (id, Some(h)))
+      }
+    }.toDF("doc_id", "shingle")
+    perDoc
+      .join(dupShingles.select(col("shingle"), lit(1L).as("dup")), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("shingle")).as("n_shingles"),
+        count(col("dup")).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        when(col("n_shingles") > 0,
+          col("n_dup").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(null).cast("double")).as("dup_ratio"))
+  }
+
+  /** The frozen duplicate-shingle table for s43: q84's over-dfCap
+    * shingle set, as a (shingle) frame.
+    */
+  def dupShingleTable(corpus: org.apache.spark.sql.DataFrame,
+                      shingleN: Int = 4, dfCap: Int = 1): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    graft.operators.Dedup.postings(
+        corpus.filter(col("text").isNotNull), shingleN)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle"))
+  }
+
   /** s42 output: one corpus-card row per language (the q76 columns,
     * minus the `__total__` rollup — see the contract below).
     */

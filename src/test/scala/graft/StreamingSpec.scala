@@ -874,6 +874,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.map(_._1).toSet.size > 1, "more than one code in use")
   }
 
+  test("s43 streaming memorization risk is row-exact vs batch q84 under the frozen dup table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val docs = Tables.documents(spark, sfDir)
+    val batch = graft.operators.TextOps.memorizationRisk(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val dup = StreamOps.dupShingleTable(docs).localCheckpoint(true)
+
+    val source = MemoryStream[(Long, String)]
+    val got = collection.mutable.Map[Long, (Long, Long, Option[Double])]()
+    val q = StreamOps.streamMemorizationRisk(source.toDS(), dup)
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got(r.getLong(0)) = (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))); ()
+      }.start()
+    try {
+      val rows = docs.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      source.addData(rows.take(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      source.addData(rows.drop(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.size == batch.size)
+    val mism = batch.collect { case (k, b) if got(k) != b => s"$k: stream ${got(k)} batch $b" }
+    assert(mism.isEmpty, mism.take(5).mkString("; "))
+    assert(got.values.exists(_._2 > 0), "some repeated content scored")
+  }
+
   test("s42 streaming corpus card converges row-exact to batch q76 per language") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
