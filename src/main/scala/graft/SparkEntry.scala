@@ -66,6 +66,9 @@ object SparkEntry {
     // -- LLM-data-pipeline: text analysis (SURVEY §2 q20-q24) --
     "q20_dedup_exact" -> ((s, d) => TextOps.dedupExact(Tables.documents(s, d))),
     "q21_doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(Tables.documents(s, d))),
+    // q87: JSONL source/sink round-trip — documents → jsonl →
+    // schema-pinned read-back; the oracle is the identity SELECT
+    "q87_jsonl_roundtrip" -> ((s, d) => graft.sources.Jsonl.roundTripDocuments(s, d)),
     // q83: snapshot diff — v2 derived deterministically from the
     // corpus (drop %17, edit %13 by a planted suffix, add %19 rows
     // under shifted ids), so the delta table is oracle-replayable
@@ -1169,6 +1172,8 @@ object SparkEntry {
     // q38: the q25 posting replay (word 4-grams, poly_hash keys) split
     // into corpus vs the deterministic every-97th-doc eval set.
     "q38_decontamination" -> decontamSql,
+    "q87_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q85_chunk_passages" ->
       """WITH t AS (
            SELECT doc_id,

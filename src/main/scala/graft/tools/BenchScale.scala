@@ -119,7 +119,10 @@ object BenchScale {
     "q78_epoch_shuffle", // one exchange + per-shard sorts + bounded offsets
     "q79_cluster_sample", // q60 pure-map assign + one quota-bounded agg
     "q82_sq8",           // one 64-group min/max agg + a pure-map encode
-    "q83_dataset_diff")  // two digest projections + one digest-keyed join
+    "q83_dataset_diff",  // two digest projections + one digest-keyed join
+    "q84_memorization_risk", // df agg + postings join + per-doc agg: linear
+    "q85_chunk_passages",    // stateless narrow projection + generate
+    "q86_embedding_outliers") // q60 pure-map assign + bounded sketch agg
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")

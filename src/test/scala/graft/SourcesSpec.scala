@@ -10,6 +10,38 @@ class SourcesSpec extends AnyFunSuite {
   import SparkTestSession._
   import graft.sources.{OrderGenerator, TableWriter, Tables}
 
+  test("q87 jsonl round-trip is identity on documents; corrupt lines attributable") {
+    import graft.sources.Jsonl
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val back = Jsonl.roundTripDocuments(spark, sfDir)
+    assert(back.schema.fieldNames.toSeq == docs.schema.fieldNames.toSeq)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+    // corrupt-line policy: a broken line yields nulls + the raw line
+    // in _corrupt_record; well-formed neighbors parse untouched
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_jsonl_corrupt")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "part.json")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"doc_id": 1, "text": "good line", "lang": "en", "source": "t", "n_chars": 9}""")
+    w.println("""{"doc_id": 2, "text": "broken""")
+    w.println("""{"doc_id": 3, "text": null, "lang": "en", "source": "t", "n_chars": 0}""")
+    w.close()
+    // materialize before splitting on _corrupt_record (Spark ≥ 2.3
+    // forbids corrupt-column-only queries over raw files)
+    val r = Jsonl.read(spark, dir.getAbsolutePath, docs.schema).localCheckpoint(true)
+    assert(r.count() == 3)
+    assert(r.filter(col("_corrupt_record").isNotNull).count() == 1)
+    val bad = r.filter(col("_corrupt_record").isNotNull).head()
+    assert(bad.isNullAt(bad.fieldIndex("lang")), "corrupt row carries null schema fields")
+    assert(bad.getString(bad.fieldIndex("_corrupt_record")).contains("broken"))
+    val clean = Jsonl.readClean(spark, dir.getAbsolutePath, docs.schema)
+    assert(clean.count() == 2)
+    // an omitted/null field reads back as null (the round-trip rule)
+    assert(clean.filter(col("doc_id") === 3L).head().isNullAt(1))
+  }
+
   test("bucketed tables join WITHOUT any exchange (co-located join)") {
     // fresh in-memory catalog + persistent warehouse dir: stale table
     // locations from a previous JVM must go before overwrite-create.
