@@ -2164,6 +2164,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("s38_out").collect().map(_.toString).sorted.toSeq == batch)
   }
 
+  test("s44 streaming passage chunking: the BATCH operator runs on a stream unmodified, row-exact") {
+    // chunkPassages is a stateless narrow projection + generate (the
+    // s22/s33/s37/s38 class): the streaming twin IS the batch code
+    // path on a streaming frame; pins streaming admissibility of the
+    // token materialization, the ceil-div chunk count, and the
+    // per-window slice lambdas, incl. short, empty and null rows.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (2L, "short text"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+    val batch = graft.operators.TextOps.chunkPassages(
+        docs.toDF("doc_id", "text"), window = 4, stride = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val source = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.chunkPassages(
+        source.toDF().toDF("doc_id", "text"), window = 4, stride = 2)
+      .writeStream.format("memory").queryName("s44_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      source.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("s44_out").collect().map(_.toString).sorted.toSeq == batch)
+  }
+
   test("s34 streaming substring dedup is row-exact vs batch q71 under the frozen dup table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
