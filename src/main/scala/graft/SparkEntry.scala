@@ -197,6 +197,9 @@ object SparkEntry {
     "q84_memorization_risk" -> ((s, d) => TextOps.memorizationRisk(Tables.documents(s, d))),
     // q85: retrieval passage chunking — 64-word windows at stride 32
     "q85_chunk_passages" -> ((s, d) => TextOps.chunkPassages(Tables.documents(s, d))),
+    // q88: source-mix composition — the (source × lang) CUBE with
+    // myriad corpus shares
+    "q88_source_mix" -> ((s, d) => TextOps.sourceMix(Tables.documents(s, d))),
     // q61: bigram-LM perplexity in Q16 fixed-point (the Log2Q16Expr
     // kernel — no libm, so the whole score hash-compares)
     "q61_perplexity" -> ((s, d) => TextOps.perplexity(Tables.documents(s, d))),
@@ -1174,6 +1177,26 @@ object SparkEntry {
     "q38_decontamination" -> decontamSql,
     "q87_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q88_source_mix" ->
+      """WITH per AS (
+           SELECT source, lang,
+                  CASE WHEN text IS NULL THEN NULL
+                       ELSE CAST(len(list_filter(
+                              regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'),
+                              t -> length(t) > 0)) AS BIGINT) END AS nt
+           FROM documents),
+         g AS (
+           SELECT CASE WHEN GROUPING(source) = 1 THEN '__total__' ELSE source END AS source,
+                  CASE WHEN GROUPING(lang) = 1 THEN '__total__' ELSE lang END AS lang,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(COALESCE(sum(nt), 0) AS BIGINT) AS n_tokens
+           FROM per GROUP BY CUBE(source, lang)),
+         t AS (SELECT n_tokens AS tot FROM g
+               WHERE source = '__total__' AND lang = '__total__')
+         SELECT g.source, g.lang, g.n_docs, g.n_tokens,
+                CASE WHEN t.tot > 0 THEN (g.n_tokens * 10000) // t.tot
+                     ELSE CAST(0 AS BIGINT) END AS share_myriad
+         FROM g, t""",
     "q85_chunk_passages" ->
       """WITH t AS (
            SELECT doc_id,

@@ -449,6 +449,45 @@ object TextOps {
         col("col.n").cast("long").as("n_words"), col("col.c").as("chunk"))
   }
 
+  /** q88: SOURCE-MIX composition table — the per-(source × lang)
+    * breakdown every data-mixing run starts from (DoReMi, the Pile /
+    * RedPajama composition tables weight by SOURCE; q48's mixture
+    * solver consumes exactly these masses): doc counts, token mass,
+    * and each cell's share of the corpus in myriad integer units
+    * (`share_myriad` = tokens·10⁴ div total — replayable where a
+    * float share would drift). The full 2-D CUBE — per (source,lang)
+    * cell, per-source and per-lang marginals, and the corpus total —
+    * in ONE grouping-sets aggregate, the shape both engines execute
+    * natively; rollup tags are the literal "__total__" via grouping()
+    * (never colliding with genuinely-null dimensions — the q76
+    * discipline). The share denominator is the cube's own global row,
+    * equi-joined back on a constant key (broadcast hash join, never a
+    * BNLJ cross join). Overflow: 10¹³ corpus tokens × 10⁴ ≪ 2⁶³.
+    */
+  def sourceMix(documents: DataFrame): DataFrame = {
+    val perDoc = documents.select(col("source"), col("lang"),
+      when(col("text").isNull, lit(null).cast("long"))
+        .otherwise(size(filter(split(lower(wsTrim(col("text"))), "\\s+"),
+          t => length(t) > 0)).cast("long")).as("nt"))
+    val cube = perDoc.cube(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("nt")), lit(0L)).as("n_tokens"),
+        grouping(col("source")).as("gs"), grouping(col("lang")).as("gl"))
+      .select(
+        when(col("gs") === 1, lit("__total__")).otherwise(col("source")).as("source"),
+        when(col("gl") === 1, lit("__total__")).otherwise(col("lang")).as("lang"),
+        col("n_docs"), col("n_tokens"))
+      .localCheckpoint(true) // consumed twice: the rows + the global row
+    val total = cube
+      .filter(col("source") === "__total__" && col("lang") === "__total__")
+      .select(lit(1).as("one"), col("n_tokens").as("tot"))
+    cube.withColumn("one", lit(1))
+      .join(broadcast(total), Seq("one"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        when(col("tot") > 0, expr("n_tokens * 10000 div tot"))
+          .otherwise(lit(0L)).as("share_myriad"))
+  }
+
   /** q75: canonical Unicode text normalization — the stage every
     * hashing/dedup pipeline runs FIRST (a decomposed "café" and a
     * composed one must hash identically, or exact dedup (q20),

@@ -358,6 +358,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("q88 source mix: one expand+aggregate, total row equi-joins back by broadcast hash") {
+    val df = graft.operators.TextOps.sourceMix(Tables.documents(spark, sfDir))
+    val s = finalPlanStr(df)
+    // the share denominator joins back on a constant key: broadcast
+    // HASH join, never the BNLJ a bare crossJoin would plan
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s)
+    assert(!s.contains("Window"), s)
+  }
+
   test("q74 ccnet buckets: cutoff table broadcasts, no per-language corpus window") {
     val docs = Tables.documents(spark, sfDir)
     val df = graft.operators.TextOps.ccnetBuckets(docs, k = 256)

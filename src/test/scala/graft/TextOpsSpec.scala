@@ -262,6 +262,27 @@ class TextOpsSpec extends AnyFunSuite {
     assertSameRows(full, TextOps.chunkPassages(docs.repartition(13)))
   }
 
+  test("q88 source mix: cube marginals consistent, total share is exactly one myriad") {
+    val out = TextOps.sourceMix(docs).localCheckpoint(true)
+    val tot = out.filter(col("source") === "__total__" && col("lang") === "__total__")
+    assert(tot.count() == 1)
+    val t = tot.head()
+    assert(t.getLong(4) == 10000L, "corpus total share must be exactly one myriad")
+    // marginals: per-source rows sum (docs AND tokens) to the total row
+    val bySrc = out.filter(col("source") =!= "__total__" && col("lang") === "__total__")
+    assert(bySrc.agg(sum(col("n_docs"))).head().getLong(0) == t.getLong(2))
+    assert(bySrc.agg(sum(col("n_tokens"))).head().getLong(0) == t.getLong(3))
+    // cells sum to their source marginal
+    val cells = out.filter(col("source") =!= "__total__" && col("lang") =!= "__total__")
+      .groupBy(col("source")).agg(sum(col("n_docs")).as("d"), sum(col("n_tokens")).as("nt"))
+    val bad = cells.join(bySrc.select(col("source"), col("n_docs"), col("n_tokens")), "source")
+      .filter(col("d") =!= col("n_docs") || col("nt") =!= col("n_tokens"))
+    assert(bad.count() == 0)
+    // shares within [0, 10000] and monotone with token mass
+    assert(out.filter(col("share_myriad") < 0 || col("share_myriad") > 10000).count() == 0)
+    assertSameRows(out, TextOps.sourceMix(docs.repartition(13)))
+  }
+
   test("q74 ccnet buckets: per-lang monotone partition, nulls attributable") {
     val out = TextOps.ccnetBuckets(docs, k = 256)
     // one row per document
