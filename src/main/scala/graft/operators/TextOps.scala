@@ -461,8 +461,10 @@ object TextOps {
     * natively; rollup tags are the literal "__total__" via grouping()
     * (never colliding with genuinely-null dimensions — the q76
     * discipline). The share denominator is the cube's own global row,
-    * equi-joined back on a constant key (broadcast hash join, never a
-    * BNLJ cross join). Overflow: 10¹³ corpus tokens × 10⁴ ≪ 2⁶³.
+    * read by ONE bounded scalar collect (the trainCodebook protocol —
+    * a constant-key self-join constant-folds into a BNLJ, probed r11)
+    * and applied as a literal: the share pass is a pure map.
+    * Overflow: 10¹³ corpus tokens × 10⁴ ≪ 2⁶³.
     */
   def sourceMix(documents: DataFrame): DataFrame = {
     val perDoc = documents.select(col("source"), col("lang"),
@@ -478,14 +480,12 @@ object TextOps {
         when(col("gl") === 1, lit("__total__")).otherwise(col("lang")).as("lang"),
         col("n_docs"), col("n_tokens"))
       .localCheckpoint(true) // consumed twice: the rows + the global row
-    val total = cube
+    val tot: Long = cube
       .filter(col("source") === "__total__" && col("lang") === "__total__")
-      .select(lit(1).as("one"), col("n_tokens").as("tot"))
-    cube.withColumn("one", lit(1))
-      .join(broadcast(total), Seq("one"))
-      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
-        when(col("tot") > 0, expr("n_tokens * 10000 div tot"))
-          .otherwise(lit(0L)).as("share_myriad"))
+      .head().getAs[Long]("n_tokens")
+    cube.select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+      (if (tot > 0) expr(s"n_tokens * 10000 div ${tot}L")
+       else lit(0L)).as("share_myriad"))
   }
 
   /** q75: canonical Unicode text normalization — the stage every

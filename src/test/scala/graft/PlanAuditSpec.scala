@@ -358,13 +358,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s)
   }
 
-  test("q88 source mix: one expand+aggregate, total row equi-joins back by broadcast hash") {
+  test("q88 source mix: one expand+aggregate, share pass is a pure map — zero joins") {
     val df = graft.operators.TextOps.sourceMix(Tables.documents(spark, sfDir))
     val s = finalPlanStr(df)
-    // the share denominator joins back on a constant key: broadcast
-    // HASH join, never the BNLJ a bare crossJoin would plan
-    assert(s.contains("BroadcastHashJoin"), s)
-    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s)
+    // the share denominator is a collected scalar literal (a
+    // constant-key self-join constant-folds into a BNLJ — probed):
+    // the final plan may contain NO join and no window
+    assert(!s.contains("Join"), s)
     assert(!s.contains("Window"), s)
   }
 
