@@ -200,6 +200,8 @@ object SparkEntry {
     // q88: source-mix composition — the (source × lang) CUBE with
     // myriad corpus shares
     "q88_source_mix" -> ((s, d) => TextOps.sourceMix(Tables.documents(s, d))),
+    // q89: co-purchase top-k recommendations over the basket graph
+    "q89_copurchase_topk" -> ((s, d) => Analytics.copurchaseTopK(Tables.lineitem(s, d))),
     // q61: bigram-LM perplexity in Q16 fixed-point (the Log2Q16Expr
     // kernel — no libm, so the whole score hash-compares)
     "q61_perplexity" -> ((s, d) => TextOps.perplexity(Tables.documents(s, d))),
@@ -1177,6 +1179,24 @@ object SparkEntry {
     "q38_decontamination" -> decontamSql,
     "q87_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q89_copurchase_topk" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+         cnts AS (SELECT part, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY 1),
+         pairs AS (
+           SELECT a.part, b.part AS other, CAST(count(*) AS BIGINT) AS n_co
+           FROM items a JOIN items b USING (ok)
+           WHERE a.part <> b.part
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT part, other, n_co,
+                  CAST(row_number() OVER (PARTITION BY part
+                    ORDER BY n_co DESC, other ASC) AS BIGINT) AS rank
+           FROM pairs)
+         SELECT r.part, r.rank, r.other, r.n_co,
+                (r.n_co * 10000) // c.cnt AS conf_myriad
+         FROM ranked r JOIN cnts c USING (part)
+         WHERE r.rank <= 5""",
     "q88_source_mix" ->
       """WITH per AS (
            SELECT source, lang,

@@ -320,4 +320,51 @@ object Analytics {
             .as("n_follow"))
     }
   }
+
+  /** q89: CO-PURCHASE top-k recommendations — the classic basket
+    * analysis over the reference's own domain (the orders/lineitem
+    * purchase graph q54/q55 already mine for structure): for each
+    * part, the k parts most often bought in the SAME order, ranked
+    * (co-count DESC, part ASC), with the association strength as
+    * myriad-integer CONFIDENCE = P(b | a)·10⁴ = (n_co·10⁴) div
+    * cnt_a — replayable where a float lift would drift, and
+    * overflow-free by construction (n_co ≤ cnt_a ⇒ product ≤
+    * cnt_a·10⁴ ≪ 2⁶³, unlike lift whose n_co·N·10⁴ crosses 2⁶³ at
+    * corpus scale).
+    *
+    * Scale shape: the pair frame is the per-order item-set
+    * self-joined on l_orderkey — baskets are small (TPC-H ~4-7
+    * items), so pairs are Σ|basket|² ≈ linear in lineitem and the
+    * join is skew-free by construction; co-counts are ONE (a, b)
+    * aggregate with map-side partials; the per-item ranking is the
+    * bounded TopKBy aggregate (k rows per item per partition,
+    * map-side), never a rank window over the pair frame (the
+    * popular-item partition is the straggler a window would create).
+    *
+    * Output: (part, rank, other, n_co, conf_myriad).
+    */
+  def copurchaseTopK(lineitem: DataFrame, k: Int = 5): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+      .distinct()
+      .localCheckpoint(true) // consumed three times: pairs×2, counts
+    val cnts = items.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
+    val pairs = items
+      .join(items.select(col("ok"), col("part").as("other")), Seq("ok"))
+      .filter(col("part") =!= col("other"))
+      .groupBy(col("part"), col("other")).agg(count(lit(1)).as("n_co"))
+    pairs
+      .groupBy(col("part"))
+      // TopKBy ranks (ord DESC, id ASC) natively == (n_co DESC,
+      // other ASC); n_co ≪ 2⁵³ so the double ord is exact
+      .agg(graft.functions.TopKByFunctions.top_k_by(
+        col("n_co").cast("double"), col("other"), k).as("top"))
+      .select(col("part"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("part"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("other"))
+      .join(pairs, Seq("part", "other"))
+      .join(cnts, Seq("part"))
+      .select(col("part"), col("rank"), col("other"), col("n_co"),
+        expr("n_co * 10000 div cnt").as("conf_myriad"))
+  }
 }

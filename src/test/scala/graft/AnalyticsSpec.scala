@@ -11,6 +11,36 @@ class AnalyticsSpec extends AnyFunSuite {
   lazy val li = Tables.lineitem(spark, sfDir)
   lazy val events = Tables.events(spark, sfDir)
 
+  test("q89 co-purchase: ranks dense per part, symmetric counts, confidence bounded") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.copurchaseTopK(li, k = 5).localCheckpoint(true)
+    assert(out.count() > 0)
+    // ranks are 1..min(5, candidates), dense and unique per part
+    val badRank = out.groupBy(col("part"))
+      .agg(countDistinct(col("rank")).as("dr"), max(col("rank")).as("mx"),
+        count(lit(1)).as("n"))
+      .filter(col("dr") =!= col("n") || col("mx") =!= col("n") || col("mx") > 5)
+    assert(badRank.count() == 0)
+    // co-counts are symmetric: n_co(a, b) == n_co(b, a) wherever both
+    // directions survive the top-k cut
+    val sym = out.select(col("part").as("a"), col("other").as("b"), col("n_co"))
+      .join(out.select(col("part").as("b"), col("other").as("a"), col("n_co").as("n2")),
+        Seq("a", "b"))
+      .filter(col("n_co") =!= col("n2"))
+    assert(sym.count() == 0)
+    // confidence = P(other | part) in myriad: within (0, 10000]
+    assert(out.filter(col("conf_myriad") <= 0 || col("conf_myriad") > 10000).count() == 0)
+    // hand basket: parts 1,2 co-occur twice, 1,3 once -> 2 outranks 3
+    import spark.implicits._
+    val hand = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val h = Analytics.copurchaseTopK(hand, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(h((1L, 1L)) == ((2L, 2L, 10000L)), s"part 1 rank 1: ${h((1L, 1L))}")
+    assert(h((1L, 2L)) == ((3L, 1L, 5000L)), s"part 1 rank 2: ${h((1L, 2L))}")
+    assertSameRows(out, Analytics.copurchaseTopK(li.repartition(13), k = 5))
+  }
+
   test("q11 pricing summary groups cover all rows") {
     val out = Analytics.pricingSummary(li).collect()
     assert(out.nonEmpty)

@@ -368,6 +368,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("Window"), s)
   }
 
+  test("q89 co-purchase: basket self-join + TopKBy aggregate — no rank window over pairs") {
+    val df = graft.operators.Analytics.copurchaseTopK(Tables.lineitem(spark, sfDir))
+    val s = finalPlanStr(df)
+    // the per-item ranking is the bounded TopKBy aggregate, never a
+    // window partitioned by part (the popular-item straggler)
+    assert(!s.contains("Window"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("Exchange SinglePartition"), s)
+  }
+
   test("q74 ccnet buckets: cutoff table broadcasts, no per-language corpus window") {
     val docs = Tables.documents(spark, sfDir)
     val df = graft.operators.TextOps.ccnetBuckets(docs, k = 256)
