@@ -644,6 +644,54 @@ object StreamOps {
       .filter(col("df") > dfCap).select(col("shingle"))
   }
 
+  /** s45 output: the q89 columns — the part's CURRENT top-k. */
+  case class CoRec(part: Long, rank: Long, other: Long, n_co: Long,
+                   conf_myriad: Long)
+
+  /** s45: CONTINUOUSLY-MAINTAINED co-purchase recommendations — q89
+    * as a live KTable: complete baskets arrive (the s06 pickup stream
+    * emits exactly these reassembled orders — the ops compose), every
+    * pair updates its co-count, and each affected part re-emits its
+    * current top-k. This is the REFERENCE's own aggregation shape —
+    * Streams.java's groupByKey→aggregate maintaining a per-sku map
+    * (quantityByStore) in a state store — applied to the basket
+    * graph: state per part = (its order count, its co-occurrence
+    * neighborhood counts), CATALOG-bounded (parts × their co-bought
+    * neighbors), never order-stream-sized.
+    *
+    * Counts are commutative sums of per-basket contributions, so
+    * after ANY batching/ordering of the same baskets the maintained
+    * table CONVERGES row-exact to batch q89 (spec, two cuts +
+    * reversed stream): n_co, the (n_co DESC, other ASC) ranking, and
+    * the myriad confidence all replay exactly. Baskets must be
+    * deduplicated item sets (q89's DISTINCT contract) — the flatMap
+    * applies .distinct defensively.
+    */
+  def streamCopurchaseTopK(baskets: Dataset[(Long, Seq[Long])],
+                           k: Int = 5): Dataset[CoRec] = {
+    import baskets.sparkSession.implicits._
+    baskets
+      .flatMap { case (_, items) =>
+        val ps = items.distinct
+        ps.iterator.map(p => (p, ps.filterNot(_ == p)))
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Map[Long, Long]), CoRec](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (part, rows, state: GroupState[(Long, Map[Long, Long])]) =>
+          var (cnt, co) = state.getOption.getOrElse((0L, Map.empty[Long, Long]))
+          rows.foreach { case (_, others) =>
+            cnt += 1
+            others.foreach(o => co = co.updated(o, co.getOrElse(o, 0L) + 1))
+          }
+          state.update((cnt, co))
+          co.toSeq.sortBy { case (o, n) => (-n, o) }.take(k)
+            .iterator.zipWithIndex.map { case ((o, n), i) =>
+              CoRec(part, i + 1L, o, n, n * 10000L / cnt)
+            }
+      }
+  }
+
   /** s42 output: one corpus-card row per language (the q76 columns,
     * minus the `__total__` rollup — see the contract below).
     */

@@ -907,6 +907,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0), "some repeated content scored")
   }
 
+  test("s45 maintained co-purchase top-k converges row-exact to batch q89 under any batching") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val li = Tables.lineitem(spark, sfDir)
+    val batch = graft.operators.Analytics.copurchaseTopK(li, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val baskets = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey")).agg(collect_list(col("l_partkey")).as("items"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+
+    def run(rows: Seq[(Long, Seq[Long])], cut: Int): Map[(Long, Long), (Long, Long, Long)] = {
+      val source = MemoryStream[(Long, Seq[Long])]
+      val got = collection.mutable.Map[Long, List[(Long, Long, Long, Long)]]()
+      val q = StreamOps.streamCopurchaseTopK(source.toDS(), k = 5)
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.CoRec], _: Long) =>
+          b.collect().groupBy(_.part).foreach { case (p, rs) =>
+            got(p) = rs.sortBy(_.rank).map(r => (r.rank, r.other, r.n_co, r.conf_myriad)).toList
+          }; ()
+        }.start()
+      try {
+        source.addData(rows.take(cut): _*)
+        q.processAllAvailable()
+        source.addData(rows.drop(cut): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      got.toMap.flatMap { case (p, rs) =>
+        rs.map { case (rank, o, n, c) => (p, rank) -> ((o, n, c)) }
+      }
+    }
+
+    val got = run(baskets, baskets.length / 2)
+    assert(got.size == batch.size)
+    val mism = batch.collect { case (kk, b) if got.get(kk) != Some(b) =>
+      s"$kk: stream ${got.get(kk)} batch $b" }
+    assert(mism.isEmpty, mism.take(5).mkString("; "))
+    // order independence: the reversed stream converges to the same table
+    assert(run(baskets.reverse, baskets.length / 3) == got)
+  }
+
   test("s42 streaming corpus card converges row-exact to batch q76 per language") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
