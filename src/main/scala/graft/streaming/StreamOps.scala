@@ -644,6 +644,44 @@ object StreamOps {
       .filter(col("df") > dfCap).select(col("shingle"))
   }
 
+  /** s46 output: one composition CELL per (source, lang) — the q88
+    * cell columns minus the share (see the contract below).
+    */
+  case class MixCell(source: String, lang: String, n_docs: Long,
+                     n_tokens: Long)
+
+  /** s46: STREAMING source-mix composition — q88's (source × lang)
+    * CELLS maintained as documents arrive (the live composition
+    * dashboard of an ingest run). Keyed state per (source, lang) =
+    * TWO longs; token counts are the byte-identical normTokens twin
+    * of q88's column, and integer sums commute, so after any prefix
+    * each cell equals batch q88's cell on the docs seen and
+    * end-of-stream is ROW-EXACT under ANY batching (spec).
+    *
+    * CONTRACT (the s42 discipline): the stream emits the CELLS only —
+    * marginals, the corpus total, and the myriad shares are
+    * close-of-stream reconciliation (one bounded aggregate over the
+    * emitted cells); maintaining them online would route every row
+    * through the same "__total__" state keys (a hotspot), and a share
+    * re-emitted on every arrival would churn ALL cells per batch.
+    */
+  def streamSourceMix(docs: Dataset[(Long, String, String, String)])
+      : Dataset[MixCell] = { // (doc_id, source, lang, text)
+    import docs.sparkSession.implicits._
+    docs.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[(Long, Long), MixCell](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[(Long, Long)]) =>
+          var (nd, nt) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, _, _, text) =>
+            nd += 1
+            if (text != null) nt += normTokens(text).length.toLong
+          }
+          state.update((nd, nt))
+          Iterator.single(MixCell(key._1, key._2, nd, nt))
+      }
+  }
+
   /** s45 output: the q89 columns — the part's CURRENT top-k. */
   case class CoRec(part: Long, rank: Long, other: Long, n_co: Long,
                    conf_myriad: Long)

@@ -907,6 +907,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0), "some repeated content scored")
   }
 
+  test("s46 streaming source mix converges row-exact to batch q88 cells") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val docs = Tables.documents(spark, sfDir)
+    val batch = graft.operators.TextOps.sourceMix(docs)
+      .filter(col("source") =!= "__total__" && col("lang") =!= "__total__")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+
+    val source = MemoryStream[(Long, String, String, String)]
+    val got = collection.mutable.Map[(String, String), (Long, Long)]()
+    val q = StreamOps.streamSourceMix(source.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.MixCell], _: Long) =>
+        b.collect().foreach(r => got((r.source, r.lang)) = (r.n_docs, r.n_tokens)); ()
+      }.start()
+    try {
+      val rows = docs.select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      source.addData(rows.take(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      source.addData(rows.drop(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.size == batch.size)
+    val mism = batch.collect { case (kk, b) if got(kk) != b => s"$kk: stream ${got(kk)} batch $b" }
+    assert(mism.isEmpty, mism.take(5).mkString("; "))
+    // close-of-stream reconciliation reproduces q88's total share
+    val totTokens = got.values.map(_._2).sum
+    val batchTot = graft.operators.TextOps.sourceMix(docs)
+      .filter(col("source") === "__total__" && col("lang") === "__total__").head()
+    assert(totTokens == batchTot.getLong(3))
+  }
+
   test("s45 maintained co-purchase top-k converges row-exact to batch q89 under any batching") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
