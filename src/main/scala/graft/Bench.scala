@@ -123,6 +123,14 @@ object Bench {
       // across passes — the accumulating-blocks signature. Each query
       // slot now starts with an empty block manager (blocking=true:
       // the removal must not race into the timed region).
+      // CONSTRAINT this blanket unpersist imposes on the registry:
+      // localCheckpoint TRUNCATES lineage, so a checkpointed frame
+      // memoized ACROSS query slots would lose its blocks here and
+      // fail unrecoverably (missing checkpoint block) instead of
+      // recomputing. Safe today because every SparkEntry.queries
+      // entry rebuilds its frames from the parquet scan on each call
+      // — keep it that way (also noted at the registry in
+      // SparkEntry.scala).
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()

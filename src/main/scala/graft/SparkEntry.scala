@@ -28,6 +28,13 @@ object SparkEntry {
       Tables.part(spark, dir))
   }
 
+  /** REGISTRY CONTRACT: every entry must rebuild its frames from the
+    * parquet scan on each call — never memoize a (local)checkpointed
+    * frame across entries. Bench clears the block manager between
+    * query slots (Bench.scala), and a lineage-truncated frame shared
+    * across slots would fail with a missing-checkpoint-block error
+    * rather than recompute.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- core reference-derived operators (SURVEY §2, Streams.java) --
     "q01_repartition" -> ((s, d) => CoreOps.repartitionByKey(Tables.orders(s, d))),

@@ -360,9 +360,12 @@ object Analytics {
       .agg(graft.functions.TopKByFunctions.top_k_by(
         col("n_co").cast("double"), col("other"), k).as("top"))
       .select(col("part"), posexplode(col("top")).as(Seq("pos", "t")))
+      // n_co rides in the ord field EXACTLY (a count < 2⁵³ is exact
+      // as double), so recover it by cast instead of re-joining the
+      // pair frame — that join re-ran the basket self-join + pair
+      // aggregate a second time for values already in hand
       .select(col("part"), (col("pos") + 1).cast("long").as("rank"),
-        col("t.id").as("other"))
-      .join(pairs, Seq("part", "other"))
+        col("t.id").as("other"), col("t.ord").cast("long").as("n_co"))
       .join(cnts, Seq("part"))
       .select(col("part"), col("rank"), col("other"), col("n_co"),
         expr("n_co * 10000 div cnt").as("conf_myriad"))

@@ -482,7 +482,7 @@ object TextOps {
       .localCheckpoint(true) // consumed twice: the rows + the global row
     val tot: Long = cube
       .filter(col("source") === "__total__" && col("lang") === "__total__")
-      .head().getAs[Long]("n_tokens")
+      .collect().headOption.map(_.getAs[Long]("n_tokens")).getOrElse(0L)
     cube.select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
       (if (tot > 0) expr(s"n_tokens * 10000 div ${tot}L")
        else lit(0L)).as("share_myriad"))

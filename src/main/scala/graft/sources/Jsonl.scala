@@ -72,15 +72,21 @@ object Jsonl {
     * temp dir → schema-pinned read-back. Hash-compared against the
     * identity SELECT over the parquet original, this proves write and
     * read compose to the identity on the interchange-exact types.
-    * The jsonl lands in a per-sf-dir scratch path (deterministic,
-    * overwritten per run — never under the read-only testdata).
+    * The jsonl lands in a per-(sf-dir, Spark app) scratch path —
+    * deterministic within a run, overwritten per run, never under the
+    * read-only testdata, and DISJOINT across concurrent JVMs (two
+    * sessions on the same data dir — e.g. the test suite and a bench —
+    * must not overwrite each other's files mid-read; applicationId is
+    * unique per SparkContext). floorMod keeps Int.MinValue nonnegative
+    * where math.abs would not.
     */
   def roundTripDocuments(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "text", "lang", "source", "n_chars")
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft_jsonl_${math.abs(dir.hashCode)}").getAbsolutePath
+      s"graft_jsonl_${Math.floorMod(dir.hashCode, Int.MaxValue)}_" +
+        spark.sparkContext.applicationId).getAbsolutePath
     write(docs, path)
     readClean(spark, path, docs.schema)
   }
