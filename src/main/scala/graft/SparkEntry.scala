@@ -139,7 +139,7 @@ object SparkEntry {
     // q67: BPE merge training — the tokenizer-training step q51's
     // greedy inference consumes; deterministic single-pass merge
     // contract, hash-exact vs the unrolled-CTE replay
-    "q67_bpe_train" -> ((s, d) => graft.operators.Bpe.bpeTrain(Tables.documents(s, d))),
+    "q67_bpe_train" -> ((s, d) => graft.operators.Bpe.bpeTrainFast(Tables.documents(s, d))),
     // q68: the train→apply composition — corpus encoded with q67's
     // rules as one nested-replace pure map
     "q68_bpe_encode" -> ((s, d) => graft.operators.Bpe.bpeEncode(Tables.documents(s, d))),

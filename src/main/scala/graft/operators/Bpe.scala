@@ -92,6 +92,173 @@ object Bpe {
         org.apache.spark.sql.Row(t._1, t._2, t._3, t._4))), outSchema)
   }
 
+  /** UTF-8 binary string comparison — Spark orders STRING columns by
+    * UTF8String binary comparison (= code-point order), which DIFFERS
+    * from java.lang.String.compareTo (UTF-16 code-unit order) for
+    * supplementary characters vs U+E000..U+FFFF. The in-memory trainer
+    * must replay Spark's tie-break exactly, so it compares UTF-8 bytes.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** One merge application on a symbol array, replaying the packed
+    * string's left-to-right non-overlapping `replace` EXACTLY —
+    * including the shared-separator consequence: a match consumes the
+    * separator BEFORE the next symbol, so after a merge at (i, i+1)
+    * the pair (i+2, i+3) cannot start a match ('aaaa' → (aa)(a)(a),
+    * 'aaaaaa' → (aa)(a)(aa)(a); probed identical to Spark/DuckDB
+    * replace). `blocked` models the consumed leading separator.
+    */
+  private def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    var blocked = false
+    while (i < syms.length) {
+      if (!blocked && i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2; blocked = true
+      } else {
+        out += syms(i); i += 1; blocked = false
+      }
+    }
+    out.toArray
+  }
+
+  /** q67 PRODUCTION-MERGES trainer — the deployable path for real
+    * tokenizer sizings (Sennrich et al. 2016 report 10k–90k merges;
+    * BERT/GPT-class vocabularies are 30k–50k): bit-equal to
+    * `bpeTrain`'s sequential distributed loop (BpeSpec parity-pins
+    * this), but with the merge loop IN MEMORY instead of one cluster
+    * round-trip per merge.
+    *
+    * Why this is the right 100 TB shape: the corpus is touched exactly
+    * ONCE (the same distributed word-frequency aggregate — that pass
+    * is embarrassingly parallel and dominates at scale), and
+    * everything after it is a function of the vocabCap-BOUNDED word
+    * table — ≤ vocabCap packed strings, the documented bounded-collect
+    * protocol (this is also how published BPE trainers work: subword-
+    * nmt and the HuggingFace trainer both run the merge loop over an
+    * in-memory word-count dict). The distributed loop's cost is
+    * `merges` sequential job round-trips — at the ~0.1–0.3 s/job
+    * scheduler floor, 30k merges is 1–2 driver-bound HOURS regardless
+    * of cluster size; here the same 30k merges are pure computation on
+    * ≤ vocabCap short arrays (sub-second), because the sequential
+    * dependency between merges never needed the cluster at all.
+    *
+    * The loop keeps exact pair counts INCREMENTALLY (the subword-nmt
+    * delta scheme): a pair→count map plus a pair→word-indices posting
+    * index; each merge reprocesses ONLY the words containing the
+    * merged pair (subtract their old adjacent-pair multiset, apply the
+    * merge, add the new one), and the argmax is a lazy-deletion
+    * max-heap ordered (cnt DESC, lhs ASC, rhs ASC) in Spark's UTF-8
+    * binary string order — every count change pushes a fresh entry,
+    * stale entries are skipped on pop. Per merge the work is
+    * O(affected words × word length + heap pops), not O(vocab).
+    */
+  def bpeTrainFast(documents: DataFrame, vocabCap: Int = 256, merges: Int = 24): DataFrame = {
+    val spark = documents.sparkSession
+    val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "rank BIGINT, lhs STRING, rhs STRING, cnt BIGINT")
+    // identical distributed corpus pass to bpeTrain (one aggregate);
+    // the collect is vocabCap-bounded — tokenizer training's OUTPUT
+    // is this table, the documented trainCodebook-class collect
+    val packedRows = documents
+      .select(explode(split(lower(TextOps.wsTrim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains(SEP))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc).limit(vocabCap)
+      .select(concat(lit(SEP), regexp_replace(col("w"), "(.)", "$1" + SEP)).as("packed"),
+        col("freq"))
+      .collect()
+    val words: Array[Array[String]] =
+      packedRows.map(_.getString(0).split(SEP).filter(_.nonEmpty))
+    val freqs: Array[Long] = packedRows.map(_.getLong(1))
+
+    import scala.collection.mutable
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val postings = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // max-heap: larger cnt wins; ties broken by UTF-8-smaller (l, r)
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+        else {
+          val cl = utf8Compare(a._2, b._2)
+          if (cl != 0) -cl else -utf8Compare(a._3, b._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    def bump(p: (String, String), delta: Long, wi: Int): Unit = {
+      val nc = counts.getOrElse(p, 0L) + delta
+      if (nc <= 0L) counts.remove(p) else counts(p) = nc
+      if (delta > 0 && wi >= 0)
+        postings.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+      if (nc > 0L) heap.enqueue((nc, p._1, p._2))
+    }
+    var wi = 0
+    while (wi < words.length) {
+      val s = words(wi)
+      var i = 0
+      while (i + 1 < s.length) { bump((s(i), s(i + 1)), freqs(wi), wi); i += 1 }
+      wi += 1
+    }
+
+    val out = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= merges && !exhausted) {
+      // lazy-deletion pop: skip entries whose stored count is stale
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (counts.get((e._2, e._3)).contains(e._1)) top = Some(e)
+      }
+      top match {
+        case None => exhausted = true
+        case Some((cnt, l, r)) =>
+          out += ((k.toLong, l, r, cnt))
+          val pair = (l, r)
+          val affected = postings.remove(pair).getOrElse(mutable.BitSet.empty)
+          affected.foreach { w =>
+            val old = words(w)
+            var i = 0
+            var has = false
+            while (!has && i + 1 < old.length) {
+              if (old(i) == l && old(i + 1) == r) has = true; i += 1
+            }
+            if (has) {
+              i = 0
+              while (i + 1 < old.length) { bump((old(i), old(i + 1)), -freqs(w), -1); i += 1 }
+              val nw = applyMerge(old, l, r)
+              words(w) = nw
+              i = 0
+              while (i + 1 < nw.length) { bump((nw(i), nw(i + 1)), freqs(w), w); i += 1 }
+            }
+          }
+          // NOTE: no counts.remove(pair) — the alternating replace can
+          // leave (l,r) occurrences ('aaaa' → (aa)(a)(a) keeps one),
+          // and the subtract/re-add bumps already maintain its exact
+          // surviving count; the pair may be re-learned later, exactly
+          // as in the sequential loop.
+          k += 1
+      }
+    }
+    if (out.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    else spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2, t._3, t._4))), outSchema)
+  }
+
   /** q68: BPE ENCODING of the corpus with the rules q67 just learned —
     * the train→apply composition a tokenizer pipeline actually runs
     * (and the subword-level twin of q51's vocab-greedy inference).
@@ -111,7 +278,9 @@ object Bpe {
     */
   def bpeEncode(documents: DataFrame, vocabCap: Int = 256, merges: Int = 24): DataFrame = {
     val spark = documents.sparkSession
-    val rules = bpeTrain(documents, vocabCap, merges).collect()
+    // rules via the in-memory trainer — bit-equal to bpeTrain
+    // (BpeSpec parity) without its per-merge job round-trips
+    val rules = bpeTrainFast(documents, vocabCap, merges).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
     val toks = filter(
       split(lower(TextOps.wsTrim(coalesce(col("text"), lit("")))), "\\s+"),

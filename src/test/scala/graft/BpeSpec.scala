@@ -79,4 +79,37 @@ class BpeSpec extends AnyFunSuite {
     // single-char words have no pairs: training stops at zero rules
     assert(Bpe.bpeTrain(docs("a b c a b")).count() == 0)
   }
+
+  test("bpeTrainFast parity: bit-equal to the sequential distributed loop") {
+    import graft.sources.Tables
+    // the hand corpora exercise ties, the alternating-run leftover,
+    // early exhaustion, and empty input
+    val corpora = Seq(
+      docs("low low low", "lower lower", "newest"),
+      docs("aaaa", "aaaaaa aaaa"),
+      docs("a b c a b"),
+      docs().limit(0))
+    corpora.foreach { c =>
+      val slow = rules(Bpe.bpeTrain(c, merges = 6))
+      val fast = rules(Bpe.bpeTrainFast(c, merges = 6))
+      assert(fast == slow, s"fast $fast != sequential $slow")
+    }
+    // the registered contract on real documents (vocabCap=256,
+    // merges=24): rank-for-rank identical rules AND counts
+    val d = Tables.documents(spark, sfDir)
+    val slow = rules(Bpe.bpeTrain(d))
+    val fast = rules(Bpe.bpeTrainFast(d))
+    assert(fast == slow)
+    // production-merges depth: greedy training is prefix-stable, so a
+    // 96-merge fast run's first 24 rules must equal the sequential
+    // 24-merge run at the same vocabCap — and the deep tail stays
+    // rank-dense
+    val deep = rules(Bpe.bpeTrainFast(d, vocabCap = 512, merges = 96))
+    assert(deep.take(24) == rules(Bpe.bpeTrain(d, vocabCap = 512, merges = 24)))
+    assert(deep.size <= 96 && deep.map(_._1) == (1L to deep.size.toLong))
+    // exhaustion behavior identical: tiny corpus runs dry at the same rank
+    val tiny = docs("ab ab cd")
+    assert(rules(Bpe.bpeTrainFast(tiny, merges = 24)) ==
+      rules(Bpe.bpeTrain(tiny, merges = 24)))
+  }
 }
