@@ -101,6 +101,7 @@ object SparkEntry {
     "q28_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
     "q28b_knn_blocked" -> ((s, d) => Similarity.knnBruteForceBlocked(Tables.embeddings(s, d))),
     "q29_knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
+    "q29b_knn_lsh_int" -> ((s, d) => Similarity.knnLshInt(Tables.embeddings(s, d))),
     "q30_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(Tables.embeddings(s, d))),
     "q30b_embedding_dedup_lsh" -> ((s, d) => Similarity.embeddingDedupLsh(Tables.embeddings(s, d))),
     "q32_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
@@ -888,6 +889,10 @@ object SparkEntry {
     // chain (Similarity.knnIvfIntOracleSql) — assignment, probing,
     // and integer pair-d2 ranking all replayed
     "q63_knn_ivf_exact" -> graft.operators.Similarity.knnIvfIntOracleSql(),
+    // q29b: the q30b QRHP candidate replay + q63's integer-d2 ranking —
+    // the LSH top-k path promoted to rows+schema+hash (r12; q29 stays
+    // the FP-cosine rows-only variant with occupancy salting)
+    "q29b_knn_lsh_int" -> graft.operators.Similarity.knnLshIntOracleSql(),
     // q64: the q60 centroid/assignment CTEs + within-cluster pair
     // predicate + the q42 recursive closure + keep rule as row_number
     // (d2 DESC, vec_id ASC) — Components.semDedupOracleSql

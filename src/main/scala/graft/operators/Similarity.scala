@@ -615,6 +615,141 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** q29b: ORACLE-EXACT LSH top-k — the hash-checkable promotion of
+    * q29 (r11 verdict task #3), the way q50's aHash and q63's IVF were
+    * promoted: keep the approximate-candidate semantics, move every
+    * bit of the pipeline into the integer domain so the DuckDB replay
+    * matches rows+schema+hash.
+    *
+    *  - candidates: EXACTLY q30b's machinery — nSigs independent
+    *    integer-quantized random-hyperplane signatures
+    *    (QrhpSignatureExpr: 31-bit LCG planes × the 2²⁰-quantized
+    *    vector, pure int64), split into auto-sized bands (same
+    *    N≤32·2^b ladder the oracle replays), candidate pairs = any
+    *    shared (band_id, band_sig) bucket;
+    *  - ranking: q63's integer squared-L2 over the same 2²⁰
+    *    quantization — no shift needed, differences cancel it —
+    *    ranked (d2 ASC, neighbor ASC), ties deterministic in both
+    *    engines; multi-band duplicate candidates dedup INSIDE the
+    *    bounded top_k_by_distinct aggregate (no standalone distinct
+    *    exchange), d2 ≤ 64·2⁴⁴ < 2⁵³ so the double ord is exact.
+    *
+    * vs q29 (which stays registered as the FP-cosine path with
+    * occupancy salting): the integer contract buys checkability at the
+    * cost of ranking by quantized-L2 instead of float cosine — on unit-
+    * normalized corpora the two orders agree except within 2⁻²⁰
+    * quantization bands (SimilaritySpec measures recall@k vs the q28
+    * exact baseline). Candidate volume is q30b's Σ|bucket|² shape,
+    * occupancy-bounded by the band ladder. Inner semantics: vectors
+    * whose buckets are all singletons emit no rows (q63 convention).
+    *
+    * Output: (vec_id, rank, neighbor_id, d2).
+    */
+  def knnLshInt(embeddings: DataFrame, nBits: Int = 64, bandBits: Int = 0,
+                nSigs: Int = 2, topK: Int = 5): DataFrame = {
+    val bb =
+      if (bandBits > 0) bandBits
+      else {
+        val n = approxCount(embeddings)
+        var b = 4
+        while (b < 16 && n > 32L * (1L << b)) b += 1
+        b
+      }
+    val nBands = nBits / bb
+    val sigCols = (0 until nSigs).map { t =>
+      graft.functions.VectorFunctions
+        .qrhp_signature(col("embedding"), nBits, t * nBits).as(s"sig$t")
+    }
+    val e = embeddings.select(Seq(col("vec_id"),
+      expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))").as("q"))
+      ++ sigCols: _*)
+    val bandStructs = for (t <- 0 until nSigs; band <- 0 until nBands) yield
+      struct(lit(t * nBands + band).as("band_id"),
+        shiftrightunsigned(col(s"sig$t"), band * bb)
+          .bitwiseAND(lit((1L << bb) - 1)).as("band_sig"))
+    val bands = e.select(col("vec_id"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band_id").as("band_id"),
+        col("bb.band_sig").as("band_sig"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
+    cand
+      .join(e.select(col("vec_id"), col("q").as("qa")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("q").as("qb")),
+        Seq("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.l2_dist(col("qa"), col("qb")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKByFunctions
+        .top_k_by_distinct((-col("d2")).cast("double"), col("neighbor_id"), topK).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("neighbor_id"), (-col("t.ord")).cast("long").as("d2"))
+  }
+
+  /** The q29b oracle: the q30b QRHP signature/band replay (weights,
+    * quantization, bit aggregation, auto band ladder — verbatim the
+    * CTE chain q30b/q42b pin) feeding q63's integer pair-d2 ranking
+    * (row_number (d2 ASC, neighbor ASC) ≤ topK).
+    */
+  def knnLshIntOracleSql(topK: Int = 5): String =
+    s"""WITH w AS (
+       |  SELECT j, d, (s5 // 65536 - 16384) AS w FROM (
+       |    SELECT j, d, (1103515245 * xor(s3, s3 // 2048) + 12345) % 2147483648 AS s5 FROM (
+       |      SELECT j, d, (1103515245 * xor(s1, s1 // 65536) + 12345) % 2147483648 AS s3 FROM (
+       |        SELECT j, d, (1103515245 * (j*1000003 + d) + 12345) % 2147483648 AS s1
+       |        FROM range(0, 128) t1(j), range(0, 64) t2(d))))),
+       |qv AS (
+       |  SELECT vec_id, d,
+       |         CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings, range(0, 64) t(d)),
+       |qq AS (
+       |  SELECT vec_id, list(q ORDER BY d) AS q FROM qv GROUP BY vec_id),
+       |bits AS (
+       |  SELECT vec_id, j, CASE WHEN sum(q * w) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM qv JOIN w USING (d)
+       |  GROUP BY vec_id, j),
+       |bw AS (
+       |  SELECT CASE WHEN n <= 512 THEN 4 WHEN n <= 1024 THEN 5
+       |              WHEN n <= 2048 THEN 6 WHEN n <= 4096 THEN 7
+       |              WHEN n <= 8192 THEN 8 WHEN n <= 16384 THEN 9
+       |              WHEN n <= 32768 THEN 10 WHEN n <= 65536 THEN 11
+       |              WHEN n <= 131072 THEN 12 WHEN n <= 262144 THEN 13
+       |              WHEN n <= 524288 THEN 14 WHEN n <= 1048576 THEN 15
+       |              ELSE 16 END AS bb
+       |  FROM (SELECT count(*) AS n FROM embeddings)),
+       |bands AS (
+       |  SELECT vec_id, (j // 64) * (64 // bb) + (j % 64) // bb AS band_id,
+       |         sum(bit * (1 << ((j % 64) % bb))) AS band_sig
+       |  FROM bits, bw
+       |  WHERE (j % 64) < (64 // bb) * bb
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+       |   AND a.vec_id <> b.vec_id),
+       |pd AS (
+       |  SELECT c.vec_id, c.neighbor_id,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(1, len(a.q) + 1),
+       |             i -> (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)])
+       |                * (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)]))),
+       |           (acc, x) -> acc + x) AS d2
+       |  FROM cand c
+       |  JOIN qq a ON a.vec_id = c.vec_id
+       |  JOIN qq b ON b.vec_id = c.neighbor_id),
+       |rk AS (
+       |  SELECT vec_id, neighbor_id, d2,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY d2 ASC, neighbor_id ASC) AS rank
+       |  FROM pd)
+       |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, d2
+       |FROM rk WHERE rank <= $topK""".stripMargin
+
   /** q60: ORACLE-EXACT k-means clustering — Lloyd's algorithm run
     * ENTIRELY in integer arithmetic, so the distributed iteration
     * hash-matches an unrolled-CTE DuckDB replay bit-for-bit (the q55

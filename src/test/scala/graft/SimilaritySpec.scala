@@ -79,6 +79,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall@1 $recall over $n vectors")
   }
 
+  test("q29b integer LSH: clone at rank 1 with d2=0, dense ranks, recall gate") {
+    // the planted exact clone shares every quantized bit with its
+    // original, so it co-buckets in all bands and ranks first at d2=0
+    val out = Similarity.knnLshInt(planted)
+    val row = out.filter(col("vec_id") === 999999L && col("rank") === 1).head()
+    assert(row.getAs[Long]("neighbor_id") == 0L)
+    assert(row.getAs[Long]("d2") == 0L)
+    // ranks are dense 1..n per vector, d2 nondecreasing in rank
+    val byVec = out.collect().groupBy(_.getAs[Long]("vec_id"))
+    byVec.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length.toLong))
+      val d2s = sorted.map(_.getAs[Long]("d2")).toSeq
+      assert(d2s == d2s.sorted && d2s.forall(_ >= 0L))
+    }
+    // recall@1 vs the exact brute-force baseline: the integer-L2 order
+    // agrees with cosine on this corpus except inside 2^-20 quantization
+    // bands; the QRHP candidate machinery is q30b's (recall pinned there
+    // too) — gate at the q29 threshold
+    val lsh = Similarity.knnLshInt(emb).filter(col("rank") === 1)
+      .select(col("vec_id"), col("neighbor_id").as("lsh_nn"))
+    val bf = Similarity.knnBruteForce(emb, 1)
+      .select(col("vec_id"), col("neighbor_id").as("bf_nn"))
+    val joined = bf.join(lsh, Seq("vec_id"), "left")
+    val n = joined.count()
+    val hit = joined.filter(col("lsh_nn") === col("bf_nn")).count()
+    val recall = hit.toDouble / n
+    assert(recall >= 0.85, s"recall@1 $recall over $n vectors")
+  }
+
   test("q32 IVF: clone shares the centroid list and ranks first at cos 1.0") {
     val out = Similarity.knnIvf(planted)
     // identical vectors ⇒ identical centroid distances ⇒ same assignment
