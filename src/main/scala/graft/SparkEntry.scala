@@ -210,6 +210,16 @@ object SparkEntry {
     "q88_source_mix" -> ((s, d) => TextOps.sourceMix(Tables.documents(s, d))),
     // q89: co-purchase top-k recommendations over the basket graph
     "q89_copurchase_topk" -> ((s, d) => Analytics.copurchaseTopK(Tables.lineitem(s, d))),
+    // q90: source-quota curation — the q48b token-budget mixture
+    // re-keyed to SOURCE (the DoReMi/Pile recipe over q88's axis);
+    // non-uniform registered targets so every source gets a distinct
+    // solved rate, unlisted sources drop
+    "q90_source_quota" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.sourceQuota(docs,
+        Map("src0" -> 3000, "src1" -> 2500, "src2" -> 1500, "src3" -> 500),
+        TextOps.tokenizerVocabSeq(docs, m = 64, maxN = 4), maxN = 4)
+    }),
     // q61: bigram-LM perplexity in Q16 fixed-point (the Log2Q16Expr
     // kernel — no libm, so the whole score hash-compares)
     "q61_perplexity" -> ((s, d) => TextOps.perplexity(Tables.documents(s, d))),
@@ -1209,6 +1219,38 @@ object SparkEntry {
                 (r.n_co * 10000) // c.cnt AS conf_myriad
          FROM ranked r JOIN cnts c USING (part)
          WHERE r.rank <= 5""",
+    // q90: q48b's rate arithmetic keyed by SOURCE — per-source q51
+    // token totals, feasible total, myriad rates, admission hash at
+    // fresh index 236 ('srcq:' keys; a=1103515245·473+12345,
+    // b=·474 — the 2i+1/2i+2 lattice)
+    "q90_source_quota" ->
+      s"""WITH RECURSIVE $tokenizerCtes,
+         src_counts AS (
+           SELECT t.source, t.t_myriad, COALESCE(g.c, 0) AS c
+           FROM (VALUES ('src0', 3000), ('src1', 2500), ('src2', 1500),
+                        ('src3', 500)) t(source, t_myriad)
+           LEFT JOIN (SELECT d.source, CAST(sum(dc.nt) AS BIGINT) AS c
+                      FROM documents d JOIN doc_counts dc ON dc.doc_id = d.doc_id
+                      GROUP BY d.source) g USING (source)),
+         src_feas AS (SELECT MIN(c * 10000 // t_myriad) AS t_total FROM src_counts),
+         src_rates AS (
+           SELECT source, CASE WHEN c = 0 THEN CAST(0 AS BIGINT)
+                        ELSE (t_total * t_myriad // 10000) * 10000 // c END AS rate_myriad
+           FROM src_counts, src_feas)
+         SELECT b.doc_id, b.source, b.n_tokens, r.rate_myriad, b.bucket
+         FROM (
+           SELECT t.doc_id, t.source, dc.nt AS n_tokens,
+             ((((CAST(1103515245 AS BIGINT)*473 + 12345) % 2147483648) *
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, length(k)+1),
+                    i -> CAST(unicode(substring(k, CAST(i AS INT), 1)) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 1000000007))
+               + ((CAST(1103515245 AS BIGINT)*474 + 12345) % 2147483648)) % 2147483647) % 10000 AS bucket
+           FROM (SELECT doc_id, source, concat('srcq:', CAST(doc_id AS VARCHAR)) AS k
+                 FROM documents) t
+           JOIN doc_counts dc ON dc.doc_id = t.doc_id) b
+         JOIN src_rates r USING (source)
+         WHERE b.bucket < r.rate_myriad""",
     "q88_source_mix" ->
       """WITH per AS (
            SELECT source, lang,

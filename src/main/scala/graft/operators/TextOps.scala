@@ -1046,6 +1046,61 @@ object TextOps {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
+  /** q90: SOURCE-QUOTA curation — the DoReMi / Pile recipe the q88
+    * composition table exists to feed: training mixtures are specified
+    * per SOURCE ("15% web crawl, 30% books, ..."; Gao et al. 2020
+    * table 1, Xie et al. 2023's domain weights), so the q48b machinery
+    * is re-keyed from lang to the `source` column q88 unlocked —
+    * given target corpus shares per source (parts-per-myriad), solve
+    * the largest token budget no source must upsample for
+    * (T = min_s c_s·10⁴ div t_s over per-source q51 token totals),
+    * then admit documents by the q37 hash rule at the solved
+    * per-source rates (fresh index 236, key "srcq:"). Sources outside
+    * the target map are DROPPED (rate-table inner join) — the quota
+    * is also the allowlist, the practical shape of a release recipe.
+    *
+    * Scale shape is q48b's verbatim: the tokenizer kernel runs ONCE
+    * over the corpus (the narrow (doc_id, source, n_tokens) frame is
+    * checkpointed for its two consumers), the rate table is S rows
+    * broadcast, admission is a pure narrow filter; integer domain
+    * throughout, so the DuckDB oracle replays every admitted row.
+    *
+    * Output: admitted (doc_id, source, n_tokens, rate_myriad, bucket).
+    */
+  def sourceQuota(documents: DataFrame, targetMyriad: Map[String, Int],
+                  vocab: Seq[String], maxN: Int = 4): DataFrame = {
+    requireMixture(targetMyriad)
+    val toks = documents
+      .select(col("doc_id"), col("source"),
+        graft.functions.GreedyTokenizerFunctions
+          .token_stats(lower(col("text")), vocab, maxN).as("ts"))
+      .select(col("doc_id"), col("source"), col("ts.n_tokens").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .localCheckpoint(true)
+    val rates = solveRates(targetMyriad,
+      toks.groupBy(col("source")).agg(sum(col("n_tokens")).as("c")), "source")
+    admitAtRates(toks, rates, hashIndex = 236, keyPrefix = "srcq:",
+      Seq(col("n_tokens")), "source")
+  }
+
+  /** The q90 rate table as a driver-side map — the frozen config the
+    * s47 streaming admission gate applies per-arrival (the
+    * tokenMixtureRates protocol keyed by source; S rows, bounded).
+    */
+  def sourceQuotaRates(documents: DataFrame, targetMyriad: Map[String, Int],
+                       vocab: Seq[String], maxN: Int = 4): Map[String, Long] = {
+    requireMixture(targetMyriad)
+    val toks = documents
+      .select(col("doc_id"), col("source"),
+        graft.functions.GreedyTokenizerFunctions
+          .token_stats(lower(col("text")), vocab, maxN).as("ts"))
+      .select(col("source"), col("ts.n_tokens").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    solveRates(targetMyriad,
+      toks.groupBy(col("source")).agg(sum(col("n_tokens")).as("c")), "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** The per-doc (doc_id, lang, n_tokens > 0) frame both token-budget
     * paths derive from — ONE definition of which docs count and how
     * they tokenize.
@@ -1078,16 +1133,16 @@ object TextOps {
     */
   private def admitAtRates(corpus: DataFrame, rates: DataFrame,
                            hashIndex: Int, keyPrefix: String,
-                           carry: Seq[Column]): DataFrame = {
+                           carry: Seq[Column], keyCol: String = "lang"): DataFrame = {
     import Dedup.ReplayableHash.{a, b, P}
     val s = graft.functions.VectorFunctions.poly_hash(
       concat(lit(keyPrefix), col("doc_id").cast("string")))
     corpus
       .withColumn("bucket",
         (lit(a(hashIndex)) * s + lit(b(hashIndex))) % lit(P) % lit(10000L))
-      .join(broadcast(rates), Seq("lang"))
+      .join(broadcast(rates), Seq(keyCol))
       .filter(col("bucket") < col("rate_myriad"))
-      .select(Seq(col("doc_id"), col("lang")) ++ carry ++
+      .select(Seq(col("doc_id"), col(keyCol)) ++ carry ++
         Seq(col("rate_myriad"), col("bucket")): _*)
   }
 
@@ -1111,18 +1166,19 @@ object TextOps {
     * into one).
     */
   private def solveRates(targetMyriad: Map[String, Int],
-                         weights: DataFrame): DataFrame = {
+                         weights: DataFrame,
+                         keyCol: String = "lang"): DataFrame = {
     val sp = weights.sparkSession
     import sp.implicits._
-    val targets = targetMyriad.toSeq.sortBy(_._1).toDF("lang", "t_myriad")
+    val targets = targetMyriad.toSeq.sortBy(_._1).toDF(keyCol, "t_myriad")
     val counts = targets
-      .join(weights, Seq("lang"), "left")
-      .select(col("lang"), coalesce(col("c"), lit(0L)).as("c"), col("t_myriad"))
+      .join(weights, Seq(keyCol), "left")
+      .select(col(keyCol), coalesce(col("c"), lit(0L)).as("c"), col("t_myriad"))
     counts
       .withColumn("t_total",
         min(expr("c * 10000 div t_myriad"))
           .over(org.apache.spark.sql.expressions.Window.partitionBy()))
-      .select(col("lang"),
+      .select(col(keyCol),
         when(col("c") === 0, lit(0L)) // 0 div 0 would throw under ANSI
           .otherwise(expr("(t_total * t_myriad div 10000) * 10000 div c"))
           .as("rate_myriad"))

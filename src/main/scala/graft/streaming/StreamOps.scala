@@ -682,6 +682,78 @@ object StreamOps {
       }
   }
 
+  /** s47 output: one ADMITTED document (the q90 row) plus its
+    * source's live admitted totals (the running spend against the
+    * quota — what an ingest dashboard actually watches).
+    */
+  case class QuotaAdmit(doc_id: Long, source: String, n_tokens: Long,
+                        adm_docs: Long, adm_tokens: Long)
+
+  /** s47: STREAMING source-quota admission — q90's gate applied
+    * per-arrival (the s21 frozen-config discipline: rates are solved
+    * OFFLINE from a corpus snapshot via TextOps.sourceQuotaRates and
+    * frozen, exactly how a release recipe deploys — admission must
+    * not drift as the stream changes the empirical mix), plus live
+    * per-source admitted-token counters (the s46 stateful-counter
+    * family).
+    *
+    * The admission decision is a PURE per-row function of the frozen
+    * config (GreedyTokenStatsExpr.walk with the frozen vocab — the
+    * byte-identical JVM twin of the batch kernel — and the index-236
+    * 'srcq:' hash against the frozen rate), so the admitted SET is
+    * row-exact vs batch q90 run at the same rates under ANY
+    * batching/ordering; the counters are commutative integer sums, so
+    * each source's totals converge to the batch aggregate (spec: two
+    * cuts + reversed stream). Keyed state per source = TWO longs —
+    * catalog-bounded, never stream-sized. Unlisted sources (rate 0 or
+    * absent) never touch state.
+    */
+  def streamSourceQuota(docs: Dataset[(Long, String, String)],
+                        ratesMyriad: Map[String, Long],
+                        vocab: Seq[String], maxN: Int = 4)
+      : Dataset[QuotaAdmit] = { // (doc_id, source, text)
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup.ReplayableHash.{a, b, P}
+    val sc = docs.sparkSession.sparkContext
+    val bcVocab = sc.broadcast {
+      val hs = new java.util.HashSet[String]()
+      vocab.foreach(hs.add); hs
+    }
+    val bcRates = sc.broadcast(ratesMyriad)
+    docs
+      .flatMap { case (id, source, text) =>
+        val rate = bcRates.value.getOrElse(source, 0L)
+        if (rate <= 0L || text == null) Iterator.empty
+        else {
+          val (nTok, _) = graft.functions.GreedyTokenStatsExpr
+            .walk(text.toLowerCase(java.util.Locale.ROOT), bcVocab.value, maxN)
+          if (nTok <= 0L) Iterator.empty
+          else {
+            val s = graft.functions.PolyHashExpr.hash("srcq:" + id)
+            val bucket = ((a(236) * s + b(236)) % P) % 10000L
+            if (bucket < rate) Iterator.single((id, source, nTok))
+            else Iterator.empty
+          }
+        }
+      }
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Long), QuotaAdmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source, rows, state: GroupState[(Long, Long)]) =>
+          var (nd, nt) = state.getOption.getOrElse((0L, 0L))
+          // deterministic intra-batch order; per-row counter snapshots
+          // are prefix-dependent (they reflect arrival history), but
+          // the FINAL totals are batching-invariant commutative sums
+          val rs = rows.toSeq.sortBy(_._1)
+          val out = rs.map { case (id, _, tok) =>
+            nd += 1; nt += tok
+            QuotaAdmit(id, source, tok, nd, nt)
+          }
+          state.update((nd, nt))
+          out.iterator
+      }
+  }
+
   /** s45 output: the q89 columns — the part's CURRENT top-k. */
   case class CoRec(part: Long, rank: Long, other: Long, n_co: Long,
                    conf_myriad: Long)

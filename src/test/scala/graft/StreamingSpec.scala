@@ -942,6 +942,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(totTokens == batchTot.getLong(3))
   }
 
+  test("s47 streaming source-quota admission: admitted set row-exact vs q90, totals batching-invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val docs = Tables.documents(spark, sfDir)
+    val targets = Map("src0" -> 3000, "src1" -> 2500, "src2" -> 1500, "src3" -> 500)
+    val vocab = graft.operators.TextOps.tokenizerVocabSeq(docs, m = 64, maxN = 4)
+    // frozen config: rates solved offline from the snapshot (the s21
+    // protocol) — the SAME rates batch q90 solves internally
+    val rates = graft.operators.TextOps.sourceQuotaRates(docs, targets, vocab)
+    val batch = graft.operators.TextOps.sourceQuota(docs, targets, vocab)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+    def run(rows: Seq[(Long, String, String)], cut: Int)
+        : (Map[Long, (String, Long)], Map[String, (Long, Long)]) = {
+      val source = MemoryStream[(Long, String, String)]
+      val admitted = collection.mutable.Map[Long, (String, Long)]()
+      val totals = collection.mutable.Map[String, (Long, Long)]()
+      val q = StreamOps.streamSourceQuota(source.toDS(), rates, vocab)
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.QuotaAdmit], _: Long) =>
+          b.collect().foreach { r =>
+            admitted(r.doc_id) = (r.source, r.n_tokens)
+            val (d0, t0) = totals.getOrElse(r.source, (0L, 0L))
+            totals(r.source) = (math.max(d0, r.adm_docs), math.max(t0, r.adm_tokens))
+          }; ()
+        }.start()
+      try {
+        source.addData(rows.take(cut): _*)
+        q.processAllAvailable()
+        source.addData(rows.drop(cut): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      (admitted.toMap, totals.toMap)
+    }
+
+    val rows = docs.select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val (adm, tot) = run(rows, rows.length / 2)
+    // admitted set row-exact vs batch q90 (same frozen rates)
+    assert(adm == batch, s"stream ${adm.size} rows vs batch ${batch.size}")
+    // final totals equal the batch per-source aggregate
+    val batchTot = batch.toSeq.groupBy(_._2._1)
+      .map { case (s, rs) => s -> ((rs.size.toLong, rs.map(_._2._2).sum)) }
+    assert(tot == batchTot)
+    // batching/order invariance of the admitted set and final totals
+    val (admR, totR) = run(rows.reverse, rows.length / 3)
+    assert(admR == adm && totR == tot)
+    // unlisted sources never admit
+    assert(adm.values.forall { case (s, _) => targets.contains(s) })
+  }
+
   test("s45 maintained co-purchase top-k converges row-exact to batch q89 under any batching") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

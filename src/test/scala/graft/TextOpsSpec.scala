@@ -560,6 +560,52 @@ class TextOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("q90 source quota: admitted token mass tracks per-source targets, unlisted drop") {
+    val target = Map("src0" -> 3000, "src1" -> 2500, "src2" -> 1500, "src3" -> 500)
+    val vocab = TextOps.tokenizerVocabSeq(docs, m = 64, maxN = 4)
+    val out = TextOps.sourceQuota(docs, target, vocab)
+    out.persist()
+    try {
+      // unlisted sources never admit (the quota is the allowlist)
+      assert(out.select("source").distinct().collect()
+        .map(_.getString(0)).toSet.subsetOf(target.keySet))
+      // per-source admitted token mass tracks the solved goal within
+      // whole-doc hash-admission noise (the q48b tolerance)
+      val perDoc = TextOps.tokenStatsWith(docs, vocab)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .filter(col("n_tokens") > 0)
+      val masses = perDoc.groupBy("source")
+        .agg(sum("n_tokens").as("c"), sum(col("n_tokens") * col("n_tokens")).as("c2"),
+          max("n_tokens").as("wmax"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val tTotal = target.map { case (s, t) => masses(s)._1 * 10000L / t }.min
+      val admitted = out.groupBy("source").agg(sum("n_tokens").as("a"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      target.foreach { case (s, t) =>
+        val (c, c2, wmax) = masses(s)
+        val rate = (tTotal * t / 10000) * 10000 / c
+        val goal = rate * c / 10000.0
+        val tol = 4 * math.sqrt(c2.toDouble) + wmax
+        assert(math.abs(admitted.getOrElse(s, 0L) - goal) <= tol,
+          s"$s: admitted ${admitted.getOrElse(s, 0L)} vs goal $goal ± $tol")
+      }
+      // the solved rates are non-uniform (distinct targets ⇒ distinct
+      // rates on a roughly-uniform corpus)
+      val rs = out.select("source", "rate_myriad").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rs.values.toSet.size > 1, s"rates $rs")
+      // the frozen-rate table the s47 stream consumes matches the
+      // rates the batch op solved
+      val frozen = TextOps.sourceQuotaRates(docs, target, vocab)
+      rs.foreach { case (s, r) => assert(frozen(s) == r, s"$s: $r vs ${frozen(s)}") }
+      // deterministic under repartitioning
+      assertSameRows(out, TextOps.sourceQuota(docs.repartition(13), target, vocab))
+      // a target source missing from the corpus makes the quota infeasible
+      assert(TextOps.sourceQuota(docs,
+        Map("src0" -> 5000, "nosuch" -> 5000), vocab).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("q52 segment dedup: cross-doc boilerplate drops, within-doc repeats stay") {
     import spark.implicits._
     val boiler = "all rights reserved subscribe to our newsletter today"  // 8 words
