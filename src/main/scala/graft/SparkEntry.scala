@@ -2332,13 +2332,33 @@ object SparkEntry {
          red AS (SELECT doc_id, lang,
                    regexp_replace(t, '${graft.operators.TextOps.PhoneRe}', '<PHONE>', 'g') AS text
                  FROM pii2),
-         ${tokenizerCtesOn("red")},
+         m_sh AS (
+           SELECT DISTINCT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(g)+1),
+                      i -> CAST(unicode(substring(g, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 3, 1) + 1),
+                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS g
+                 FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS toks
+                       FROM red WHERE text IS NOT NULL) t) x),
+         m_df AS (SELECT s FROM m_sh GROUP BY s HAVING count(*) > 1),
+         m_dup AS (SELECT doc_id, count(*) AS n_dup FROM m_sh JOIN m_df USING (s) GROUP BY 1),
+         m_sz AS (SELECT doc_id, count(*) AS n_shingles FROM m_sh GROUP BY 1),
+         mem AS (
+           SELECT r.doc_id, r.lang, r.text
+           FROM red r LEFT JOIN m_sz USING (doc_id) LEFT JOIN m_dup USING (doc_id)
+           WHERE COALESCE(m_dup.n_dup, 0) * 10000
+                 <= 2000 * COALESCE(m_sz.n_shingles, 0)),
+         ${tokenizerCtesOn("mem")},
          tok_counts AS (
            SELECT t.lang, t.t_myriad, COALESCE(g.c, 0) AS c
            FROM (VALUES ('de', 2000), ('en', 2000), ('es', 2000),
                         ('fr', 2000), ('zh', 2000)) t(lang, t_myriad)
            LEFT JOIN (SELECT d.lang, CAST(sum(dc.nt) AS BIGINT) AS c
-                      FROM red d JOIN doc_counts dc ON dc.doc_id = d.doc_id
+                      FROM mem d JOIN doc_counts dc ON dc.doc_id = d.doc_id
                       GROUP BY d.lang) g USING (lang)),
          tok_feas AS (SELECT MIN(c * 10000 // t_myriad) AS t_total FROM tok_counts),
          tok_rates AS (
@@ -2356,7 +2376,7 @@ object SparkEntry {
                     (h, c) -> (h * 31 + c) % 1000000007))
                  + ((CAST(1103515245 AS BIGINT)*430 + 12345) % 2147483648)) % 2147483647) % 10000 AS bucket
              FROM (SELECT doc_id, lang, concat('mixtok:', CAST(doc_id AS VARCHAR)) AS k
-                   FROM red) t
+                   FROM mem) t
              JOIN doc_counts dc ON dc.doc_id = t.doc_id) b
            JOIN tok_rates r USING (lang)
            WHERE b.bucket < r.rate_myriad),

@@ -46,6 +46,19 @@ import org.apache.spark.sql.functions._
   *      fixed tokens BEFORE tokenizer training — the production order
   *      (a vocab must never memorize an email), and the redacted text
   *      is what tokenizes and packs;
+  *   6b. memorization gate (q84, since r12): docs whose residual
+  *      cross-document shingle-duplication ratio exceeds
+  *      `memCutMyriad`/10⁴ drop before tokenizer training and packing
+  *      — the duplication-risk pass a release pipeline runs last
+  *      (Lee et al. 2022 / Carlini et al. 2022: duplicated training
+  *      text is what models memorize; the dedup stages 1–3 REMOVE
+  *      aligned and ≥subK-word duplication, this gate DROPS the docs
+  *      still dominated by shorter cross-doc repetition those passes
+  *      cannot cut). Integer predicate n_dup·10⁴ ≤ cut·n_shingles —
+  *      no float threshold to drift; docs with no shingles carry no
+  *      signal and pass. `memCutMyriad < 0` disables; the REGISTERED
+  *      config runs it at 2000 (drop when >20% of a doc's distinct
+  *      shingles are cross-doc duplicated);
   *   7. tokenizer-budget mixture (q51 + q48b): the subword vocab
   *      trains on the CURATED corpus (not the raw one — tokenizer
   *      training after cleaning is the production order), per-language
@@ -88,7 +101,8 @@ object Pipeline {
              capacity: Int = 512, shards: Int = 8,
              gatePct: Int = 5, subK: Int = 6,
              materializeStages: Boolean = false,
-             ruleGate: Boolean = true): DataFrame = {
+             ruleGate: Boolean = true,
+             memCutMyriad: Int = 2000): DataFrame = {
     // 0. unicode canonicalization (q75, since late r11) — the
     // production opening move: NFC + control/zero-width strip +
     // whitespace collapse BEFORE any hashing, so encoding-variant
@@ -166,9 +180,21 @@ object Pipeline {
       .select(col("doc_id"), col("clean_text").as("text"))
       .join(decon.select("doc_id", "lang"), "doc_id")
     val red = if (materializeStages) red0.localCheckpoint(true) else red0
+    // 6b. memorization gate (q84) — the duplication-risk drop before
+    // training: risk computed ON the redacted corpus (both the df
+    // table and the ratios — the stage sees exactly what would train),
+    // integer myriad predicate so the oracle replays it. The postings
+    // machinery is q38's (narrow hash frame, text never shuffles).
+    val mem =
+      if (memCutMyriad < 0) red
+      else TextOps.memorizationRisk(red, shingleN)
+        .filter(col("n_dup") * lit(10000L) <=
+          lit(memCutMyriad.toLong) * col("n_shingles"))
+        .select("doc_id")
+        .join(red, "doc_id")
     // 7. vocab trained on the curated corpus; token-budget admission
-    val vocab = TextOps.tokenizerVocabSeq(red, vocabM, maxN)
-    val admitted = TextOps.mixtureSolveTokenized(red, targetMyriad, vocab, maxN)
+    val vocab = TextOps.tokenizerVocabSeq(mem, vocabM, maxN)
+    val admitted = TextOps.mixtureSolveTokenized(mem, targetMyriad, vocab, maxN)
     // 8. pack the admitted docs on their tokenizer counts
     TextOps.packCore(
       admitted.select(col("doc_id"), col("n_tokens").as("n_tok")),

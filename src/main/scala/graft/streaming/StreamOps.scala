@@ -1653,12 +1653,19 @@ object StreamOps {
                    lenCut: Option[Double] = None,
                    alphaCut: Option[Double] = None,
                    subK: Int = 6,
-                   ruleGate: Boolean = true): Dataset[PackedSpan] = {
+                   ruleGate: Boolean = true,
+                   dupShingles: Set[Long] = Set.empty,
+                   memCutMyriad: Int = -1): Dataset[PackedSpan] = {
     import docs.sparkSession.implicits._
     import graft.operators.Dedup.ReplayableHash.{a, b, P}
     require(segWords > 0 && capacity >= 1 && shards >= 1)
     val sc = docs.sparkSession.sparkContext
     val bcBench = sc.broadcast(benchShingles)
+    // stage 6b's frozen config (the s43 discipline): the over-df-1
+    // shingle set of the snapshot's REDACTED corpus — batch q53
+    // computes the same table in-chain; freezing it keeps streaming
+    // admission order-free
+    val bcDup = sc.broadcast(dupShingles)
     // 0. unicode canonicalization — the batch chain's stage 0 run as
     // a stateless pure map (normalizeStr is the byte-identical JVM
     // mirror of normalizeCol: shared NFC kernel + the same
@@ -1780,6 +1787,16 @@ object StreamOps {
               .replaceAll(graft.operators.TextOps.EmailRe, "<EMAIL>")
               .replaceAll(graft.operators.TextOps.Ipv4Re, "<IP>")
               .replaceAll(graft.operators.TextOps.PhoneRe, "<PHONE>")
+            // stage 6b: memorization gate against the FROZEN dup table
+            // (batch computes the same distinct-shingle ratio in-chain;
+            // wordShingleHashes is postings' byte-identical JVM twin)
+            val memOk = memCutMyriad < 0 || {
+              val shs2 = wordShingleHashes(red, shingleN)
+              shs2.count(bcDup.value.contains) * 10000L <=
+                memCutMyriad.toLong * shs2.size
+            }
+            if (!memOk) Iterator.empty
+            else {
             val (nTok, _) = graft.functions.GreedyTokenStatsExpr
               .walk(red.toLowerCase(java.util.Locale.ROOT), bcVocab.value, maxN)
             if (nTok <= 0L) Iterator.empty
@@ -1789,6 +1806,7 @@ object StreamOps {
               if (bucket < ratesMyriad.getOrElse(lang, 0L))
                 Iterator.single(routeDoc(doc, nTok, shards))
               else Iterator.empty
+            }
             }
           }
       }

@@ -44,8 +44,11 @@ class PipelineSpec extends AnyFunSuite {
       val red = TextOps.piiRedact(decon)
         .select(col("doc_id"), col("clean_text").as("text"))
         .join(decon.select("doc_id", "lang"), "doc_id")
-      val vocab = TextOps.tokenizerVocabSeq(red, m = 64, maxN = 4)
-      val admitted = TextOps.mixtureSolveTokenized(red, target, vocab)
+      val mem = TextOps.memorizationRisk(red)
+        .filter(col("n_dup") * lit(10000L) <= lit(2000L) * col("n_shingles"))
+        .select("doc_id").join(red, "doc_id")
+      val vocab = TextOps.tokenizerVocabSeq(mem, m = 64, maxN = 4)
+      val admitted = TextOps.mixtureSolveTokenized(mem, target, vocab)
 
       // the packed docs are exactly the admitted docs (packCore drops
       // nothing: every admitted doc has n_tokens > 0 by construction)
@@ -66,7 +69,9 @@ class PipelineSpec extends AnyFunSuite {
         "q71 stage vacuous (unaligned dup spans must survive q52 and be cut here)")
       assert(gated.count() < subbed.count(), "q46 gate vacuous (p5 must bite)")
       assert(decon.count() < gated.count(), "q38 stage vacuous")
-      assert(admitted.count() < decon.count(), "mixture stage vacuous")
+      assert(mem.count() < red.count(),
+        "q84 memorization gate vacuous (residual short-span duplication must bite)")
+      assert(admitted.count() < mem.count(), "mixture stage vacuous")
 
       // token conservation: each doc's packed spans sum to its
       // admitted token count
@@ -131,6 +136,46 @@ class PipelineSpec extends AnyFunSuite {
       outPre.collect().map(_.toString).sorted.toSeq,
       "chain output must be invariant to pre-redaction (q58 runs in-chain)")
     assert(ids.contains(26L), "the redacted doc itself packs (bucket 21 admits at any en rate)")
+  }
+
+  test("q53 curate stage 6b: short-span memorization residue drops; the drop is attributable") {
+    import spark.implicits._
+    val uniq = (i: Int) => (0 until 24).map(j => s"w${i}_$j").mkString(" ")
+    // 5-word phrases shared between docs 10 and 11, each separated by a
+    // doc-unique word so no ≥6-word window duplicates (q71 cannot cut
+    // them) and no 8-word-aligned segment matches (q52 cannot either):
+    // the EXACT residue class the memorization gate exists for
+    val phrase = (i: Int) => s"p${i}a p${i}b p${i}c p${i}d p${i}e"
+    val memHeavy = (1 to 4).map(phrase).zipWithIndex
+      .map { case (p, j) => if (j < 3) s"$p ux$j" else p }.mkString(" ") // 23 words
+    val memLight = (1 to 4).map(phrase).zipWithIndex
+      .map { case (p, j) => if (j < 3) s"$p uy$j" else p }.mkString(" ") +
+      " " + (0 until 40).map(j => s"pad_$j").mkString(" ")               // 63 words
+    // non-en languages get 200-word docs so en is strictly the
+    // SCARCEST token mass -> its solved rate is exactly 10000 and
+    // every surviving en doc admits (survival assertions below cannot
+    // be masked by the admission hash)
+    val fat = (i: Int) => (0 until 200).map(j => s"f${i}_$j").mkString(" ")
+    val corpusRows = Seq(
+      (1L, "en", uniq(1)), (4L, "en", uniq(4)),
+      (5L, "es", fat(5)), (6L, "de", fat(6)),
+      (7L, "fr", fat(7)), (8L, "zh", fat(8)),
+      // doc 10: 8 of 20 shingles cross-doc duplicated (40% > 20%) -> drops
+      (10L, "en", memHeavy),
+      // doc 11: same 8 dup shingles out of 60 (13% < 20%) -> survives
+      (11L, "en", memLight))
+    val bench = Seq((9001L, uniq(900))).toDF("doc_id", "text")
+    val df = corpusRows.toDF("doc_id", "lang", "text")
+    val ids = Pipeline.curate(df, bench, target, capacity = 64, ruleGate = false)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(!ids.contains(10L), s"memorization-heavy doc must not pack; got $ids")
+    assert(ids.contains(11L), s"light-duplication doc must survive the gate; got $ids")
+    // attribution: with the gate OFF the heavy doc packs — nothing
+    // upstream was responsible for the drop
+    val idsOff = Pipeline.curate(df, bench, target, capacity = 64,
+      ruleGate = false, memCutMyriad = -1)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(idsOff.contains(10L), s"gate-off run must keep doc 10; got $idsOff")
   }
 
   test("q53 curate stage 0b: junk documents drop at the rule battery; the drop is attributable to it") {

@@ -2161,6 +2161,77 @@ class StreamingSpec extends AnyFunSuite {
       "unaligned span-copy must be cut by the window state and dropped at the gate")
   }
 
+  test("s21 stage 6b: frozen dup table drops the memorization-heavy arrival exactly as batch q53") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Pipeline, TextOps}
+    val target = Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000)
+    val uniq = (i: Int) => (0 until 24).map(j => s"w${i}_$j").mkString(" ")
+    // the PipelineSpec stage-6b geometry: 5-word phrases shared between
+    // docs 10 and 11, separated by doc-unique words (q52/q71 cannot cut
+    // them); doc 10 is 40% duplicated shingles, doc 11 is 13%
+    val phrase = (i: Int) => s"p${i}a p${i}b p${i}c p${i}d p${i}e"
+    val memHeavy = (1 to 4).map(phrase).zipWithIndex
+      .map { case (p, j) => if (j < 3) s"$p ux$j" else p }.mkString(" ")
+    val memLight = (1 to 4).map(phrase).zipWithIndex
+      .map { case (p, j) => if (j < 3) s"$p uy$j" else p }.mkString(" ") +
+      " " + (0 until 40).map(j => s"pad_$j").mkString(" ")
+    // non-en languages get 200-word docs so en is strictly the scarcest
+    // token mass -> rate_en = 10000 exactly and the doc-10 assertions
+    // cannot be masked by the admission hash (the PipelineSpec 6b rule)
+    val fat = (i: Int) => (0 until 200).map(j => s"f${i}_$j").mkString(" ")
+    val corpusRows = Seq(
+      StreamOps.CurDoc(1L, "en", uniq(1)), StreamOps.CurDoc(4L, "en", uniq(4)),
+      StreamOps.CurDoc(5L, "es", fat(5)), StreamOps.CurDoc(6L, "de", fat(6)),
+      StreamOps.CurDoc(7L, "fr", fat(7)), StreamOps.CurDoc(8L, "zh", fat(8)),
+      StreamOps.CurDoc(10L, "en", memHeavy), StreamOps.CurDoc(11L, "en", memLight))
+    val corpusDF = corpusRows.map(d => (d.doc_id, d.lang, d.text)).toDF("doc_id", "lang", "text")
+    val benchDF = Seq((9001L, uniq(900))).toDF("doc_id", "text")
+
+    type Span = (Long, Long, Long, Long, Long)
+    val batchSpans: Set[Span] = Pipeline.curate(corpusDF, benchDF, target,
+      capacity = 64, ruleGate = false, memCutMyriad = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+    // frozen config, derived exactly as the batch chain derives it: on
+    // this corpus stages 0-3 are the identity and nothing drops before
+    // the gate, so cleaned == corpus; no bench overlap, no PII -> the
+    // redacted corpus is the corpus; the dup table is its over-df-1
+    // shingle set; the mem survivors (all but doc 10) train vocab/rates
+    val (lenCut, alphaCut) = Pipeline.qualityCutoffs(corpusDF, pct = 5)
+    val dupTable = StreamOps.dupShingleTable(corpusDF, shingleN = 4, dfCap = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(dupTable.nonEmpty, "planted phrases must produce a dup table")
+    val memDF = corpusDF.filter(col("doc_id") =!= 10L)
+    val vocab = TextOps.tokenizerVocabSeq(memDF, m = 64, maxN = 4)
+    val rates = TextOps.tokenMixtureRates(memDF, target, vocab)
+    val benchShingles = StreamOps.curateBenchShingles(benchDF, shingleN = 4)
+
+    def drive(cut: Int, dup: Set[Long]): Set[Span] = {
+      val source = MemoryStream[StreamOps.CurDoc]
+      val acc = collection.mutable.Set.empty[Span]
+      val q = StreamOps.streamCurate(source.toDS(), benchShingles, vocab, rates,
+        capacity = 64, lenCut = lenCut, alphaCut = alphaCut, ruleGate = false,
+        dupShingles = dup, memCutMyriad = cut)
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.PackedSpan], _: Long) =>
+          b.collect().foreach(s => acc.synchronized {
+            acc += ((s.shard, s.chunk, s.doc_id, s.tok_start, s.n_toks)) }); ()
+        }.start()
+      try { source.addData(corpusRows: _*); q.processAllAvailable() } finally q.stop()
+      acc.toSet
+    }
+
+    val streamSpans = drive(2000, dupTable)
+    assert(streamSpans == batchSpans, s"stream $streamSpans vs batch $batchSpans")
+    assert(!streamSpans.exists(_._3 == 10L), "memorization-heavy doc must not pack")
+    // attribution: gate off on both sides -> doc 10 packs in both
+    val batchOff = Pipeline.curate(corpusDF, benchDF, target,
+      capacity = 64, ruleGate = false, memCutMyriad = -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(batchOff.exists(_._3 == 10L), "gate-off batch must keep doc 10")
+  }
+
   test("s04 kafka config surface builds; file substitution streams real rows") {
     // Kafka connector jar absent: builders must construct without loading
     val r = KafkaIO.reader(spark, "broker:9092", "purchase-orders")

@@ -8,6 +8,9 @@ import duckdb
 
 outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+# optional: comma-separated query names to skip (documented exclusions
+# for margin sweeps whose DuckDB replay is quadratic at the swept N)
+skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
@@ -17,6 +20,8 @@ for t in ["region","nation","customer","supplier","part","orders",
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
+    if name in skip:
+        print(f"SKIPPED  {name} (declared exclusion)"); continue
     pq = f"{outdir}/{name}"
     if not glob.glob(f"{pq}/*.parquet"):
         print(f"MISSING  {name}: no parquet output"); fail += 1; continue
