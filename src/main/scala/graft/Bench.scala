@@ -134,8 +134,20 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
-      val passes = if (codecFamily(name)) 5 else 3
-      val times = (1 to passes).map { i =>
+      // ADAPTIVE pass count (r12, registry-cost control): the registry
+      // is ~98 queries and a fixed 3 passes each is ~2 driver-minutes
+      // of pure job floor per round. Queries whose FIRST pass lands
+      // under `fastCut` are job-floor-dominated — their min-of-3 never
+      // moved a verdict, and any real plan regression multiplies the
+      // time far past the cut — so they take the single reading.
+      // Escalation is one-sided and therefore safe: a slow first pass
+      // (cold JIT or genuine cost) always buys the full min-of-3
+      // (codec family 5 — I/O jitter there defeats even min-of-3);
+      // only an already-fast reading is ever accepted early.
+      val fastCut = sys.env.get("SPARK_GRAFT_BENCH_FASTCUT")
+        .map(_.toDouble).getOrElse(1.0)
+      val maxPasses = if (codecFamily(name)) 5 else 3
+      def onePass(i: Int): (Double, Double) = {
         val t0 = System.nanoTime()
         val c0 = cpuNanos
         try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
@@ -145,6 +157,10 @@ object Bench {
           f"[bench-debug] $name pass $i: $dt%.3f s cpu=$dc%.3f s ${jvmState(spark)}")
         (dt, dc)
       }
+      val first = onePass(1)
+      val times =
+        if (first._1 < fastCut) Seq(first)
+        else first +: (2 to maxPasses).map(onePass)
       val minPass = times.minBy(_._1)
       (name, minPass._1, times.map(_._1).sorted.apply(times.size / 2), minPass._2)
     }

@@ -477,18 +477,18 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey""",
     "q06_order_reassembly" ->
       """SELECT l_orderkey, count(*) AS item_count,
-                CAST(sum(CAST(l_quantity * p_retailprice AS DECIMAL(30,6))) AS DOUBLE) AS order_total
+                CAST(CAST(sum(CAST(l_quantity * p_retailprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS order_total
          FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
          GROUP BY l_orderkey
          HAVING bool_and(p_retailprice IS NOT NULL)""",
     "q07_product_stats" ->
       """SELECT l_partkey,
-                CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS quantity,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS quantity,
                 count(DISTINCT l_orderkey) AS orders
          FROM lineitem GROUP BY l_partkey""",
     "q08_stats_by_store" ->
       """SELECT l_partkey, l_suppkey,
-                CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS quantity
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS quantity
          FROM lineitem GROUP BY l_partkey, l_suppkey""",
     "q09_stats_merge" ->
       """WITH v1 AS (
@@ -505,7 +505,7 @@ object SparkEntry {
          FROM u GROUP BY l_partkey""",
     "q10_pickup_pipeline" ->
       """SELECT o_orderkey, c_name, n_name, count(*) AS item_count,
-                CAST(sum(CAST(l_quantity * p_retailprice AS DECIMAL(30,6))) AS DOUBLE) AS order_total
+                CAST(CAST(sum(CAST(l_quantity * p_retailprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS order_total
          FROM lineitem
          LEFT JOIN part ON l_partkey = p_partkey
          JOIN orders ON l_orderkey = o_orderkey
@@ -515,11 +515,11 @@ object SparkEntry {
          HAVING bool_and(p_retailprice IS NOT NULL)""",
     "q11_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
-                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
-                CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_qty,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+                CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+                CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
                 count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -527,7 +527,7 @@ object SparkEntry {
     "q12_top_unshipped" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                 o_orderpriority,
-                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+                CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -539,7 +539,7 @@ object SparkEntry {
          LIMIT 10""",
     "q13_regional_revenue" ->
       """SELECT n_name,
-                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+                CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -552,7 +552,7 @@ object SparkEntry {
       """SELECT l_suppkey, l_orderkey, l_linenumber, ship_seq, running_qty FROM (
            SELECT l_suppkey, l_orderkey, l_linenumber,
                   row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS ship_seq,
-                  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_qty
            FROM lineitem) t
          WHERE ship_seq <= 5""",
     "q15_sessionize" ->
@@ -571,12 +571,12 @@ object SparkEntry {
          SELECT user_id, session_seq, count(*) AS n_events,
                 strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                 strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-                CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
+                CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS session_value
          FROM z GROUP BY user_id, session_seq""",
     "q16_events_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                 event_type, count(*) AS n_events,
-                CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+                CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS total_value,
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2""",
     "q17_priority_semi" ->
@@ -591,7 +591,7 @@ object SparkEntry {
          FROM orders
          JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(30,6))) AS total_qty
                FROM lineitem GROUP BY l_orderkey
-               HAVING CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 150.0) t
+               HAVING CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) > 150.0) t
            ON o_orderkey = l_orderkey""",
     "q19_inactive_customers" ->
       """SELECT c_custkey, c_name, c_mktsegment
@@ -668,7 +668,7 @@ object SparkEntry {
          SELECT user_id, count(*) AS n_events,
                 strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                 strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-                CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
+                CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS session_value
          FROM z GROUP BY user_id, session_seq""",
     // q25: the ENTIRE minhash pipeline is replayed — poly-hashed
     // shingles (q21 contract), universal-hash permutations
@@ -2329,10 +2329,10 @@ object SparkEntry {
          pii2 AS (SELECT doc_id, lang,
                     regexp_replace(t, '${graft.operators.TextOps.Ipv4Re}', '<IP>', 'g') AS t
                   FROM pii1),
-         red AS (SELECT doc_id, lang,
+         red AS MATERIALIZED (SELECT doc_id, lang,
                    regexp_replace(t, '${graft.operators.TextOps.PhoneRe}', '<PHONE>', 'g') AS text
                  FROM pii2),
-         m_sh AS (
+         m_sh AS MATERIALIZED (
            SELECT DISTINCT doc_id,
                   list_reduce(list_prepend(CAST(0 AS BIGINT),
                     list_transform(range(1, length(g)+1),
@@ -2347,7 +2347,7 @@ object SparkEntry {
          m_df AS (SELECT s FROM m_sh GROUP BY s HAVING count(*) > 1),
          m_dup AS (SELECT doc_id, count(*) AS n_dup FROM m_sh JOIN m_df USING (s) GROUP BY 1),
          m_sz AS (SELECT doc_id, count(*) AS n_shingles FROM m_sh GROUP BY 1),
-         mem AS (
+         mem AS MATERIALIZED (
            SELECT r.doc_id, r.lang, r.text
            FROM red r LEFT JOIN m_sz USING (doc_id) LEFT JOIN m_dup USING (doc_id)
            WHERE COALESCE(m_dup.n_dup, 0) * 10000
