@@ -412,7 +412,7 @@ object Graph {
     if (iters == 0)
       return "SELECT p_partkey, p_partkey AS community FROM part"
     val steps = (1 to iters).map { k =>
-      s"""l$k AS (
+      s"""l$k AS MATERIALIZED (
          |  SELECT p.id, coalesce(b.best, p.lbl) AS lbl
          |  FROM l${k - 1} p LEFT JOIN (
          |    SELECT src AS id, lbl AS best FROM (
@@ -424,11 +424,11 @@ object Graph {
          |            GROUP BY ed.src, l.lbl) v) q
          |    WHERE rn = 1) b ON b.id = p.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pp AS (
+    s"""WITH pp AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-       |ed AS (SELECT u AS src, v AS dst FROM pp
+       |ed AS MATERIALIZED (SELECT u AS src, v AS dst FROM pp
        |       UNION ALL SELECT v AS src, u AS dst FROM pp),
        |verts AS (SELECT p_partkey AS id FROM part),
        |l0 AS (SELECT id, id AS lbl FROM verts),
@@ -449,7 +449,7 @@ object Graph {
                 CAST(1000000000000 // (SELECT count(*) FROM part) AS BIGINT) AS pr_scaled
                 FROM part"""
     val steps = (1 to iters).map { k =>
-      s"""r$k AS (
+      s"""r$k AS MATERIALIZED (
          |  SELECT v.id,
          |         ((15 * 1000000000000) // (100 * (SELECT n FROM nn)))
          |         + coalesce((85 * s.s) // 100, 0) AS r
@@ -459,11 +459,11 @@ object Graph {
          |    JOIN deg ON deg.id = r.id
          |    GROUP BY ed.dst) s ON s.id = v.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pp AS (
+    s"""WITH pp AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-       |ed AS (SELECT u AS src, v AS dst FROM pp
+       |ed AS MATERIALIZED (SELECT u AS src, v AS dst FROM pp
        |       UNION ALL SELECT v AS src, u AS dst FROM pp),
        |deg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1),
        |nn AS (SELECT count(*) AS n FROM part),
