@@ -350,6 +350,11 @@ object SparkEntry {
     // newest (ts, event_id) wins, an 'error' tombstone closes the key
     "q56_restore_state" -> ((s, d) =>
       graft.operators.Restore.restoreState(Tables.events(s, d))),
+    // q92: SCD Type-2 history — the point-in-time flip side of q56:
+    // the same changelog folded into validity intervals (one row per
+    // state CHANGE, open interval for the current state)
+    "q92_scd2" -> ((s, d) =>
+      graft.operators.Restore.scd2History(Tables.events(s, d))),
     // the end-to-end curation chain; %97 split = q38's benchmark
     "q53_curate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -2176,6 +2181,26 @@ object SparkEntry {
                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
                FROM events)
          WHERE rn = 1 AND last_type IS DISTINCT FROM 'error'""",
+    // q92: the same changelog as SCD2 validity intervals — change rows
+    // only (IS DISTINCT FROM lag), lead() closes each interval; the
+    // µs-epoch + event_id ordering is q56's tie-break verbatim
+    "q92_scd2" ->
+      """WITH ordered AS (
+           SELECT user_id, event_id, ts, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS prev_type
+           FROM events),
+         changes AS (
+           SELECT user_id, event_id, ts, event_type FROM ordered
+           WHERE event_type IS DISTINCT FROM prev_type)
+         SELECT user_id,
+                CAST(row_number() OVER w AS BIGINT) AS version,
+                event_type AS state,
+                strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+                lead(ts) OVER w IS NULL AS is_current
+         FROM changes
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""",
     // q53: the whole curation chain as ONE CTE pipeline — q20's
     // canonical pick, q52's segment strip, q46's quality cutoffs +
     // gate (g_* CTEs, the sketch replay at k=1024/p5), q38's shingle

@@ -124,6 +124,53 @@ object Restore {
     last
   }
 
+  /** q92: SCD TYPE-2 HISTORY — the point-in-time flip side of q56.
+    * [[stateFromChangelog]] answers "what is the state NOW"; a warehouse
+    * dimension answers "what was the state at time T", and the standard
+    * answer is the slowly-changing-dimension type-2 table (Kimball):
+    * one row per (key, state version) with a validity interval
+    * [valid_from, valid_to), open (`valid_to` NULL, `is_current` true)
+    * for the latest version. The reference's changelog topic IS the
+    * input shape (Restore.java consumes it to the end; this operator
+    * folds the SAME log into history instead of last-write-wins).
+    *
+    * Change detection: a new version opens only when the tracked
+    * attribute (`event_type`) actually CHANGES (`IS DISTINCT FROM` the
+    * previous row's value — null-safe, so null→null is "no change"),
+    * not on every log record: re-asserting the same state is an upsert
+    * no-op, the Kimball type-2 rule.
+    *
+    * Ordering: (epoch microseconds, event_id) — the q56 tie-break. The
+    * event_id tiebreak makes the fold deterministic under equal
+    * timestamps, and µs-epoch keeps Spark and a ns-precision replay
+    * engine ordering identically (§8 NTZ/ns lesson).
+    *
+    * Scale shape: both window passes (lag for change detection,
+    * row_number/lead for versioning) share ONE partitioning and sort
+    * key — (user_id | ts, event_id) — so the plan carries a single
+    * exchange and a single sort; per-key history is bounded by per-key
+    * activity, never corpus-sized. No driver state, no collect.
+    *
+    * Output: (user_id, version, state, valid_from, valid_to,
+    * is_current) — timestamps formatted (the q56 convention), `version`
+    * 1-based per key in validity order.
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      // first row per key: prev_type null; IS DISTINCT FROM opens it
+      .filter(!(col("event_type") <=> col("prev_type")))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"))
+  }
+
   /** Byte-for-byte copy of the sink's meta JSON (keyCols/dataCols/txn
     * offsets) — restore transports the table description, it does not
     * reinterpret it.

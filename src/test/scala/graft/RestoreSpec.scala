@@ -109,4 +109,65 @@ class RestoreSpec extends AnyFunSuite {
     assert(Restore.rebuildTable(spark, sinkDir, outDir).contains(0L))
     assert(listing() == before)
   }
+
+  // -- q92 SCD Type-2 history ------------------------------------------
+
+  private def scd2Of(rows: Seq[(Long, Long, Long, String)]) = {
+    import spark.implicits._
+    val df = rows.toDF("event_id", "ms", "user_id", "event_type")
+      .select(col("event_id"), (col("ms") * 1000).cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    Restore.scd2History(df)
+      .select("user_id", "version", "state", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, String, String, Option[String], Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+  }
+
+  test("scd2History: re-asserted state is a no-op; intervals chain; one open row per key") {
+    // user 7: a, a (no-op), b, b (no-op), a  -> versions a/b/a
+    val out = scd2Of(Seq(
+      (1L, 1000L, 7L, "a"), (2L, 2000L, 7L, "a"), (3L, 3000L, 7L, "b"),
+      (4L, 4000L, 7L, "b"), (5L, 5000L, 7L, "a")))
+    assert(out.map(_._3) == Seq("a", "b", "a"))
+    assert(out.map(_._2) == Seq(1L, 2L, 3L))
+    // intervals chain: valid_to(v) == valid_from(v+1); only the last is open
+    assert(out.init.zip(out.tail).forall { case (p, n) => p._5.contains(n._4) })
+    assert(out.map(_._6) == Seq(false, false, true))
+    assert(out.last._5.isEmpty)
+  }
+
+  test("scd2History: equal timestamps break ties on event_id; null state is a state") {
+    // two changes in the same second: event_id orders them (b then c)
+    val tied = scd2Of(Seq((10L, 1000L, 1L, "a"), (11L, 2000L, 1L, "b"), (12L, 2000L, 1L, "c")))
+    assert(tied.map(_._3) == Seq("a", "b", "c"))
+    // null -> null is "no change" (IS DISTINCT FROM semantics);
+    // null -> value and value -> null each open a version
+    import spark.implicits._
+    val df = Seq((1L, 1000L, 2L, Some("x")), (2L, 2000L, 2L, None),
+      (3L, 3000L, 2L, None), (4L, 4000L, 2L, Some("x")))
+      .toDF("event_id", "ms", "user_id", "event_type")
+      .select(col("event_id"), (col("ms") * 1000).cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    val vs = Restore.scd2History(df).select("version", "state")
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(vs == Seq((1L, Some("x")), (2L, None), (3L, Some("x"))))
+  }
+
+  test("scd2History: corpus invariants — versions dense from 1, exactly one current per user") {
+    import spark.implicits._
+    val hist = Restore.scd2History(
+      graft.sources.Tables.events(spark, "/root/testdata/sf0.001"))
+    hist.localCheckpoint(true)
+    val perUser = hist.groupBy("user_id").agg(
+      max(col("version")).as("vmax"), count(lit(1)).as("n"),
+      sum(when(col("is_current"), 1L).otherwise(0L)).as("open"),
+      sum(when(col("valid_to").isNull && !col("is_current"), 1L).otherwise(0L)).as("badOpen"))
+    assert(perUser.filter(col("vmax") =!= col("n") || col("open") =!= 1L
+      || col("badOpen") =!= 0L).count() == 0)
+    // change-rows-only: consecutive versions never repeat a state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version")
+    assert(hist.withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("state") <=> col("prev")).count() == 0)
+  }
 }
