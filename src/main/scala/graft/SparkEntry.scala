@@ -97,6 +97,11 @@ object SparkEntry {
     "q25_dedup_minhash" -> ((s, d) => Dedup.dedupMinHash(Tables.documents(s, d))),
     "q26_dedup_simhash" -> ((s, d) => Dedup.dedupSimHash(Tables.documents(s, d))),
     "q27_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    // q91: winnowing fingerprint match (MOSS) — guaranteed detection
+    // of shared runs >= w+k-1 = 7 tokens at ~2/(w+1) posting density;
+    // the partial-overlap detector between q25's sketch and q71's
+    // full-volume digests
+    "q91_winnow" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
     // -- LLM-data-pipeline: similarity search (q28-q30) --
     "q28_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
     "q28b_knn_blocked" -> ((s, d) => Similarity.knnBruteForceBlocked(Tables.embeddings(s, d))),
@@ -2201,6 +2206,43 @@ object SparkEntry {
                 lead(ts) OVER w IS NULL AS is_current
          FROM changes
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""",
+    // q91: the winnowing replay — per-gram poly hashes regrouped into
+    // an ordered list, window minima with the rightmost tie rule
+    // (len - list_position(reverse, min) arithmetic), consecutive-only
+    // duplicate selections collapsed by list_distinct (window starts
+    // only move right, so equal (hash,pos) packs are adjacent), then
+    // the frequency-capped pair join
+    "q91_winnow" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS tk
+           FROM documents WHERE text IS NOT NULL),
+         grams AS (
+           SELECT doc_id, i,
+                  array_to_string(tk[CAST(i AS INT) : CAST(i + 3 AS INT)], ' ') AS g
+           FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 3, 1) + 1)) AS i FROM toks)),
+         gh AS (
+           SELECT doc_id, i,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(g) + 1),
+                      c -> CAST(unicode(substring(g, CAST(c AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS h
+           FROM grams),
+         hs AS (
+           SELECT doc_id, list(h ORDER BY i) AS hl FROM gh GROUP BY doc_id),
+         sels AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, greatest(len(hl) - 3, 1) + 1),
+                    j -> list_min(hl[CAST(j AS INT) : CAST(j + 3 AS INT)]) * 2097152
+                         + j + len(hl[CAST(j AS INT) : CAST(j + 3 AS INT)])
+                         - list_position(list_reverse(hl[CAST(j AS INT) : CAST(j + 3 AS INT)]),
+                                         list_min(hl[CAST(j AS INT) : CAST(j + 3 AS INT)]))))) AS packed
+           FROM hs),
+         fp AS (SELECT DISTINCT doc_id, packed // 2097152 AS h FROM sels),
+         capped AS (SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND 10)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         FROM fp a JOIN capped USING (h) JOIN fp b USING (h)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
     // q53: the whole curation chain as ONE CTE pipeline — q20's
     // canonical pick, q52's segment strip, q46's quality cutoffs +
     // gate (g_* CTEs, the sketch replay at k=1024/p5), q38's shingle

@@ -666,6 +666,114 @@ object PolyHashExpr {
   }
 }
 
+/** winnow_set(toks, k, w): the WINNOWING fingerprint selection of
+  * Schleimer/Wilkerson/Aiken (SIGMOD 2003, the MOSS algorithm) in one
+  * fused evaluation per document — the q91 kernel.
+  *
+  * Over the token array it computes the base-31 poly hash (the q21
+  * contract, [[PolyHashExpr.hash]] verbatim) of every k-token gram,
+  * slides a window of w consecutive gram hashes, and in each window
+  * selects the RIGHTMOST minimum (the paper's tie rule), recording a
+  * selection only when it differs from the previous window's (the
+  * paper's "record when new" rule — dedup is positional, and since
+  * window starts only move right, equal (hash, pos) selections are
+  * always consecutive). Selections are returned packed as
+  * `hash * 2^21 + pos` (pos 1-based; hash < 2^30 so the pack fits a
+  * long with room) so ONE bigint column carries both fields through
+  * shuffles and the DuckDB replay splits them with `//` and `%`.
+  *
+  * The winnowing guarantee (paper §3): every window of w consecutive
+  * grams contributes at least one selected fingerprint, so any two
+  * documents sharing a substring of at least w + k - 1 tokens share
+  * at least one fingerprint — while expected density is only
+  * 2/(w+1) of all grams. That is the whole point at 100 TB: q25's
+  * MinHash keeps a FIXED-size sketch per doc (good for whole-doc
+  * similarity, blind to containment), q71 keeps EVERY window digest
+  * (exact, but posting volume = corpus size); winnowing is the
+  * guaranteed-detection middle at ~1/3 the posting volume, and the
+  * selection itself is a pure map — zero exchange until the match
+  * join.
+  *
+  * Short docs: fewer than k tokens hash as one truncated gram (the
+  * q25 postings convention); fewer than w grams winnow as one
+  * truncated window (global min). CodegenFallback like the other
+  * fused set kernels: one call per row does all the work, which is
+  * exactly the case where fallback costs nothing (§8 — the hazard is
+  * per-ELEMENT interpretation inside lambdas, not per-row calls).
+  */
+case class WinnowSetExpr(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k > 0, "gram width must be positive")
+  require(w > 0, "winnow window must be positive")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_set needs array<string>, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowSetExpr.winnow(v.asInstanceOf[ArrayData], k, w)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowSetExpr {
+  final val PosBits = 21
+  final val PosCap = (1 << PosBits) - 1 // 2,097,151 grams per doc
+
+  def winnow(toks: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = toks.numElements()
+    val m = math.max(n - k + 1, 1)
+    require(m <= PosCap,
+      s"winnow_set: $m grams exceeds the 2^21-1 per-document cap — chunk upstream (q85)")
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var t = i
+      val end = math.min(i + k, n)
+      while (t < end) {
+        if (t > i) sb.append(' ')
+        val tok = toks.getUTF8String(t)
+        if (tok != null) sb.append(tok.toString)
+        t += 1
+      }
+      h(i) = PolyHashExpr.hash(sb.toString)
+      i += 1
+    }
+    val nw = math.max(m - w + 1, 1)
+    val out = new Array[Long](nw)
+    var cnt = 0
+    var lastSel = -1
+    var j = 0
+    while (j < nw) {
+      var best = j
+      var p = j + 1
+      val end = math.min(j + w, m)
+      while (p < end) {
+        if (h(p) <= h(best)) best = p // <= keeps the RIGHTMOST minimum
+        p += 1
+      }
+      if (best != lastSel) {
+        out(cnt) = (h(best) << PosBits) | (best + 1).toLong
+        cnt += 1
+        lastSel = best
+      }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+}
+
 /** Distinct rolling n-codepoint-gram hash set of a string, in ONE
   * pass over its UTF-8 bytes — replaces the `transform(sequence(…),
   * i -> xxhash64(substring(norm, i, n)))` formulation, whose
@@ -800,4 +908,7 @@ object VectorFunctions {
     */
   def char_shingle_set(s: Column, n: Int): Column =
     Bridge.column(CharShingleSetExpr(Bridge.expression(s), n))
+
+  def winnow_set(toks: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowSetExpr(Bridge.expression(toks), k, w))
 }

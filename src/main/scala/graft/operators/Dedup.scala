@@ -453,4 +453,55 @@ object Dedup {
         col("w.bench_id").as("worst_bench"),
         col("w.jaccard").as("worst_jaccard"))
   }
+
+  /** q91 fingerprint side: per-document winnowing selections as
+    * (doc_id, packed) rows — packed = hash·2²¹ + pos, one row per
+    * SELECTED gram (see [[graft.functions.WinnowSetExpr]] for the
+    * algorithm and the guarantee). The selection is a pure map over
+    * the corpus: the only exchange in q91 is the match join on the
+    * fingerprint hash. Null-text docs are dropped explicitly (the §8
+    * null-shingle engine-divergence rule).
+    */
+  private[graft] def winnowSelections(documents: DataFrame, k: Int, w: Int): DataFrame =
+    documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        split(lower(graft.operators.TextOps.wsTrim(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.winnow_set(col("toks"), k, w)).as("packed"))
+
+  /** q91: WINNOWING near-duplicate match (Schleimer et al. 2003 — the
+    * MOSS pipeline): winnow each document to its selected fingerprints
+    * (guaranteed to catch any shared run of ≥ w+k-1 tokens, at ~2/(w+1)
+    * of the gram volume), drop fingerprints common to more than `maxDf`
+    * documents (the MOSS "ignore ubiquitous code" rule — at corpus
+    * scale this is also the skew guard: no fingerprint bucket ever
+    * joins more than maxDf docs, so the pair join is linear by
+    * construction), and report every document pair sharing at least
+    * `minShared` surviving fingerprints.
+    *
+    * Between q25 (fixed-size sketch, whole-doc similarity, no
+    * containment guarantee) and q71 (every window digest, exact but
+    * full-volume): the partial-overlap detector a plagiarism /
+    * licence-contamination pass runs at 100 TB.
+    *
+    * Output: (doc_a < doc_b, n_shared).
+    */
+  def winnowPairs(documents: DataFrame, k: Int = 4, w: Int = 4,
+                  maxDf: Int = 10, minShared: Int = 2): DataFrame = {
+    val fp = winnowSelections(documents, k, w)
+      .select(col("doc_id"),
+        shiftright(col("packed"), graft.functions.WinnowSetExpr.PosBits).as("h"))
+      .distinct()
+    val capped = fp.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("h"))
+    val surv = fp.join(capped, Seq("h"))
+    surv.as("a").join(surv.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

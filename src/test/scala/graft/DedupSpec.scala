@@ -137,4 +137,65 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count() == docs.count())
     assert(out.filter(col("best_jaccard") < 0 || col("best_jaccard") > 1).count() == 0)
   }
+
+  // -- q91 winnowing --------------------------------------------------
+
+  private def winnowKernel(toks: Seq[String], k: Int = 4, w: Int = 4): Seq[(Long, Int)] = {
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+    val out = graft.functions.WinnowSetExpr.winnow(arr, k, w)
+    (0 until out.numElements()).map { i =>
+      val p = out.getLong(i)
+      (p >> graft.functions.WinnowSetExpr.PosBits, (p & ((1 << 21) - 1)).toInt)
+    }
+  }
+
+  test("q91 kernel: the winnowing guarantee — every w-window of grams has a selection") {
+    // pseudo-random but deterministic token stream
+    val toks = (0 until 400).map(i => s"t${(i * 2654435761L) % 97}")
+    val k = 4; val w = 4
+    val m = toks.length - k + 1
+    val sels = winnowKernel(toks, k, w)
+    val positions = sels.map(_._2).toSet
+    (1 to (m - w + 1)).foreach { j =>
+      assert((j until j + w).exists(positions.contains),
+        s"window starting at gram $j has no selected fingerprint")
+    }
+    // density: expected 2/(w+1) = 0.4 of grams; allow generous slack
+    assert(sels.size <= (0.6 * m).toInt && sels.size >= (0.2 * m).toInt,
+      s"selected ${sels.size} of $m grams — outside the winnowing density band")
+  }
+
+  test("q91 kernel: rightmost-minimum tie rule and record-when-new dedup") {
+    // identical tokens -> every gram hash equal -> each window's min is
+    // its RIGHTMOST gram; selections advance one gram per window
+    val sels = winnowKernel(Seq.fill(12)("same"), k = 4, w = 4)
+    val m = 12 - 4 + 1 // 9 grams, windows at j=1..6
+    assert(sels.map(_._2) == (4 to m).toList, s"got positions ${sels.map(_._2)}")
+    assert(sels.map(_._1).distinct.size == 1)
+    // short doc: < k tokens -> one truncated gram; < w grams -> one window
+    assert(winnowKernel(Seq("a", "b"), k = 4, w = 4).size == 1)
+  }
+
+  test("q91 pairs: planted shared run is caught; ubiquitous fingerprints are capped out") {
+    import spark.implicits._
+    // two docs sharing a 16-token run (>= w+k-1 = 7 guarantee bound),
+    // disjoint elsewhere — must pair with n_shared >= 2
+    val shared = (0 until 16).map(i => s"run${(i * 7919) % 89}").mkString(" ")
+    val a = (0 until 40).map(i => s"alpha${i * 13 % 61}").mkString(" ") + " " + shared
+    val b = shared + " " + (0 until 40).map(i => s"beta${i * 17 % 59}").mkString(" ")
+    val noise = (0 until 30).map { d =>
+      (1000L + d, (0 until 50).map(i => s"n${d}x${(i * 31 + d * 7) % 83}").mkString(" "))
+    }
+    val corpus = (Seq((1L, a), (2L, b)) ++ noise).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(corpus)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 2),
+      s"planted 16-token shared run not caught: $pairs")
+
+    // 12 identical docs: every fingerprint has df=12 > maxDf=10 -> the
+    // MOSS ubiquity cap drops them all, no pairs reported
+    val dup = (0 until 12).map(d => (2000L + d, a)).toDF("doc_id", "text")
+    assert(Dedup.winnowPairs(dup.unionAll(corpus.filter(col("doc_id") >= 1000L))).count() == 0)
+  }
 }
