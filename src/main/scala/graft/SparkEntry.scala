@@ -360,6 +360,12 @@ object SparkEntry {
     // state CHANGE, open interval for the current state)
     "q92_scd2" -> ((s, d) =>
       graft.operators.Restore.scd2History(Tables.events(s, d))),
+    // q93: Z-order layout encode — min/max-scaled 16-bit grid + bit
+    // interleave; the multi-dimensional clustering every large table
+    // write runs for min/max-stats pruning (pruning measured in
+    // LayoutSpec, not asserted by faith)
+    "q93_zorder" -> ((s, d) =>
+      graft.operators.Layout.zorderEncode(Tables.lineitem(s, d))),
     // the end-to-end curation chain; %97 split = q38's benchmark
     "q53_curate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -2243,6 +2249,29 @@ object SparkEntry {
          FROM fp a JOIN capped USING (h) JOIN fp b USING (h)
          WHERE a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 2""",
+    // q93: the z-encode replay — the same min/max grid scale (integer
+    // div) and the same 32 interleave terms, generated from ONE Scala
+    // helper (Layout.interleaveSql) so Spark and the oracle cannot
+    // drift
+    "q93_zorder" ->
+      s"""WITH stats AS (
+           SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+                  min(l_suppkey) AS smin, max(l_suppkey) AS smax
+           FROM lineitem),
+         sc AS (
+           SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+                  CASE WHEN s.pmax = s.pmin THEN 0
+                       ELSE ((l.l_partkey - s.pmin) * 65535) // (s.pmax - s.pmin) END AS zx,
+                  CASE WHEN s.smax = s.smin THEN 0
+                       ELSE ((l.l_suppkey - s.smin) * 65535) // (s.smax - s.smin) END AS zy
+           FROM lineitem l CROSS JOIN stats s),
+         z AS (
+           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                  ${graft.operators.Layout.interleaveSql()} AS zval
+           FROM sc)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                zval, zval // 67108864 AS zbucket
+         FROM z""",
     // q53: the whole curation chain as ONE CTE pipeline — q20's
     // canonical pick, q52's segment strip, q46's quality cutoffs +
     // gate (g_* CTEs, the sketch replay at k=1024/p5), q38's shingle
