@@ -142,6 +142,10 @@ object SparkEntry {
     "q82_sq8" -> ((s, d) => Similarity.sq8Codes(Tables.embeddings(s, d))),
     // q86: embedding outlier screen — per-cluster p95 distance gate
     "q86_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(Tables.embeddings(s, d))),
+    // q95: fixed-point PCA power iteration — dominant principal
+    // component + per-vector projections, hash-exact (the q60 integer
+    // discipline applied to linear algebra)
+    "q95_pca_power" -> ((s, d) => Similarity.pcaPower(Tables.embeddings(s, d))),
     // q67: BPE merge training — the tokenizer-training step q51's
     // greedy inference consumes; deterministic single-pass merge
     // contract, hash-exact vs the unrolled-CTE replay
@@ -386,6 +390,44 @@ object SparkEntry {
         materializeStages = true)
     }),
   )
+
+  /** q95's oracle: the power iteration unrolled — one (s, w, v) CTE
+    * triple per iteration (the q60/q67 loop-unroll discipline), every
+    * CTE MATERIALIZED (multi-referenced; the DuckDB-1.0 inlining
+    * lesson). DuckDB's BIGINT sum is HUGEINT (exact, mirroring the
+    * Spark side's DECIMAL(38,0) w-sums), `//` truncates toward zero on
+    * both engines (probed), and the wmax=0 degenerate keeps the prior
+    * iterate exactly as the Scala loop does.
+    */
+  private def pcaOracle(iters: Int): String = {
+    val blocks = (1 to iters).map { i =>
+      s"""s$i AS MATERIALIZED (
+         SELECT vec_id, sum(cv * v) AS s
+         FROM pc_c JOIN v${i - 1} USING (pos) GROUP BY vec_id),
+         w$i AS MATERIALIZED (
+         SELECT pos, sum(cv * (s // 1048576)) AS w
+         FROM pc_c JOIN s$i USING (vec_id) GROUP BY pos),
+         v$i AS MATERIALIZED (
+         SELECT w$i.pos,
+                CASE WHEN n.wmax = 0 THEN v${i - 1}.v
+                     ELSE CAST((w * 4096) // n.wmax AS BIGINT) END AS v
+         FROM w$i JOIN v${i - 1} USING (pos)
+         CROSS JOIN (SELECT max(abs(w)) AS wmax FROM w$i) n)"""
+    }.mkString(",\n         ")
+    s"""WITH pc_q AS MATERIALIZED (
+         SELECT vec_id, CAST(d AS INT) AS pos,
+                CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS qv
+         FROM embeddings, range(0, 64) t(d)),
+         pc_m AS MATERIALIZED (
+         SELECT pos, sum(qv) // count(*) AS m FROM pc_q GROUP BY pos),
+         pc_c AS MATERIALIZED (
+         SELECT vec_id, pos, qv - m AS cv FROM pc_q JOIN pc_m USING (pos)),
+         v0 AS MATERIALIZED (
+         SELECT CAST(d AS INT) AS pos, CAST(4096 AS BIGINT) AS v FROM range(0, 64) t(d)),
+         $blocks
+         SELECT vec_id, CAST(sum(cv * v) AS BIGINT) AS proj
+         FROM pc_c JOIN v$iters USING (pos) GROUP BY vec_id"""
+  }
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
   /** q38's oracle SQL — shared verbatim by q73 (the bloom prefilter
@@ -2272,6 +2314,7 @@ object SparkEntry {
          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                 zval, zval // 67108864 AS zbucket
          FROM z""",
+    "q95_pca_power" -> pcaOracle(3),
     // q53: the whole curation chain as ONE CTE pipeline — q20's
     // canonical pick, q52's segment strip, q46's quality cutoffs +
     // gate (g_* CTEs, the sketch replay at k=1024/p5), q38's shingle

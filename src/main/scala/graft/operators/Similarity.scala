@@ -1802,4 +1802,104 @@ object Similarity {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, adist
        |FROM ivrk WHERE rank <= $topK""".stripMargin
   }
+
+  /** q95: PCA POWER ITERATION in fixed point — the dominant principal
+    * component of the (centered) embedding cloud and every vector's
+    * projection onto it: the whitening/drift screen an embedding
+    * pipeline runs before indexing (is one direction eating the
+    * variance? did a model update rotate the space?), and the 1-D
+    * ordering dimension semantic curricula sort by. The q60 discipline
+    * applied to linear algebra: every quantity integer, every step
+    * replayable, so the whole factorization is hash-checkable where a
+    * float LAPACK call could only be sign/ulp-gated.
+    *
+    * Algorithm (matrix-free — the covariance matrix is NEVER
+    * materialized): quantize to the q60 2²⁰ grid, center with the
+    * truncating integer mean, then iterate v ← C·v where
+    * C·v = Σ_rows c·(c·v) via two narrow aggregates per iteration:
+    *   s_row = c·v            (per-row dot, |s| ≤ 64·2²¹·2¹² = 2³⁹)
+    *   s'    = s div 2²⁰      (row scale-down, |s'| ≤ 2¹⁹ — keeps the
+    *                           outer-product sum inside exact range)
+    *   w_pos = Σ c_pos·s'     (summed as DECIMAL(38,0): products are
+    *                           ≤ 2⁴⁰ and a 100 TB corpus would overflow
+    *                           int64 — decimal sums are exact and
+    *                           order-free, the dsum rule; DuckDB's
+    *                           BIGINT sum is HUGEINT for the same
+    *                           reason)
+    *   v     = (w·2¹²) div max|w|  — L∞ normalization to the ±4096
+    *                           grid, computed driver-side in BigInt on
+    *                           the collected 64-row w (the bounded
+    *                           LUT-collect class; Java, Spark DIV and
+    *                           DuckDB // all truncate toward zero —
+    *                           probed, so trunc-div is engine-safe
+    *                           even on negatives).
+    * All integer divisions are trunc-toward-zero in both engines;
+    * iteration count is the registered contract (power iteration
+    * converges geometrically in λ2/λ1 — 3 iterations pin the oracle,
+    * production runs iterate to a gap tolerance with the same code).
+    *
+    * Scale shape: the centered (vec_id, pos, cv) frame is checkpointed
+    * ONCE (narrow — 3 int64 columns, never the float arrays); each
+    * iteration costs one map-side-combined aggregate to N rows, one
+    * vec_id-keyed join back (AQE-broadcast when s fits), one 64-row
+    * aggregate. The eigenvector is a 64-long driver literal, so each
+    * dot pass is a pure map — the kmeansAssign literal-centroid
+    * protocol.
+    *
+    * Output: (vec_id, proj) — the Q-domain projection of each centered
+    * vector onto the final iterate.
+    */
+  def pcaPower(embeddings: DataFrame, dim: Int = 64, iters: Int = 3): DataFrame = {
+    val (v, c) = pcaFit(embeddings, dim, iters)
+    val vlit = array(v.map(lit).toIndexedSeq: _*)
+    c.groupBy(col("vec_id"))
+      .agg(sum(col("cv") * element_at(vlit, (col("pos") + 1).cast("int"))).as("proj"))
+      .select(col("vec_id"), col("proj"))
+  }
+
+  /** The final q95 iterate itself (pos -> component on the +-4096 grid)
+    * — exposed for SimilaritySpec's variance/convergence contracts.
+    */
+  def pcaComponent(embeddings: DataFrame, dim: Int = 64, iters: Int = 3): Array[Long] =
+    pcaFit(embeddings, dim, iters)._1
+
+  /** Shared q95 fold: returns (final iterate, the checkpointed centered
+    * (vec_id, pos, cv) frame).
+    */
+  private def pcaFit(embeddings: DataFrame, dim: Int,
+                     iters: Int): (Array[Long], DataFrame) = {
+    val q = embeddings.select(col("vec_id"),
+      posexplode(expr(
+        "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))"))
+        .as(Seq("pos", "qv")))
+    val means = q.groupBy(col("pos"))
+      .agg(expr("sum(qv) DIV count(1)").as("m"))
+    val c = q.join(broadcast(means), Seq("pos"))
+      .select(col("vec_id"), col("pos"), (col("qv") - col("m")).as("cv"))
+      .localCheckpoint(true)
+    var v = Array.fill(dim)(4096L)
+    var it = 0
+    while (it < iters) {
+      val vlit = array(v.map(lit).toIndexedSeq: _*)
+      val s = c.groupBy(col("vec_id"))
+        .agg(sum(col("cv") * element_at(vlit, (col("pos") + 1).cast("int"))).as("s"))
+        .selectExpr("vec_id", "s DIV 1048576 AS sp")
+      val w = c.join(s, Seq("vec_id"))
+        .groupBy(col("pos"))
+        .agg(sum((col("cv") * col("sp"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("w"))
+        .orderBy(col("pos")).collect() // dim rows — bounded
+      if (w.nonEmpty) {
+        val wb = {
+          val arr = Array.fill(dim)(BigInt(0))
+          w.foreach(r => arr(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+          arr
+        }
+        val wmax = wb.map(_.abs).max
+        if (wmax > 0) v = wb.map(x => ((x * 4096) / wmax).toLong)
+      }
+      it += 1
+    }
+    (v, c)
+  }
 }

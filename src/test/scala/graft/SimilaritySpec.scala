@@ -647,4 +647,73 @@ class SimilaritySpec extends AnyFunSuite {
       k = 8, iters = 3, quota = 40).orderBy("cluster", "r").collect().toSeq
     assert(a == b)
   }
+
+  // -- q95 PCA power iteration -----------------------------------------
+
+  /** Centered Q-domain vectors of a frame, driver-side (test corpora are
+    * tiny): replicates pcaFit's quantize + truncating mean.
+    */
+  private def centered(df: org.apache.spark.sql.DataFrame): Seq[Array[Long]] = {
+    val rows = df.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v => math.floor(v.toDouble * 1048576.0 + 0.5).toLong).toArray)
+    val n = rows.length
+    val dim = rows.head.length
+    val m = Array.tabulate(dim)(p => rows.map(_(p)).sum / n)
+    rows.map(r => Array.tabulate(dim)(p => r(p) - m(p))).toSeq
+  }
+
+  private def rayleigh(c: Seq[Array[Long]], v: Array[Long]): BigDecimal = {
+    val num = c.map { row =>
+      val s = BigInt(row.zip(v).map { case (x, y) => x * y }.sum)
+      s * s
+    }.sum
+    val den = BigInt(v.map(x => x * x).sum)
+    BigDecimal(num) / BigDecimal(den)
+  }
+
+  test("q95 recovers a planted dominant direction (cos^2 >= 0.9)") {
+    import spark.implicits._
+    // direction u: deterministic pseudo-random unit-ish vector; points
+    // t_i*u + small per-coordinate noise — one direction owns the
+    // variance by construction
+    val u = Array.tabulate(64)(p => math.sin(p * 2.3 + 1.0) * 0.5)
+    val rows = (0 until 200).map { i =>
+      val t = (i % 41).toDouble / 10.0 - 2.0
+      val emb = Array.tabulate(64) { p =>
+        (t * u(p) + math.sin(i * 7.7 + p * 3.1) * 0.02).toFloat
+      }
+      (i.toLong, emb.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val v = Similarity.pcaComponent(df)
+    val dot = v.zip(u).map { case (a, b) => a.toDouble * b }.sum
+    val cos2 = dot * dot / (v.map(x => x.toDouble * x).sum * u.map(x => x * x).sum)
+    assert(cos2 >= 0.9, s"cos^2(v, planted) = $cos2")
+  }
+
+  test("q95 Rayleigh quotient improves monotonically and beats every coordinate axis") {
+    val c = centered(emb)
+    val r1 = rayleigh(c, Similarity.pcaComponent(emb, iters = 1))
+    val r2 = rayleigh(c, Similarity.pcaComponent(emb, iters = 2))
+    val r3 = rayleigh(c, Similarity.pcaComponent(emb, iters = 3))
+    assert(r1 <= r2 && r2 <= r3, s"Rayleigh not monotone: $r1, $r2, $r3")
+    // lambda_1 >= every diagonal entry of C; a converged iterate should
+    // capture at least the best single axis
+    val axisBest = (0 until 64).map { p =>
+      c.map(row => BigInt(row(p)) * BigInt(row(p))).sum
+    }.max
+    assert(BigDecimal(axisBest) <= r3,
+      s"best axis variance $axisBest exceeds Rayleigh $r3")
+    // projections are the same fold: proj = c . v3 exactly
+    val projs = Similarity.pcaPower(emb).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val v3 = Similarity.pcaComponent(emb, iters = 3)
+    val ids = emb.orderBy("vec_id").select("vec_id").collect().map(_.getLong(0))
+    // centered() in vec_id order for the row-wise comparison
+    val cSorted = centered(emb.orderBy("vec_id"))
+    projs.zip(ids.zip(cSorted)).foreach { case ((pid, p), (id, row)) =>
+      assert(pid == id)
+      assert(p == row.zip(v3).map { case (x, y) => x * y }.sum)
+    }
+  }
 }
