@@ -239,6 +239,10 @@ object SparkEntry {
     "q76_corpus_card" -> ((s, d) => TextOps.corpusCard(Tables.documents(s, d), k = 256)),
     // q62: integer-exact BM25 top-k retrieval over the same kernel
     "q62_bm25_search" -> ((s, d) => TextOps.bm25Search(Tables.documents(s, d))),
+    // q94: MMR diversified retrieval — greedy λ=0.7 re-rank of q62's
+    // candidate pool against 3-gram Jaccard self-similarity, the
+    // selection trace hash-exact (greedy loop unrolled into the plan)
+    "q94_mmr" -> ((s, d) => graft.operators.Mmr.mmrDiversify(Tables.documents(s, d))),
     // q58: the synthetic corpus is PII-free (checked: zero '@', zero
     // digits), so PII is PLANTED deterministically from doc_id on the
     // %3 split — the q38 self-contained-construction discipline, with
@@ -428,6 +432,87 @@ object SparkEntry {
          SELECT vec_id, CAST(sum(cv * v) AS BIGINT) AS proj
          FROM pc_c JOIN v$iters USING (pos) GROUP BY vec_id"""
   }
+
+  /** q62's scoring pipeline through the ranked frame `rk` — shared
+    * verbatim by q62 (rank <= 10 output) and q94 (rank <= 12 candidate
+    * pool), so the MMR oracle pins "candidates ARE the BM25 ranking"
+    * structurally. Multi-referenced CTEs are MATERIALIZED (the DuckDB
+    * 1.0 inlining lesson; values unchanged).
+    */
+  private val bm25Ctes: String =
+    """toks AS MATERIALIZED (
+           SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'),
+                    t -> length(t) > 0) AS toks
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+         tf AS MATERIALIZED (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfv AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+                 FROM tf GROUP BY 1),
+         consts AS MATERIALIZED (
+           SELECT (SELECT count(*) FROM documents) AS n,
+                  (SELECT count(*) FROM tok) AS a),
+         qt AS MATERIALIZED (
+           SELECT token, df FROM dfv, consts
+           WHERE df >= 5
+           ORDER BY ttf DESC, token ASC LIMIT 20),
+         vals AS (
+           SELECT DISTINCT x FROM (
+             SELECT 2 * (SELECT n FROM consts) + 2 AS x
+             UNION SELECT 2 * df + 1 AS x FROM qt) u),
+         s(x, z, r, i) AS (
+           SELECT x, (x * 65536) // (1::BIGINT << (length(bin(x)) - 1)),
+                  CAST(length(bin(x)) - 1 AS BIGINT) * 65536, 0
+           FROM vals
+           UNION ALL
+           SELECT x,
+                  CASE WHEN (z*z) // 65536 >= 131072
+                       THEN ((z*z) // 65536) // 2 ELSE (z*z) // 65536 END,
+                  CASE WHEN (z*z) // 65536 >= 131072
+                       THEN r + (1::BIGINT << (16 - (i + 1))) ELSE r END,
+                  i + 1
+           FROM s WHERE i < 16),
+         il AS MATERIALIZED (SELECT x, r FROM s WHERE i = 16),
+         qidf AS (
+           SELECT qt.token, iln.r - ild.r AS idf_q16
+           FROM qt
+           JOIN il iln ON iln.x = 2 * (SELECT n FROM consts) + 2
+           JOIN il ild ON ild.x = 2 * qt.df + 1),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+         sc AS (
+           SELECT q.token, tf.doc_id,
+                  (q.idf_q16 * tf.tf * 22000) //
+                    (tf.tf * 10000 + 3000 +
+                     (dl.dl * 9000 * (SELECT n FROM consts)) // (SELECT a FROM consts)) AS score_q16
+           FROM tf JOIN qidf q USING (token) JOIN dl USING (doc_id)),
+         rk AS MATERIALIZED (
+           SELECT token, doc_id, score_q16,
+                  row_number() OVER (PARTITION BY token
+                    ORDER BY score_q16 DESC, doc_id ASC) AS rank
+           FROM sc)"""
+
+  /** One unrolled q94 greedy level: remaining candidates (NOT EXISTS
+    * anti-join), max similarity to the selected set (LEFT JOIN + 0
+    * default), argmax by (mmr DESC, doc_id ASC).
+    */
+  private def mmrLevel(t: Int): String =
+    s"""ms$t AS MATERIALIZED (
+         SELECT c.token, c.doc_id, c.rel, max(coalesce(s.s, 0)) AS ms
+         FROM cand c
+         JOIN all${t - 1} g ON g.token = c.token
+         LEFT JOIN sims s ON s.x = c.doc_id AND s.y = g.doc_id
+         WHERE NOT EXISTS (SELECT 1 FROM all${t - 1} g2
+                           WHERE g2.token = c.token AND g2.doc_id = c.doc_id)
+         GROUP BY 1, 2, 3),
+         sel$t AS MATERIALIZED (
+         SELECT token, doc_id, mmr FROM (
+           SELECT token, doc_id, 7 * rel - 3 * ms AS mmr,
+                  row_number() OVER (PARTITION BY token
+                    ORDER BY 7 * rel - 3 * ms DESC, doc_id ASC) AS rn
+           FROM ms$t) WHERE rn = 1),
+         all$t AS MATERIALIZED (
+         SELECT token, doc_id FROM all${t - 1}
+         UNION ALL SELECT token, doc_id FROM sel$t)"""
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
   /** q38's oracle SQL — shared verbatim by q73 (the bloom prefilter
@@ -1590,57 +1675,64 @@ object SparkEntry {
     // myriad-scaled length normalization, and the (score DESC,
     // doc_id ASC) top-k. All divs are positive-operand truncating.
     "q62_bm25_search" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, list_filter(
-                    regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'),
-                    t -> length(t) > 0) AS toks
-           FROM documents),
-         tok AS (SELECT doc_id, unnest(toks) AS token FROM toks),
-         tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
-         dfv AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
-                 FROM tf GROUP BY 1),
-         consts AS (SELECT (SELECT count(*) FROM documents) AS n,
-                           (SELECT count(*) FROM tok) AS a),
-         qt AS (SELECT token, df FROM dfv, consts
-                WHERE df >= 5
-                ORDER BY ttf DESC, token ASC LIMIT 20),
-         vals AS (
-           SELECT DISTINCT x FROM (
-             SELECT 2 * (SELECT n FROM consts) + 2 AS x
-             UNION SELECT 2 * df + 1 AS x FROM qt) u),
-         s(x, z, r, i) AS (
-           SELECT x, (x * 65536) // (1::BIGINT << (length(bin(x)) - 1)),
-                  CAST(length(bin(x)) - 1 AS BIGINT) * 65536, 0
-           FROM vals
-           UNION ALL
-           SELECT x,
-                  CASE WHEN (z*z) // 65536 >= 131072
-                       THEN ((z*z) // 65536) // 2 ELSE (z*z) // 65536 END,
-                  CASE WHEN (z*z) // 65536 >= 131072
-                       THEN r + (1::BIGINT << (16 - (i + 1))) ELSE r END,
-                  i + 1
-           FROM s WHERE i < 16),
-         il AS (SELECT x, r FROM s WHERE i = 16),
-         qidf AS (
-           SELECT qt.token, iln.r - ild.r AS idf_q16
-           FROM qt
-           JOIN il iln ON iln.x = 2 * (SELECT n FROM consts) + 2
-           JOIN il ild ON ild.x = 2 * qt.df + 1),
-         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
-         sc AS (
-           SELECT q.token, tf.doc_id,
-                  (q.idf_q16 * tf.tf * 22000) //
-                    (tf.tf * 10000 + 3000 +
-                     (dl.dl * 9000 * (SELECT n FROM consts)) // (SELECT a FROM consts)) AS score_q16
-           FROM tf JOIN qidf q USING (token) JOIN dl USING (doc_id)),
-         rk AS (
-           SELECT token, doc_id, score_q16,
-                  row_number() OVER (PARTITION BY token
-                    ORDER BY score_q16 DESC, doc_id ASC) AS rank
-           FROM sc)
+      s"""WITH RECURSIVE $bm25Ctes
          SELECT token, CAST(rank AS BIGINT) AS rank, doc_id,
                 CAST(score_q16 AS BIGINT) AS score_q16
          FROM rk WHERE rank <= 10""",
+    // q94: q62's scoring CTEs verbatim (rank <= 12 candidate pool),
+    // q25's shingle-postings replay for the inter-candidate Jaccard,
+    // then the greedy MMR selection unrolled one CTE level per step
+    // (generated by mmrLevel — the q95/q67 loop-unroll discipline)
+    "q94_mmr" ->
+      s"""WITH RECURSIVE $bm25Ctes,
+         cand AS MATERIALIZED (
+           SELECT token, doc_id, score_q16 AS rel FROM rk WHERE rank <= 12),
+         cdocs AS MATERIALIZED (SELECT DISTINCT doc_id FROM cand),
+         mtoks AS (
+           SELECT d.doc_id, regexp_split_to_array(lower(regexp_replace(d.text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS tk
+           FROM documents d JOIN cdocs USING (doc_id)),
+         cpost AS MATERIALIZED (
+           SELECT DISTINCT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(sh)+1),
+                      i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS sh
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(tk, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')))) AS sh
+                 FROM mtoks) x),
+         csize AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM cpost GROUP BY 1),
+         dpair AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM cand a JOIN cand b USING (token) WHERE a.doc_id < b.doc_id),
+         dcom AS MATERIALIZED (
+           SELECT p.da, p.db, count(*) AS c
+           FROM dpair p
+           JOIN cpost x ON x.doc_id = p.da
+           JOIN cpost y ON y.doc_id = p.db AND y.sh = x.sh
+           GROUP BY 1, 2),
+         dsim AS MATERIALIZED (
+           SELECT p.da, p.db,
+                  ((10000 * coalesce(c.c, 0)) // (sa.n + sb.n - coalesce(c.c, 0))) AS jmy
+           FROM dpair p
+           LEFT JOIN dcom c ON c.da = p.da AND c.db = p.db
+           JOIN csize sa ON sa.doc_id = p.da
+           JOIN csize sb ON sb.doc_id = p.db),
+         sims AS MATERIALIZED (
+           SELECT da AS x, db AS y, (jmy * 65536) // 10000 AS s FROM dsim
+           UNION ALL
+           SELECT db AS x, da AS y, (jmy * 65536) // 10000 AS s FROM dsim),
+         sel1 AS MATERIALIZED (
+           SELECT token, doc_id, mmr FROM (
+             SELECT token, doc_id, 7 * rel AS mmr,
+                    row_number() OVER (PARTITION BY token
+                      ORDER BY 7 * rel DESC, doc_id ASC) AS rn
+             FROM cand) WHERE rn = 1),
+         all1 AS MATERIALIZED (SELECT token, doc_id FROM sel1),
+         ${(2 to 5).map(mmrLevel).mkString(",\n         ")}
+         SELECT token, step, doc_id, CAST(mmr AS BIGINT) AS mmr_q16 FROM (
+           ${(1 to 5).map(t => s"SELECT token, CAST($t AS BIGINT) AS step, doc_id, mmr FROM sel$t")
+             .mkString("\n           UNION ALL ")})""",
     // q76: the rollup replay — per-lang groups + GROUPING()-tagged
     // total, the q46 sketch per lang (row_number over (h, v)) and
     // once unpartitioned for the total row. Hash indexes 222/223 →
