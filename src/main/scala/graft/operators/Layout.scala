@@ -57,34 +57,52 @@ object Layout {
       s"(($x >> $b) & 1) * ${1L << (2 * b)} + (($y >> $b) & 1) * ${1L << (2 * b + 1)}"
     }.mkString(" + ")
 
-  /** Integer range-scale of `v` onto [0, 65535] given global min/max
-    * (min==max degenerates to 0 — a constant column z-orders trivially).
-    */
-  private def scale16(v: String, vmin: Long, vmax: Long): Column =
-    if (vmax == vmin) lit(0L)
-    else expr(s"CAST((($v - $vmin) * 65535) DIV ${vmax - vmin} AS BIGINT)")
-
-  /** q93 registered encode: lineitem keyed on (l_partkey, l_suppkey).
-    * Output: (l_orderkey, l_linenumber, l_partkey, l_suppkey, zval,
-    * zbucket).
+  /** q93 registered encode: lineitem keyed on (l_partkey, l_suppkey),
+    * grid = the table's own min/max (in-range by construction, so the
+    * frozen encode's clamp is the identity and the oracle replays the
+    * plain scale). Output: (l_orderkey, l_linenumber, l_partkey,
+    * l_suppkey, zval, zbucket).
     */
   def zorderEncode(lineitem: DataFrame): DataFrame = {
-    val r = lineitem.agg(
-      min(col("l_partkey")), max(col("l_partkey")),
-      min(col("l_suppkey")), max(col("l_suppkey"))).head()
-    val (pmin, pmax) = (Option(r.get(0)).fold(0L)(_ => r.getLong(0)),
-      Option(r.get(1)).fold(0L)(_ => r.getLong(1)))
-    val (smin, smax) = (Option(r.get(2)).fold(0L)(_ => r.getLong(2)),
-      Option(r.get(3)).fold(0L)(_ => r.getLong(3)))
-    lineitem
+    val (pmin, pmax, smin, smax) = zGrid(lineitem)
+    zEncodeFrozen(lineitem, pmin, pmax, smin, smax)
+  }
+
+  /** s50: the q93 encode against a FROZEN grid (the s40 SQ8 contract):
+    * a stream cannot re-derive global min/max per batch without the
+    * encoding of old rows drifting, so the grid is solved offline on
+    * the reference corpus and novel out-of-range keys CLAMP to the
+    * grid edge (deterministic, order-free — the s40 clamping rule).
+    * With the grid = the batch min/max, in-range rows encode
+    * bit-identically to [[zorderEncode]] (spec-pinned).
+    */
+  def zEncodeFrozen(rows: DataFrame, pmin: Long, pmax: Long,
+                    smin: Long, smax: Long): DataFrame = {
+    def clamped(v: String, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else expr(s"CAST(((least(greatest($v, $lo), $hi) - $lo) * 65535) DIV ${hi - lo} AS BIGINT)")
+    rows
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"),
-        scale16("l_partkey", pmin, pmax).as("zx"),
-        scale16("l_suppkey", smin, smax).as("zy"))
+        clamped("l_partkey", pmin, pmax).as("zx"),
+        clamped("l_suppkey", smin, smax).as("zy"))
       .withColumn("zval", interleave16(col("zx"), col("zy")))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"), col("zval"),
         shiftright(col("zval"), 26).as("zbucket"))
+  }
+
+  /** The frozen q93 grid (pmin, pmax, smin, smax) for s50 — a 1-row
+    * collect (the q88 scalar protocol).
+    */
+  def zGrid(lineitem: DataFrame): (Long, Long, Long, Long) = {
+    val r = lineitem.agg(
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    (Option(r.get(0)).fold(0L)(_ => r.getLong(0)),
+      Option(r.get(1)).fold(0L)(_ => r.getLong(1)),
+      Option(r.get(2)).fold(0L)(_ => r.getLong(2)),
+      Option(r.get(3)).fold(0L)(_ => r.getLong(3)))
   }
 
   /** The physical layout: range-partition on zval (one exchange — the

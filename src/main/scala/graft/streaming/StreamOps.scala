@@ -419,6 +419,76 @@ object StreamOps {
       }
   }
 
+  /** s48 per-key state: the OPEN SCD2 version plus the (ts, event_id)
+    * high-water mark that guards against stale cross-batch replays.
+    */
+  case class Scd2State(version: Long, state: Option[String],
+                       valid_from_us: Long, last_ts_us: Long, last_event_id: Long)
+
+  /** s48 output: one batch-q92 row in the micros domain; the open
+    * version re-emits each batch (Update mode) with `is_current` true
+    * until a change closes it.
+    */
+  case class Scd2Row(user_id: Long, version: Long, state: Option[String],
+                     valid_from_us: Long, valid_to_us: Option[Long],
+                     is_current: Boolean)
+
+  /** s48: q92's SCD Type-2 history maintained CONTINUOUSLY — the
+    * warehouse-dimension twin of s23 (s23 keeps "state now", this
+    * keeps the whole validity history): each arriving change CLOSES
+    * the open version (emitting it with its final valid_to) and opens
+    * the next; re-asserting the current state is a no-op (the
+    * IS-DISTINCT-FROM rule, null-safe — batch q92's contract).
+    *
+    * Batch-order contract (the s24 discipline): rows are folded in
+    * (ts_us, event_id) order WITHIN a batch — one batch, or any
+    * per-key-monotone batch split, is row-exact vs batch q92 on the
+    * final emission per (user, version). An event arriving BELOW the
+    * key's (ts, event_id) high-water mark is IGNORED (an online
+    * history cannot retroactively split an already-closed interval —
+    * the same no-retract class as s20/s24, spec-asserted), where the
+    * batch fold would have inserted it; in-order delivery is the
+    * converge condition.
+    *
+    * Scale: state is ONE open version + two longs per key (closed
+    * versions are emitted, never retained), hash-partitioned; per
+    * batch one fold pass per key, no sort beyond the per-key batch
+    * slice, no window.
+    */
+  def streamScd2(changelog: Dataset[ChangelogEvent]): Dataset[Scd2Row] = {
+    import changelog.sparkSession.implicits._
+    changelog
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[ChangelogEvent], state: GroupState[Scd2State]) =>
+          val out = collection.mutable.ArrayBuffer[Scd2Row]()
+          var st = state.getOption.orNull
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val stale = st != null && (e.ts_us < st.last_ts_us ||
+              (e.ts_us == st.last_ts_us && e.event_id <= st.last_event_id))
+            if (!stale) {
+              val et = Option(e.event_type)
+              if (st == null)
+                st = Scd2State(1L, et, e.ts_us, e.ts_us, e.event_id)
+              else if (et != st.state) { // null-safe: Option equality
+                out += Scd2Row(key, st.version, st.state, st.valid_from_us,
+                  Some(e.ts_us), is_current = false)
+                st = Scd2State(st.version + 1, et, e.ts_us, e.ts_us, e.event_id)
+              } else
+                st = st.copy(last_ts_us = e.ts_us, last_event_id = e.event_id)
+            }
+          }
+          if (st == null) Iterator.empty
+          else {
+            state.update(st)
+            out += Scd2Row(key, st.version, st.state, st.valid_from_us,
+              None, is_current = true)
+            out.iterator
+          }
+      }
+  }
+
   /** The s24 tagged input: side 0 = QUOTE (an order version — t_us is
     * o_orderdate as epoch micros, orderkey set), side 1 = QUERY (an
     * event — t_us is the event time, event_id set). One stream carries

@@ -2702,4 +2702,175 @@ class StreamingSpec extends AnyFunSuite {
     assert(byEvent(4L).head == StreamOps.AsofOut(4, 1, 200, Some(20), Some(150)),
       "a later event DOES see the late quote")
   }
+
+  // -- s48 streaming SCD2 ----------------------------------------------
+
+  private def fmtUs(us: Long): String =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  test("s48 streaming SCD2: time-ordered batches converge row-exact to batch q92") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+    // per-key-monotone split: global (ts_us, event_id) order chunked in 3
+    val all = ev.as[StreamOps.ChangelogEvent].collect()
+      .sortBy(e => (e.ts_us, e.event_id))
+    val batch = graft.operators.Restore.scd2History(Tables.events(spark, sfDir))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.getString(2)), r.getString(3), Option(r.getString(4)), r.getBoolean(5))))
+      .toMap
+    val live = collection.mutable.Map[(Long, Long), (Option[String], String, Option[String], Boolean)]()
+    val source = MemoryStream[StreamOps.ChangelogEvent]
+    val q = StreamOps.streamScd2(source.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.Scd2Row], _: Long) =>
+        b.collect().foreach { r =>
+          live((r.user_id, r.version)) =
+            ((r.state, fmtUs(r.valid_from_us), r.valid_to_us.map(fmtUs), r.is_current))
+        }
+        ()
+      }.start()
+    try {
+      val n = all.length
+      Seq(all.slice(0, n / 3), all.slice(n / 3, 2 * n / 3), all.slice(2 * n / 3, n))
+        .foreach { chunk => source.addData(chunk.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(live.size == batch.size, s"${live.size} stream rows vs ${batch.size} batch")
+    batch.foreach { case (k, v) =>
+      assert(live.get(k).contains(v), s"key $k: stream ${live.get(k)} vs batch $v")
+    }
+  }
+
+  test("s48 streaming SCD2 contract: no-op re-assert, stale ignore, null transitions, ts ties") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamOps.{ChangelogEvent, Scd2Row}
+    val live = collection.mutable.Map[(Long, Long), Scd2Row]()
+    val source = MemoryStream[ChangelogEvent]
+    val q = StreamOps.streamScd2(source.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Scd2Row], _: Long) =>
+        b.collect().foreach(r => live((r.user_id, r.version)) = r)
+        ()
+      }.start()
+    try {
+      // user 1: a, a (no-op), b; user 2: x, null, null (one change),
+      // x again; user 3: same-ts tie folds by event_id (b then c)
+      source.addData(
+        ChangelogEvent(1L, 1L, 100L, "a", 0.0),
+        ChangelogEvent(1L, 2L, 200L, "a", 0.0),
+        ChangelogEvent(1L, 3L, 300L, "b", 0.0),
+        ChangelogEvent(2L, 1L, 100L, "x", 0.0),
+        ChangelogEvent(2L, 2L, 200L, null, 0.0),
+        ChangelogEvent(2L, 3L, 300L, null, 0.0),
+        ChangelogEvent(2L, 4L, 400L, "x", 0.0),
+        ChangelogEvent(3L, 11L, 500L, "b", 0.0),
+        ChangelogEvent(3L, 10L, 500L, "a", 0.0))
+      q.processAllAvailable()
+      // user 1: a[100,300) closed, b[300,-) open — the no-op absorbed
+      assert(live((1L, 1L)) == Scd2Row(1L, 1L, Some("a"), 100L, Some(300L), false))
+      assert(live((1L, 2L)) == Scd2Row(1L, 2L, Some("b"), 300L, None, true))
+      // user 2: x -> null -> x (null==null is NO change)
+      assert(live((2L, 1L)) == Scd2Row(2L, 1L, Some("x"), 100L, Some(200L), false))
+      assert(live((2L, 2L)) == Scd2Row(2L, 2L, None, 200L, Some(400L), false))
+      assert(live((2L, 3L)) == Scd2Row(2L, 3L, Some("x"), 400L, None, true))
+      // user 3: ts tie 500 folds event_id 10 then 11 -> a then b
+      assert(live((3L, 1L)) == Scd2Row(3L, 1L, Some("a"), 500L, Some(500L), false))
+      assert(live((3L, 2L)) == Scd2Row(3L, 2L, Some("b"), 500L, None, true))
+
+      // stale replay: user 1 gets an event BELOW the high-water mark —
+      // ignored, history unchanged (the documented no-retract class)
+      val before = live.toMap
+      source.addData(ChangelogEvent(1L, 1L, 150L, "z", 0.0))
+      q.processAllAvailable()
+      // only the open row may re-emit, identical
+      assert(live.toMap == before, "stale event must not rewrite history")
+
+      // in-order continuation across batches: b -> c closes v2
+      source.addData(ChangelogEvent(1L, 9L, 900L, "c", 0.0))
+      q.processAllAvailable()
+      assert(live((1L, 2L)) == Scd2Row(1L, 2L, Some("b"), 300L, Some(900L), false))
+      assert(live((1L, 3L)) == Scd2Row(1L, 3L, Some("c"), 900L, None, true))
+    } finally q.stop()
+  }
+
+  // -- s49 streaming winnow / s50 streaming z-encode ---------------------
+
+  test("s49 streaming winnow: the per-doc selection kernel unmodified on a stream, row-exact") {
+    // winnowing SELECTION is a stateless pure map (the s33/s37 class) —
+    // the batch operator runs on a streaming frame untouched; the
+    // corpus-level MATCH join stays a batch pass over the sink
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).limit(200)
+      .select("doc_id", "text").as[(Long, Option[String])].collect()
+    val batch = graft.operators.Dedup
+      .winnowSelections(docs.toSeq.toDF("doc_id", "text"), 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = collection.mutable.Set[(Long, Long)]()
+    val source = MemoryStream[(Long, Option[String])]
+    val q = graft.operators.Dedup
+      .winnowSelections(source.toDS().toDF("doc_id", "text"), 4, 4)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got += ((r.getLong(0), r.getLong(1))))
+        ()
+      }.start()
+    try {
+      docs.grouped(70).foreach { chunk =>
+        source.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(got.toSet == batch, s"${got.size} streamed vs ${batch.size} batch fingerprints")
+  }
+
+  test("s50 streaming z-encode: frozen grid row-exact vs q93 in-range; novel keys clamp") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Layout
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val (pmin, pmax, smin, smax) = Layout.zGrid(li)
+    val batch = Layout.zorderEncode(li).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(4), r.getLong(5)))).toMap
+    val rows = li.as[(Long, Int, Long, Long)].collect()
+    val got = collection.mutable.Map[(Long, Int), (Long, Long)]()
+    val source = MemoryStream[(Long, Int, Long, Long)]
+    val q = Layout.zEncodeFrozen(
+        source.toDS().toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        pmin, pmax, smin, smax)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got((r.getLong(0), r.getInt(1))) = ((r.getLong(4), r.getLong(5))))
+        ()
+      }.start()
+    try {
+      rows.grouped(rows.length / 2 + 1).foreach { chunk =>
+        source.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // novel out-of-range keys clamp to the grid edge: encode equals
+      // the edge key's encode
+      source.addData((999991L, 1, pmax + 1000L, smax + 50L),
+        (999992L, 1, pmin - 7L, smin))
+      q.processAllAvailable()
+    } finally q.stop()
+    rows.foreach { case (ok, ln, _, _) =>
+      assert(got((ok, ln)) == batch((ok, ln)), s"in-range row ($ok,$ln) drifted")
+    }
+    val edges = Layout.zEncodeFrozen(
+        Seq((0L, 0, pmax, smax), (1L, 0, pmin, smin))
+          .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        pmin, pmax, smin, smax)
+      .orderBy("l_orderkey").select("zval", "zbucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got((999991L, 1)) == edges(0),
+      "over-range key must clamp to the (pmax, smax) encode")
+    assert(got((999992L, 1)) == edges(1),
+      "under-range key must clamp to the (pmin, smin) encode")
+  }
 }
