@@ -223,6 +223,10 @@ object SparkEntry {
     // re-keyed to SOURCE (the DoReMi/Pile recipe over q88's axis);
     // non-uniform registered targets so every source gets a distinct
     // solved rate, unlisted sources drop
+    // q96: UniMax epoch-capped budget waterfilling — the training-mix
+    // scheduler that DERIVES source shares from (budget, epoch cap)
+    // instead of hitting externally-chosen targets (q48/q90)
+    "q96_unimax" -> ((s, d) => TextOps.unimaxAlloc(Tables.documents(s, d))),
     "q90_source_quota" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       TextOps.sourceQuota(docs,
@@ -2407,6 +2411,46 @@ object SparkEntry {
                 zval, zval // 67108864 AS zbucket
          FROM z""",
     "q95_pca_power" -> pcaOracle(3),
+    // q96: the waterfill replay — q22's ws-token expression summed per
+    // source, the same sorted-prefix cap rule (cumulative AND), the
+    // same remainder distribution by (capacity, source) order
+    "q96_unimax" ->
+      """WITH src AS (
+           SELECT source, CAST(coalesce(sum(
+                    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END), 0) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         st AS (
+           SELECT source, n_tokens, n_tokens * 3 AS capacity,
+                  CAST(row_number() OVER w AS BIGINT) AS i,
+                  count(*) OVER () AS m,
+                  (sum(n_tokens) OVER () * 3) // 2 AS b,
+                  sum(n_tokens * 3) OVER w AS p
+           FROM src WINDOW w AS (ORDER BY n_tokens * 3, source)),
+         flg AS (
+           SELECT *, CASE WHEN capacity <= (b - (p - capacity)) // (m - i + 1)
+                          THEN 1 ELSE 0 END AS cond
+           FROM st),
+         cap AS (
+           SELECT *, min(cond) OVER (ORDER BY capacity, source) = 1 AS capped FROM flg),
+         lv AS (
+           SELECT *,
+                  m - sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS u,
+                  b - sum(CASE WHEN capped THEN capacity ELSE 0 END) OVER () AS r,
+                  sum(CASE WHEN capped THEN 0 ELSE 1 END)
+                    OVER (ORDER BY capacity, source) AS urank
+           FROM cap),
+         fin AS (
+           SELECT source, n_tokens, capacity,
+                  CASE WHEN capped OR u = 0 THEN capacity
+                       ELSE (r // u) + (CASE WHEN urank <= (r % u) THEN 1 ELSE 0 END)
+                  END AS alloc
+           FROM lv)
+         SELECT source, n_tokens, CAST(capacity AS BIGINT) AS capacity,
+                CAST(alloc AS BIGINT) AS alloc,
+                CASE WHEN n_tokens = 0 THEN NULL
+                     ELSE CAST((10000 * alloc) // n_tokens AS BIGINT) END AS epochs_myriad
+         FROM fin""",
     // q53: the whole curation chain as ONE CTE pipeline — q20's
     // canonical pick, q52's segment strip, q46's quality cutoffs +
     // gate (g_* CTEs, the sketch replay at k=1024/p5), q38's shingle

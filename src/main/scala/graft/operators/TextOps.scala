@@ -1083,6 +1083,73 @@ object TextOps {
       Seq(col("n_tokens")), "source")
   }
 
+  /** q96: UNIMAX BUDGET ALLOCATION (Chung et al., ICLR 2023,
+    * arXiv:2304.09151) — the multi-epoch training-mix scheduler: given
+    * a token budget B and a per-source epoch cap E, allocate budget to
+    * sources by WATERFILLING — every source is capped at E epochs of
+    * its own corpus (c_s = E·n_s), and the remaining budget spreads
+    * UNIFORMLY over uncapped sources (the paper's fairness objective:
+    * maximize the minimum allocation subject to the caps). Where q48
+    * and q90 hit externally-chosen target SHARES, UniMax derives the
+    * shares from the budget and the cap alone — the published recipe
+    * for "don't over-epoch the small languages, don't let the big one
+    * eat the budget".
+    *
+    * Closed form, all integer: sources sorted by capacity ascending
+    * (ties on name), the capped set is the maximal PREFIX where each
+    * capacity fits under the running fair share
+    * (c_i ≤ (B − P_{i−1}) div (m − i + 1), made robustly prefix-closed
+    * by a cumulative AND — the float waterfill's prefix property can
+    * tie-break differently under integer div); uncapped sources split
+    * the remainder R = B − P_k as level = R div u each, with the
+    * leftover R mod u distributed +1 to the first (R mod u) uncapped
+    * sources in the same order (deterministic; Σ alloc = B exactly —
+    * spec-pinned). An infeasible budget (B ≥ ΣC) caps everyone.
+    *
+    * Scale shape: corpus-side work is ONE map-side-combined aggregate
+    * to S source rows; the waterfill window runs on that S-row frame
+    * (a driver-scale constant), never on the corpus.
+    *
+    * Registered contract: E = 3 epochs, B = (3·T) div 2 for corpus
+    * total T (deterministic from the data — no external constant).
+    * Output: (source, n_tokens, capacity, alloc, epochs_myriad).
+    */
+  def unimaxAlloc(documents: DataFrame, epochCap: Int = 3,
+                  budgetNum: Long = 3L, budgetDen: Long = 2L): DataFrame = {
+    require(epochCap >= 1 && budgetNum >= 1 && budgetDen >= 1)
+    val src = documents.groupBy(col("source"))
+      .agg(coalesce(sum(wsTokens(col("text"))), lit(0L)).as("n_tokens"))
+      .withColumn("capacity", col("n_tokens") * epochCap)
+    // S-row frame from here on: single-partition windows are free
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("capacity"), col("source"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("capacity"), col("source"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val staged = src
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("b", expr(s"(sum(n_tokens) OVER () * $budgetNum) DIV $budgetDen"))
+      .withColumn("p", sum(col("capacity")).over(wOrd)) // cumsum incl. self
+      .withColumn("cond",
+        col("capacity") <= expr("(b - (p - capacity)) DIV (m - i + 1)"))
+      .withColumn("capped", min(when(col("cond"), 1).otherwise(0)).over(wOrd) === 1)
+    val levels = staged
+      .withColumn("k", sum(when(col("capped"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("pk", sum(when(col("capped"), col("capacity")).otherwise(0L)).over(wAll))
+      .withColumn("u", col("m") - col("k"))
+      .withColumn("r", col("b") - col("pk"))
+      .withColumn("urank",
+        sum(when(col("capped"), 0L).otherwise(1L)).over(wOrd))
+    levels.select(col("source"), col("n_tokens"), col("capacity"),
+      when(col("capped") || col("u") === 0, col("capacity"))
+        .otherwise(expr("r DIV u") +
+          when(col("urank") <= expr("r % u"), 1L).otherwise(0L)).as("alloc"))
+      .withColumn("epochs_myriad",
+        expr("CASE WHEN n_tokens = 0 THEN NULL ELSE (10000 * alloc) DIV n_tokens END"))
+  }
+
   /** The q90 rate table as a driver-side map — the frozen config the
     * s47 streaming admission gate applies per-arrival (the
     * tokenMixtureRates protocol keyed by source; S rows, bounded).

@@ -122,7 +122,12 @@ object BenchScale {
     "q83_dataset_diff",  // two digest projections + one digest-keyed join
     "q84_memorization_risk", // df agg + postings join + per-doc agg: linear
     "q85_chunk_passages",    // stateless narrow projection + generate
-    "q86_embedding_outliers") // q60 pure-map assign + bounded sketch agg
+    "q86_embedding_outliers", // q60 pure-map assign + bounded sketch agg
+    "q91_winnow",        // pure-map selection; maxDf cap bounds pairs per bucket
+    "q92_scd2",          // two window passes sharing one (key | ts) sort
+    "q93_zorder",        // one min/max agg + a pure-map interleave
+    "q94_mmr",           // q62 scoring + bounded candidate/sim state
+    "q95_pca_power")     // fixed iterations x two narrow aggs each
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")

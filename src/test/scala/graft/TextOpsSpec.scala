@@ -864,4 +864,46 @@ class TextOpsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  // -- q96 UniMax waterfilling -------------------------------------------
+
+  test("q96 unimax: budget exhausted exactly, caps respected, waterfill level uniform") {
+    val out = TextOps.unimaxAlloc(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val totalTok = out.map(_._2).sum
+    val budget = totalTok * 3 / 2
+    assert(out.map(_._4).sum == budget, "allocations must sum to the budget exactly")
+    out.foreach { case (s, _, cap, alloc) =>
+      assert(alloc <= cap, s"source $s allocated over its epoch cap") }
+    // uncapped sources all sit within 1 token of one water level
+    val uncapped = out.filter { case (_, _, cap, alloc) => alloc < cap }.map(_._4)
+    assert(uncapped.nonEmpty, "registered sizing must leave some sources uncapped")
+    assert(uncapped.max - uncapped.min <= 1,
+      s"waterfill level not uniform: ${uncapped.min}..${uncapped.max}")
+    // every capped source is SMALLER than every uncapped one (prefix rule)
+    val cappedCaps = out.filter { case (_, _, cap, alloc) => alloc == cap }.map(_._3)
+    if (cappedCaps.nonEmpty)
+      assert(cappedCaps.max <= uncapped.min + 1,
+        "a capped source cannot exceed the water level")
+  }
+
+  test("q96 unimax: hand-checkable tiny corpus and the infeasible-budget degenerate") {
+    import spark.implicits._
+    // sources with 2 / 4 / 20 tokens; E=3, B = (26*3) DIV 2 = 39
+    // capacities 6 / 12 / 60; waterfill: s0 capped (6 <= 39 DIV 3 = 13),
+    // s1 capped (12 <= 33 DIV 2 = 16), s2 gets 39-18 = 21
+    val tiny = Seq(
+      (1L, "a b", "s0"), (2L, "a b c d", "s1"),
+      (3L, (1 to 20).map(_ => "w").mkString(" "), "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.unimaxAlloc(tiny).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("s0") == ((6L, 6L, 30000L)))  // 3 full epochs
+    assert(out("s1") == ((12L, 12L, 30000L)))
+    assert(out("s2") == ((60L, 21L, 10500L))) // 1.05 epochs
+    // infeasible budget (B >= sum capacities): everyone capped
+    val all = TextOps.unimaxAlloc(tiny, epochCap = 1, budgetNum = 10L, budgetDen = 1L)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(all.forall { case (cap, alloc) => alloc == cap })
+  }
 }
