@@ -227,6 +227,13 @@ object SparkEntry {
     // scheduler that DERIVES source shares from (budget, epoch cap)
     // instead of hitting externally-chosen targets (q48/q90)
     "q96_unimax" -> ((s, d) => TextOps.unimaxAlloc(Tables.documents(s, d))),
+    // q97: k-anonymity suppression over the customer QI triple
+    "q97_kanon" -> ((s, d) =>
+      graft.operators.Privacy.kAnonymize(Tables.customer(s, d))),
+    // q98: ε-DP noised counts (two-sided geometric / discrete Laplace,
+    // seeded-replayable draws) — the privacy-bound q88 release
+    "q98_dp_counts" -> ((s, d) =>
+      graft.operators.Privacy.dpCounts(Tables.documents(s, d))),
     "q90_source_quota" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       TextOps.sourceQuota(docs,
@@ -2451,6 +2458,38 @@ object SparkEntry {
                 CASE WHEN n_tokens = 0 THEN NULL
                      ELSE CAST((10000 * alloc) // n_tokens AS BIGINT) END AS epochs_myriad
          FROM fin""",
+    // q97: group-size join replay; floor(double/1000) is IEEE-identical
+    "q97_kanon" ->
+      """WITH qi AS (
+           SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
+                  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bb
+           FROM customer),
+         sz AS (SELECT nk, seg, bb, count(*) AS group_size FROM qi GROUP BY 1, 2, 3)
+         SELECT c_custkey,
+                CASE WHEN group_size >= 5 THEN nk END AS nationkey_k,
+                CASE WHEN group_size >= 5 THEN seg END AS segment_k,
+                CASE WHEN group_size >= 5 THEN bb END AS bal_bucket_k,
+                CAST(group_size AS BIGINT) AS group_size,
+                group_size < 5 AS suppressed
+         FROM qi JOIN sz USING (nk, seg, bb)""",
+    // q98: the seeded discrete-Laplace replay — poly hash of the group
+    // key, universal-family draws at indices 240/241, geometric via
+    // length(bin(u)) in both engines
+    "q98_dp_counts" ->
+      s"""WITH g AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+         h AS (SELECT source, lang, n,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, length('q98:' || source || ':' || lang) + 1),
+                    i -> CAST(unicode(substring('q98:' || source || ':' || lang, CAST(i AS INT), 1)) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 1000000007) AS s
+               FROM g),
+         u AS (SELECT source, lang, n,
+                (((${graft.functions.ReplayableHash.a(240)} * s + ${graft.functions.ReplayableHash.b(240)}) % 2147483647) % 65535) + 1 AS u1,
+                (((${graft.functions.ReplayableHash.a(241)} * s + ${graft.functions.ReplayableHash.b(241)}) % 2147483647) % 65535) + 1 AS u2
+               FROM h)
+         SELECT source, lang,
+                CAST(greatest(n + (16 - length(bin(u1))) - (16 - length(bin(u2))), 0) AS BIGINT) AS n_noised
+         FROM u""",
     // q53: the whole curation chain as ONE CTE pipeline — q20's
     // canonical pick, q52's segment strip, q46's quality cutoffs +
     // gate (g_* CTEs, the sketch replay at k=1024/p5), q38's shingle

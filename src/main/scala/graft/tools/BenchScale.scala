@@ -127,7 +127,9 @@ object BenchScale {
     "q92_scd2",          // two window passes sharing one (key | ts) sort
     "q93_zorder",        // one min/max agg + a pure-map interleave
     "q94_mmr",           // q62 scoring + bounded candidate/sim state
-    "q95_pca_power")     // fixed iterations x two narrow aggs each
+    "q95_pca_power",     // fixed iterations x two narrow aggs each
+    "q96_unimax",        // one corpus agg; waterfill on the S-row frame
+    "q98_dp_counts")     // one corpus agg + pure-map noise
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")
