@@ -752,6 +752,70 @@ object StreamOps {
       }
   }
 
+  /** s51 output: the q98 release row — ONLY the noised count leaves
+    * (the exact counter stays in state).
+    */
+  case class DpCell(source: String, lang: String, n_noised: Long)
+
+  /** s51: STREAMING ε-DP noised counts — q98's release maintained as
+    * documents arrive: keyed state per (source, lang) is ONE exact
+    * counter (the s46 cell family); every emission re-releases
+    * max(n + z(key), 0) with the SAME seeded discrete-Laplace draw as
+    * batch q98 (noise is a pure function of the FROZEN group-key seed
+    * — the s21 frozen-config discipline: a per-batch fresh draw would
+    * compose ε per emission, a frozen draw is one release re-stated).
+    * Counters are commutative integer sums, so after any prefix each
+    * cell equals batch q98 on the docs seen, and end-of-stream is
+    * ROW-EXACT under ANY batching/ordering (spec: two cuts +
+    * reversed).
+    */
+  def streamDpCounts(docs: Dataset[(Long, String, String)])
+      : Dataset[DpCell] = { // (doc_id, source, lang)
+    import docs.sparkSession.implicits._
+    def geo(i: Int, s: Long): Long = {
+      import graft.functions.ReplayableHash.{a, b, P}
+      val u = ((a(i) * s + b(i)) % P) % 65535L + 1L
+      16L - (64 - java.lang.Long.numberOfLeadingZeros(u)) // 16 - bitlength
+    }
+    docs.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Long, DpCell](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          val s = graft.functions.PolyHashExpr.hash(s"q98:${key._1}:${key._2}")
+          Iterator.single(DpCell(key._1, key._2,
+            math.max(n + geo(240, s) - geo(241, s), 0L)))
+      }
+  }
+
+  /** s52 output: one QI-group disposition row (the q97 group table —
+    * the per-row suppression join is downstream batch work, the s42
+    * close-of-stream discipline).
+    */
+  case class KanonGroup(nk: Long, seg: String, bb: Long,
+                        group_size: Long, released: Boolean)
+
+  /** s52: STREAMING k-anonymity group dispositions — q97's group-size
+    * table maintained as customers arrive: keyed state per QI triple
+    * is ONE counter; a group crossing k flips suppressed→released
+    * (Update mode re-emits the disposition — monotone, a release can
+    * never un-release, spec-asserted). End-of-stream group table is
+    * ROW-EXACT vs batch q97's sizes under any batching.
+    */
+  def streamKanonGroups(cust: Dataset[(Long, Long, String, Double)],
+                        k: Int = 5): Dataset[KanonGroup] = {
+    import cust.sparkSession.implicits._
+    cust.groupByKey(r => (r._2, r._3, math.floor(r._4 / 1000.0).toLong))
+      .flatMapGroupsWithState[Long, KanonGroup](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator.single(KanonGroup(key._1, key._2, key._3, n, n >= k))
+      }
+  }
+
   /** s47 output: one ADMITTED document (the q90 row) plus its
     * source's live admitted totals (the running spend against the
     * quota — what an ingest dashboard actually watches).

@@ -123,7 +123,6 @@ object BenchScale {
     "q84_memorization_risk", // df agg + postings join + per-doc agg: linear
     "q85_chunk_passages",    // stateless narrow projection + generate
     "q86_embedding_outliers", // q60 pure-map assign + bounded sketch agg
-    "q91_winnow",        // pure-map selection; maxDf cap bounds pairs per bucket
     "q92_scd2",          // two window passes sharing one (key | ts) sort
     "q93_zorder",        // one min/max agg + a pure-map interleave
     "q94_mmr",           // q62 scoring + bounded candidate/sim state
@@ -139,7 +138,11 @@ object BenchScale {
     "q42_dedup_groups", // closure work tracks the (quadratic) pair graph
     "q42b_dedup_groups_lsh", // LSH pairs: tracks the TRUE pair set, not N²
     "q80_leakage_split", // q25 pairs + closure: tracks the TRUE dup-pair set
-    "q54_triangle_count") // corner rows = 3·Δ — the answer itself densifies with |E|
+    "q54_triangle_count", // corner rows = 3·Δ — the answer itself densifies with |E|
+    "q91_winnow") // emits ALL qualifying pairs: the answer densifies with the
+                  // corpus's near-dup mass (probed outExp 1.95 on the natural
+                  // corpus while the candidate MACHINERY reads rowExp 1.05 —
+                  // the maxDf cap bounds per-bucket pairs, not the true answer)
 
   /** Σ numOutputRows over the executed tree, descending into
     * materialized AQE query stages (QueryStageExec is a leaf whose

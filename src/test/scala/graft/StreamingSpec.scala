@@ -2873,4 +2873,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(got((999992L, 1)) == edges(1),
       "under-range key must clamp to the (pmin, smin) encode")
   }
+
+  // -- s51 streaming DP counts / s52 streaming k-anonymity ---------------
+
+  test("s51 streaming DP release: any batching converges row-exact to batch q98") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "lang")
+      .as[(Long, String, String)].collect()
+    val batch = graft.operators.Privacy.dpCounts(
+        Tables.documents(spark, sfDir))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def run(order: Seq[(Long, String, String)], cuts: Int): Map[(String, String), Long] = {
+      val live = collection.mutable.Map[(String, String), Long]()
+      val source = MemoryStream[(Long, String, String)]
+      val q = StreamOps.streamDpCounts(source.toDS())
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.DpCell], _: Long) =>
+          b.collect().foreach(c => live((c.source, c.lang)) = c.n_noised)
+          ()
+        }.start()
+      try order.grouped(order.length / cuts + 1).foreach { ch =>
+        source.addData(ch.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      live.toMap
+    }
+    assert(run(docs.toSeq, 2) == batch, "forward 2-cut run must equal batch q98")
+    assert(run(docs.reverse.toSeq, 3) == batch, "reversed 3-cut run must equal batch q98")
+  }
+
+  test("s52 streaming k-anonymity: group table converges; release is monotone") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .as[(Long, Int, String, Double)].collect()
+      .map(r => (r._1, r._2.toLong, r._3, r._4))
+    val expected = cust.groupBy(r => (r._2, r._3, math.floor(r._4 / 1000.0).toLong))
+      .map { case (k, rows) => k -> rows.length.toLong }
+    val live = collection.mutable.Map[(Long, String, Long), (Long, Boolean)]()
+    val flips = collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val source = MemoryStream[(Long, Long, String, Double)]
+    val q = StreamOps.streamKanonGroups(source.toDS(), k = 5)
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.KanonGroup], _: Long) =>
+        b.collect().foreach { g =>
+          val key = (g.nk, g.seg, g.bb)
+          live.get(key).foreach { case (_, wasReleased) =>
+            if (wasReleased && !g.released) flips += key
+          }
+          live(key) = ((g.group_size, g.released))
+        }
+        ()
+      }.start()
+    try cust.grouped(cust.length / 3 + 1).foreach { ch =>
+      source.addData(ch.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(flips.isEmpty, s"release must be monotone, saw un-releases: $flips")
+    assert(live.view.mapValues(_._1).toMap == expected,
+      "final group sizes must equal the batch QI group table")
+    live.foreach { case (k, (n, released)) =>
+      assert(released == (n >= 5), s"group $k disposition wrong at n=$n")
+    }
+  }
 }
