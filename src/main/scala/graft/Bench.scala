@@ -89,6 +89,15 @@ object Bench {
       case _ => -1L
     }
     val loadStart = osBean.getSystemLoadAverage
+    // hypervisor steal (field 8 of /proc/stat's cpu line, jiffies):
+    // -1 where unreadable (non-Linux) — the flag leg then no-ops
+    def stealJiffies(): Long =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+        if (cpu.length > 8) cpu(8).toLong else -1L
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    val stealStart = stealJiffies()
     // Query ORDER rotates per round (r9 lesson: the driver's host-load
     // ramp landed on the graph family, which sorted last, and
     // manufactured a 2× scare for q54/q55/q57). A deterministic
@@ -177,14 +186,26 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadEnd = osBean.getSystemLoadAverage
+    val stealEnd = stealJiffies()
     // Contended-run flag: three end-of-round benches in a row (r8-r10)
     // ran at load 4-10 and every cross-round comparison needed manual
     // exoneration. A start load > 2 (32-core host, but the bench
     // expects the machine to itself) marks the WHOLE artifact suspect:
     // readers must treat per-query deltas as lower-confidence and
     // prefer the committed quiet-host BENCH_SELF.json.
-    val contended = if (loadStart > 2.0) "\"contended\":true," else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$contended"order_seed":$seed,"queries":$qs,"queries_median":$qsMed,"queries_cpu":$qsCpu,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
+    //
+    // STEAL leg (r12 continuation): load_avg only sees THIS kernel's
+    // runqueue — a noisy NEIGHBOR on a shared hypervisor shows up as
+    // cpu-steal jiffies instead, and an r12 window measured the graph
+    // family at 4x its pins under load_avg 1.4 with vmstat's st
+    // column live at 2%. Steal > 1% of one core's jiffies across the
+    // run marks the artifact exactly like high load does.
+    val stealPct =
+      if (stealStart < 0 || stealEnd < 0 || total <= 0) -1.0
+      else (stealEnd - stealStart) * 100.0 / (total * 100.0) // jiffies=10ms
+    val contended =
+      if (loadStart > 2.0 || stealPct > 1.0) "\"contended\":true," else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$contended"order_seed":$seed,"queries":$qs,"queries_median":$qsMed,"queries_cpu":$qsCpu,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"steal_pct":${f"$stealPct%.2f"},"sf":"$sfDir"}"""
     // The FULL-precision, full-name record lands in a FILE (committed
     // each round): the driver's stdout capture keeps only the last
     // 2,000 characters, and r8/r9 proved a ~6 KB line gets truncated
