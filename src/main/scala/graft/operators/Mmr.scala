@@ -46,8 +46,11 @@ object Mmr {
       .select(col("token"), col("doc_id"), col("score_q16").as("rel"))
       .localCheckpoint(true) // bounded: nQueries x candN
     val cdocs = cand.select(col("doc_id")).distinct()
-    val post = Dedup.postings(documents, shingleN)
-      .join(broadcast(cdocs), Seq("doc_id"))
+    // semi-join BEFORE shingling: only candidate docs (nQueries×candN,
+    // broadcast side) ever tokenize — at 100 TB the difference between
+    // shingling the corpus and shingling ~200 documents
+    val post = Dedup.postings(
+        documents.join(broadcast(cdocs), Seq("doc_id"), "left_semi"), shingleN)
       .localCheckpoint(true) // candidate docs only
     val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val dpair = cand.as("a")
