@@ -91,12 +91,18 @@ object Bench {
     val loadStart = osBean.getSystemLoadAverage
     // hypervisor steal (field 8 of /proc/stat's cpu line, jiffies):
     // -1 where unreadable (non-Linux) — the flag leg then no-ops
-    def stealJiffies(): Long =
-      try {
-        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-          .find(_.startsWith("cpu ")).get.trim.split("\\s+")
-        if (cpu.length > 8) cpu(8).toLong else -1L
+    def stealJiffies(): Long = {
+      val r = try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val cpu = src.getLines().find(_.startsWith("cpu ")).get.trim.split("\\s+")
+          if (cpu.length > 8) cpu(8).toLong else -1L
+        } finally src.close() // r12 ADVICE: leaked a handle per call
       } catch { case scala.util.control.NonFatal(_) => -1L }
+      // a silent -1 mid-run would disable the steal flag without trace
+      if (r < 0) System.err.println("[bench] WARNING: steal unreadable, flag disabled")
+      r
+    }
     val stealStart = stealJiffies()
     // Query ORDER rotates per round (r9 lesson: the driver's host-load
     // ramp landed on the graph family, which sorted last, and

@@ -2479,8 +2479,8 @@ object SparkEntry {
       s"""WITH g AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
          h AS (SELECT source, lang, n,
                 list_reduce(list_prepend(CAST(0 AS BIGINT),
-                  list_transform(range(1, length('q98:' || source || ':' || lang) + 1),
-                    i -> CAST(unicode(substring('q98:' || source || ':' || lang, CAST(i AS INT), 1)) AS BIGINT))),
+                  list_transform(range(1, length('q98:0:' || source || ':' || lang) + 1),
+                    i -> CAST(unicode(substring('q98:0:' || source || ':' || lang, CAST(i AS INT), 1)) AS BIGINT))),
                   (h, c) -> (h * 31 + c) % 1000000007) AS s
                FROM g),
          u AS (SELECT source, lang, n,

@@ -53,27 +53,39 @@ object Privacy {
     * the discrete Laplace P(z=k) ∝ α^|k| at α = 1/2, i.e. ε = ln 2 per
     * count (sensitivity 1).
     *
-    * Sampling is SEEDED AND REPLAYABLE (the splitmix discipline — a
-    * production run fixes its seed for auditability; determinism is a
-    * property of the seed, not a weakening of the mechanism): the
-    * group key hashes through the q25 universal family (fresh indices
-    * 240/241) to two uniform draws u ∈ [1, 2¹⁶−1], and
+    * Sampling is SEEDED AND REPLAYABLE: `seed` salts the group-key
+    * hash, which then runs through the q25 universal family (fresh
+    * indices 240/241) to two uniform draws u ∈ [1, 2¹⁶−1], and
     * g = 16 − bitlength(u) is exactly Geometric(1/2) truncated at 15
     * (P(g=k) = 2^-(k+1); the 2⁻¹⁶ tail mass folds into g=15 —
     * documented truncation, ~10⁻⁵ distortion). bitlength =
     * length(bin(u)) in BOTH engines, so the whole draw replays in SQL.
     * Negative releases clip to 0 — post-processing, DP-safe.
     *
+    * SECRECY CONTRACT (r13, the Kerckhoffs point from the r12 review):
+    * the ε = ln 2 guarantee holds only while the SEED IS SECRET — the
+    * draw is a deterministic function of (seed, group key), so an
+    * adversary who learns the seed (e.g. by reading a pinned test
+    * seed out of this repo) computes z and inverts the exact count.
+    * A production release draws `seed` from a run-secret source and
+    * stores it with the release audit record, never beside the data;
+    * the PINNED seed in `SparkEntry`/tests exists so the DuckDB oracle
+    * can replay the draw — those runs are a deterministic replayable
+    * SIMULATION of the mechanism, not a private release. Distribution
+    * properties (P(z=0) ≈ 1/3, E|z| = 4/3, clip-at-zero) hold for
+    * every seed; only the release VALUES move (spec-pinned: two seeds
+    * disagree on some group while both pass the distribution gates).
+    *
     * Scale shape: one map-side-combined count aggregate; the noise is
     * a pure map on the S×L group frame. Output: (source, lang,
     * n_noised) — the exact count never leaves the operator.
     */
-  def dpCounts(documents: DataFrame): DataFrame = {
+  def dpCounts(documents: DataFrame, seed: Long = 0L): DataFrame = {
     import graft.functions.ReplayableHash.{a, b, P}
     val g = documents.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n"))
     val s = graft.functions.VectorFunctions.poly_hash(
-      concat(lit("q98:"), col("source"), lit(":"), col("lang")))
+      concat(lit(s"q98:$seed:"), col("source"), lit(":"), col("lang")))
     def draw(i: Int) = ((lit(a(i)) * s + lit(b(i))) % lit(P)) % lit(65535L) + lit(1L)
     def geo(u: org.apache.spark.sql.Column) = lit(16L) - length(bin(u))
     g.select(col("source"), col("lang"),

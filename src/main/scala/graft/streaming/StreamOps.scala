@@ -469,9 +469,15 @@ object StreamOps {
               (e.ts_us == st.last_ts_us && e.event_id <= st.last_event_id))
             if (!stale) {
               val et = Option(e.event_type)
-              if (st == null)
-                st = Scd2State(1L, et, e.ts_us, e.ts_us, e.event_id)
-              else if (et != st.state) { // null-safe: Option equality
+              if (st == null) {
+                // batch q92 drops a key's INITIAL null run (null <=> null
+                // vs the null lag is "no change"), so no version opens
+                // until the first non-null state arrives (r12 ADVICE:
+                // opening version 1 on a null first event shifted every
+                // later version number for the key)
+                if (et.isDefined)
+                  st = Scd2State(1L, et, e.ts_us, e.ts_us, e.event_id)
+              } else if (et != st.state) { // null-safe: Option equality
                 out += Scd2Row(key, st.version, st.state, st.valid_from_us,
                   Some(e.ts_us), is_current = false)
                 st = Scd2State(st.version + 1, et, e.ts_us, e.ts_us, e.event_id)
@@ -761,15 +767,28 @@ object StreamOps {
     * documents arrive: keyed state per (source, lang) is ONE exact
     * counter (the s46 cell family); every emission re-releases
     * max(n + z(key), 0) with the SAME seeded discrete-Laplace draw as
-    * batch q98 (noise is a pure function of the FROZEN group-key seed
-    * — the s21 frozen-config discipline: a per-batch fresh draw would
-    * compose ε per emission, a frozen draw is one release re-stated).
-    * Counters are commutative integer sums, so after any prefix each
-    * cell equals batch q98 on the docs seen, and end-of-stream is
-    * ROW-EXACT under ANY batching/ordering (spec: two cuts +
-    * reversed).
+    * batch q98 (noise is a pure function of the FROZEN (seed, key)
+    * pair — the s21 frozen-config discipline: a per-batch fresh draw
+    * would compose ε per emission). Counters are commutative integer
+    * sums, so after any prefix each cell equals batch q98 (same seed)
+    * on the docs seen, and end-of-stream is ROW-EXACT under ANY
+    * batching/ordering (spec: two cuts + reversed).
+    *
+    * WHAT THE DP GUARANTEE COVERS (r13, from the r12 review): the
+    * ε = ln 2 bound protects the FINAL count only if the close-of-
+    * stream release is the SOLE published value. The intermediate
+    * Update-mode emissions share one frozen z per key, so consecutive
+    * emissions differ by the exact count increment — an observer of
+    * the full update stream recovers per-batch deltas exactly (the
+    * likelihood ratio of the emission SEQUENCE between neighboring
+    * streams is unbounded). Intermediate emissions are an OPERATIONAL
+    * dashboard for the pipeline operator (who holds the raw data
+    * anyway); a privacy-bound release publishes only the final row
+    * per key (the s42 close-of-stream discipline) — or switches to a
+    * per-emission fresh draw and accounts ε per emission. The q98
+    * seed-secrecy contract applies here unchanged.
     */
-  def streamDpCounts(docs: Dataset[(Long, String, String)])
+  def streamDpCounts(docs: Dataset[(Long, String, String)], seed: Long = 0L)
       : Dataset[DpCell] = { // (doc_id, source, lang)
     import docs.sparkSession.implicits._
     def geo(i: Int, s: Long): Long = {
@@ -783,7 +802,7 @@ object StreamOps {
         (key, rows, state: GroupState[Long]) =>
           val n = state.getOption.getOrElse(0L) + rows.size
           state.update(n)
-          val s = graft.functions.PolyHashExpr.hash(s"q98:${key._1}:${key._2}")
+          val s = graft.functions.PolyHashExpr.hash(s"q98:$seed:${key._1}:${key._2}")
           Iterator.single(DpCell(key._1, key._2,
             math.max(n + geo(240, s) - geo(241, s), 0L)))
       }

@@ -128,6 +128,7 @@ object BenchScale {
     "q94_mmr",           // q62 scoring + bounded candidate/sim state
     "q95_pca_power",     // fixed iterations x two narrow aggs each
     "q96_unimax",        // one corpus agg; waterfill on the S-row frame
+    "q97_kanon",         // one QI aggregate + key-only join back (r12 ADVICE gap)
     "q98_dp_counts")     // one corpus agg + pure-map noise
   private val Quadratic = Seq(
     "q28_knn_bruteforce",

@@ -65,4 +65,31 @@ class PrivacySpec extends AnyFunSuite {
     val tiny = Seq((1L, "t", "xx", "solo")).toDF("doc_id", "text", "lang", "source")
     assert(Privacy.dpCounts(tiny).select(col("n_noised")).as[Long].head() >= 0L)
   }
+
+  test("q98 seed contract: two seeds disagree on releases while both pass the distribution gates") {
+    // the r12 secrecy fix: eps holds only under seed secrecy, so the seed
+    // is a parameter — different seeds must produce genuinely different
+    // noise draws (else the 'secret' adds nothing) from the SAME family
+    import spark.implicits._
+    val docs = (0 until 15000).map { i =>
+      (i.toLong, "text", s"lang${i % 300 / 20}", s"s${i % 300}")
+    }.toDF("doc_id", "text", "lang", "source")
+    def release(seed: Long): Map[String, Long] =
+      Privacy.dpCounts(docs, seed).select(col("source"), col("n_noised"))
+        .as[(String, Long)].collect().toMap
+    val r0 = release(0L)
+    val r7 = release(7L)
+    assert(r0.keySet == r7.keySet)
+    val nDiff = r0.count { case (k, v) => r7(k) != v }
+    assert(nDiff >= 100, s"independent seeds should disagree on most groups: $nDiff/300")
+    for (r <- Seq(r0, r7)) {
+      val noise = r.values.map(_ - 50L)
+      val meanAbs = noise.map(math.abs).sum.toDouble / noise.size
+      assert(meanAbs >= 0.9 && meanAbs <= 1.8, s"E|z| gate per seed: $meanAbs")
+    }
+    // the registered/oracle path is exactly seed 0 (the PINNED simulation
+    // seed — the scaladoc's secrecy contract)
+    assert(Privacy.dpCounts(docs).select(col("source"), col("n_noised"))
+      .as[(String, Long)].collect().toMap == r0)
+  }
 }

@@ -2799,6 +2799,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s48 streaming SCD2: a key's initial null run opens NO version (batch q92 parity)") {
+    // r12 ADVICE: opening version 1 on a null first event diverged from
+    // batch q92 (whose null <=> null lag filter drops the initial null
+    // run) and shifted every later version number for the key
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamOps.{ChangelogEvent, Scd2Row}
+    val live = collection.mutable.Map[(Long, Long), Scd2Row]()
+    val source = MemoryStream[ChangelogEvent]
+    val q = StreamOps.streamScd2(source.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Scd2Row], _: Long) =>
+        b.collect().foreach(r => live((r.user_id, r.version)) = r)
+        ()
+      }.start()
+    try {
+      // user 4: null, null, y, null — versions must be y=1 (from ts 300),
+      // null=2 (the POST-run null IS a change); user 5: all nulls, no rows
+      source.addData(
+        ChangelogEvent(4L, 1L, 100L, null, 0.0),
+        ChangelogEvent(4L, 2L, 200L, null, 0.0),
+        ChangelogEvent(5L, 1L, 100L, null, 0.0))
+      q.processAllAvailable()
+      assert(live.isEmpty, "initial null runs must emit nothing")
+      source.addData(
+        ChangelogEvent(4L, 3L, 300L, "y", 0.0),
+        ChangelogEvent(4L, 4L, 400L, null, 0.0),
+        ChangelogEvent(5L, 2L, 200L, null, 0.0))
+      q.processAllAvailable()
+      assert(live((4L, 1L)) == Scd2Row(4L, 1L, Some("y"), 300L, Some(400L), false))
+      assert(live((4L, 2L)) == Scd2Row(4L, 2L, None, 400L, None, true))
+      assert(!live.keySet.exists(_._1 == 5L), "an all-null key emits no versions")
+      // batch parity on the same log: version numbers and intervals equal
+      val batch = graft.operators.Restore.scd2History(
+        Seq[(Long, Long, Long, String)](
+            (4L, 1L, 100L, null), (4L, 2L, 200L, null), (4L, 3L, 300L, "y"),
+            (4L, 4L, 400L, null), (5L, 1L, 100L, null), (5L, 2L, 200L, null))
+          .map { case (u, e, t, s) =>
+            (u, e, new java.sql.Timestamp(t), s, 0.0) } // ms scale: order matches
+          .toDF("user_id", "event_id", "ts", "event_type", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2))).toMap
+      assert(batch.keySet == live.keySet.toSet, "stream/batch version sets must agree")
+      batch.foreach { case (k, st) => assert(live(k).state == st) }
+    } finally q.stop()
+  }
+
   // -- s49 streaming winnow / s50 streaming z-encode ---------------------
 
   test("s49 streaming winnow: the per-doc selection kernel unmodified on a stream, row-exact") {
@@ -2882,13 +2928,15 @@ class StreamingSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "source", "lang")
       .as[(Long, String, String)].collect()
+    // NON-default seed on both sides: the frozen-config pair (seed is a
+    // parameter since r13; the spec must prove the stream threads it)
     val batch = graft.operators.Privacy.dpCounts(
-        Tables.documents(spark, sfDir))
+        Tables.documents(spark, sfDir), seed = 7L)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     def run(order: Seq[(Long, String, String)], cuts: Int): Map[(String, String), Long] = {
       val live = collection.mutable.Map[(String, String), Long]()
       val source = MemoryStream[(Long, String, String)]
-      val q = StreamOps.streamDpCounts(source.toDS())
+      val q = StreamOps.streamDpCounts(source.toDS(), seed = 7L)
         .writeStream.outputMode(OutputMode.Update())
         .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.DpCell], _: Long) =>
           b.collect().foreach(c => live((c.source, c.lang)) = c.n_noised)
