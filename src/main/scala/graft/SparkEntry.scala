@@ -105,13 +105,17 @@ object SparkEntry {
     // -- LLM-data-pipeline: similarity search (q28-q30) --
     "q28_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
     "q28b_knn_blocked" -> ((s, d) => Similarity.knnBruteForceBlocked(Tables.embeddings(s, d))),
-    "q29_knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
+    // q29/q32/q32b — the FP-cosine LSH/IVF ANN paths — RETIRED from the
+    // registry to [[scaleProbes]] (r13, closing the r12 verdict's last
+    // disposition item): their retrieval semantics are fully covered by
+    // the ORACLE-EXACT integer twins q29b (LSH top-k) and q63 (IVF),
+    // and as registry entries they could only ever be rows-only (FP
+    // cosine has no cross-engine hash). Their recall gates live on in
+    // SimilaritySpec (operators unchanged); their scale exponents stay
+    // probed via BenchScale, which reads scaleProbes.
     "q29b_knn_lsh_int" -> ((s, d) => Similarity.knnLshInt(Tables.embeddings(s, d))),
     "q30_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(Tables.embeddings(s, d))),
     "q30b_embedding_dedup_lsh" -> ((s, d) => Similarity.embeddingDedupLsh(Tables.embeddings(s, d))),
-    "q32_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
-    "q32b_knn_ivf_refined" -> ((s, d) =>
-      Similarity.knnIvf(Tables.embeddings(s, d), lloydIters = 2)),
     "q33_vocabulary" -> ((s, d) => TextOps.vocabulary(Tables.documents(s, d))),
     "q34_asof_join" -> ((s, d) =>
       AsofJoin.eventsAsofOrders(Tables.events(s, d), Tables.orders(s, d))),
@@ -404,6 +408,27 @@ object SparkEntry {
         Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000),
         materializeStages = true)
     }),
+  )
+
+  /** TERMINAL DECLARATION (r13): the FP-cosine ANN scale probes,
+    * retired from [[queries]]. These are deliberately NOT registry
+    * entries: FP cosine distances cannot hash-compare across engines,
+    * so as registry rows they could only ever read `no_oracle` — while
+    * their retrieval semantics are fully represented by the
+    * ORACLE-EXACT integer twins (q29 → q29b, q32/q32b → q63, which
+    * shares kmeansFit with the q60 codebook q32b trains). The
+    * operators stay first-class library code: recall gates
+    * (q29 recall@1 ≥ 0.85 vs q28; q32b strict improvement over q32)
+    * remain asserted in SimilaritySpec, and BenchScale probes their
+    * scale exponents from THIS map, so the O(N^1.5)/banded-candidate
+    * machinery stays regression-guarded. A user wanting FP-cosine ANN
+    * calls Similarity.knnLsh / Similarity.knnIvf directly.
+    */
+  def scaleProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
+    "q32_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
+    "q32b_knn_ivf_refined" -> ((s, d) =>
+      Similarity.knnIvf(Tables.embeddings(s, d), lloydIters = 2)),
   )
 
   /** q95's oracle: the power iteration unrolled — one (s, w, v) CTE

@@ -306,18 +306,22 @@ object BenchScale {
           graft.sources.Tables.embeddings(s, dir), nCentroids = 32, iters = 2)
         finally s.conf.unset("graft.ivf.trainSampleCap")
       }
+    // registry = driver-facing queries + the retired FP ANN scale
+    // probes (q29/q32/q32b live in scaleProbes since r13 — no oracle
+    // can exist for FP cosine, but their exponents stay guarded here)
+    val registry = SparkEntry.queries ++ SparkEntry.scaleProbes
     val entries =
-      Scalable.map(q => (q, SparkEntry.queries(q), "scalable", dirs)) ++
-      Quadratic.map(q => (q, SparkEntry.queries(q), "quadratic", dirs)) ++
-      OutputBound.map(q => (q, SparkEntry.queries(q), "output_bound", dirs)) ++
+      Scalable.map(q => (q, registry(q), "scalable", dirs)) ++
+      Quadratic.map(q => (q, registry(q), "quadratic", dirs)) ++
+      OutputBound.map(q => (q, registry(q), "output_bound", dirs)) ++
       // q44 on the pure-burst corpora: asserted < 1.7 — the micro-bin
       // decomposition's B^1.5 design bound, clearly separated from the
       // Θ(B²) a window-wide binning measures on this shape
-      Seq(("q44_range_join_burst", SparkEntry.queries("q44_range_join"), "skew_bounded", burstDirs),
+      Seq(("q44_range_join_burst", registry("q44_range_join"), "skew_bounded", burstDirs),
       // q54 on the star corpora: hub degree = scale point; asserted
       // < 1.7 — degree orientation keeps intersect sides O(1) here,
       // the wedge join this operator rejected would read ~2.0
-      ("q54_triangle_star", SparkEntry.queries("q54_triangle_count"), "skew_bounded", starDirs),
+      ("q54_triangle_star", registry("q54_triangle_count"), "skew_bounded", starDirs),
       ("trainCodebook_sampled", codebookFn, "train_bounded", dirs),
       // q63 at the DEPLOY sizing (k ≈ √N, not the oracle-pinned k=8):
       // candidates ≈ N²·nProbe/k ⇒ O(N^1.5) — asserted < 1.7. At the
