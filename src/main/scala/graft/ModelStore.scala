@@ -1,0 +1,281 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** MODEL-ARTIFACT PERSISTENCE (r13) — the serialized handoff between a
+  * batch training run and the frozen-model streaming twins.
+  *
+  * Every frozen-model stream (s25–s52) deploys a config a batch call
+  * derived: q60 centroids, PQ codebooks, the SQ8 grid, BPE merge
+  * rules, source-quota rate tables, the z-order grid, dup-shingle
+  * tables. Until r13 those existed only as in-memory values returned
+  * by the batch call inside one process — but a production ingest
+  * service is a DIFFERENT process (often a different cluster) from the
+  * training run, and the thing that crosses that boundary is a
+  * versioned artifact on shared storage. The reference's own analog:
+  * its compacted topics ARE its persisted model state — a Kafka
+  * Streams app bootstraps its GlobalKTable/KTable state from the topic
+  * before the stream flows (reference Streams.java:102-115,
+  * builder/BuildSystem.java populates them); this store is the
+  * lake-native restatement (parquet tables + a JSON manifest).
+  *
+  * Layout under `dir`:
+  * {{{
+  *   MODEL_MANIFEST.json        — family, version, params, table list
+  *   tables/<name>/  (parquet)  — one Spark parquet dataset per table
+  * }}}
+  *
+  * Crash safety: tables are written FIRST, the manifest LAST — the
+  * manifest is the commit marker (the ExactlyOnceSink write-then-marker
+  * contract, Sinks.scala): a crash mid-save leaves no manifest and
+  * [[load]] refuses the directory instead of serving half a model.
+  * Manifest JSON goes through Jackson (on the Spark classpath — the
+  * readMeta discipline), so params containing quotes round-trip.
+  *
+  * Determinism: artifacts are integer/string tables, and every
+  * consumer (the streaming twins) is already pinned row-exact against
+  * its batch operator — so batch-train → save → load → stream must
+  * reproduce the batch output bit-for-bit. ModelStoreSpec asserts
+  * exactly that round trip per family, with the LOADED artifact, not
+  * the in-process value.
+  *
+  * Scale: artifacts are model-sized (k·dim centroids, S-row rate
+  * tables, ≤vocabCap rule lists), never corpus-sized — the one
+  * exception class (dup-shingle tables, duplication-sized) stays a
+  * DataFrame end to end and is saved/loaded as parquet without ever
+  * collecting.
+  */
+object ModelStore {
+
+  val ManifestFile = "MODEL_MANIFEST.json"
+
+  /** The version stamp a deployment pins: loaders verify `family`
+    * (loading a PQ codebook where a kmeans model is expected must fail
+    * loudly, not mis-shape silently); `version` is the release's
+    * monotone stamp — rollback = point the stream at the prior dir.
+    */
+  case class Manifest(family: String, version: Long, createdUtcMs: Long,
+                      params: Map[String, String], tables: Seq[String])
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Generic save: parquet tables first, manifest last (the commit
+    * marker). Overwrites any prior model at `dir` — versioned releases
+    * use versioned directories (`.../family=kmeans/v=12/`), the lake
+    * convention, so overwrite only ever hits a failed attempt.
+    */
+  def save(spark: SparkSession, dir: String, family: String, version: Long,
+           params: Map[String, String], tables: Map[String, DataFrame]): Manifest = {
+    require(family.nonEmpty && version >= 0, "family and nonnegative version required")
+    val f = fs(spark, dir)
+    // a fresh save must not inherit a stale manifest: drop the marker
+    // BEFORE touching tables so a crash mid-write leaves an
+    // unreadable (uncommitted) dir, never a mixed one
+    f.delete(new Path(dir, ManifestFile), false)
+    val names = tables.keys.toSeq.sorted
+    names.foreach { n =>
+      require(n.matches("[A-Za-z0-9_]+"), s"table name '$n' must be a plain identifier")
+      tables(n).write.mode("overwrite").parquet(s"$dir/tables/$n")
+    }
+    val m = Manifest(family, version, System.currentTimeMillis(), params, names)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("family", m.family)
+    root.put("version", m.version)
+    root.put("created_utc_ms", m.createdUtcMs)
+    val pn = root.putObject("params")
+    m.params.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
+    val tn = root.putArray("tables")
+    names.foreach(tn.add)
+    val out = f.create(new Path(dir, ManifestFile), true)
+    try out.write(om.writeValueAsBytes(root)) finally out.close()
+    m
+  }
+
+  /** Manifest alone (no table reads) — the cheap "what is deployed
+    * here" probe. Throws if the directory holds no COMMITTED model.
+    */
+  def manifest(spark: SparkSession, dir: String): Manifest = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, ManifestFile)
+    require(f.exists(p), s"no committed model at $dir (missing $ManifestFile — " +
+      "either never saved or a save crashed before its commit marker)")
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    val params = {
+      val b = Map.newBuilder[String, String]
+      val it = node.get("params").fields()
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+      b.result()
+    }
+    val tables = {
+      val b = Seq.newBuilder[String]
+      val it = node.get("tables").elements()
+      while (it.hasNext) b += it.next().asText()
+      b.result()
+    }
+    Manifest(node.get("family").asText(), node.get("version").asLong(),
+      node.get("created_utc_ms").asLong(), params, tables)
+  }
+
+  /** Generic load with the family check. */
+  def load(spark: SparkSession, dir: String,
+           expectFamily: String): (Manifest, Map[String, DataFrame]) = {
+    val m = manifest(spark, dir)
+    require(m.family == expectFamily,
+      s"model at $dir is family '${m.family}', expected '$expectFamily'")
+    (m, m.tables.map(n => n -> spark.read.parquet(s"$dir/tables/$n")).toMap)
+  }
+
+  // -------- typed per-family helpers: each returns EXACTLY the type
+  // -------- its streaming twin consumes, so the deploy path is
+  // -------- load(...) |> streamXxx(...) with no adaptation layer
+
+  /** q60 centroids (s26 router; also q79/q86's assignment input):
+    * table `centroids` = (cid INT, vec ARRAY<BIGINT>).
+    */
+  def saveKmeans(spark: SparkSession, dir: String,
+                 centroids: Seq[(Int, Seq[Long])], version: Long,
+                 params: Map[String, String] = Map.empty): Manifest = {
+    require(centroids.nonEmpty, "refusing to persist an empty centroid set")
+    import spark.implicits._
+    save(spark, dir, "kmeans", version,
+      params + ("k" -> centroids.size.toString, "dim" -> centroids.head._2.size.toString),
+      Map("centroids" -> centroids.toDF("cid", "vec")))
+  }
+
+  def loadKmeans(spark: SparkSession, dir: String): Seq[(Int, Seq[Long])] = {
+    val (_, t) = load(spark, dir, "kmeans")
+    t("centroids").collect() // k rows — the kmeansCentroids bounded protocol
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toSeq))
+      .sortBy(_._1).toSeq
+  }
+
+  /** q65 PQ codebook (s28 encoder): table `codebook` =
+    * (sub INT, code INT, vec ARRAY<BIGINT>).
+    */
+  def savePq(spark: SparkSession, dir: String,
+             codebook: Map[(Int, Int), Seq[Long]], version: Long,
+             params: Map[String, String] = Map.empty): Manifest = {
+    require(codebook.nonEmpty, "refusing to persist an empty PQ codebook")
+    import spark.implicits._
+    val rows = codebook.toSeq.map { case ((m, j), c) => (m, j, c) }
+      .sortBy(x => (x._1, x._2))
+    save(spark, dir, "pq", version,
+      params + ("M" -> (rows.map(_._1).max + 1).toString,
+        "kcode" -> (rows.map(_._2).max + 1).toString),
+      Map("codebook" -> rows.toDF("sub", "code", "vec")))
+  }
+
+  def loadPq(spark: SparkSession, dir: String): Map[(Int, Int), Seq[Long]] = {
+    val (_, t) = load(spark, dir, "pq")
+    t("codebook").collect() // M·kcode rows — bounded
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toSeq).toMap
+  }
+
+  /** q82 SQ8 grid (s40 encoder): table `grid` =
+    * (pos INT, mn BIGINT, span BIGINT), position-ordered on load.
+    */
+  def saveSq8(spark: SparkSession, dir: String, grid: Seq[(Long, Long)],
+              version: Long, params: Map[String, String] = Map.empty): Manifest = {
+    require(grid.nonEmpty, "refusing to persist an empty SQ8 grid")
+    import spark.implicits._
+    save(spark, dir, "sq8", version, params + ("dim" -> grid.size.toString),
+      Map("grid" -> grid.zipWithIndex
+        .map { case ((mn, sp), i) => (i, mn, sp) }.toDF("pos", "mn", "span")))
+  }
+
+  def loadSq8(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+    val (_, t) = load(spark, dir, "sq8")
+    t("grid").collect().sortBy(_.getInt(0)) // dim rows — bounded
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  /** q67 BPE merge rules (s31 tokenizer): table `rules` = bpeTrain's
+    * output (rank, lhs, rhs, cnt) verbatim; the load returns the
+    * rank-ordered (lhs, rhs) list streamBpeEncode consumes.
+    */
+  def saveBpeRules(spark: SparkSession, dir: String, rules: DataFrame,
+                   version: Long, params: Map[String, String] = Map.empty): Manifest =
+    save(spark, dir, "bpe", version, params, Map("rules" -> rules))
+
+  def loadBpeRules(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val (_, t) = load(spark, dir, "bpe")
+    t("rules").collect() // ≤ merges rows — bounded
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).map(x => (x._2, x._3)).toSeq
+  }
+
+  /** q90 source-quota config (s47 admission gate): tables `rates` =
+    * (source STRING, rate BIGINT) and `vocab` = (idx INT, gram STRING)
+    * — the tokenizer vocabulary is PART of the model (admission counts
+    * tokens with it); maxN rides in params.
+    */
+  def saveSourceQuota(spark: SparkSession, dir: String,
+                      rates: Map[String, Long], vocab: Seq[String], maxN: Int,
+                      version: Long,
+                      params: Map[String, String] = Map.empty): Manifest = {
+    require(rates.nonEmpty, "refusing to persist an empty rate table")
+    import spark.implicits._
+    save(spark, dir, "source_quota", version,
+      params + ("maxN" -> maxN.toString),
+      Map("rates" -> rates.toSeq.sortBy(_._1).toDF("source", "rate"),
+        "vocab" -> vocab.zipWithIndex.map(_.swap).toDF("idx", "gram")))
+  }
+
+  def loadSourceQuota(spark: SparkSession, dir: String)
+      : (Map[String, Long], Seq[String], Int) = {
+    val (m, t) = load(spark, dir, "source_quota")
+    val rates = t("rates").collect() // S rows — bounded
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = t("vocab").collect().sortBy(_.getInt(0)) // ≤ m grams — bounded
+      .map(_.getString(1)).toSeq
+    (rates, vocab, m.params("maxN").toInt)
+  }
+
+  /** q93 z-order grid (s50 encoder): table `grid` = one row
+    * (pmin, pmax, smin, smax).
+    */
+  def saveZGrid(spark: SparkSession, dir: String,
+                grid: (Long, Long, Long, Long), version: Long,
+                params: Map[String, String] = Map.empty): Manifest = {
+    import spark.implicits._
+    save(spark, dir, "zgrid", version, params,
+      Map("grid" -> Seq(grid).toDF("pmin", "pmax", "smin", "smax")))
+  }
+
+  def loadZGrid(spark: SparkSession, dir: String): (Long, Long, Long, Long) = {
+    val (_, t) = load(spark, dir, "zgrid")
+    val r = t("grid").head() // 1 row
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** q71 dup-window table (s34 cutter) — the DUPLICATION-sized family:
+    * table `dup_windows` = (h STRING md5-hex, fdoc BIGINT, fpos INT),
+    * exactly ExactSubstr.dupWindowTable's rows. [[loadDupTable]]
+    * returns the broadcastable Map s34 consumes today (bounded by the
+    * same cap the builder asserts); [[loadDupTableDf]] returns the
+    * parquet frame directly — the stream-static-join side for corpora
+    * whose dup set exceeds the broadcast cap, with no collect anywhere.
+    */
+  def saveDupTable(spark: SparkSession, dir: String,
+                   dup: Map[String, (Long, Int)], version: Long,
+                   params: Map[String, String] = Map.empty): Manifest = {
+    require(dup.nonEmpty, "refusing to persist an empty dup-window table")
+    import spark.implicits._
+    save(spark, dir, "dup_windows", version, params,
+      Map("dup_windows" -> dup.toSeq.map { case (h, (d, p)) => (h, d, p) }
+        .sortBy(_._1).toDF("h", "fdoc", "fpos")))
+  }
+
+  def loadDupTable(spark: SparkSession, dir: String): Map[String, (Long, Int)] =
+    loadDupTableDf(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+
+  def loadDupTableDf(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "dup_windows")._2("dup_windows")
+}
