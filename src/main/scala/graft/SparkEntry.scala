@@ -389,6 +389,12 @@ object SparkEntry {
     // LayoutSpec, not asserted by faith)
     "q93_zorder" -> ((s, d) =>
       graft.operators.Layout.zorderEncode(Tables.lineitem(s, d))),
+    // q93b: Hilbert-curve layout encode — the same grid, the curve
+    // index from the fused HilbertExpr kernel (unit-step continuity
+    // kills z-order's diagonal seams; pruning comparison measured in
+    // LayoutSpec)
+    "q93b_hilbert" -> ((s, d) =>
+      graft.operators.Layout.hilbertEncode(Tables.lineitem(s, d))),
     // the end-to-end curation chain; %97 split = q38's benchmark
     "q53_curate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -2442,6 +2448,29 @@ object SparkEntry {
          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                 zval, zval // 67108864 AS zbucket
          FROM z""",
+    // q93b: the Hilbert walk unrolled as 16 MATERIALIZED CTE levels
+    // (each level reads the previous (x, y) several times — inlining
+    // would grow 2^16-fold, the q67 lesson); grid scale shared with
+    // the q93 oracle verbatim
+    "q93b_hilbert" ->
+      s"""WITH stats AS (
+           SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+                  min(l_suppkey) AS smin, max(l_suppkey) AS smax
+           FROM lineitem),
+         h16 AS (
+           SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+                  CAST(0 AS BIGINT) AS d,
+                  CASE WHEN s.pmax = s.pmin THEN 0
+                       ELSE ((l.l_partkey - s.pmin) * 65535) // (s.pmax - s.pmin) END AS x,
+                  CASE WHEN s.smax = s.smin THEN 0
+                       ELSE ((l.l_suppkey - s.smin) * 65535) // (s.smax - s.smin) END AS y
+           FROM lineitem l CROSS JOIN stats s),
+         ${(15 to 0 by -1).map(b =>
+            s"h$b AS MATERIALIZED (${graft.operators.Layout.hilbertLevelSql(b)} FROM h${b + 1})")
+            .mkString(",\n         ")}
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                d AS hval, d // 67108864 AS hbucket
+         FROM h0""",
     "q95_pca_power" -> pcaOracle(3),
     // q96: the waterfill replay — q22's ws-token expression summed per
     // source, the same sorted-prefix cap rule (cumulative AND), the

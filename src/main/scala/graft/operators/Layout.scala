@@ -115,6 +115,101 @@ object Layout {
       .sortWithinPartitions(col("zval"))
       .write.mode("overwrite").parquet(dir)
 
+  /** q93b: HILBERT-CURVE layout encode — the same grid scale as q93,
+    * the curve index from the fused [[graft.functions.HilbertExpr]]
+    * kernel instead of the bit interleave. Z-order's weakness is its
+    * long-jump diagonal seams: consecutive z-values can be grid-
+    * distance 2^15 apart, so a bucket (a run of consecutive z) can
+    * span a tall thin L around a seam and its min/max box balloons.
+    * The Hilbert curve's unit-step continuity (every consecutive pair
+    * of indices is a grid NEIGHBOR — spec-pinned exhaustively at
+    * bits=4) keeps each bucket a connected blob with a tighter box —
+    * measured in LayoutSpec, not asserted by faith (the q93
+    * discipline): on the box predicate Hilbert touches ≤ z-order's
+    * bucket count, and it must never lose the suppkey-band test.
+    * Output schema mirrors q93: (keys, hval, hbucket = hval div 2²⁶).
+    */
+  def hilbertEncode(lineitem: DataFrame): DataFrame = {
+    val (pmin, pmax, smin, smax) = zGrid(lineitem)
+    hEncodeFrozen(lineitem, pmin, pmax, smin, smax)
+  }
+
+  /** The frozen-grid Hilbert encode (the zEncodeFrozen contract:
+    * offline grid, out-of-range keys clamp to the edge — streaming-
+    * admissible unmodified, the s50 class).
+    */
+  def hEncodeFrozen(rows: DataFrame, pmin: Long, pmax: Long,
+                    smin: Long, smax: Long): DataFrame = {
+    def clamped(v: String, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else expr(s"CAST(((least(greatest($v, $lo), $hi) - $lo) * 65535) DIV ${hi - lo} AS BIGINT)")
+    rows
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        clamped("l_partkey", pmin, pmax).as("zx"),
+        clamped("l_suppkey", smin, smax).as("zy"))
+      .withColumn("hval",
+        graft.functions.HilbertExpr.hilbert_d(col("zx"), col("zy"), GridBits))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("hval"),
+        shiftright(col("hval"), 26).as("hbucket"))
+  }
+
+  /** One Hilbert walk level as SQL text for the DuckDB oracle — the
+    * sequential per-level state update CANNOT inline (each level reads
+    * the previous (x, y) several times → 2^bits tree growth), so the
+    * oracle unrolls it as `bits` MATERIALIZED CTE levels (the q67
+    * discipline); this generates level `b` (bit position, high first)
+    * over columns (x, y, d) of the previous level. Semantics mirror
+    * HilbertExpr.xy2d line for line; quadrant (3·rx) XOR ry is stated
+    * arithmetically (3rx + ry − 2rx·ry — identical on {0,1}×{0,1}) so
+    * no bitwise-XOR dialect is in play.
+    */
+  def hilbertLevelSql(b: Int, nMinus1: Long = GridMax.toLong): String = {
+    val rx = s"((x >> $b) & 1)"
+    val ry = s"((y >> $b) & 1)"
+    val sSq = 1L << (2 * b) // s*s with s = 2^b
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       d + $sSq * (3 * $rx + $ry - 2 * $rx * $ry) AS d,
+       CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN $nMinus1 - y ELSE y END) ELSE x END AS x,
+       CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN $nMinus1 - x ELSE x END) ELSE y END AS y"""
+  }
+
+  /** The Hilbert physical layout — the writeZOrdered shape on hval.
+    *
+    * REGISTERED WRITER DECISION (r13, measured in LayoutSpec — the
+    * q93 measured-not-asserted discipline): at POWER-OF-4 bucket
+    * counts the two curves partition the grid into the SAME quadrant
+    * tiles (top 2k index bits name a level-k quadrant under either
+    * order), so their min/max boxes are IDENTICAL — spec-pinned
+    * equality at 64, and why the first comparison attempt read "tie"
+    * everywhere. The regime that discriminates is the one a real
+    * range-partitioned write actually produces: bucket = a RANGE of
+    * the curve at a non-aligned count. There z-order ranges straddle
+    * diagonal seams (consecutive z-values up to 2^15 grid cells
+    * apart → ballooned boxes) while Hilbert's unit-step continuity
+    * keeps every range a connected blob. Measured at sf0.001/sf0.01,
+    * 24 and 48 equal-length curve ranges: Hilbert wins or ties EVERY
+    * box predicate (e.g. 3 vs 4 and 1 vs 2 buckets touched) and wins
+    * mean bucket-box area consistently (119 vs 145, 52 vs 69, 14.3k
+    * vs 16.3k, 6.1k vs 8.1k) — so Hilbert is the registered default
+    * ([[writeClustered]]). Honest caveat, also pinned: single-AXIS
+    * band predicates can favor z-order at some splits (8 vs 10 at 32
+    * buckets — axis-aligned z halves track a y-band better than
+    * Hilbert's rotated blobs); a table whose workload is one-axis
+    * bands should stay on [[writeZOrdered]].
+    */
+  def writeHilbertOrdered(encoded: DataFrame, dir: String, files: Int = Buckets): Unit =
+    encoded.repartitionByRange(files, col("hval"))
+      .sortWithinPartitions(col("hval"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** The registered clustered-layout writer (see the decision note on
+    * [[writeHilbertOrdered]]).
+    */
+  def writeClustered(lineitem: DataFrame, dir: String, files: Int = Buckets): Unit =
+    writeHilbertOrdered(hilbertEncode(lineitem), dir, files)
+
   /** File-pruning simulation over a bucketed layout: the buckets whose
     * (pk, sk) min/max box — exactly what a parquet footer stores —
     * overlaps the query box. Returns (buckets touched, total buckets).

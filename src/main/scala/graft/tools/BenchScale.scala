@@ -125,6 +125,7 @@ object BenchScale {
     "q86_embedding_outliers", // q60 pure-map assign + bounded sketch agg
     "q92_scd2",          // two window passes sharing one (key | ts) sort
     "q93_zorder",        // one min/max agg + a pure-map interleave
+    "q93b_hilbert",      // one min/max agg + a fused-kernel pure map (r13)
     "q94_mmr",           // q62 scoring + bounded candidate/sim state
     "q95_pca_power",     // fixed iterations x two narrow aggs each
     "q96_unimax",        // one corpus agg; waterfill on the S-row frame
