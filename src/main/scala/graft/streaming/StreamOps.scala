@@ -455,6 +455,66 @@ object StreamOps {
     * batch one fold pass per key, no sort beyond the per-key batch
     * slice, no window.
     */
+  /** One dead-letter row (s53): an arriving event REJECTED by its
+    * key's (ts, event_id) high-water mark, with the HWM that rejected
+    * it — the attribution an ingest SLA needs (which key, which event,
+    * how far behind the key's clock it arrived).
+    */
+  case class LateDrop(user_id: Long, event_id: Long, ts_us: Long,
+                      event_type: Option[String],
+                      hwm_ts_us: Long, hwm_event_id: Long)
+
+  /** s53 union output: `kind` = "version" (a batch-q92 row, the s48
+    * emission) or "late_drop" (a [[LateDrop]] flattened in) — one
+    * stream, two sinks at the writer (the foreachBatch split-by-kind
+    * pattern), so the audit needs NO second stateful query.
+    */
+  case class Scd2Emit(kind: String, user_id: Long,
+                      version: Long, state: Option[String], valid_from_us: Long,
+                      valid_to_us: Option[Long], is_current: Boolean,
+                      event_id: Long, ts_us: Long,
+                      hwm_ts_us: Long, hwm_event_id: Long)
+
+  /** THE s48/s53 fold — single definition so the audited and
+    * unaudited operators cannot drift: processes a batch's rows for
+    * one key in (ts_us, event_id) order against the open-version
+    * state, returning (closed+open version emissions, late drops,
+    * new state). The HWM advances only on ACCEPTED rows, and (the r12
+    * ADVICE fix) a key's initial null run opens no version — matching
+    * batch q92's null <=> null lag filter.
+    */
+  private def scd2FoldBatch(key: Long, batchRows: Seq[ChangelogEvent],
+                            st0: Option[Scd2State])
+      : (Seq[Scd2Row], Seq[LateDrop], Option[Scd2State]) = {
+    val out = collection.mutable.ArrayBuffer[Scd2Row]()
+    val drops = collection.mutable.ArrayBuffer[LateDrop]()
+    var st = st0.orNull
+    batchRows.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      val stale = st != null && (e.ts_us < st.last_ts_us ||
+        (e.ts_us == st.last_ts_us && e.event_id <= st.last_event_id))
+      if (stale)
+        drops += LateDrop(key, e.event_id, e.ts_us, Option(e.event_type),
+          st.last_ts_us, st.last_event_id)
+      else {
+        val et = Option(e.event_type)
+        if (st == null) {
+          if (et.isDefined)
+            st = Scd2State(1L, et, e.ts_us, e.ts_us, e.event_id)
+        } else if (et != st.state) { // null-safe: Option equality
+          out += Scd2Row(key, st.version, st.state, st.valid_from_us,
+            Some(e.ts_us), is_current = false)
+          st = Scd2State(st.version + 1, et, e.ts_us, e.ts_us, e.event_id)
+        } else
+          st = st.copy(last_ts_us = e.ts_us, last_event_id = e.event_id)
+      }
+    }
+    val opens =
+      if (st == null) Seq.empty
+      else Seq(Scd2Row(key, st.version, st.state,
+        st.valid_from_us, None, is_current = true))
+    (out.toSeq ++ opens, drops.toSeq, Option(st))
+  }
+
   def streamScd2(changelog: Dataset[ChangelogEvent]): Dataset[Scd2Row] = {
     import changelog.sparkSession.implicits._
     changelog
@@ -462,36 +522,42 @@ object StreamOps {
       .flatMapGroupsWithState[Scd2State, Scd2Row](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[ChangelogEvent], state: GroupState[Scd2State]) =>
-          val out = collection.mutable.ArrayBuffer[Scd2Row]()
-          var st = state.getOption.orNull
-          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-            val stale = st != null && (e.ts_us < st.last_ts_us ||
-              (e.ts_us == st.last_ts_us && e.event_id <= st.last_event_id))
-            if (!stale) {
-              val et = Option(e.event_type)
-              if (st == null) {
-                // batch q92 drops a key's INITIAL null run (null <=> null
-                // vs the null lag is "no change"), so no version opens
-                // until the first non-null state arrives (r12 ADVICE:
-                // opening version 1 on a null first event shifted every
-                // later version number for the key)
-                if (et.isDefined)
-                  st = Scd2State(1L, et, e.ts_us, e.ts_us, e.event_id)
-              } else if (et != st.state) { // null-safe: Option equality
-                out += Scd2Row(key, st.version, st.state, st.valid_from_us,
-                  Some(e.ts_us), is_current = false)
-                st = Scd2State(st.version + 1, et, e.ts_us, e.ts_us, e.event_id)
-              } else
-                st = st.copy(last_ts_us = e.ts_us, last_event_id = e.event_id)
-            }
-          }
-          if (st == null) Iterator.empty
-          else {
-            state.update(st)
-            out += Scd2Row(key, st.version, st.state, st.valid_from_us,
-              None, is_current = true)
-            out.iterator
-          }
+          val (versions, _, st) = scd2FoldBatch(key, rows.toSeq, state.getOption)
+          st.foreach(state.update)
+          versions.iterator
+      }
+  }
+
+  /** s53: the s48 SCD2 stream WITH dead-letter accounting — the one
+    * streaming production surface the family left silent: every
+    * below-watermark arrival s48 ignores by contract (the s20/s24
+    * no-retract class) is COUNTED AND ATTRIBUTED here instead of
+    * vanishing. The fold is [[scd2FoldBatch]], shared verbatim with
+    * [[streamScd2]], so the version emissions are identical by
+    * construction and the audit rows are EXACTLY the events the
+    * unaudited twin dropped (spec-asserted); each drop carries the
+    * HWM that rejected it, so the SLA dashboard can histogram
+    * lateness (hwm_ts_us − ts_us) per key. State is unchanged (one
+    * open version + the HWM — late rows never touch it); the writer
+    * splits the union by `kind` into the dimension table and the
+    * dead-letter queue in one foreachBatch.
+    */
+  def streamScd2Audited(changelog: Dataset[ChangelogEvent]): Dataset[Scd2Emit] = {
+    import changelog.sparkSession.implicits._
+    changelog
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Emit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[ChangelogEvent], state: GroupState[Scd2State]) =>
+          val (versions, drops, st) = scd2FoldBatch(key, rows.toSeq, state.getOption)
+          st.foreach(state.update)
+          versions.iterator.map(v =>
+            Scd2Emit("version", v.user_id, v.version, v.state, v.valid_from_us,
+              v.valid_to_us, v.is_current, -1L, -1L, -1L, -1L)) ++
+            drops.iterator.map(d =>
+              Scd2Emit("late_drop", d.user_id, -1L, d.event_type, -1L,
+                None, is_current = false, d.event_id, d.ts_us,
+                d.hwm_ts_us, d.hwm_event_id))
       }
   }
 

@@ -2845,6 +2845,116 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // -- s53 late-data audit (dead-letter accounting over the s48 fold) ----
+
+  test("s53 late audit: planted late arrivals are counted and attributed exactly, with the rejecting HWM") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamOps.{ChangelogEvent, Scd2Emit}
+    val versions = collection.mutable.Map[(Long, Long), Scd2Emit]()
+    val drops = collection.mutable.ArrayBuffer[Scd2Emit]()
+    val source = MemoryStream[ChangelogEvent]
+    val q = StreamOps.streamScd2Audited(source.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Scd2Emit], _: Long) =>
+        b.collect().foreach { e =>
+          if (e.kind == "version") versions((e.user_id, e.version)) = e
+          else drops += e
+        }; ()
+      }.start()
+    try {
+      // batch 1: in-order history for user 1 — HWM ends at (300, 3)
+      source.addData(
+        ChangelogEvent(1L, 1L, 100L, "a", 0.0),
+        ChangelogEvent(1L, 3L, 300L, "b", 0.0))
+      q.processAllAvailable()
+      assert(drops.isEmpty, "in-order batch must drop nothing")
+      // batch 2: two LATE arrivals below the HWM + one on-time change;
+      // in-batch fold order is (50, 9) then (150, 7) then (900, 4)
+      source.addData(
+        ChangelogEvent(1L, 4L, 900L, "c", 0.0),
+        ChangelogEvent(1L, 7L, 150L, "z", 0.0),
+        ChangelogEvent(1L, 9L, 50L, null, 0.0))
+      q.processAllAvailable()
+      // exact accounting: both late rows audited, attributed to the
+      // (300, 3) HWM that rejected them (the on-time c@900 folds AFTER
+      // them in (ts, id) order, so it is not the rejector)
+      assert(drops.size == 2, s"expected 2 dead-letter rows, got ${drops.size}")
+      val d = drops.sortBy(_.ts_us)
+      assert(d(0).event_id == 9L && d(0).ts_us == 50L && d(0).state.isEmpty &&
+        d(0).hwm_ts_us == 300L && d(0).hwm_event_id == 3L)
+      assert(d(1).event_id == 7L && d(1).ts_us == 150L && d(1).state.contains("z") &&
+        d(1).hwm_ts_us == 300L && d(1).hwm_event_id == 3L)
+      // the history is exactly the on-time subset's: a, b, c
+      assert(versions((1L, 1L)).state.contains("a") && versions((1L, 2L)).state.contains("b"))
+      assert(versions((1L, 3L)).state.contains("c") && versions((1L, 3L)).is_current)
+      assert(!versions.keySet.exists(_._2 > 3L))
+    } finally q.stop()
+  }
+
+  test("s53 late audit: on a shuffled real-corpus feed, versions == batch q92 on the on-time subset and drops are the exact complement") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamOps.{ChangelogEvent, Scd2Emit}
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      .as[StreamOps.ChangelogEvent].collect()
+    // a deterministic shuffle guarantees genuinely late cross-batch
+    // arrivals (events of one key land in earlier AND later batches
+    // out of time order)
+    val shuffled = new scala.util.Random(13L).shuffle(ev.toSeq)
+    val versions = collection.mutable.Map[(Long, Long), (Option[String], Long, Option[Long], Boolean)]()
+    val dropped = collection.mutable.Set[Long]() // event_ids
+    val source = MemoryStream[ChangelogEvent]
+    val q = StreamOps.streamScd2Audited(source.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Scd2Emit], _: Long) =>
+        b.collect().foreach { e =>
+          if (e.kind == "version")
+            versions((e.user_id, e.version)) =
+              ((e.state, e.valid_from_us, e.valid_to_us, e.is_current))
+          else dropped += e.event_id
+        }; ()
+      }.start()
+    try {
+      val n = shuffled.length
+      Seq(shuffled.slice(0, n / 3), shuffled.slice(n / 3, 2 * n / 3), shuffled.slice(2 * n / 3, n))
+        .foreach { chunk => source.addData(chunk.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(dropped.nonEmpty, "the shuffled feed must actually produce late arrivals")
+    // batch q92 parity ON THE ON-TIME SUBSET: replay the batch operator
+    // over exactly the accepted events — the stream's history must match
+    val accepted = ev.filter(e => !dropped(e.event_id)).toSeq
+    val batch = graft.operators.Restore.scd2History(
+        accepted.map(e => (e.user_id, e.event_id, e.ts_us, e.event_type, e.value))
+          .toDF("user_id", "event_id", "ts_us", "event_type", "value")
+          .withColumn("ts", expr("timestamp_micros(ts_us)"))) // micros preserved
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2))).toMap
+    assert(versions.keySet == batch.keySet,
+      s"stream ${versions.size} version rows vs batch ${batch.size} on the on-time subset")
+    batch.foreach { case (k, st) =>
+      assert(versions(k)._1 == st, s"key $k state: stream ${versions(k)._1} vs batch $st")
+    }
+    // the audited twin must not drift from the unaudited s48: same feed,
+    // same batching → identical version table (shared-fold guarantee)
+    val plain = collection.mutable.Map[(Long, Long), (Option[String], Long, Option[Long], Boolean)]()
+    val src2 = MemoryStream[ChangelogEvent]
+    val q2 = StreamOps.streamScd2(src2.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.Scd2Row], _: Long) =>
+        b.collect().foreach(r => plain((r.user_id, r.version)) =
+          ((r.state, r.valid_from_us, r.valid_to_us, r.is_current))); ()
+      }.start()
+    try {
+      val n = shuffled.length
+      Seq(shuffled.slice(0, n / 3), shuffled.slice(n / 3, 2 * n / 3), shuffled.slice(2 * n / 3, n))
+        .foreach { chunk => src2.addData(chunk.toIndexedSeq: _*); q2.processAllAvailable() }
+    } finally q2.stop()
+    assert(plain.toMap == versions.toMap, "audited and unaudited twins must emit identical histories")
+  }
+
   // -- s49 streaming winnow / s50 streaming z-encode ---------------------
 
   test("s49 streaming winnow: the per-doc selection kernel unmodified on a stream, row-exact") {
