@@ -414,6 +414,20 @@ object SparkEntry {
         Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000),
         materializeStages = true)
     }),
+    // q53b: the chain with the SOURCE-QUOTA knob ON (r13 — q90's
+    // per-source release-recipe budgets replacing the per-language
+    // mixture as the final admission stage; same shared solveRates)
+    "q53b_curate_srcquota" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      graft.operators.Pipeline.curate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000),
+        materializeStages = true,
+        sourceQuotaMyriad =
+          Map("src0" -> 3000, "src1" -> 2500, "src2" -> 1500, "src3" -> 500))
+    }),
   )
 
   /** TERMINAL DECLARATION (r13): the FP-cosine ANN scale probes,
@@ -2553,7 +2567,23 @@ object SparkEntry {
     // block verbatim from its stage's oracle, so the compare pins the
     // stage ORDER as well as the semantics.
     "q53_curate" ->
-      s"""WITH RECURSIVE
+      q53OracleSql(q53LangMixSql),
+    // q53b: the chain with the SOURCE-QUOTA knob ON (r13) — same CTE
+    // pipeline, the per-language mixture block swapped for the q90
+    // source-keyed rate solve + index-236 admission; the compare pins
+    // the knob semantics inside the full stage order
+    "q53b_curate_srcquota" ->
+      q53OracleSql(q53SrcQuotaMixSql),
+  )
+
+  /** The q53 chain oracle with the final mixture stage as a parameter
+    * — ONE definition of stages 0..6b + tokenizer + packing shared by
+    * the language-mixture (q48b) and source-quota (q90) registered
+    * configs, so the two entries cannot drift anywhere except the
+    * mixture block they differ in.
+    */
+  private def q53OracleSql(mixBlock: String): String =
+    s"""WITH RECURSIVE
          corpus0 AS (SELECT doc_id, lang,
              regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
                '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),
@@ -2721,7 +2751,37 @@ object SparkEntry {
            WHERE COALESCE(m_dup.n_dup, 0) * 10000
                  <= 2000 * COALESCE(m_sz.n_shingles, 0)),
          ${tokenizerCtesOn("mem")},
-         tok_counts AS (
+         $mixBlock
+         p_base AS (
+           SELECT t.doc_id,
+             ((((CAST(1103515245 AS BIGINT)*425 + 12345) % 2147483648) *
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, length(k)+1),
+                    i -> CAST(unicode(substring(k, CAST(i AS INT), 1)) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 1000000007))
+               + ((CAST(1103515245 AS BIGINT)*426 + 12345) % 2147483648)) % 2147483647) AS h,
+             t.n_tok
+           FROM (SELECT doc_id, n_tok, concat('pack:', CAST(doc_id AS VARCHAR)) AS k
+                 FROM admitted) t),
+         p_offs AS (
+           SELECT h % 8 AS shard, doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+           FROM p_base WHERE n_tok > 0),
+         p_chunks AS (
+           SELECT shard, doc_id, n_tok, off,
+             unnest(generate_series(off // 512, (off + n_tok - 1) // 512)) AS chunk
+           FROM p_offs)
+         SELECT shard, chunk, doc_id,
+                GREATEST(CAST(0 AS BIGINT), chunk*512 - off) AS tok_start,
+                LEAST(n_tok, (chunk+1)*512 - off)
+                  - GREATEST(CAST(0 AS BIGINT), chunk*512 - off) AS n_toks
+         FROM p_chunks"""
+
+  /** stage 7 as registered in q53: per-LANGUAGE token rates (q48b). */
+  private val q53LangMixSql: String =
+    s"""tok_counts AS (
            SELECT t.lang, t.t_myriad, COALESCE(g.c, 0) AS c
            FROM (VALUES ('de', 2000), ('en', 2000), ('es', 2000),
                         ('fr', 2000), ('zh', 2000)) t(lang, t_myriad)
@@ -2748,33 +2808,47 @@ object SparkEntry {
              JOIN doc_counts dc ON dc.doc_id = t.doc_id) b
            JOIN tok_rates r USING (lang)
            WHERE b.bucket < r.rate_myriad),
-         p_base AS (
-           SELECT t.doc_id,
-             ((((CAST(1103515245 AS BIGINT)*425 + 12345) % 2147483648) *
-               (list_reduce(list_prepend(CAST(0 AS BIGINT),
-                  list_transform(range(1, length(k)+1),
-                    i -> CAST(unicode(substring(k, CAST(i AS INT), 1)) AS BIGINT))),
-                  (h, c) -> (h * 31 + c) % 1000000007))
-               + ((CAST(1103515245 AS BIGINT)*426 + 12345) % 2147483648)) % 2147483647) AS h,
-             t.n_tok
-           FROM (SELECT doc_id, n_tok, concat('pack:', CAST(doc_id AS VARCHAR)) AS k
-                 FROM admitted) t),
-         p_offs AS (
-           SELECT h % 8 AS shard, doc_id, n_tok,
-             CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS BIGINT) AS off
-           FROM p_base WHERE n_tok > 0),
-         p_chunks AS (
-           SELECT shard, doc_id, n_tok, off,
-             unnest(generate_series(off // 512, (off + n_tok - 1) // 512)) AS chunk
-           FROM p_offs)
-         SELECT shard, chunk, doc_id,
-                GREATEST(CAST(0 AS BIGINT), chunk*512 - off) AS tok_start,
-                LEAST(n_tok, (chunk+1)*512 - off)
-                  - GREATEST(CAST(0 AS BIGINT), chunk*512 - off) AS n_toks
-         FROM p_chunks""",
-  )
+    """
+
+  /** stage 7 with the sourceQuotaMyriad knob ON (q53b): q90's
+    * per-SOURCE rate solve + index-236 'srcq:' admission. `source` is
+    * immutable per doc_id, so the oracle re-attaches it from the raw
+    * table exactly as the Scala chain does (one key-only join).
+    */
+  private val q53SrcQuotaMixSql: String =
+    s"""src_of AS (SELECT doc_id, source FROM documents),
+         tok_counts AS (
+           SELECT t.source, t.t_myriad, COALESCE(g.c, 0) AS c
+           FROM (VALUES ('src0', 3000), ('src1', 2500),
+                        ('src2', 1500), ('src3', 500)) t(source, t_myriad)
+           LEFT JOIN (SELECT so.source, CAST(sum(dc.nt) AS BIGINT) AS c
+                      FROM mem d
+                      JOIN src_of so ON so.doc_id = d.doc_id
+                      JOIN doc_counts dc ON dc.doc_id = d.doc_id
+                      WHERE dc.nt > 0
+                      GROUP BY so.source) g USING (source)),
+         tok_feas AS (SELECT MIN(c * 10000 // t_myriad) AS t_total FROM tok_counts),
+         tok_rates AS (
+           SELECT source, CASE WHEN c = 0 THEN CAST(0 AS BIGINT)
+                        ELSE (t_total * t_myriad // 10000) * 10000 // c END AS rate_myriad
+           FROM tok_counts, tok_feas),
+         admitted AS (
+           SELECT b.doc_id, b.n_tok
+           FROM (
+             SELECT t.doc_id, t.source, dc.nt AS n_tok,
+               ((((CAST(1103515245 AS BIGINT)*473 + 12345) % 2147483648) *
+                 (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(k)+1),
+                      i -> CAST(unicode(substring(k, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007))
+                 + ((CAST(1103515245 AS BIGINT)*474 + 12345) % 2147483648)) % 2147483647) % 10000 AS bucket
+             FROM (SELECT d.doc_id, so.source, concat('srcq:', CAST(d.doc_id AS VARCHAR)) AS k
+                   FROM mem d JOIN src_of so ON so.doc_id = d.doc_id) t
+             JOIN doc_counts dc ON dc.doc_id = t.doc_id
+             WHERE dc.nt > 0) b
+           JOIN tok_rates r USING (source)
+           WHERE b.bucket < r.rate_myriad),
+    """
 
   /** The q51 oracle machinery, shared by q51/q47b/q48b: rebuild the
     * top-64 2..4-gram vocabulary relationally, compute each distinct

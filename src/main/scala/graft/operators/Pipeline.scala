@@ -102,7 +102,8 @@ object Pipeline {
              gatePct: Int = 5, subK: Int = 6,
              materializeStages: Boolean = false,
              ruleGate: Boolean = true,
-             memCutMyriad: Int = 2000): DataFrame = {
+             memCutMyriad: Int = 2000,
+             sourceQuotaMyriad: Map[String, Int] = Map.empty): DataFrame = {
     // 0. unicode canonicalization (q75, since late r11) — the
     // production opening move: NFC + control/zero-width strip +
     // whitespace collapse BEFORE any hashing, so encoding-variant
@@ -192,9 +193,28 @@ object Pipeline {
           lit(memCutMyriad.toLong) * col("n_shingles"))
         .select("doc_id")
         .join(red, "doc_id")
-    // 7. vocab trained on the curated corpus; token-budget admission
+    // 7. vocab trained on the curated corpus; token-budget admission —
+    // per-LANGUAGE (q48b, the default) or per-SOURCE (q90, the
+    // `sourceQuotaMyriad` knob, r13): release recipes increasingly
+    // specify budgets by SOURCE (DoReMi / Pile domain weights), so a
+    // non-empty source-quota map REPLACES the language mixture with
+    // q90's admission — same shared solveRates/admitAtRates machinery
+    // (index 236, 'srcq:'), so the two paths cannot drift in rate
+    // arithmetic. The chain dropped `source` at stage 0 (it is
+    // immutable per doc_id), so the quota stage re-attaches it with
+    // ONE key-only join against the raw table — keys and a short
+    // string in the exchange, never text (the q97 shape). UniMax
+    // (q96) composes: feed its allocations as shares
+    // (alloc·10⁴ div B) — PipelineSpec exercises exactly that.
     val vocab = TextOps.tokenizerVocabSeq(mem, vocabM, maxN)
-    val admitted = TextOps.mixtureSolveTokenized(mem, targetMyriad, vocab, maxN)
+    val admitted =
+      if (sourceQuotaMyriad.isEmpty)
+        TextOps.mixtureSolveTokenized(mem, targetMyriad, vocab, maxN)
+      else
+        TextOps.sourceQuota(
+          mem.select("doc_id", "text")
+            .join(documents.select("doc_id", "source"), "doc_id"),
+          sourceQuotaMyriad, vocab, maxN)
     // 8. pack the admitted docs on their tokenizer counts
     TextOps.packCore(
       admitted.select(col("doc_id"), col("n_tokens").as("n_tok")),

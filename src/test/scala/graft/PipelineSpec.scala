@@ -95,6 +95,85 @@ class PipelineSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("q53b sourceQuota knob: admission == q90 over the curated prefix; quota is the allowlist; q96 budgets compose") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val srcTargets = Map("src0" -> 3000, "src1" -> 2500, "src2" -> 1500, "src3" -> 500)
+    val out = Pipeline.curate(corpus, bench, target,
+      materializeStages = true, sourceQuotaMyriad = srcTargets)
+    out.persist()
+    try {
+      // recompute the chain's curated prefix (stages 0..6b, as in the
+      // q53 contract test) and run q90's admission over it directly —
+      // the knob must equal the composition EXACTLY
+      val ruled = graft.operators.QualityRules.gopherRules(corpus)
+        .filter(col("pass") === 1L).select("doc_id").join(corpus, "doc_id")
+      val canon = TextOps.dedupExact(ruled).select("doc_id").join(ruled, "doc_id")
+      val cleaned = TextOps.segmentDedup(canon)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(canon.select("doc_id", "lang"), "doc_id")
+      val subbed = cleaned.select(col("doc_id"), col("lang"), col("text").as("orig"))
+        .join(graft.operators.ExactSubstr.substringDedup(cleaned)
+          .select(col("doc_id"), col("clean_text")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(col("orig").isNull, lit(null).cast("string"))
+            .otherwise(col("clean_text")).as("text"))
+      val (lenCut, alphaCut) = Pipeline.qualityCutoffs(subbed)
+      val gated = Pipeline.qualityGate(subbed, lenCut, alphaCut)
+      val decon = TextOps.decontaminate(gated, bench)
+        .filter(col("contaminated") === 0).select("doc_id").join(gated, "doc_id")
+      val red = TextOps.piiRedact(decon)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(decon.select("doc_id", "lang"), "doc_id")
+      val mem = TextOps.memorizationRisk(red)
+        .filter(col("n_dup") * lit(10000L) <= lit(2000L) * col("n_shingles"))
+        .select("doc_id").join(red, "doc_id")
+      val vocab = TextOps.tokenizerVocabSeq(mem, m = 64, maxN = 4)
+      val admitted = TextOps.sourceQuota(
+        mem.select("doc_id", "text").join(corpus.select("doc_id", "source"), "doc_id"),
+        srcTargets, vocab).persist()
+      val packedIds = out.select("doc_id").distinct()
+      assert(packedIds.count() == admitted.count(),
+        s"${packedIds.count()} packed docs vs ${admitted.count()} q90-admitted")
+      assert(packedIds.join(admitted, "doc_id").count() == admitted.count())
+      // token conservation on the quota path too
+      val spanSum = out.groupBy("doc_id").agg(sum("n_toks").as("packed"))
+      assert(spanSum.join(admitted, "doc_id")
+        .filter(col("packed") =!= col("n_tokens")).count() == 0)
+      // the quota IS the allowlist: every packed doc's source is listed
+      // (and the corpus has 20 sources, so the knob genuinely bites)
+      val srcOf = corpus.select("doc_id", "source")
+      assert(packedIds.join(srcOf, "doc_id")
+        .filter(!col("source").isin(srcTargets.keys.toSeq: _*)).count() == 0)
+      assert(corpus.select("source").distinct().count() > srcTargets.size.toLong)
+      // non-vacuous: listed sources admit, and rates are non-uniform
+      // (distinct targets must produce distinct admitted masses)
+      val bySrc = packedIds.join(srcOf, "doc_id").groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bySrc.keySet.subsetOf(srcTargets.keySet) && bySrc.nonEmpty)
+      admitted.unpersist()
+
+      // q96 COMPOSES: UniMax-derived allocations feed the knob as
+      // shares (alloc·10⁴ div B) — the release recipe that derives its
+      // own budgets instead of hand-specifying them
+      val alloc = TextOps.unimaxAlloc(corpus)
+        .select(col("source"), col("alloc"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val b = alloc.map(_._2).sum
+      val uniShares = alloc
+        .map { case (s, a) => s -> ((a * 10000L) / b).toInt }
+        .filter(_._2 > 0).toMap
+      assert(uniShares.values.sum <= 10000)
+      val out2 = Pipeline.curate(corpus, bench, target,
+        sourceQuotaMyriad = uniShares)
+      val ids2 = out2.select("doc_id").distinct()
+      assert(ids2.count() > 0, "unimax-derived quota must admit documents")
+      assert(ids2.join(srcOf, "doc_id")
+        .filter(!col("source").isin(uniShares.keys.toSeq: _*)).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("q53 curate: planted duplicates and contamination drop; clean docs survive") {
     import spark.implicits._
     val uniq = (i: Int) => (0 until 24).map(j => s"w${i}_$j").mkString(" ")
