@@ -33,7 +33,38 @@ object Bench {
     s"heapMB=$usedMb gcTotalMs=$gcMs cachedRdds=$nRdd storMemMB=$memMb storDiskMB=$diskMb"
   }
 
+  /** Quiet-window retry (r13, the r12 verdict's bench-hygiene task):
+    * every r12 close-out window carried hypervisor steal and the
+    * committed BENCH_SELF had to ship flagged. With the steal detector
+    * making "quiet" CHECKABLE, the bench can now wait for one:
+    * SPARK_GRAFT_BENCH_RETRIES > 0 re-runs the whole measurement after
+    * a sleep whenever the run came out contended (steal > 1% or start
+    * load > 2), keeping the LAST (or first quiet) result. Default 0 —
+    * the driver's invocation stays a single pass; the committed
+    * cross-round BENCH_SELF is produced with retries enabled.
+    */
   def main(args: Array[String]): Unit = {
+    val retries = sys.env.get("SPARK_GRAFT_BENCH_RETRIES").map(_.toInt).getOrElse(0)
+    val sleepS = sys.env.get("SPARK_GRAFT_BENCH_RETRY_SLEEP").map(_.toInt).getOrElse(300)
+    var attempt = 0
+    var quiet = false
+    while (!quiet && attempt <= retries) {
+      if (attempt > 0) {
+        System.err.println(s"[bench] contended run discarded; sleeping ${sleepS}s " +
+          s"before retry $attempt/$retries")
+        Thread.sleep(sleepS * 1000L)
+      }
+      quiet = runOnce()
+      attempt += 1
+    }
+  }
+
+  /** One full measurement pass; returns true if the run was QUIET
+    * (no contended flag). Prints the JSON line and writes BENCH_SELF
+    * on every pass — a retried run overwrites, so the artifacts always
+    * hold the final attempt.
+    */
+  private def runOnce(): Boolean = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -248,5 +279,6 @@ object Bench {
       else f"""{"metric":"total","value":$total%.2f,"unit":"sec",$contended"order_seed":$seed,"queries":$cQs,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"sf":"$sfDir","full":"BENCH_SELF.json"}"""
     spark.stop() // before the final println: nothing may follow the JSON line
     println(emit)
+    contended.isEmpty
   }
 }

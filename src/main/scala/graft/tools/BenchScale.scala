@@ -100,7 +100,13 @@ object BenchScale {
     "q47b_pack_tokenized",
     "q48b_mixture_tokenized",
     "q52_segment_dedup",
-    "q53_curate",
+    "q53_curate",        // q53b (r13) deliberately NOT probed separately:
+                         // identical chain except the final rate key
+                         // (source vs lang — same solveRates machinery,
+                         // same q48b-class shape); doubling the most
+                         // expensive probe buys no new exponent
+    // likewise q29b/q90: q29b == q30b candidates (probed) + q63 ranking
+    // (probed at deploy sizing); q90 == q48b's exact shape re-keyed
     "q55_pagerank",     // fixed 8 iterations, each linear in |E|
     "q56_restore_state", // one hash aggregate over the changelog
     "q57_communities",  // fixed 5 LPA rounds, each linear in |E|
