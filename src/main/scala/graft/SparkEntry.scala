@@ -428,6 +428,11 @@ object SparkEntry {
         sourceQuotaMyriad =
           Map("src0" -> 3000, "src1" -> 2500, "src2" -> 1500, "src3" -> 500))
     }),
+    // q99: hybrid BM25+ANN retrieval fused by integer RRF — the
+    // two-leg search (lexical q62 kernel, semantic q63 kernel) ranked
+    // in pure int64 so the fusion hash-compares
+    "q99_hybrid_rrf" -> ((s, d) =>
+      graft.operators.Hybrid.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
   )
 
   /** TERMINAL DECLARATION (r13): the FP-cosine ANN scale probes,
@@ -2574,6 +2579,112 @@ object SparkEntry {
     // the knob semantics inside the full stage order
     "q53b_curate_srcquota" ->
       q53OracleSql(q53SrcQuotaMixSql),
+    // q99: the whole hybrid retrieval replayed — probe draw (poly
+    // hash at index 250, bottom-8), probe-term tf·idf selection with
+    // the recursive-CTE Q16 log2, multi-term BM25 candidate scoring,
+    // integer squared-L2 over the quantized vectors, and the scaled
+    // integer RRF fusion with (rrf DESC, doc_id ASC) top-10. Every
+    // div truncates on positive operands; ranks are the only values
+    // the two legs exchange.
+    "q99_hybrid_rrf" ->
+      s"""WITH RECURSIVE toks AS MATERIALIZED (
+           SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+'),
+                    t -> length(t) > 0) AS toks
+           FROM documents),
+         qv AS MATERIALIZED (
+           SELECT vec_id, list_transform(embedding,
+             v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS q
+           FROM embeddings),
+         probes AS MATERIALIZED (
+           SELECT qid, q FROM (
+             SELECT t.doc_id AS qid, e.q,
+                    ((${graft.functions.ReplayableHash.a(graft.operators.Hybrid.ProbeHashIdx)} *
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length('q99:' || CAST(t.doc_id AS VARCHAR)) + 1),
+                          i -> CAST(unicode(substring('q99:' || CAST(t.doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+                        (h, c) -> (h * 31 + c) % 1000000007)
+                      + ${graft.functions.ReplayableHash.b(graft.operators.Hybrid.ProbeHashIdx)}) % 2147483647) AS h
+             FROM toks t JOIN qv e ON e.vec_id = t.doc_id
+             WHERE len(t.toks) > 0
+             ORDER BY h, t.doc_id LIMIT 8)),
+         tok AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+         tf AS MATERIALIZED (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dl AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl
+                             FROM toks WHERE toks IS NOT NULL),
+         consts AS MATERIALIZED (
+           SELECT (SELECT count(*) FROM documents) AS n,
+                  greatest((SELECT count(*) FROM tok), 1) AS a),
+         dfv AS MATERIALIZED (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         ptf AS MATERIALIZED (
+           SELECT p.qid, tf.token, tf.tf, dfv.df
+           FROM tf JOIN probes p ON tf.doc_id = p.qid JOIN dfv USING (token)),
+         vals AS (
+           SELECT DISTINCT x FROM (
+             SELECT 2 * (SELECT n FROM consts) + 2 AS x
+             UNION SELECT 2 * df + 1 AS x FROM ptf) u),
+         s(x, z, r, i) AS (
+           SELECT x, (x * 65536) // (1::BIGINT << (length(bin(x)) - 1)),
+                  CAST(length(bin(x)) - 1 AS BIGINT) * 65536, 0
+           FROM vals
+           UNION ALL
+           SELECT x,
+                  CASE WHEN (z*z) // 65536 >= 131072
+                       THEN ((z*z) // 65536) // 2 ELSE (z*z) // 65536 END,
+                  CASE WHEN (z*z) // 65536 >= 131072
+                       THEN r + (1::BIGINT << (16 - (i + 1))) ELSE r END,
+                  i + 1
+           FROM s WHERE i < 16),
+         il AS MATERIALIZED (SELECT x, r FROM s WHERE i = 16),
+         qterms AS MATERIALIZED (
+           SELECT qid, token, idf_q16 FROM (
+             SELECT p.qid, p.token, iln.r - ild.r AS idf_q16,
+                    row_number() OVER (PARTITION BY p.qid
+                      ORDER BY p.tf * (iln.r - ild.r) DESC, p.token ASC) AS rn
+             FROM ptf p
+             JOIN il iln ON iln.x = 2 * (SELECT n FROM consts) + 2
+             JOIN il ild ON ild.x = 2 * p.df + 1) z WHERE rn <= 8),
+         lexsc AS MATERIALIZED (
+           SELECT q.qid, tf.doc_id,
+                  sum((q.idf_q16 * tf.tf * 22000) //
+                      (tf.tf * 10000 + 3000 +
+                       (dl.dl * 9000 * (SELECT n FROM consts)) // (SELECT a FROM consts))) AS score
+           FROM tf JOIN qterms q USING (token) JOIN dl USING (doc_id)
+           WHERE tf.doc_id <> q.qid
+           GROUP BY 1, 2),
+         lexrk AS MATERIALIZED (
+           SELECT qid, doc_id, CAST(lex_rank AS BIGINT) AS lex_rank FROM (
+             SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, doc_id ASC) AS lex_rank FROM lexsc) z
+           WHERE lex_rank <= 20),
+         semd AS MATERIALIZED (
+           SELECT p.qid, v.vec_id AS doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, len(v.q) + 1),
+                      i -> (v.q[CAST(i AS INT)] - p.q[CAST(i AS INT)])
+                         * (v.q[CAST(i AS INT)] - p.q[CAST(i AS INT)]))),
+                    (acc, x) -> acc + x) AS d2
+           FROM qv v CROSS JOIN probes p
+           WHERE v.vec_id <> p.qid),
+         semrk AS MATERIALIZED (
+           SELECT qid, doc_id, CAST(sem_rank AS BIGINT) AS sem_rank FROM (
+             SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+               ORDER BY d2 ASC, doc_id ASC) AS sem_rank FROM semd) z
+           WHERE sem_rank <= 20),
+         fused AS MATERIALIZED (
+           SELECT coalesce(l.qid, s2.qid) AS qid,
+                  coalesce(l.doc_id, s2.doc_id) AS doc_id,
+                  coalesce(1000000 // (60 + l.lex_rank), 0)
+                + coalesce(1000000 // (60 + s2.sem_rank), 0) AS rrf_e6,
+                  l.lex_rank, s2.sem_rank
+           FROM lexrk l
+           FULL OUTER JOIN semrk s2
+             ON l.qid = s2.qid AND l.doc_id = s2.doc_id)
+         SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+                CAST(rrf_e6 AS BIGINT) AS rrf_e6, lex_rank, sem_rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                 ORDER BY rrf_e6 DESC, doc_id ASC) AS rank FROM fused) f
+         WHERE rank <= 10""",
   )
 
   /** The q53 chain oracle with the final mixture stage as a parameter

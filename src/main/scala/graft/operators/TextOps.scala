@@ -1383,7 +1383,7 @@ object TextOps {
     * lowercased whitespace tokens, empties dropped (the q33 recipe as
     * an ARRAY per doc).
     */
-  private def tokArrays(documents: DataFrame): DataFrame =
+  private[operators] def tokArrays(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
       filter(split(lower(wsTrim(col("text"))), "\\s+"), t => length(t) > 0).as("toks"))
 

@@ -136,7 +136,9 @@ object BenchScale {
     "q95_pca_power",     // fixed iterations x two narrow aggs each
     "q96_unimax",        // one corpus agg; waterfill on the S-row frame
     "q97_kanon",         // one QI aggregate + key-only join back (r12 ADVICE gap)
-    "q98_dp_counts")     // one corpus agg + pure-map noise
+    "q98_dp_counts",     // one corpus agg + pure-map noise
+    "q99_hybrid_rrf")    // tf index agg + Q-bounded probe terms/vectors:
+                         // both legs linear in the corpus for fixed Q
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")
