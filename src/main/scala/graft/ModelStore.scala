@@ -278,4 +278,157 @@ object ModelStore {
 
   def loadDupTableDf(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "dup_windows")._2("dup_windows")
+
+  /** q62 BM25 query-term stats (s27 scorer): table `idf` =
+    * (token STRING, idf_q16 BIGINT); the two corpus scalars (N docs,
+    * A total tokens) ride in params — they are part of the model (the
+    * length normalization is meaningless without them).
+    */
+  def saveBm25(spark: SparkSession, dir: String,
+               index: graft.streaming.StreamOps.Bm25Index, version: Long,
+               params: Map[String, String] = Map.empty): Manifest = {
+    require(index.idfQ16.nonEmpty, "refusing to persist an empty BM25 term index")
+    import spark.implicits._
+    save(spark, dir, "bm25", version,
+      params + ("n_docs" -> index.nDocs.toString, "a_tok" -> index.aTok.toString),
+      Map("idf" -> index.idfQ16.toSeq.sortBy(_._1).toDF("token", "idf_q16")))
+  }
+
+  def loadBm25(spark: SparkSession, dir: String): graft.streaming.StreamOps.Bm25Index = {
+    val (m, t) = load(spark, dir, "bm25")
+    graft.streaming.StreamOps.Bm25Index(
+      t("idf").collect() // nQueryTerms rows — bounded
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      m.params("n_docs").toLong, m.params("a_tok").toLong)
+  }
+
+  /** q69 DSIR importance weights (s-family scorer): table `weights` =
+    * (bucket BIGINT, w BIGINT) — exactly B rows by construction.
+    */
+  def saveDsir(spark: SparkSession, dir: String,
+               index: graft.streaming.StreamOps.DsirIndex, version: Long,
+               params: Map[String, String] = Map.empty): Manifest = {
+    require(index.weights.nonEmpty, "refusing to persist an empty DSIR weight table")
+    import spark.implicits._
+    save(spark, dir, "dsir", version,
+      params + ("buckets" -> index.buckets.toString),
+      Map("weights" -> index.weights.toSeq.sortBy(_._1).toDF("bucket", "w")))
+  }
+
+  def loadDsir(spark: SparkSession, dir: String): graft.streaming.StreamOps.DsirIndex = {
+    val (m, t) = load(spark, dir, "dsir")
+    graft.streaming.StreamOps.DsirIndex(
+      t("weights").collect() // B rows — bounded
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      m.params("buckets").toInt)
+  }
+
+  /** q61 bigram LM (s25 scorer, s36's perplexity half): tables `nll`
+    * = (w1, w2, nll_q16) — the observed-bigram model, vocab²-bounded
+    * in principle, observed-bigram-sized in fact (the KenLM pruned-
+    * model deployment shape) — and `il_den` = (w1, il_den) for the
+    * unseen-continuation smoothing ladder; the OOV default rides in
+    * params.
+    */
+  def saveBigramLm(spark: SparkSession, dir: String,
+                   index: graft.streaming.StreamOps.BigramLmIndex, version: Long,
+                   params: Map[String, String] = Map.empty): Manifest = {
+    require(index.ilDen.nonEmpty, "refusing to persist an empty bigram LM")
+    import spark.implicits._
+    save(spark, dir, "bigram_lm", version,
+      params + ("oov_nll" -> index.oovNll.toString),
+      Map("nll" -> index.nll.toSeq.map { case ((w1, w2), v) => (w1, w2, v) }
+          .sortBy(x => (x._1, x._2)).toDF("w1", "w2", "nll_q16"),
+        "il_den" -> index.ilDen.toSeq.sortBy(_._1).toDF("w1", "il_den")))
+  }
+
+  def loadBigramLm(spark: SparkSession, dir: String)
+      : graft.streaming.StreamOps.BigramLmIndex = {
+    val (m, t) = load(spark, dir, "bigram_lm")
+    graft.streaming.StreamOps.BigramLmIndex(
+      t("nll").collect() // observed-bigram rows — model-sized
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      t("il_den").collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      m.params("oov_nll").toLong)
+  }
+
+  /** q72 Naive-Bayes classifier (s-family admission scorer): table
+    * `weights` = (bucket BIGINT, w BIGINT), exactly B rows (the
+    * streaming twin requires full bucket coverage); the class prior
+    * and bucket count ride in params.
+    */
+  def saveNbModel(spark: SparkSession, dir: String,
+                  model: graft.operators.Classifier.NbModel, version: Long,
+                  params: Map[String, String] = Map.empty): Manifest = {
+    require(model.weights.size == model.buckets,
+      s"NB model must cover all ${model.buckets} buckets, has ${model.weights.size}")
+    import spark.implicits._
+    save(spark, dir, "nb", version,
+      params + ("prior_q16" -> model.priorQ16.toString,
+        "buckets" -> model.buckets.toString),
+      Map("weights" -> model.weights.toSeq.sortBy(_._1).toDF("bucket", "w")))
+  }
+
+  def loadNbModel(spark: SparkSession, dir: String)
+      : graft.operators.Classifier.NbModel = {
+    val (m, t) = load(spark, dir, "nb")
+    graft.operators.Classifier.NbModel(
+      t("weights").collect() // B rows — bounded
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      m.params("prior_q16").toLong, m.params("buckets").toInt)
+  }
+
+  /** q74 CCNet per-language cutoffs (s36's routing half): table
+    * `cuts` = (lang STRING, c33 BIGINT, c67 BIGINT) — languages-count
+    * rows. Deployed TOGETHER with a [[saveBigramLm]] artifact (the
+    * two halves version independently: re-cutting quantiles on a new
+    * corpus mix does not retrain the LM).
+    */
+  def saveCcnetCuts(spark: SparkSession, dir: String,
+                    cuts: Map[String, (Long, Long)], version: Long,
+                    params: Map[String, String] = Map.empty): Manifest = {
+    require(cuts.nonEmpty, "refusing to persist an empty cutoff table")
+    import spark.implicits._
+    save(spark, dir, "ccnet_cuts", version, params,
+      Map("cuts" -> cuts.toSeq.map { case (l, (a, b)) => (l, a, b) }
+        .sortBy(_._1).toDF("lang", "c33", "c67")))
+  }
+
+  def loadCcnetCuts(spark: SparkSession, dir: String): Map[String, (Long, Long)] = {
+    val (_, t) = load(spark, dir, "ccnet_cuts")
+    t("cuts").collect() // languages-count rows — bounded
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  /** q99 hybrid retrieval model (s54 scorer): tables `qterms` =
+    * (qid, token, idf_q16) — nQueries·mTerms rows — and `probe_vecs`
+    * = (qid, vec ARRAY<BIGINT>) — nQueries rows; the BM25 corpus
+    * scalars ride in params.
+    */
+  def saveHybrid(spark: SparkSession, dir: String,
+                 model: graft.operators.Hybrid.HybridModel, version: Long,
+                 params: Map[String, String] = Map.empty): Manifest = {
+    require(model.qterms.nonEmpty && model.probeVecs.nonEmpty,
+      "refusing to persist an empty hybrid model")
+    import spark.implicits._
+    save(spark, dir, "hybrid", version,
+      params + ("n_docs" -> model.nDocs.toString, "a_tok" -> model.aTok.toString),
+      Map("qterms" -> model.qterms.toSeq
+          .flatMap { case (q, m) => m.toSeq.map { case (t, i) => (q, t, i) } }
+          .sortBy(x => (x._1, x._2)).toDF("qid", "token", "idf_q16"),
+        "probe_vecs" -> model.probeVecs.toSeq.sortBy(_._1)
+          .toDF("qid", "vec")))
+  }
+
+  def loadHybrid(spark: SparkSession, dir: String)
+      : graft.operators.Hybrid.HybridModel = {
+    val (m, t) = load(spark, dir, "hybrid")
+    graft.operators.Hybrid.HybridModel(
+      t("qterms").collect() // nQueries·mTerms rows — bounded
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(x => x._2 -> x._3).toMap },
+      t("probe_vecs").collect() // nQueries rows — bounded
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap,
+      m.params("n_docs").toLong, m.params("a_tok").toLong)
+  }
 }

@@ -2789,6 +2789,124 @@ object StreamOps {
       }
     }
   }
+
+  /** s54 scored-arrival intermediate: one probe's view of one doc —
+    * the lexical BM25 sum (None when the doc shares no probe term)
+    * and the integer d2 (None when the arrival carries no vector).
+    */
+  case class HybridScore(qid: Long, doc_id: Long,
+                         lex: Option[Long], d2: Option[Long])
+
+  /** s54 output: the q99 columns — a probe's CURRENT fused top-k,
+    * re-emitted in full whenever a batch touches the probe
+    * (generational Append, the s16/s27 contract).
+    */
+  case class HybridHit(query_id: Long, rank: Long, doc_id: Long,
+                       rrf_e6: Long, lex_rank: Option[Long], sem_rank: Option[Long])
+
+  /** s54: STREAMING HYBRID RETRIEVAL — q99 as a continuously-maintained
+    * search result over a multimodal arrival stream (doc_id, text,
+    * embedding): each arrival is scored against the FROZEN
+    * [[graft.operators.Hybrid.HybridModel]] (probe terms + idf, probe
+    * vectors, corpus scalars — live stats would re-rank history, the
+    * frozen-model family rule), both leg pools are MAINTAINED ACROSS
+    * BATCHES in per-probe state, and each touched probe re-emits its
+    * full fused generation. Convergence contract (spec-asserted):
+    * streaming the model's own training corpus — any batching, any
+    * order — converges each probe's final generation ROW-EXACT to
+    * batch q99, because per-doc scores are arrival-independent and
+    * bounded top-k folds are merge-invariant (the s27 argument, twice),
+    * while the RRF fusion is a pure function of the two final pools.
+    *
+    * Plan: one stateless map scores a doc entirely locally against all
+    * Q probes (no corpus join — the batch inverted index exists to
+    * avoid scanning N docs per term; a stream touches each doc exactly
+    * once so the local score IS the candidate generation), then ONE
+    * shuffle on qid into Q·2·poolR state. A row may carry text only
+    * (lexical candidate), a vector only (semantic candidate), or both.
+    */
+  def streamHybridRrf(docs: Dataset[(Long, String, Seq[Float])],
+                      model: graft.operators.Hybrid.HybridModel,
+                      poolR: Int = 20, topK: Int = 10,
+                      rrfK: Int = 60): Dataset[HybridHit] = {
+    import docs.sparkSession.implicits._
+    require(model.qterms.nonEmpty && model.probeVecs.nonEmpty,
+      "frozen hybrid model must carry probe terms and vectors")
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val scored = docs.flatMap { case (id, text, emb) =>
+      val m = bc.value
+      // lexical: tf over the union of probe terms, one pass
+      val ts = if (text == null) Array.empty[String] else normTokens(text)
+      val dl = ts.length.toLong
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      ts.foreach(t => counts.update(t, counts.getOrElse(t, 0L) + 1L))
+      val lenTerm = (dl * (9000L * m.nDocs)) / math.max(m.aTok, 1L)
+      // semantic: quantize once (the q63 grid, offset-free)
+      val q: Array[Long] =
+        if (emb == null || emb.isEmpty) null
+        else emb.iterator.map(v =>
+          math.floor(v.toDouble * 1048576.0 + 0.5).toLong).toArray
+      m.probeVecs.keysIterator.flatMap { qid =>
+        if (qid == id) Iterator.empty
+        else {
+          val lex: Option[Long] = if (ts.isEmpty) None else {
+            var s = 0L; var hit = false
+            m.qterms.getOrElse(qid, Map.empty).foreach { case (t, idf) =>
+              val tf = counts.getOrElse(t, 0L)
+              if (tf > 0L) {
+                hit = true
+                s += (idf * tf * 22000L) / (tf * 10000L + 3000L + lenTerm)
+              }
+            }
+            if (hit) Some(s) else None
+          }
+          val d2: Option[Long] = if (q == null) None else {
+            val pv = m.probeVecs(qid)
+            var s = 0L; var i = 0
+            val n = math.min(q.length, pv.length)
+            while (i < n) { val d = q(i) - pv(i); s += d * d; i += 1 }
+            Some(s)
+          }
+          if (lex.isEmpty && d2.isEmpty) Iterator.empty
+          else Iterator.single(HybridScore(qid, id, lex, d2))
+        }
+      }
+    }
+    // state per probe: the two bounded pools, each held best-first —
+    // (score DESC, doc ASC) lexical, (d2 ASC, doc ASC) semantic;
+    // eviction is safe because each doc is scored exactly once
+    scored.groupByKey(_.qid)
+      .flatMapGroupsWithState[(List[(Long, Long)], List[(Long, Long)]), HybridHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (qid: Long, rows: Iterator[HybridScore],
+         state: GroupState[(List[(Long, Long)], List[(Long, Long)])]) =>
+          var (lexTop, semTop) = state.getOption.getOrElse((Nil, Nil))
+          rows.foreach { r =>
+            r.lex.foreach { s =>
+              lexTop = ((-s, r.doc_id) :: lexTop.map { case (x, d) => (-x, d) })
+                .sorted.take(poolR).map { case (nx, d) => (-nx, d) }
+            }
+            r.d2.foreach { s =>
+              semTop = ((s, r.doc_id) :: semTop).sorted.take(poolR)
+            }
+          }
+          state.update((lexTop, semTop))
+          // fusion: a pure function of the two pools (the batch
+          // arithmetic verbatim — floor(1e6/(rrfK+rank)) per leg)
+          val lexRank = lexTop.zipWithIndex
+            .map { case ((_, d), i) => d -> (i + 1L) }.toMap
+          val semRank = semTop.zipWithIndex
+            .map { case ((_, d), i) => d -> (i + 1L) }.toMap
+          (lexRank.keySet ++ semRank.keySet).iterator.map { d =>
+            val rrf = lexRank.get(d).map(r => 1000000L / (rrfK + r)).getOrElse(0L) +
+              semRank.get(d).map(r => 1000000L / (rrfK + r)).getOrElse(0L)
+            (d, rrf)
+          }.toSeq.sortBy { case (d, rrf) => (-rrf, d) }.take(topK)
+            .iterator.zipWithIndex.map { case ((d, rrf), i) =>
+              HybridHit(qid, i + 1L, d, rrf, lexRank.get(d), semRank.get(d))
+            }
+      }
+  }
 }
 
 /** s04: the Kafka source/sink config surface (Streams.java:35-49 —

@@ -233,4 +233,196 @@ class ModelStoreSpec extends AnyFunSuite {
     // the scale path: the parquet frame itself, for stream-static joins
     assert(ModelStore.loadDupTableDf(spark, dir).count() == dup.size)
   }
+
+  test("bm25: stream from the LOADED term index is row-exact vs batch q62") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val batch = graft.operators.TextOps.bm25Search(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val index = StreamOps.bm25Index(docs)
+    val dir = tmp("bm25")
+    ModelStore.saveBm25(spark, dir, index, version = 2L)
+    val loaded = ModelStore.loadBm25(spark, dir)
+    assert(loaded == index, "term idf map + corpus scalars must round-trip exactly")
+
+    val source = MemoryStream[(Long, String)]
+    val got = collection.mutable.Map[(String, Long), (Long, Long)]()
+    val q = StreamOps.streamBm25(source.toDS(), loaded)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.Bm25Hit], _: Long) =>
+        val rows = b.collect()
+        rows.map(_.token).distinct.foreach(t =>
+          got.keys.filter(_._1 == t).toSeq.foreach(got.remove))
+        rows.foreach(r => got((r.token, r.rank)) = (r.doc_id, r.score_q16))
+        ()
+      }.start()
+    try {
+      source.addData(docs.collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toMap == batch, "loaded-artifact stream must equal batch q62")
+  }
+
+  test("dsir: stream from the LOADED weight table is row-exact vs batch q69's kept set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    val batchKeep = graft.operators.Dsir.dsirSelect(d)
+      .filter(col("keep") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy { case (id, imp) => (-imp, id) }
+      .zipWithIndex.map { case ((id, imp), i) => (i + 1L, id, imp) }.toSeq
+    val index = StreamOps.dsirIndex(d)
+    val dir = tmp("dsir")
+    ModelStore.saveDsir(spark, dir, index, version = 3L)
+    val loaded = ModelStore.loadDsir(spark, dir)
+    assert(loaded == index, "bucket weight table must round-trip exactly")
+
+    val source = MemoryStream[(Long, String)]
+    var gen = Seq.empty[(Long, Long, Long)]
+    val q = StreamOps.streamDsir(source.toDS(), loaded)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.DsirPick], _: Long) =>
+        val g = b.collect()
+        if (g.nonEmpty) gen = g.sortBy(_.rank).map(p => (p.rank, p.doc_id, p.imp_q16)).toSeq
+        ()
+      }.start()
+    try {
+      source.addData(d.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(gen == batchKeep, "loaded-artifact stream must equal batch q69's selection")
+  }
+
+  test("bigram_lm: stream perplexity from the LOADED model is row-exact vs batch q61") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    val batch = graft.operators.TextOps.perplexity(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    val index = StreamOps.bigramLmIndex(d)
+    val dir = tmp("bigramlm")
+    ModelStore.saveBigramLm(spark, dir, index, version = 5L)
+    val loaded = ModelStore.loadBigramLm(spark, dir)
+    assert(loaded == index, "bigram nll + smoothing tables must round-trip exactly")
+
+    val source = MemoryStream[(Long, String)]
+    val got = collection.mutable.Map[Long, (Long, Long, Option[Long])]()
+    val q = StreamOps.streamPerplexity(source.toDS(), loaded)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.PplReport], _: Long) =>
+        b.collect().foreach(r => got(r.doc_id) = (r.n_bigrams, r.nll_q16, r.ppl_q16)); ()
+      }.start()
+    try {
+      source.addData(d.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toMap == batch, "loaded-artifact stream must equal batch q61")
+  }
+
+  test("nb: stream classification from the LOADED model is row-exact vs batch q72") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    val batch = graft.operators.Classifier.nbClassify(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val model = graft.operators.Classifier.nbModel(d)
+    val dir = tmp("nb")
+    ModelStore.saveNbModel(spark, dir, model, version = 6L)
+    val loaded = ModelStore.loadNbModel(spark, dir)
+    assert(loaded == model, "bucket weights + prior must round-trip exactly")
+
+    val source = MemoryStream[(Long, String)]
+    val got = collection.mutable.Map[Long, (Long, Long, Long, Long)]()
+    val q = StreamOps.streamNbClassify(source.toDS(), loaded)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.NbScore], _: Long) =>
+        b.collect().foreach(r =>
+          got(r.doc_id) = (r.is_train, r.n_feats, r.score_q16, r.pred)); ()
+      }.start()
+    try {
+      source.addData(d.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toMap == batch, "loaded-artifact stream must equal batch q72")
+  }
+
+  test("ccnet_cuts + bigram_lm: the two-artifact s36 deployment is row-exact vs batch q74") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    val batch = graft.operators.TextOps.ccnetBuckets(d, k = 256).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.getString(3))))).toMap
+    val lmDir = tmp("ccnet_lm"); val cutDir = tmp("ccnet_cuts")
+    ModelStore.saveBigramLm(spark, lmDir, StreamOps.bigramLmIndex(d), version = 7L)
+    val cuts = graft.operators.TextOps.ccnetCutoffs(d, k = 256)
+    ModelStore.saveCcnetCuts(spark, cutDir, cuts, version = 7L)
+    val loadedLm = ModelStore.loadBigramLm(spark, lmDir)
+    val loadedCuts = ModelStore.loadCcnetCuts(spark, cutDir)
+    assert(loadedCuts == cuts, "per-language cutoffs must round-trip exactly")
+
+    val source = MemoryStream[(Long, String, String)]
+    val got = collection.mutable.Map[Long, (String, Option[Long], Option[String])]()
+    val q = StreamOps.streamCcnetBuckets(source.toDS(), loadedLm, loadedCuts)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.BucketReport], _: Long) =>
+        b.collect().foreach(r => got(r.doc_id) = (r.lang, r.ppl_q16, r.bucket)); ()
+      }.start()
+    try {
+      source.addData(d.select(col("doc_id"), col("lang"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toMap == batch, "two loaded artifacts must reproduce batch q74")
+  }
+
+  test("hybrid: stream from the LOADED model is row-exact vs batch q99") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Hybrid
+    val docs = Tables.documents(spark, sfDir)
+    val embs = Tables.embeddings(spark, sfDir)
+    val batch = Hybrid.hybridRrf(docs, embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    val model = Hybrid.hybridIndex(docs, embs)
+    val dir = tmp("hybrid")
+    ModelStore.saveHybrid(spark, dir, model, version = 8L)
+    val loaded = ModelStore.loadHybrid(spark, dir)
+    assert(loaded == model, "probe terms + vectors + scalars must round-trip exactly")
+
+    val feed = docs.select(col("doc_id"), col("text"))
+      .join(embs.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
+        col("text"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getSeq[Float](2)))
+    val source = MemoryStream[(Long, String, Seq[Float])]
+    val got = collection.mutable.Map[(Long, Long), (Long, Long, Option[Long], Option[Long])]()
+    val q = StreamOps.streamHybridRrf(source.toDS(), loaded)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.HybridHit], _: Long) =>
+        val rows = b.collect()
+        rows.map(_.query_id).distinct.foreach(qid =>
+          got.keys.filter(_._1 == qid).toSeq.foreach(got.remove))
+        rows.foreach(h =>
+          got((h.query_id, h.rank)) = (h.doc_id, h.rrf_e6, h.lex_rank, h.sem_rank))
+        ()
+      }.start()
+    try {
+      source.addData(feed.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toMap == batch, "loaded-artifact stream must equal batch q99")
+  }
 }

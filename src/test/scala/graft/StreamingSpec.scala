@@ -3095,4 +3095,63 @@ class StreamingSpec extends AnyFunSuite {
       assert(released == (n >= 5), s"group $k disposition wrong at n=$n")
     }
   }
+
+  test("s54 streaming hybrid retrieval converges to batch q99 under shuffled multi-batch arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    import graft.operators.Hybrid
+    val docs = Tables.documents(spark, sfDir)
+    val embs = Tables.embeddings(spark, sfDir)
+    val batch = Hybrid.hybridRrf(docs, embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    assert(batch.nonEmpty)
+    val model = Hybrid.hybridIndex(docs, embs)
+
+    // arrival stream: one row per id carrying whatever modalities
+    // exist (full outer join — text-only and vector-only rows are
+    // legitimate arrivals)
+    val feed: Array[(Long, String, Seq[Float])] = docs
+      .select(col("doc_id"), col("text"))
+      .join(embs.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
+        col("text"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getSeq[Float](2)))
+    // seeded shuffle: arrival order must not matter
+    val rng = new scala.util.Random(54L)
+    val shuffled = rng.shuffle(feed.toVector).toArray
+
+    val source = MemoryStream[(Long, String, Seq[Float])]
+    // latest generation per probe (the s16/s27 consumer contract)
+    val got = collection.mutable.Map[Long, Seq[(Long, Long, Long, Option[Long], Option[Long])]]()
+    val q = StreamOps.streamHybridRrf(source.toDS(), model)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.HybridHit], _: Long) =>
+        val rows = b.collect()
+        rows.map(_.query_id).distinct.foreach(got.remove)
+        rows.groupBy(_.query_id).foreach { case (qid, hs) =>
+          got(qid) = hs.sortBy(_.rank)
+            .map(h => (h.rank, h.doc_id, h.rrf_e6, h.lex_rank, h.sem_rank)).toSeq
+        }
+        ()
+      }.start()
+    try {
+      val third = shuffled.length / 3 + 1
+      shuffled.grouped(third).foreach { ch =>
+        source.addData(ch.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val gotFlat = got.toMap.flatMap { case (qid, hs) =>
+      hs.map(h => (qid, h._1) -> ((h._2, h._3, h._4, h._5)))
+    }
+    assert(gotFlat == batch,
+      s"stream generation diverges from batch q99: " +
+        s"${(gotFlat.toSet -- batch.toSet).take(3)} vs ${(batch.toSet -- gotFlat.toSet).take(3)}")
+  }
 }
