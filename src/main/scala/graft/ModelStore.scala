@@ -431,4 +431,50 @@ object ModelStore {
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap,
       m.params("n_docs").toLong, m.params("a_tok").toLong)
   }
+
+  /** The s21 WHOLE-CHAIN deployment bundle (family `curate_config`):
+    * every offline-solved value the continuous curation service
+    * consumes in ONE versioned artifact — tables `bench_shingles` /
+    * `dup_shingles` (h BIGINT; benchmark- and duplication-sized),
+    * `vocab` (idx, gram — ORDER IS THE MODEL, the greedy tokenizer
+    * walks it by index), `rates` (lang, rate); scalars and gate knobs
+    * in params (the optional Double cutoffs round-trip through
+    * Double.toString — exact by Java's shortest-repr contract).
+    */
+  def saveCurateConfig(spark: SparkSession, dir: String,
+                       cfg: graft.streaming.StreamOps.CurateConfig, version: Long,
+                       params: Map[String, String] = Map.empty): Manifest = {
+    require(cfg.vocab.nonEmpty && cfg.ratesMyriad.nonEmpty,
+      "refusing to persist a curate config with no vocab or rates")
+    import spark.implicits._
+    val p = params ++ Map(
+      "mem_cut_myriad" -> cfg.memCutMyriad.toString,
+      "rule_gate" -> cfg.ruleGate.toString,
+      "seg_words" -> cfg.segWords.toString, "shingle_n" -> cfg.shingleN.toString,
+      "max_n" -> cfg.maxN.toString, "capacity" -> cfg.capacity.toString,
+      "shards" -> cfg.shards.toString, "sub_k" -> cfg.subK.toString) ++
+      cfg.lenCut.map(v => "len_cut" -> v.toString) ++
+      cfg.alphaCut.map(v => "alpha_cut" -> v.toString)
+    save(spark, dir, "curate_config", version, p, Map(
+      "bench_shingles" -> cfg.benchShingles.toSeq.sorted.toDF("h"),
+      "dup_shingles" -> cfg.dupShingles.toSeq.sorted.toDF("h"),
+      "vocab" -> cfg.vocab.zipWithIndex.map(_.swap).toDF("idx", "gram"),
+      "rates" -> cfg.ratesMyriad.toSeq.sortBy(_._1).toDF("lang", "rate")))
+  }
+
+  def loadCurateConfig(spark: SparkSession, dir: String)
+      : graft.streaming.StreamOps.CurateConfig = {
+    val (m, t) = load(spark, dir, "curate_config")
+    graft.streaming.StreamOps.CurateConfig(
+      t("bench_shingles").collect().map(_.getLong(0)).toSet,
+      t("vocab").collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq,
+      t("rates").collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      t("dup_shingles").collect().map(_.getLong(0)).toSet,
+      m.params.get("len_cut").map(java.lang.Double.parseDouble),
+      m.params.get("alpha_cut").map(java.lang.Double.parseDouble),
+      m.params("mem_cut_myriad").toInt, m.params("rule_gate").toBoolean,
+      m.params("seg_words").toInt, m.params("shingle_n").toInt,
+      m.params("max_n").toInt, m.params("capacity").toInt,
+      m.params("shards").toInt, m.params("sub_k").toInt)
+  }
 }

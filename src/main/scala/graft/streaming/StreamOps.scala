@@ -1865,6 +1865,30 @@ object StreamOps {
     * decontaminate/tokenize/admit mapper; null/blank docs drop at the
     * door (they can never pack — batch q53 likewise never packs them).
     */
+  /** The COMPLETE frozen deployment bundle for [[streamCurate]] — every
+    * offline-solved value the continuous curation service consumes
+    * (benchmark shingles, tokenizer vocab, admission rates, dup-shingle
+    * table, quality cutoffs, the gate knobs), so the whole chain
+    * deploys from ONE [[graft.ModelStore]] artifact (family
+    * `curate_config`) instead of five ad-hoc side channels.
+    */
+  case class CurateConfig(benchShingles: Set[Long], vocab: Seq[String],
+                          ratesMyriad: Map[String, Long],
+                          dupShingles: Set[Long],
+                          lenCut: Option[Double], alphaCut: Option[Double],
+                          memCutMyriad: Int, ruleGate: Boolean,
+                          segWords: Int, shingleN: Int, maxN: Int,
+                          capacity: Int, shards: Int, subK: Int)
+
+  /** s21 from a frozen bundle: the deploy path is
+    * `streamCurate(docs, ModelStore.loadCurateConfig(...))`.
+    */
+  def streamCurate(docs: Dataset[CurDoc], cfg: CurateConfig): Dataset[PackedSpan] =
+    streamCurate(docs, cfg.benchShingles, cfg.vocab, cfg.ratesMyriad,
+      cfg.segWords, cfg.shingleN, cfg.maxN, cfg.capacity, cfg.shards,
+      cfg.lenCut, cfg.alphaCut, cfg.subK, cfg.ruleGate,
+      cfg.dupShingles, cfg.memCutMyriad)
+
   def streamCurate(docs: Dataset[CurDoc], benchShingles: Set[Long],
                    vocab: Seq[String], ratesMyriad: Map[String, Long],
                    segWords: Int = 8, shingleN: Int = 4, maxN: Int = 4,

@@ -425,4 +425,66 @@ class ModelStoreSpec extends AnyFunSuite {
     } finally q.stop()
     assert(got.toMap == batch, "loaded-artifact stream must equal batch q99")
   }
+
+  test("curate_config: the WHOLE s21 chain deploys from one LOADED bundle, row-exact vs batch q53") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Pipeline, TextOps}
+    val target = Map("en" -> 2000, "es" -> 2000, "de" -> 2000,
+      "fr" -> 2000, "zh" -> 2000)
+    // the s21 spec's planted corpus shape: lowercase single-spaced
+    // texts so the chain's normalize/segment stages are identities
+    val uniq = (i: Int) => (0 until 24).map(j => s"w${i}_$j").mkString(" ")
+    val corpusRows = Seq(
+      StreamOps.CurDoc(1L, "en", uniq(1)),
+      StreamOps.CurDoc(2L, "en", uniq(1)),   // exact dup: drops
+      StreamOps.CurDoc(3L, "en", uniq(900)), // benchmark copy: drops
+      StreamOps.CurDoc(4L, "en", uniq(4)),
+      StreamOps.CurDoc(5L, "es", uniq(5)),
+      StreamOps.CurDoc(6L, "de", uniq(6)),
+      StreamOps.CurDoc(7L, "fr", uniq(7)),
+      StreamOps.CurDoc(8L, "zh", uniq(8)))
+    val corpusDF = corpusRows.map(d => (d.doc_id, d.lang, d.text))
+      .toDF("doc_id", "lang", "text")
+    val benchDF = Seq((9001L, uniq(900)), (9002L, uniq(901))).toDF("doc_id", "text")
+    type Span = (Long, Long, Long, Long, Long)
+    val batchSpans: Set[Span] = Pipeline.curate(corpusDF, benchDF, target,
+      capacity = 64, ruleGate = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(batchSpans.nonEmpty)
+
+    // solve the config offline exactly as the batch chain derives it
+    val cleanedDF = corpusDF.filter(col("doc_id") =!= 2L)
+    val (lenCut, alphaCut) = Pipeline.qualityCutoffs(cleanedDF, pct = 5)
+    val deconDF = corpusDF.filter(col("doc_id").isin(1L, 4L, 5L, 6L, 7L, 8L))
+    val cfg = StreamOps.CurateConfig(
+      benchShingles = StreamOps.curateBenchShingles(benchDF, shingleN = 4),
+      vocab = TextOps.tokenizerVocabSeq(deconDF, m = 64, maxN = 4),
+      ratesMyriad = TextOps.tokenMixtureRates(deconDF, target,
+        TextOps.tokenizerVocabSeq(deconDF, m = 64, maxN = 4)),
+      dupShingles = Set.empty, lenCut = lenCut, alphaCut = alphaCut,
+      memCutMyriad = -1, ruleGate = false,
+      segWords = 8, shingleN = 4, maxN = 4, capacity = 64, shards = 8,
+      subK = 6)
+
+    val dir = tmp("curate_config")
+    ModelStore.saveCurateConfig(spark, dir, cfg, version = 11L)
+    val loaded = ModelStore.loadCurateConfig(spark, dir)
+    assert(loaded == cfg,
+      "the whole bundle — shingle sets, ORDERED vocab, rates, Double cutoffs, knobs — must round-trip exactly")
+
+    val source = MemoryStream[StreamOps.CurDoc]
+    val acc = collection.mutable.Set.empty[Span]
+    val q = StreamOps.streamCurate(source.toDS(), loaded)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.PackedSpan], _: Long) =>
+        b.collect().foreach(s => acc.synchronized {
+          acc += ((s.shard, s.chunk, s.doc_id, s.tok_start, s.n_toks)) }); ()
+      }.start()
+    try { source.addData(corpusRows: _*); q.processAllAvailable() }
+    finally q.stop()
+    assert(acc.toSet == batchSpans,
+      "the chain fed from ONE loaded artifact must reproduce batch q53")
+  }
 }
