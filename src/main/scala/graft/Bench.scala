@@ -237,12 +237,19 @@ object Bench {
     // family at 4x its pins under load_avg 1.4 with vmstat's st
     // column live at 2%. Steal > 1% of one core's jiffies across the
     // run marks the artifact exactly like high load does.
+    // steal_pct normalizes against ONE core's jiffies (total·100/s),
+    // so on a 32-vCPU guest it can exceed 100 (the r13 window read
+    // 112.39 = ~1.1 cores stolen on average); steal_cpus states the
+    // same quantity in core units so artifact readers don't have to
+    // know the convention. steal_pct keeps its r12 semantics for
+    // cross-round comparability.
     val stealPct =
       if (stealStart < 0 || stealEnd < 0 || total <= 0) -1.0
       else (stealEnd - stealStart) * 100.0 / (total * 100.0) // jiffies=10ms
+    val stealCpus = if (stealPct < 0) -1.0 else stealPct / 100.0
     val contended =
       if (loadStart > 2.0 || stealPct > 1.0) "\"contended\":true," else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$contended"order_seed":$seed,"queries":$qs,"queries_median":$qsMed,"queries_cpu":$qsCpu,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"steal_pct":${f"$stealPct%.2f"},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$contended"order_seed":$seed,"queries":$qs,"queries_median":$qsMed,"queries_cpu":$qsCpu,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"steal_pct":${f"$stealPct%.2f"},"steal_cpus":${f"$stealCpus%.3f"},"sf":"$sfDir"}"""
     // The FULL-precision, full-name record lands in a FILE (committed
     // each round): the driver's stdout capture keeps only the last
     // 2,000 characters, and r8/r9 proved a ~6 KB line gets truncated

@@ -212,8 +212,12 @@ object BenchScale {
     val evs = graft.sources.Tables.events(spark, sfDir)
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val part = spark.read.parquet(s"$sfDir/part.parquet")
+    // q97's fact side (the QI aggregate scans customer; its Linear
+    // classification was the r12 ADVICE gap, and the regen needs the
+    // table in every scale dir)
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
     val nd = docs.count(); val ne = embs.count(); val nv = evs.count()
-    val nl = li.count()
+    val nl = li.count(); val nc = cust.count()
     val divs = Seq(4, 2, 1)
     val dirs = divs.map { div =>
       val dir = s"$work/div$div"
@@ -229,6 +233,8 @@ object BenchScale {
       li.limit((nl / div).toInt).repartition(cpus.toInt)
         .write.parquet(s"$dir/lineitem.parquet")
       part.write.parquet(s"$dir/part.parquet")
+      cust.limit((nc / div).toInt).repartition(cpus.toInt)
+        .write.parquet(s"$dir/customer.parquet")
       dir
     }
     // adversarial q54 shape: a STAR — every synthetic order pairs the
