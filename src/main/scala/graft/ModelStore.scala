@@ -477,4 +477,29 @@ object ModelStore {
       m.params("max_n").toInt, m.params("capacity").toInt,
       m.params("shards").toInt, m.params("sub_k").toInt)
   }
+
+  /** q100's frozen baseline (s55 drift monitor): table `expected` =
+    * (feature, bucket, n1) — bucket-cardinality rows; the length grid
+    * (lenDiv, lenCap) rides in params because arrivals must bucket on
+    * the same grid the baseline counted on.
+    */
+  def saveDriftExpected(spark: SparkSession, dir: String,
+                        expected: Map[(String, String), Long],
+                        lenDiv: Long, lenCap: Long, version: Long,
+                        params: Map[String, String] = Map.empty): Manifest = {
+    require(expected.nonEmpty, "refusing to persist an empty drift baseline")
+    import spark.implicits._
+    save(spark, dir, "drift_expected", version,
+      params + ("len_div" -> lenDiv.toString, "len_cap" -> lenCap.toString),
+      Map("expected" -> expected.toSeq.map { case ((f, b), n) => (f, b, n) }
+        .sortBy(x => (x._1, x._2)).toDF("feature", "bucket", "n1")))
+  }
+
+  def loadDriftExpected(spark: SparkSession, dir: String)
+      : (Map[(String, String), Long], Long, Long) = {
+    val (m, t) = load(spark, dir, "drift_expected")
+    (t("expected").collect() // bucket-cardinality rows — bounded
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      m.params("len_div").toLong, m.params("len_cap").toLong)
+  }
 }

@@ -433,6 +433,16 @@ object SparkEntry {
     // in pure int64 so the fusion hash-compares
     "q99_hybrid_rrf" -> ((s, d) =>
       graft.operators.Hybrid.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // q100: PSI corpus-drift report between a baseline release and a
+    // candidate (overlapping doc_id splits — the q83 snapshot idiom),
+    // integer e8 shares + Q16 log2 so the score hash-compares
+    "q100_drift_psi" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      graft.operators.Drift.driftPsi(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+    }),
   )
 
   /** TERMINAL DECLARATION (r13): the FP-cosine ANN scale probes,
@@ -2685,6 +2695,68 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY qid
                  ORDER BY rrf_e6 DESC, doc_id ASC) AS rank FROM fused) f
          WHERE rank <= 10""",
+    // q100: the PSI drift report replayed — feature synthesis, union
+    // bucket grid, add-one e8 shares with the greatest-clamp, the
+    // recursive-CTE Q16 log2 over the bucket-sized share set, and the
+    // (p−q)·ΔL contribution. All divs truncate on positive operands.
+    "q100_drift_psi" ->
+      """WITH RECURSIVE oldsnap AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+         newsnap AS (SELECT * FROM documents WHERE doc_id % 2 <> 0),
+         f1 AS (
+           SELECT 'lang' AS feature, coalesce(lang, '<null>') AS bucket FROM oldsnap
+           UNION ALL
+           SELECT 'source', coalesce(source, '<null>') FROM oldsnap
+           UNION ALL
+           SELECT 'len', CASE WHEN n_chars IS NULL THEN '<null>'
+                              ELSE CAST(least(n_chars // 256, 15) AS VARCHAR) END
+           FROM oldsnap),
+         f2 AS (
+           SELECT 'lang' AS feature, coalesce(lang, '<null>') AS bucket FROM newsnap
+           UNION ALL
+           SELECT 'source', coalesce(source, '<null>') FROM newsnap
+           UNION ALL
+           SELECT 'len', CASE WHEN n_chars IS NULL THEN '<null>'
+                              ELSE CAST(least(n_chars // 256, 15) AS VARCHAR) END
+           FROM newsnap),
+         c1 AS (SELECT feature, bucket, count(*) AS n1 FROM f1 GROUP BY 1, 2),
+         c2 AS (SELECT feature, bucket, count(*) AS n2 FROM f2 GROUP BY 1, 2),
+         grid AS MATERIALIZED (
+           SELECT coalesce(c1.feature, c2.feature) AS feature,
+                  coalesce(c1.bucket, c2.bucket) AS bucket,
+                  coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+           FROM c1 FULL OUTER JOIN c2
+             ON c1.feature = c2.feature AND c1.bucket = c2.bucket),
+         tot AS (SELECT feature, sum(n1) AS t1, sum(n2) AS t2,
+                        count(*) AS nb
+                 FROM grid GROUP BY 1),
+         sh AS MATERIALIZED (
+           SELECT g.feature, g.bucket, g.n1, g.n2,
+                  greatest(((g.n1 + 1) * 100000000) // (t.t1 + t.nb), 1) AS p_e8,
+                  greatest(((g.n2 + 1) * 100000000) // (t.t2 + t.nb), 1) AS q_e8
+           FROM grid g JOIN tot t USING (feature)),
+         vals AS (
+           SELECT DISTINCT x FROM (
+             SELECT p_e8 AS x FROM sh UNION SELECT q_e8 AS x FROM sh) u),
+         s(x, z, r, i) AS (
+           SELECT x, (x * 65536) // (1::BIGINT << (length(bin(x)) - 1)),
+                  CAST(length(bin(x)) - 1 AS BIGINT) * 65536, 0
+           FROM vals
+           UNION ALL
+           SELECT x,
+                  CASE WHEN (z*z) // 65536 >= 131072
+                       THEN ((z*z) // 65536) // 2 ELSE (z*z) // 65536 END,
+                  CASE WHEN (z*z) // 65536 >= 131072
+                       THEN r + (1::BIGINT << (16 - (i + 1))) ELSE r END,
+                  i + 1
+           FROM s WHERE i < 16),
+         il AS MATERIALIZED (SELECT x, r FROM s WHERE i = 16)
+         SELECT sh.feature, sh.bucket,
+                CAST(sh.n1 AS BIGINT) AS n1, CAST(sh.n2 AS BIGINT) AS n2,
+                CAST(sh.p_e8 AS BIGINT) AS p_e8, CAST(sh.q_e8 AS BIGINT) AS q_e8,
+                CAST((sh.p_e8 - sh.q_e8) * (ilp.r - ilq.r) AS BIGINT) AS psi_contrib
+         FROM sh
+         JOIN il ilp ON ilp.x = sh.p_e8
+         JOIN il ilq ON ilq.x = sh.q_e8""",
   )
 
   /** The q53 chain oracle with the final mixture stage as a parameter

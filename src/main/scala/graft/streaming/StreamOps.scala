@@ -2814,6 +2814,69 @@ object StreamOps {
     }
   }
 
+  /** s55 arrival: the drift-relevant document metadata (text itself is
+    * not consumed — composition drift is a metadata property).
+    */
+  case class DriftDoc(doc_id: Long, lang: String, source: String,
+                      n_chars: Option[Long])
+
+  /** s55 output: the q100 columns — one row per union-grid bucket of
+    * a touched feature; each batch re-emits every touched feature's
+    * FULL report (generational Append, the s16/s27 contract).
+    */
+  case class DriftRow(feature: String, bucket: String, n1: Long, n2: Long,
+                      p_e8: Long, q_e8: Long, psi_contrib: Long)
+
+  /** s55: LIVE CORPUS-DRIFT MONITOR — q100 as a continuously-updated
+    * PSI report: the baseline side is FROZEN (expected (feature,
+    * bucket) counts + the length grid, [[graft.operators.Drift
+    * .expectedCounts]] — the s21 frozen-config discipline: a drifting
+    * baseline would re-score history), the candidate side is the live
+    * arrival stream. State per feature = its live bucket counters
+    * (bucket-cardinality Longs, catalog-bounded); every batch
+    * re-derives the touched features' full PSI report from (frozen
+    * baseline ∪ live counters) — the q100 arithmetic verbatim
+    * (add-one e8 shares, greatest-clamp, Log2Q16Expr.compute), so
+    * end-of-stream generations are ROW-EXACT vs batch q100 run on
+    * (baseline, streamed corpus) under ANY batching/ordering
+    * (commutative integer counters; spec-asserted with a seeded
+    * shuffle). Buckets only the BASELINE saw still emit (n2 = 0 —
+    * the "source stopped delivering" alarm a live-only grid would
+    * silently drop).
+    */
+  def streamDriftPsi(docs: Dataset[DriftDoc],
+                     expected: Map[(String, String), Long],
+                     lenDiv: Long = 256L, lenCap: Long = 15L): Dataset[DriftRow] = {
+    import docs.sparkSession.implicits._
+    require(lenDiv > 0 && lenCap >= 0, "positive length grid required")
+    val bc = docs.sparkSession.sparkContext.broadcast(expected)
+    val hits = docs.flatMap { d =>
+      Iterator(("lang", Option(d.lang).getOrElse("<null>")),
+        ("source", Option(d.source).getOrElse("<null>")),
+        ("len", graft.operators.Drift.lenBucket(d.n_chars, lenDiv, lenCap)))
+    }
+    hits.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], DriftRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (feature: String, rows: Iterator[(String, String)],
+         state: GroupState[Map[String, Long]]) =>
+          var live = state.getOption.getOrElse(Map.empty)
+          rows.foreach { case (_, b) => live = live.updated(b, live.getOrElse(b, 0L) + 1L) }
+          state.update(live)
+          val exp = bc.value.collect { case ((f, b), n) if f == feature => b -> n }
+          val buckets = (exp.keySet ++ live.keySet).toSeq.sorted
+          val t1 = exp.values.sum; val t2 = live.values.sum
+          val nb = buckets.size.toLong
+          val L = graft.functions.Log2Q16Expr.compute _
+          buckets.iterator.map { b =>
+            val n1 = exp.getOrElse(b, 0L); val n2 = live.getOrElse(b, 0L)
+            val p = math.max(((n1 + 1L) * 100000000L) / (t1 + nb), 1L)
+            val q = math.max(((n2 + 1L) * 100000000L) / (t2 + nb), 1L)
+            DriftRow(feature, b, n1, n2, p, q, (p - q) * (L(p) - L(q)))
+          }
+      }
+  }
+
   /** s54 scored-arrival intermediate: one probe's view of one doc —
     * the lexical BM25 sum (None when the doc shares no probe term)
     * and the integer d2 (None when the arrival carries no vector).

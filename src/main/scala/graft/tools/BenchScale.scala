@@ -137,8 +137,9 @@ object BenchScale {
     "q96_unimax",        // one corpus agg; waterfill on the S-row frame
     "q97_kanon",         // one QI aggregate + key-only join back (r12 ADVICE gap)
     "q98_dp_counts",     // one corpus agg + pure-map noise
-    "q99_hybrid_rrf")    // tf index agg + Q-bounded probe terms/vectors:
+    "q99_hybrid_rrf",    // tf index agg + Q-bounded probe terms/vectors:
                          // both legs linear in the corpus for fixed Q
+    "q100_drift_psi")    // two feature-count aggs + bucket-sized arithmetic
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")

@@ -487,4 +487,42 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(acc.toSet == batchSpans,
       "the chain fed from ONE loaded artifact must reproduce batch q53")
   }
+
+  test("drift_expected: the s55 monitor from the LOADED baseline is row-exact vs batch q100") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Drift
+    val docs = Tables.documents(spark, sfDir)
+    val v1 = docs.filter(col("doc_id") % 3 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val batch = Drift.driftPsi(v1, v2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val expected = Drift.expectedCounts(v1)
+    val dir = tmp("drift")
+    ModelStore.saveDriftExpected(spark, dir, expected, lenDiv = 256L,
+      lenCap = 15L, version = 12L)
+    val (loaded, lenDiv, lenCap) = ModelStore.loadDriftExpected(spark, dir)
+    assert(loaded == expected && lenDiv == 256L && lenCap == 15L,
+      "baseline counts + length grid must round-trip exactly")
+
+    val feed = v2.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .collect().map(r => StreamOps.DriftDoc(r.getLong(0), r.getString(1),
+        r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val source = MemoryStream[StreamOps.DriftDoc]
+    val got = collection.mutable.Map[String, Map[(String, String), (Long, Long, Long, Long, Long)]]()
+    val q = StreamOps.streamDriftPsi(source.toDS(), loaded, lenDiv, lenCap)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.DriftRow], _: Long) =>
+        b.collect().groupBy(_.feature).foreach { case (f, rs) =>
+          got(f) = rs.map(r => (r.feature, r.bucket) ->
+            ((r.n1, r.n2, r.p_e8, r.q_e8, r.psi_contrib))).toMap
+        }
+        ()
+      }.start()
+    try { source.addData(feed.toIndexedSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    assert(got.values.flatten.toMap == batch,
+      "loaded-baseline monitor must equal batch q100")
+  }
 }

@@ -3154,4 +3154,47 @@ class StreamingSpec extends AnyFunSuite {
       s"stream generation diverges from batch q99: " +
         s"${(gotFlat.toSet -- batch.toSet).take(3)} vs ${(batch.toSet -- gotFlat.toSet).take(3)}")
   }
+
+  test("s55 live drift monitor converges to batch q100 under shuffled multi-batch arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    import graft.operators.Drift
+    val docs = Tables.documents(spark, sfDir)
+    val v1 = docs.filter(col("doc_id") % 3 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val batch = Drift.driftPsi(v1, v2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(batch.nonEmpty)
+    val expected = Drift.expectedCounts(v1)
+
+    val feed = v2.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .collect().map(r => StreamOps.DriftDoc(r.getLong(0), r.getString(1),
+        r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val rng = new scala.util.Random(55L)
+    val shuffled = rng.shuffle(feed.toVector).toArray
+
+    val source = MemoryStream[StreamOps.DriftDoc]
+    // latest generation per feature (the s16 consumer contract)
+    val got = collection.mutable.Map[String, Map[(String, String), (Long, Long, Long, Long, Long)]]()
+    val q = StreamOps.streamDriftPsi(source.toDS(), expected)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.DriftRow], _: Long) =>
+        b.collect().groupBy(_.feature).foreach { case (f, rs) =>
+          got(f) = rs.map(r => (r.feature, r.bucket) ->
+            ((r.n1, r.n2, r.p_e8, r.q_e8, r.psi_contrib))).toMap
+        }
+        ()
+      }.start()
+    try {
+      val third = shuffled.length / 3 + 1
+      shuffled.grouped(third).foreach { ch =>
+        source.addData(ch.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    assert(got.values.flatten.toMap == batch,
+      "end-of-stream PSI generations must equal batch q100")
+  }
 }
