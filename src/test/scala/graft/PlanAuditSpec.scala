@@ -621,4 +621,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("Scan ExistingRDD") || s.contains("LocalTableScan"), s)
     assert(!s.contains("lineitem"), "final frame must not re-derive edges: " + s)
   }
+
+  test("q99 hybrid: query terms broadcast against the inverted index; no cartesian, no BNLJ") {
+    val df = graft.operators.Hybrid.hybridRrf(
+      Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
+    val s = finalPlanStr(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // the candidate join is driven by the nQueries·mTerms broadcast —
+    // the corpus-side tf index must never shuffle FOR the join
+    assert(s.contains("BroadcastHashJoin"), s)
+    // the semantic leg is a pure map (probe vectors as literals): no
+    // join should reference the embeddings scan twice
+    val embScans = "embeddings.parquet".r.findAllIn(s).length
+    assert(embScans <= 2, s"semantic leg should scan embeddings, not self-join it: $embScans scans\n$s")
+  }
+
+  test("q100 drift: bucket-sized totals broadcast back; count aggs are map-side partial") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val df = graft.operators.Drift.driftPsi(
+      docs.filter(col("doc_id") % 3 =!= 0), docs.filter(col("doc_id") % 2 =!= 0))
+    val s = finalPlanStr(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("BroadcastHashJoin"), "per-feature totals must broadcast: " + s)
+    // partial -> final count aggregation on both snapshot sides (the
+    // corpus-sized traffic combines map-side before the exchange)
+    assert(s.contains("partial_count") || s.contains("Partial"), s)
+    assert(!s.contains("Window"), "PSI needs no window: " + s)
+  }
 }
