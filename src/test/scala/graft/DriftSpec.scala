@@ -81,6 +81,18 @@ class DriftSpec extends AnyFunSuite {
     assert(nulls == Set("lang", "source", "len"))
   }
 
+  test("empty snapshots degrade safely: empty-vs-X reports X's buckets, empty-vs-empty is empty") {
+    val docs = mk(Seq((1L, "en", "s", java.lang.Long.valueOf(5L))))
+    val none = mk(Seq.empty)
+    val a = Drift.driftPsi(none, docs).collect()
+    assert(a.nonEmpty && a.forall(r => r.getLong(2) == 0L && r.getLong(6) >= 0L),
+      "empty baseline: every bucket is candidate-only, contribs still defined")
+    val b = Drift.driftPsi(docs, none).collect()
+    assert(b.nonEmpty && b.forall(r => r.getLong(3) == 0L),
+      "empty candidate: every bucket is baseline-only (the everything-vanished alarm)")
+    assert(Drift.driftPsi(none, none).count() == 0L)
+  }
+
   test("len bucketing: the column path and the s55 JVM twin agree on the cap and the grid") {
     assert(Drift.lenBucket(Some(0L), 256L, 15L) == "0")
     assert(Drift.lenBucket(Some(255L), 256L, 15L) == "0")
