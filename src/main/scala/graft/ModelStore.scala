@@ -7,10 +7,12 @@ import org.apache.hadoop.fs.Path
 /** MODEL-ARTIFACT PERSISTENCE (r13) — the serialized handoff between a
   * batch training run and the frozen-model streaming twins.
   *
-  * Every frozen-model stream (s25–s52) deploys a config a batch call
+  * Every frozen-model stream (s25–s55) deploys a config a batch call
   * derived: q60 centroids, PQ codebooks, the SQ8 grid, BPE merge
   * rules, source-quota rate tables, the z-order grid, dup-shingle
-  * tables. Until r13 those existed only as in-memory values returned
+  * tables, BM25/LM/NB/DSIR/CCNet scorer tables, the q99 hybrid probe
+  * model, the whole s21 curation bundle, and the q100 drift
+  * baseline. Until r13 those existed only as in-memory values returned
   * by the batch call inside one process — but a production ingest
   * service is a DIFFERENT process (often a different cluster) from the
   * training run, and the thing that crosses that boundary is a
