@@ -497,11 +497,16 @@ object ModelStore {
         .sortBy(x => (x._1, x._2)).toDF("feature", "bucket", "n1")))
   }
 
+  /** Returns the TYPED baseline bundle (r13 ADVICE): the grid cannot
+    * be detached from the counts it produced — s55 consumes this
+    * directly.
+    */
   def loadDriftExpected(spark: SparkSession, dir: String)
-      : (Map[(String, String), Long], Long, Long) = {
+      : graft.operators.Drift.DriftBaseline = {
     val (m, t) = load(spark, dir, "drift_expected")
-    (t("expected").collect() // bucket-cardinality rows — bounded
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+    graft.operators.Drift.DriftBaseline(
+      t("expected").collect() // bucket-cardinality rows — bounded
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
       m.params("len_div").toLong, m.params("len_cap").toLong)
   }
 }

@@ -55,6 +55,24 @@ object Drift {
   def lenBucket(nChars: Option[Long], lenDiv: Long, lenCap: Long): String =
     nChars.map(c => math.min(c / lenDiv, lenCap).toString).getOrElse("<null>")
 
+  /** The TYPED frozen-baseline bundle s55 consumes (r13 ADVICE): the
+    * expected counts and the length grid that produced them are one
+    * model — bucket labels like "3" exist on EVERY (lenDiv, lenCap)
+    * grid, so counts detached from their grid silently misattribute
+    * length buckets instead of failing. Construct via [[baseline]] or
+    * [[graft.ModelStore.loadDriftExpected]]; there is deliberately no
+    * API that accepts the counts and the grid separately.
+    */
+  case class DriftBaseline(expected: Map[(String, String), Long],
+                           lenDiv: Long, lenCap: Long) {
+    require(lenDiv > 0 && lenCap >= 0, "positive length grid required")
+  }
+
+  /** Freeze a corpus snapshot into the s55 baseline bundle. */
+  def baseline(oldSnap: DataFrame,
+               lenDiv: Long = 256L, lenCap: Long = 15L): DriftBaseline =
+    DriftBaseline(expectedCounts(oldSnap, lenDiv, lenCap), lenDiv, lenCap)
+
   /** The frozen baseline side for s55: (feature, bucket) → n1 — a
     * bucket-cardinality collect (the bigramLmIndex scalar protocol).
     * lenDiv/lenCap are PART of the model (arrivals must bucket on the

@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   * squared-L2 over quantized embeddings), and the fusion is pure
   * rank arithmetic — which is exactly why RRF is the right oracle
   * citizen: scores from the two legs are never compared, only ranks,
-  * so the whole operator stays in int64 and hash-compares.
+  * so the whole operator stays in int64 and hash-compares (one
+  * caveat: the pool selections pass the int64 score through
+  * top_k_by's Double ordinal, exact only while |score| < 2⁵³ — see
+  * the semantic-leg bound note in [[hybridRrf]]).
   *
   * Probe queries are nQueries documents drawn by the replayable
   * bottom-k-by-hash protocol (ReplayableHash index 250 over
@@ -118,9 +121,16 @@ object Hybrid {
     val tf = tok.groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
     val dl = ta.filter(col("toks").isNotNull)
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-    val nDocs: Long = documents.count()
-    val aTok: Long = math.max(
-      dl.agg(coalesce(sum(col("dl")), lit(0L))).collect()(0).getLong(0), 1L)
+    // both corpus scalars in ONE pass over the token frame (r13
+    // verdict nit: documents.count() + a separate sum(dl) action paid
+    // two redundant columnar scans): tokArrays is a row-preserving
+    // projection, so count(ta) == count(documents), and the null-toks
+    // guard reproduces dl's isNotNull filter inside the sum.
+    val statsRow = ta.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("toks").isNotNull,
+        size(col("toks")).cast("long"))), lit(0L)).as("a")).collect()(0)
+    val nDocs: Long = statsRow.getLong(0)
+    val aTok: Long = math.max(statsRow.getLong(1), 1L)
     val dfv = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     Prep(ta, qv, tf, dl, dfv, nDocs, aTok, probeRows)
   }
@@ -203,6 +213,15 @@ object Hybrid {
     // ---- semantic leg: Q distance structs per vector row (a pure
     // map — the probe vectors ride the task binary as literals, the
     // q63 centroid protocol), exploded then top-k'd per probe.
+    // EXACTNESS BOUND on the double ordinal below (r13 ADVICE): the
+    // int64 d2 is exact in top_k_by's Double ordinal only while
+    // |d2| < 2⁵³ — i.e. dim · (Δ·2²⁰)² < 2⁵³, components within
+    // |v| ≤ Δ/2 of each other. At the registered instance (dim 64,
+    // |v| ≤ 1 ⇒ Δ ≤ 2) d2 ≤ 64·2⁴² = 2⁴⁸; the bound first binds at
+    // dim·Δ² ≥ 2¹³ (e.g. 8192-dim unit vectors, or |v| ≈ 11 at
+    // dim 64). Past it, distinct Longs collapse in the ordinal and
+    // ranking can silently diverge from the pure-int64 oracle — the
+    // q63 contract documents the same bound for its TopKBy ord.
     val dcols = probeRows.map { case (qid, vec) =>
       struct(lit(qid).as("qid"),
         VF.l2_dist(col("q"), typedLit(vec)).as("d2"))

@@ -2842,14 +2842,16 @@ object StreamOps {
     * (commutative integer counters; spec-asserted with a seeded
     * shuffle). Buckets only the BASELINE saw still emit (n2 = 0 —
     * the "source stopped delivering" alarm a live-only grid would
-    * silently drop).
+    * silently drop). The baseline arrives as the TYPED
+    * [[graft.operators.Drift.DriftBaseline]] bundle (r13 ADVICE —
+    * counts and the grid they were bucketed on are one model; a
+    * detached grid would silently misattribute len buckets).
     */
   def streamDriftPsi(docs: Dataset[DriftDoc],
-                     expected: Map[(String, String), Long],
-                     lenDiv: Long = 256L, lenCap: Long = 15L): Dataset[DriftRow] = {
+                     baseline: graft.operators.Drift.DriftBaseline): Dataset[DriftRow] = {
     import docs.sparkSession.implicits._
-    require(lenDiv > 0 && lenCap >= 0, "positive length grid required")
-    val bc = docs.sparkSession.sparkContext.broadcast(expected)
+    val lenDiv = baseline.lenDiv; val lenCap = baseline.lenCap
+    val bc = docs.sparkSession.sparkContext.broadcast(baseline.expected)
     val hits = docs.flatMap { d =>
       Iterator(("lang", Option(d.lang).getOrElse("<null>")),
         ("source", Option(d.source).getOrElse("<null>")),
@@ -2949,9 +2951,15 @@ object StreamOps {
           }
           val d2: Option[Long] = if (q == null) None else {
             val pv = m.probeVecs(qid)
+            // batch parity (r13 ADVICE): the batch leg's L2DistExpr
+            // throws on unequal lengths — a malformed arrival must
+            // fail loudly here too, not truncate into a silently
+            // wrong distance that then occupies persistent pool state
+            if (q.length != pv.length) throw new IllegalArgumentException(
+              s"s54: arrival doc_id=$id embedding dim ${q.length} != " +
+                s"frozen probe $qid dim ${pv.length}")
             var s = 0L; var i = 0
-            val n = math.min(q.length, pv.length)
-            while (i < n) { val d = q(i) - pv(i); s += d * d; i += 1 }
+            while (i < q.length) { val d = q(i) - pv(i); s += d * d; i += 1 }
             Some(s)
           }
           if (lex.isEmpty && d2.isEmpty) Iterator.empty
@@ -2960,8 +2968,12 @@ object StreamOps {
       }
     }
     // state per probe: the two bounded pools, each held best-first —
-    // (score DESC, doc ASC) lexical, (d2 ASC, doc ASC) semantic;
-    // eviction is safe because each doc is scored exactly once
+    // (score DESC, doc ASC) lexical, (d2 ASC, doc ASC) semantic.
+    // Inserts DEDUP BY doc_id first (r13 ADVICE): an at-least-once
+    // source replaying a doc must not occupy two bounded slots and
+    // permanently evict a legitimate candidate — scores are
+    // arrival-independent, so drop-then-insert is idempotent and the
+    // pool stays exactly "best poolR distinct docs seen so far".
     scored.groupByKey(_.qid)
       .flatMapGroupsWithState[(List[(Long, Long)], List[(Long, Long)]), HybridHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -2970,11 +2982,13 @@ object StreamOps {
           var (lexTop, semTop) = state.getOption.getOrElse((Nil, Nil))
           rows.foreach { r =>
             r.lex.foreach { s =>
-              lexTop = ((-s, r.doc_id) :: lexTop.map { case (x, d) => (-x, d) })
+              lexTop = ((-s, r.doc_id) ::
+                lexTop.collect { case (x, d) if d != r.doc_id => (-x, d) })
                 .sorted.take(poolR).map { case (nx, d) => (-nx, d) }
             }
             r.d2.foreach { s =>
-              semTop = ((s, r.doc_id) :: semTop).sorted.take(poolR)
+              semTop = ((s, r.doc_id) :: semTop.filterNot(_._2 == r.doc_id))
+                .sorted.take(poolR)
             }
           }
           state.update((lexTop, semTop))

@@ -502,16 +502,16 @@ class ModelStoreSpec extends AnyFunSuite {
     val dir = tmp("drift")
     ModelStore.saveDriftExpected(spark, dir, expected, lenDiv = 256L,
       lenCap = 15L, version = 12L)
-    val (loaded, lenDiv, lenCap) = ModelStore.loadDriftExpected(spark, dir)
-    assert(loaded == expected && lenDiv == 256L && lenCap == 15L,
-      "baseline counts + length grid must round-trip exactly")
+    val loaded = ModelStore.loadDriftExpected(spark, dir)
+    assert(loaded == Drift.DriftBaseline(expected, 256L, 15L),
+      "baseline counts + length grid must round-trip exactly as one typed bundle")
 
     val feed = v2.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .collect().map(r => StreamOps.DriftDoc(r.getLong(0), r.getString(1),
         r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
     val source = MemoryStream[StreamOps.DriftDoc]
     val got = collection.mutable.Map[String, Map[(String, String), (Long, Long, Long, Long, Long)]]()
-    val q = StreamOps.streamDriftPsi(source.toDS(), loaded, lenDiv, lenCap)
+    val q = StreamOps.streamDriftPsi(source.toDS(), loaded)
       .writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.DriftRow], _: Long) =>
         b.collect().groupBy(_.feature).foreach { case (f, rs) =>

@@ -3155,6 +3155,63 @@ class StreamingSpec extends AnyFunSuite {
         s"${(gotFlat.toSet -- batch.toSet).take(3)} vs ${(batch.toSet -- gotFlat.toSet).take(3)}")
   }
 
+  test("s54 at-least-once replay: a re-delivered doc occupies ONE pool slot (r13 ADVICE)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    import graft.operators.Hybrid
+    // poolR = 2 makes the failure mode sharp: replaying the pool's
+    // best doc would insert a duplicate entry and permanently evict
+    // the legitimate runner-up
+    val model = Hybrid.HybridModel(
+      qterms = Map(1L -> Map("zz" -> 65536L)),
+      probeVecs = Map(1L -> Seq(0L, 0L)), nDocs = 10L, aTok = 10L)
+    val source = MemoryStream[(Long, String, Seq[Float])]
+    val got = collection.mutable.Map[Long, Set[Long]]()
+    val q = StreamOps.streamHybridRrf(source.toDS(), model, poolR = 2, topK = 5)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.HybridHit], _: Long) =>
+        val rows = b.collect()
+        rows.map(_.query_id).distinct.foreach(got.remove)
+        rows.groupBy(_.query_id).foreach { case (qid, hs) =>
+          got(qid) = hs.map(_.doc_id).toSet }
+        ()
+      }.start()
+    try {
+      source.addData((10L, null, Seq(0.001f, 0f)), (11L, null, Seq(0.002f, 0f)))
+      q.processAllAvailable()
+      assert(got(1L) == Set(10L, 11L), s"pool should hold both docs: ${got(1L)}")
+      source.addData((10L, null, Seq(0.001f, 0f))) // at-least-once replay
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got(1L) == Set(10L, 11L),
+      s"replaying doc 10 must not evict doc 11 from the bounded pool: ${got(1L)}")
+  }
+
+  test("s54 embedding-dimension mismatch fails loudly (batch l2_dist parity, r13 ADVICE)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    import graft.operators.Hybrid
+    val model = Hybrid.HybridModel(
+      qterms = Map(1L -> Map("zz" -> 65536L)),
+      probeVecs = Map(1L -> Seq(0L, 0L)), nDocs = 10L, aTok = 10L)
+    val source = MemoryStream[(Long, String, Seq[Float])]
+    val q = StreamOps.streamHybridRrf(source.toDS(), model)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[StreamOps.HybridHit], _: Long) => () }
+      .start()
+    // the contract is FAIL-LOUD: before the r13 ADVICE fix this fed a
+    // truncated (wrong) d2 into pool state and the stream kept running.
+    // The per-task IllegalArgumentException is wrapped by the engine
+    // (Spark 4.1 surfaces a commit-validation error whose cause chain
+    // drops the task failure), so the assertion is termination itself.
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { source.addData((10L, null, Seq(1f, 2f, 3f))); q.processAllAvailable() }
+      finally q.stop()
+    }
+  }
+
   test("s55 live drift monitor converges to batch q100 under shuffled multi-batch arrival") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -3178,7 +3235,8 @@ class StreamingSpec extends AnyFunSuite {
     val source = MemoryStream[StreamOps.DriftDoc]
     // latest generation per feature (the s16 consumer contract)
     val got = collection.mutable.Map[String, Map[(String, String), (Long, Long, Long, Long, Long)]]()
-    val q = StreamOps.streamDriftPsi(source.toDS(), expected)
+    val q = StreamOps.streamDriftPsi(source.toDS(),
+      Drift.DriftBaseline(expected, 256L, 15L))
       .writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.DriftRow], _: Long) =>
         b.collect().groupBy(_.feature).foreach { case (f, rs) =>
