@@ -57,12 +57,37 @@ object ModelStore {
     * (loading a PQ codebook where a kmeans model is expected must fail
     * loudly, not mis-shape silently); `version` is the release's
     * monotone stamp — rollback = point the stream at the prior dir.
+    * `digests` (r14, the r13 verdict's integrity task): one
+    * order-independent content digest per table, verified at [[load]]
+    * — a corrupted or tampered parquet refuses as loudly as a family
+    * mismatch instead of mis-scoring silently.
     */
   case class Manifest(family: String, version: Long, createdUtcMs: Long,
-                      params: Map[String, String], tables: Seq[String])
+                      params: Map[String, String], tables: Seq[String],
+                      digests: Map[String, Long] = Map.empty)
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Order-independent content digest of a table: xxhash64 over every
+    * row (all columns, schema order) summed with wraparound — row and
+    * partition order can't affect it, so the value is stable across
+    * writers, readers, and re-layouts of the same rows. Computed over
+    * the WRITTEN parquet (what a future load will actually read), one
+    * scan per table — model-sized everywhere except the dup-window
+    * family, where a single narrow extra scan at save time is the
+    * price of refusing corrupt dedup state at deploy time.
+    */
+  def tableDigest(df: DataFrame): Long = {
+    // sum through DECIMAL(38,0) — a raw BIGINT sum of 2⁶³-scale hashes
+    // overflow-throws under ANSI — then wrap to the long (mod 2⁶⁴,
+    // order-independent, exact up to ~10¹⁹ rows)
+    val bd = df.select(xxhash64(df.columns.map(col): _*)
+        .cast("decimal(38,0)").as("h"))
+      .agg(coalesce(sum(col("h")), lit(0).cast("decimal(38,0)")))
+      .collect()(0).getDecimal(0)
+    bd.toBigInteger.longValue()
+  }
 
   /** Generic save: parquet tables first, manifest last (the commit
     * marker). Overwrites any prior model at `dir` — versioned releases
@@ -82,7 +107,12 @@ object ModelStore {
       require(n.matches("[A-Za-z0-9_]+"), s"table name '$n' must be a plain identifier")
       tables(n).write.mode("overwrite").parquet(s"$dir/tables/$n")
     }
-    val m = Manifest(family, version, System.currentTimeMillis(), params, names)
+    // digest what a loader will READ (the written files), not the
+    // in-memory frame — a write-path corruption must be caught here
+    val digests = names.map(n =>
+      n -> tableDigest(spark.read.parquet(s"$dir/tables/$n"))).toMap
+    val m = Manifest(family, version, System.currentTimeMillis(), params,
+      names, digests)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
     root.put("family", m.family)
@@ -92,6 +122,8 @@ object ModelStore {
     m.params.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
     val tn = root.putArray("tables")
     names.foreach(tn.add)
+    val dn = root.putObject("digests")
+    names.foreach(n => dn.put(n, digests(n)))
     val out = f.create(new Path(dir, ManifestFile), true)
     try out.write(om.writeValueAsBytes(root)) finally out.close()
     m
@@ -120,17 +152,102 @@ object ModelStore {
       while (it.hasNext) b += it.next().asText()
       b.result()
     }
+    val digests = {
+      val b = Map.newBuilder[String, Long]
+      val dn = node.get("digests")
+      if (dn != null) {
+        val it = dn.fields()
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+      }
+      b.result()
+    }
     Manifest(node.get("family").asText(), node.get("version").asLong(),
-      node.get("created_utc_ms").asLong(), params, tables)
+      node.get("created_utc_ms").asLong(), params, tables, digests)
   }
 
-  /** Generic load with the family check. */
+  /** Generic load with the family check AND the integrity check (r14):
+    * every table's recomputed content digest must equal the manifest's
+    * — a flipped value, a dropped row, or a swapped parquet file
+    * refuses here with the table named, never serves a silently wrong
+    * model. A manifest without digests (pre-r14 format) is refused the
+    * same way: integrity unknown is integrity failed for a deployment
+    * artifact (re-save to upgrade).
+    */
   def load(spark: SparkSession, dir: String,
            expectFamily: String): (Manifest, Map[String, DataFrame]) = {
     val m = manifest(spark, dir)
     require(m.family == expectFamily,
       s"model at $dir is family '${m.family}', expected '$expectFamily'")
-    (m, m.tables.map(n => n -> spark.read.parquet(s"$dir/tables/$n")).toMap)
+    val frames = m.tables.map(n => n -> spark.read.parquet(s"$dir/tables/$n")).toMap
+    m.tables.foreach { n =>
+      require(m.digests.contains(n),
+        s"model at $dir has no content digest for table '$n' " +
+          "(pre-digest manifest format) — refusing to serve unverifiable state; re-save it")
+      val want = m.digests(n)
+      val got = tableDigest(frames(n))
+      require(got == want,
+        s"model table '$n' at $dir fails its integrity check " +
+          s"(digest $got != manifest $want) — corrupted or tampered, refusing to load")
+    }
+    (m, frames)
+  }
+
+  // -------- versioned-release lifecycle (r14, the r13 verdict's
+  // -------- lifecycle task): the scaladoc's `.../v=<n>/` convention
+  // -------- made first-class — enumerate, pin, and garbage-collect
+
+  /** Directory of version `v` under a versioned model root. */
+  def versionDir(base: String, v: Long): String = s"$base/v=$v"
+
+  /** COMMITTED versions under `base`, ascending — a `v=<n>` child
+    * counts only with its manifest present (an uncommitted crash
+    * leftover is invisible here, exactly as it is to [[load]]).
+    */
+  def listVersions(spark: SparkSession, base: String): Seq[Long] = {
+    val f = fs(spark, base)
+    val p = new Path(base)
+    if (!f.exists(p)) return Seq.empty
+    f.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v=")) scala.util.Try(n.drop(2).toLong).toOption else None
+      }
+      .filter(v => f.exists(new Path(versionDir(base, v), ManifestFile)))
+      .sorted
+  }
+
+  /** Resolve a load directory: an explicit pin loads THAT version and
+    * ignores any newer supersede (the rollback/canary path — a pinned
+    * consumer must not silently upgrade); no pin loads the newest
+    * committed version. Missing pins fail loudly.
+    */
+  def resolve(spark: SparkSession, base: String, pin: Option[Long] = None): String =
+    pin match {
+      case Some(v) =>
+        val dir = versionDir(base, v)
+        require(fs(spark, base).exists(new Path(dir, ManifestFile)),
+          s"pinned model version $v has no committed artifact under $base")
+        dir
+      case None =>
+        val vs = listVersions(spark, base)
+        require(vs.nonEmpty, s"no committed model versions under $base")
+        versionDir(base, vs.last)
+    }
+
+  /** Delete all but the newest `keepN` committed versions; returns the
+    * versions deleted. Never touches the newest committed version
+    * (keepN >= 1 enforced) and never touches UNCOMMITTED directories —
+    * a save may be in flight there; crash leftovers are the operator's
+    * explicit cleanup, not gc's guess.
+    */
+  def gc(spark: SparkSession, base: String, keepN: Int): Seq[Long] = {
+    require(keepN >= 1, "gc must keep at least the newest committed version")
+    val vs = listVersions(spark, base)
+    val drop = vs.dropRight(keepN)
+    val f = fs(spark, base)
+    drop.foreach(v => f.delete(new Path(versionDir(base, v)), true))
+    drop
   }
 
   // -------- typed per-family helpers: each returns EXACTLY the type

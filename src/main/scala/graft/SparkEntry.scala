@@ -443,6 +443,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 =!= 0),
         docs.filter(col("doc_id") % 2 =!= 0))
     }),
+    // q100b: the drift ALERT — per-feature PSI totals under the pinned
+    // e8·Q16 translations of the classical 0.1/0.2 thresholds
+    "q100b_drift_alert" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      graft.operators.Drift.driftAlert(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+    }),
+    // q101/q101b: unigram-LM (SentencePiece) tokenizer — hard-EM
+    // training with Q16 integer likelihoods and Viterbi encoding, the
+    // r13 verdict's missing-trainer task
+    "q101_unigram_train" -> ((s, d) =>
+      graft.operators.Unigram.unigramTrain(Tables.documents(s, d))),
+    "q101b_unigram_encode" -> ((s, d) =>
+      graft.operators.Unigram.unigramEncode(Tables.documents(s, d))),
   )
 
   /** TERMINAL DECLARATION (r13): the FP-cosine ANN scale probes,
@@ -2699,7 +2715,34 @@ object SparkEntry {
     // bucket grid, add-one e8 shares with the greatest-clamp, the
     // recursive-CTE Q16 log2 over the bucket-sized share set, and the
     // (p−q)·ΔL contribution. All divs truncate on positive operands.
-    "q100_drift_psi" ->
+    "q100_drift_psi" -> q100DriftOracleSql,
+    // q100b: the alert — the q100 report re-aggregated per feature and
+    // compared against the PINNED e8·Q16 threshold literals
+    // (Drift.PsiMinorE8Q16 / PsiMajorE8Q16 — the same integers on both
+    // sides, so no libm conversion ever enters)
+    "q100b_drift_alert" ->
+      s"""WITH report AS ($q100DriftOracleSql)
+         SELECT feature, CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(sum(psi_contrib) AS BIGINT) AS psi_e8q16,
+                CASE WHEN sum(psi_contrib) < ${graft.operators.Drift.PsiMinorE8Q16}
+                     THEN 'stable'
+                     WHEN sum(psi_contrib) < ${graft.operators.Drift.PsiMajorE8Q16}
+                     THEN 'minor_shift'
+                     ELSE 'major_shift' END AS level
+         FROM report GROUP BY 1""",
+    // q101/q101b: the whole unigram-LM trainer unrolled — seeding,
+    // three recursive Viterbi DP+backwalk passes, Q16 log costs via
+    // the q61 shift-and-square replay, composition-enumerated prune
+    // losses (generated CTE program, Unigram.scala)
+    "q101_unigram_train" -> graft.operators.Unigram.unigramTrainOracleSql(),
+    "q101b_unigram_encode" -> graft.operators.Unigram.unigramEncodeOracleSql(),
+  )
+
+
+  /** The q100 oracle body, shared verbatim by the q100 entry and the
+    * q100b alert wrapper so report and alert cannot drift.
+    */
+  private val q100DriftOracleSql: String =
       """WITH RECURSIVE oldsnap AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
          newsnap AS (SELECT * FROM documents WHERE doc_id % 2 <> 0),
          f1 AS (
@@ -2756,8 +2799,7 @@ object SparkEntry {
                 CAST((sh.p_e8 - sh.q_e8) * (ilp.r - ilq.r) AS BIGINT) AS psi_contrib
          FROM sh
          JOIN il ilp ON ilp.x = sh.p_e8
-         JOIN il ilq ON ilq.x = sh.q_e8""",
-  )
+         JOIN il ilq ON ilq.x = sh.q_e8"""
 
   /** The q53 chain oracle with the final mixture stage as a parameter
     * — ONE definition of stages 0..6b + tokenizer + packing shared by

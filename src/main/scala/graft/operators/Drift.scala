@@ -101,6 +101,47 @@ object Drift {
             .as("bucket")))).as("f"))
       .select(col("f.feature"), col("f.bucket"))
 
+  /** The classical PSI decision thresholds (Siddiqi 2006: < 0.1
+    * stable, 0.1–0.2 minor shift, > 0.2 major shift — the rule every
+    * scorecard-monitoring deployment applies) translated into this
+    * operator's (e8 · Q16 log2) units: 0.1 · 10⁸ · 2¹⁶ / ln 2 —
+    * PINNED as an integer literal (the conversion is a convention,
+    * not a computation: both engines compare against the same
+    * constant, so no libm value ever enters the arithmetic), with
+    * MAJOR = 2 · MINOR by construction.
+    */
+  final val PsiMinorE8Q16: Long = 945484621996L
+  final val PsiMajorE8Q16: Long = 2L * PsiMinorE8Q16
+
+  /** The shared decision rule (used by the q100b column path via the
+    * same literals, and by s55 consumers JVM-side).
+    */
+  def alertLevel(psiE8Q16: Long): String =
+    if (psiE8Q16 < PsiMinorE8Q16) "stable"
+    else if (psiE8Q16 < PsiMajorE8Q16) "minor_shift"
+    else "major_shift"
+
+  /** q100b: the DRIFT ALERT — per-feature PSI totals with the decision
+    * rule applied (r13 verdict task #6: the report emits attributable
+    * contributions, a deployment needs the per-feature verdict, and
+    * the threshold unit conversion must live HERE, spec-pinned, not be
+    * re-derived downstream). A pure re-aggregation of [[driftPsi]] —
+    * zero extra corpus work, bucket-cardinality input.
+    *
+    * Output: (feature, n_buckets, psi_e8q16, level) — level in
+    * {stable, minor_shift, major_shift} per the pinned constants.
+    */
+  def driftAlert(oldSnap: DataFrame, newSnap: DataFrame,
+                 lenDiv: Long = 256L, lenCap: Long = 15L): DataFrame =
+    driftPsi(oldSnap, newSnap, lenDiv, lenCap)
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("psi_contrib")).as("psi_e8q16"))
+      .select(col("feature"), col("n_buckets"), col("psi_e8q16"),
+        when(col("psi_e8q16") < lit(PsiMinorE8Q16), lit("stable"))
+          .when(col("psi_e8q16") < lit(PsiMajorE8Q16), lit("minor_shift"))
+          .otherwise(lit("major_shift")).as("level"))
+
   def driftPsi(oldSnap: DataFrame, newSnap: DataFrame,
                lenDiv: Long = 256L, lenCap: Long = 15L): DataFrame = {
     require(lenDiv > 0 && lenCap >= 0, "positive length grid required")

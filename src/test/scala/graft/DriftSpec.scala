@@ -93,6 +93,54 @@ class DriftSpec extends AnyFunSuite {
     assert(Drift.driftPsi(none, none).count() == 0L)
   }
 
+  test("q100b alert: planted stable / minor / major shifts land in their bands") {
+    // identical snapshots: PSI exactly 0 -> stable on every feature
+    val base = (0L until 100L).map(i =>
+      (i, if (i < 50) "en" else "de", "s", java.lang.Long.valueOf(10L)))
+    val stable = Drift.driftAlert(mk(base), mk(base)).collect()
+    assert(stable.nonEmpty && stable.forall(_.getString(3) == "stable"), stable.mkString(","))
+    // minor: 50/50 -> 67/33 language mix; smoothed PSI_ln =
+    // 0.1667·ln(0.6667/0.5) + 0.1667·ln(0.5/0.3333) ≈ 0.116 — inside
+    // the (0.1, 0.2) band with ≥15% margin on both sides
+    // (source/len identical -> stable)
+    val minor = (0L until 100L).map(i =>
+      (i, if (i < 67) "en" else "de", "s", java.lang.Long.valueOf(10L)))
+    val mAlert = Drift.driftAlert(mk(base), mk(minor)).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(mAlert("lang") == "minor_shift", mAlert.toString)
+    assert(mAlert("source") == "stable" && mAlert("len") == "stable")
+    // major: the mix flips 90/10 -> 10/90; PSI_ln ≈ 3.4 >> 0.2
+    val hot = (0L until 100L).map(i =>
+      (i, if (i < 90) "en" else "de", "s", java.lang.Long.valueOf(10L)))
+    val cold = (0L until 100L).map(i =>
+      (i, if (i < 10) "en" else "de", "s", java.lang.Long.valueOf(10L)))
+    val bAlert = Drift.driftAlert(mk(hot), mk(cold)).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(bAlert("lang") == "major_shift", bAlert.toString)
+  }
+
+  test("q100b alert: totals equal the report's per-feature sums; alertLevel agrees with the column path") {
+    val docs = Tables.documents(spark, sfDir)
+    val o = docs.filter(col("doc_id") % 3 =!= 0)
+    val n = docs.filter(col("doc_id") % 2 =!= 0)
+    val report = Drift.driftPsi(o, n).collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rs) => f -> ((rs.length.toLong, rs.map(_.getLong(6)).sum)) }
+    val alert = Drift.driftAlert(o, n).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(alert.keySet == report.keySet)
+    report.foreach { case (f, (nb, psi)) =>
+      assert(alert(f)._1 == nb && alert(f)._2 == psi, s"$f: ${alert(f)} vs ($nb, $psi)")
+      assert(alert(f)._3 == Drift.alertLevel(psi),
+        "the JVM rule and the column path must share the pinned constants")
+    }
+    // the constants themselves (pinned literals, MAJOR = 2·MINOR)
+    assert(Drift.PsiMajorE8Q16 == 2L * Drift.PsiMinorE8Q16)
+    assert(Drift.alertLevel(Drift.PsiMinorE8Q16 - 1) == "stable")
+    assert(Drift.alertLevel(Drift.PsiMinorE8Q16) == "minor_shift")
+    assert(Drift.alertLevel(Drift.PsiMajorE8Q16) == "major_shift")
+  }
+
   test("len bucketing: the column path and the s55 JVM twin agree on the cap and the grid") {
     assert(Drift.lenBucket(Some(0L), 256L, 15L) == "0")
     assert(Drift.lenBucket(Some(255L), 256L, 15L) == "0")

@@ -47,6 +47,70 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(ModelStore.loadKmeans(spark, dir) == Seq((2, Seq(9L))))
   }
 
+  test("integrity (r14): a tampered table refuses at load with the table named") {
+    import spark.implicits._
+    val dir = tmp("tamper")
+    ModelStore.save(spark, dir, "kmeans", 1L, Map.empty,
+      Map("centroids" -> Seq((1, Seq(1L, 2L)), (2, Seq(3L, 4L))).toDF("cid", "vec")))
+    // sanity: the untampered artifact loads
+    ModelStore.load(spark, dir, "kmeans")
+    // tamper: swap a value in the parquet UNDER the committed manifest
+    Seq((1, Seq(1L, 2L)), (2, Seq(3L, 5L))).toDF("cid", "vec")
+      .write.mode("overwrite").parquet(s"$dir/tables/centroids")
+    val e = intercept[IllegalArgumentException](ModelStore.load(spark, dir, "kmeans"))
+    assert(e.getMessage.contains("integrity") && e.getMessage.contains("centroids"))
+    // digest is content-based, not layout-based: the same rows written
+    // with a different partitioning still load
+    val dir2 = tmp("relayout")
+    ModelStore.save(spark, dir2, "kmeans", 1L, Map.empty,
+      Map("centroids" -> Seq((1, Seq(1L, 2L)), (2, Seq(3L, 4L))).toDF("cid", "vec")))
+    Seq((2, Seq(3L, 4L)), (1, Seq(1L, 2L))).toDF("cid", "vec").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir2/tables/centroids")
+    assert(ModelStore.loadKmeans(spark, dir2) == Seq((1, Seq(1L, 2L)), (2, Seq(3L, 4L))),
+      "row/partition order must not affect the digest")
+    // a manifest WITHOUT digests (pre-r14 format) refuses as unverifiable
+    val m3 = tmp("legacy")
+    ModelStore.save(spark, m3, "kmeans", 1L, Map.empty,
+      Map("centroids" -> Seq((1, Seq(1L))).toDF("cid", "vec")))
+    val mf = new java.io.File(m3, ModelStore.ManifestFile)
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath))
+    val stripped = txt.replaceAll(""","digests":\{[^}]*\}""", "")
+    assert(stripped != txt, "test must actually strip the digests node")
+    java.nio.file.Files.write(mf.toPath, stripped.getBytes)
+    // drop the local-fs CRC sidecar the out-of-band rewrite invalidated
+    new java.io.File(m3, s".${ModelStore.ManifestFile}.crc").delete()
+    val e2 = intercept[IllegalArgumentException](ModelStore.load(spark, m3, "kmeans"))
+    assert(e2.getMessage.contains("no content digest"))
+  }
+
+  test("lifecycle (r14): listVersions sees only committed dirs; gc keeps newest; pins ignore supersedes") {
+    import spark.implicits._
+    val base = tmp("versions")
+    def saveV(v: Long, cid: Int): Unit =
+      ModelStore.save(spark, ModelStore.versionDir(base, v), "kmeans", v,
+        Map.empty, Map("centroids" -> Seq((cid, Seq(cid.toLong))).toDF("cid", "vec")))
+    saveV(1L, 1); saveV(2L, 2); saveV(3L, 3)
+    // an uncommitted crash leftover is invisible
+    Seq((9, Seq(9L))).toDF("cid", "vec")
+      .write.parquet(s"${ModelStore.versionDir(base, 9L)}/tables/centroids")
+    assert(ModelStore.listVersions(spark, base) == Seq(1L, 2L, 3L))
+    // pinned load ignores the newer supersede; unpinned takes newest
+    assert(ModelStore.resolve(spark, base) == ModelStore.versionDir(base, 3L))
+    val pinned = ModelStore.resolve(spark, base, Some(2L))
+    assert(ModelStore.loadKmeans(spark, pinned) == Seq((2, Seq(2L))))
+    intercept[IllegalArgumentException](ModelStore.resolve(spark, base, Some(7L)))
+    // gc: drops 1, keeps 2..3, never touches the uncommitted dir
+    assert(ModelStore.gc(spark, base, keepN = 2) == Seq(1L))
+    assert(ModelStore.listVersions(spark, base) == Seq(2L, 3L))
+    assert(new java.io.File(s"${ModelStore.versionDir(base, 9L)}/tables/centroids").exists)
+    // gc(1) keeps exactly the newest; keepN = 0 refuses
+    assert(ModelStore.gc(spark, base, keepN = 1) == Seq(2L))
+    assert(ModelStore.listVersions(spark, base) == Seq(3L))
+    intercept[IllegalArgumentException](ModelStore.gc(spark, base, keepN = 0))
+    assert(ModelStore.loadKmeans(spark,
+      ModelStore.resolve(spark, base)) == Seq((3, Seq(3L))))
+  }
+
   test("kmeans: stream from the LOADED artifact is row-exact vs batch q60") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -3254,5 +3254,15 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(got.values.flatten.toMap == batch,
       "end-of-stream PSI generations must equal batch q100")
+
+    // q100b parity: the alert derived from the live report (summed
+    // contributions through the shared pinned constants) must equal
+    // the batch driftAlert verdicts
+    val batchAlert = Drift.driftAlert(v1, v2).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    val streamAlert = got.map { case (f, rows) =>
+      f -> Drift.alertLevel(rows.values.map(_._5).sum) }
+    assert(streamAlert == batchAlert,
+      s"live alert must equal batch: $streamAlert vs $batchAlert")
   }
 }
