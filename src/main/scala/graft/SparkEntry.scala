@@ -459,6 +459,10 @@ object SparkEntry {
       graft.operators.Unigram.unigramTrain(Tables.documents(s, d))),
     "q101b_unigram_encode" -> ((s, d) =>
       graft.operators.Unigram.unigramEncode(Tables.documents(s, d))),
+    // q102: the composed RAG chain — normalize → chunk → passage index
+    // → hybrid retrieve with per-doc best-passage dedup + attribution
+    "q102_rag_search" -> ((s, d) =>
+      graft.operators.Rag.ragSearch(Tables.documents(s, d), Tables.embeddings(s, d))),
   )
 
   /** TERMINAL DECLARATION (r13): the FP-cosine ANN scale probes,
@@ -2736,6 +2740,10 @@ object SparkEntry {
     // losses (generated CTE program, Unigram.scala)
     "q101_unigram_train" -> graft.operators.Unigram.unigramTrainOracleSql(),
     "q101b_unigram_encode" -> graft.operators.Unigram.unigramEncodeOracleSql(),
+    // q102: the RAG chain oracle — normalize → q85 chunk → passage
+    // index → BM25 per passage → per-doc best passage → RRF (generated
+    // CTE program, Rag.scala)
+    "q102_rag_search" -> graft.operators.Rag.ragSearchOracleSql(),
   )
 
 

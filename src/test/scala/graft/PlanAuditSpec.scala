@@ -636,6 +636,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(embScans <= 2, s"semantic leg should scan embeddings, not self-join it: $embScans scans\n$s")
   }
 
+  test("q102 rag chain: passage postings joined by broadcast terms; no cartesian, no BNLJ, no postings window") {
+    val df = graft.operators.Rag.ragSearch(
+      Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
+    val s = finalPlanStr(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // the passage-candidate join is driven by the nQueries·mTerms
+    // broadcast (the q99 shape, one granularity down)
+    assert(s.contains("BroadcastHashJoin"), s)
+    // the semantic leg stays a pure map over one embeddings scan
+    val embScans = "embeddings.parquet".r.findAllIn(s).length
+    assert(embScans <= 2, s"semantic leg must not self-join embeddings: $embScans scans\n$s")
+    // per-doc best-passage dedup is a hash aggregate (struct-max), not
+    // a window over the postings: the only Window OPERATORS sit on the
+    // probe-bounded qterms frame and the ≤2·poolR fusion frame
+    // ("Window [" — WindowGroupLimit rank-pushdown nodes ride along and
+    // are the optimization working, not extra windows)
+    val windows = "Window \\[".r.findAllIn(s).length
+    assert(windows <= 2, s"expected only the qterms + fusion windows, got $windows:\n$s")
+  }
+
   test("q100 drift: bucket-sized totals broadcast back; count aggs are map-side partial") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir)
