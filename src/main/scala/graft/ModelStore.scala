@@ -597,6 +597,63 @@ object ModelStore {
       m.params("shards").toInt, m.params("sub_k").toInt)
   }
 
+  /** q103's incremental-curation state (family `curate_state`): the
+    * v1 release's frozen cross-document tables — `canon_digests` /
+    * `seg_digests` / `win_digests` (h STRING; duplication-sized,
+    * DataFrame end to end, never collected) and `corpus_shingles` /
+    * `bench_shingles` (shingle BIGINT) — plus the s21 scalars (vocab,
+    * rates, cutoffs, gate knobs) in tables/params. One artifact is the
+    * whole monthly-release handoff: v2's delta curates from exactly
+    * this, nothing else.
+    */
+  def saveCurateState(spark: SparkSession, dir: String,
+                      st: graft.operators.Pipeline.CurateState, version: Long,
+                      params: Map[String, String] = Map.empty): Manifest = {
+    require(st.vocab.nonEmpty && st.ratesMyriad.nonEmpty,
+      "refusing to persist a curate state with no vocab or rates")
+    import spark.implicits._
+    val p = params ++ Map(
+      "mem_cut_myriad" -> st.memCutMyriad.toString,
+      "rule_gate" -> st.ruleGate.toString,
+      "seg_words" -> st.segWords.toString, "shingle_n" -> st.shingleN.toString,
+      "max_n" -> st.maxN.toString, "capacity" -> st.capacity.toString,
+      "shards" -> st.shards.toString, "sub_k" -> st.subK.toString) ++
+      st.lenCut.map(v => "len_cut" -> v.toString) ++
+      st.alphaCut.map(v => "alpha_cut" -> v.toString)
+    save(spark, dir, "curate_state", version, p, Map(
+      "bench_shingles" -> st.benchShingles.toDF("shingle"),
+      "canon_digests" -> st.canonDigests.toDF("h"),
+      "seg_digests" -> st.segDigests.toDF("h"),
+      "win_digests" -> st.winDigests.toDF("h"),
+      "corpus_shingles" -> st.corpusShingles.toDF("shingle"),
+      "vocab" -> st.vocab.zipWithIndex.map(_.swap).toDF("idx", "gram"),
+      "rates" -> st.ratesMyriad.toSeq.sortBy(_._1).toDF("lang", "rate")))
+  }
+
+  def loadCurateState(spark: SparkSession, dir: String)
+      : graft.operators.Pipeline.CurateState = {
+    val (m, t) = load(spark, dir, "curate_state")
+    graft.operators.Pipeline.CurateState(
+      vocab = t("vocab").collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq,
+      ratesMyriad = t("rates").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      lenCut = m.params.get("len_cut").map(java.lang.Double.parseDouble),
+      alphaCut = m.params.get("alpha_cut").map(java.lang.Double.parseDouble),
+      memCutMyriad = m.params("mem_cut_myriad").toInt,
+      ruleGate = m.params("rule_gate").toBoolean,
+      segWords = m.params("seg_words").toInt,
+      shingleN = m.params("shingle_n").toInt,
+      maxN = m.params("max_n").toInt,
+      capacity = m.params("capacity").toInt,
+      shards = m.params("shards").toInt,
+      subK = m.params("sub_k").toInt,
+      benchShingles = t("bench_shingles"),
+      canonDigests = t("canon_digests"),
+      segDigests = t("seg_digests"),
+      winDigests = t("win_digests"),
+      corpusShingles = t("corpus_shingles"))
+  }
+
   /** q100's frozen baseline (s55 drift monitor): table `expected` =
     * (feature, bucket, n1) — bucket-cardinality rows; the length grid
     * (lenDiv, lenCap) rides in params because arrivals must bucket on

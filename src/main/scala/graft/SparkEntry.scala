@@ -463,6 +463,20 @@ object SparkEntry {
     // → hybrid retrieve with per-doc best-passage dedup + attribution
     "q102_rag_search" -> ((s, d) =>
       graft.operators.Rag.ragSearch(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // q103: incremental release curation — the delta (doc_id % 7 = 0)
+    // curated against the v1 release's frozen artifacts (digests,
+    // cutoffs, vocab, rates — the s21 contract, now batch)
+    "q103_curate_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val rest = docs.filter(col("doc_id") % 97 =!= 0)
+      val st = graft.operators.Pipeline.curateState(
+        rest.filter(col("doc_id") % 7 =!= 0), bench,
+        Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000),
+        materializeStages = true)
+      graft.operators.Pipeline.curateDelta(rest.filter(col("doc_id") % 7 === 0), st)
+    }),
   )
 
   /** TERMINAL DECLARATION (r13): the FP-cosine ANN scale probes,
@@ -2744,6 +2758,11 @@ object SparkEntry {
     // index → BM25 per passage → per-doc best passage → RRF (generated
     // CTE program, Rag.scala)
     "q102_rag_search" -> graft.operators.Rag.ragSearchOracleSql(),
+    // q103: the incremental chain — the v1 leg re-derived through the
+    // SHARED chainCtes/tokenizer/rate builders, its digests projected,
+    // the delta chain applying the incremental rules, frozen admission,
+    // and the shared pack tail
+    "q103_curate_incremental" -> q103OracleSql,
   )
 
 
@@ -2815,25 +2834,27 @@ object SparkEntry {
     * configs, so the two entries cannot drift anywhere except the
     * mixture block they differ in.
     */
-  private def q53OracleSql(mixBlock: String): String =
-    s"""WITH RECURSIVE
-         corpus0 AS (SELECT doc_id, lang,
+  /** The q53/q103 STAGE-CHAIN CTE builder (r14): stages 0..6b —
+    * normalize, rule battery, exact dedup, segment strip, substring
+    * cut, quality cutoffs + gate, decontamination (against the SHARED
+    * unprefixed `p_bsh` benchmark-shingle CTE the caller emits),
+    * redaction, memorization gate — with every CTE name prefixed by
+    * `p` and the corpus predicate parameterized, so q53 (prefix ""),
+    * q53b, and q103's v1 leg share ONE definition and cannot drift.
+    */
+  private def chainCtes(p: String, corpusPred: String): String =
+    s"""${p}corpus0 AS (SELECT doc_id, lang,
              regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
                '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),
                '^\\s+|\\s+$$', '', 'g'), '\\s+', ' ', 'g') AS text
-           FROM documents WHERE doc_id % 97 <> 0),
-         bench0 AS (SELECT doc_id,
-             regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
-               '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),
-               '^\\s+|\\s+$$', '', 'g'), '\\s+', ' ', 'g') AS text
-           FROM documents WHERE doc_id % 97 = 0),
-         ${graft.operators.QualityRules.gopherFilterCtes("corpus0")},
-         canon AS (
-           SELECT c.doc_id, c.lang, c.text FROM ruled c
-           JOIN (SELECT min(doc_id) AS k FROM ruled
+           FROM documents WHERE $corpusPred),
+         ${graft.operators.QualityRules.gopherFilterCtes(s"${p}corpus0", p)},
+         ${p}canon AS (
+           SELECT c.doc_id, c.lang, c.text FROM ${p}ruled c
+           JOIN (SELECT min(doc_id) AS k FROM ${p}ruled
                  GROUP BY md5(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+', ' ', 'g'))) g
              ON g.k = c.doc_id),
-         p_segs AS (
+         ${p}p_segs AS (
            SELECT doc_id, i AS seg_idx,
                   array_to_string(ws[i*8+1 : (i+1)*8], ' ') AS seg
            FROM (
@@ -2841,57 +2862,57 @@ object SparkEntry {
                     regexp_split_to_array(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+', ' ', 'g'), ' ') AS ws,
                     unnest(generate_series(0,
                       CAST((len(regexp_split_to_array(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+', ' ', 'g'), ' ')) - 1) // 8 AS INT))) AS i
-             FROM canon
+             FROM ${p}canon
              WHERE text IS NOT NULL
                AND length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) > 0)),
-         p_dups AS (
-           SELECT md5(seg) AS h FROM p_segs
+         ${p}p_dups AS (
+           SELECT md5(seg) AS h FROM ${p}p_segs
            GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
-         p_per AS (
+         ${p}p_per AS (
            SELECT s.doc_id,
                   coalesce(string_agg(CASE WHEN d.h IS NULL THEN s.seg END, ' ' ORDER BY s.seg_idx), '') AS ct
-           FROM p_segs s LEFT JOIN p_dups d ON d.h = md5(s.seg)
+           FROM ${p}p_segs s LEFT JOIN ${p}p_dups d ON d.h = md5(s.seg)
            GROUP BY 1),
-         cleaned AS (
+         ${p}cleaned AS (
            SELECT c.doc_id, c.lang,
                   CASE WHEN c.text IS NULL THEN NULL ELSE coalesce(p.ct, '') END AS text
-           FROM canon c LEFT JOIN p_per p USING (doc_id)),
-         x_toks AS (
+           FROM ${p}canon c LEFT JOIN ${p}p_per p USING (doc_id)),
+         ${p}x_toks AS (
            SELECT doc_id, list_filter(
                     regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+'),
                     t -> length(t) > 0) AS toks
-           FROM cleaned),
-         x_w AS (
+           FROM ${p}cleaned),
+         ${p}x_w AS (
            SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+5], ' ')) AS h
            FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 4)) AS i
-                 FROM x_toks WHERE len(toks) >= 6) xq),
-         x_m AS (
+                 FROM ${p}x_toks WHERE len(toks) >= 6) xq),
+         ${p}x_m AS (
            SELECT doc_id, pos,
                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
                   count(*) OVER (PARTITION BY h) AS c
-           FROM x_w),
-         x_starts AS (
+           FROM ${p}x_w),
+         ${p}x_starts AS (
            SELECT doc_id, list_sort(list(pos)) AS st
-           FROM x_m WHERE rn > 1 AND c >= 2 GROUP BY 1),
-         x_fin AS (
+           FROM ${p}x_m WHERE rn > 1 AND c >= 2 GROUP BY 1),
+         ${p}x_fin AS (
            SELECT t.doc_id, t.toks, coalesce(s.st, []) AS st
-           FROM x_toks t LEFT JOIN x_starts s USING (doc_id)),
-         x_cut AS (
+           FROM ${p}x_toks t LEFT JOIN ${p}x_starts s USING (doc_id)),
+         ${p}x_cut AS (
            SELECT doc_id,
                   list_filter(toks,
                     (tk, i) -> len(list_filter(st, p -> i >= p AND i < p + 6)) = 0) AS kept
-           FROM x_fin),
-         subclean AS (
+           FROM ${p}x_fin),
+         ${p}subclean AS (
            SELECT c.doc_id, c.lang,
                   CASE WHEN c.text IS NULL THEN NULL
                        ELSE coalesce(array_to_string(x.kept, ' '), '') END AS text
-           FROM cleaned c LEFT JOIN x_cut x USING (doc_id)),
-         g_scored AS (
+           FROM ${p}cleaned c LEFT JOIN ${p}x_cut x USING (doc_id)),
+         ${p}g_scored AS (
            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                     / CAST(nullif(length(text), 0) AS DOUBLE) AS alpha_ratio
-           FROM subclean),
-         g_hash AS (
+           FROM ${p}subclean),
+         ${p}g_hash AS (
            SELECT doc_id, n_chars, alpha_ratio,
                   ((((CAST(1103515245 AS BIGINT)*421 + 12345) % 2147483648) * s
                     + ((CAST(1103515245 AS BIGINT)*422 + 12345) % 2147483648)) % 2147483647)
@@ -2905,29 +2926,26 @@ object SparkEntry {
                           (h, c) -> (h * 31 + c) % 1000000007) AS s
                  FROM (SELECT doc_id, n_chars, alpha_ratio,
                               concat('q46:', CAST(doc_id AS VARCHAR)) AS kk
-                       FROM g_scored) t0) t1),
-         g_lcut AS (
+                       FROM ${p}g_scored) t0) t1),
+         ${p}g_lcut AS (
            SELECT list(v ORDER BY v)[CAST(5 * (count(*) - 1) // 100 AS INT) + 1] AS c
-           FROM (SELECT CAST(n_chars AS DOUBLE) AS v FROM g_hash
+           FROM (SELECT CAST(n_chars AS DOUBLE) AS v FROM ${p}g_hash
                  WHERE n_chars IS NOT NULL
                  ORDER BY h, CAST(n_chars AS DOUBLE) LIMIT 1024)),
-         g_acut AS (
+         ${p}g_acut AS (
            SELECT list(v ORDER BY v)[CAST(5 * (count(*) - 1) // 100 AS INT) + 1] AS c
-           FROM (SELECT alpha_ratio AS v FROM g_hash
+           FROM (SELECT alpha_ratio AS v FROM ${p}g_hash
                  WHERE alpha_ratio IS NOT NULL
                  ORDER BY h, alpha_ratio LIMIT 1024)),
-         gated AS (
+         ${p}gated AS (
            SELECT c.doc_id, c.lang, c.text
-           FROM subclean c JOIN g_scored gs USING (doc_id), g_lcut, g_acut
-           WHERE (g_lcut.c IS NULL OR gs.n_chars >= g_lcut.c)
-             AND (g_acut.c IS NULL OR gs.alpha_ratio >= g_acut.c)),
-         p_ctoks AS (
+           FROM ${p}subclean c JOIN ${p}g_scored gs USING (doc_id), ${p}g_lcut, ${p}g_acut
+           WHERE (${p}g_lcut.c IS NULL OR gs.n_chars >= ${p}g_lcut.c)
+             AND (${p}g_acut.c IS NULL OR gs.alpha_ratio >= ${p}g_acut.c)),
+         ${p}p_ctoks AS (
            SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS toks
-           FROM gated),
-         p_btoks AS (
-           SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS toks
-           FROM bench0),
-         p_csh AS (
+           FROM ${p}gated),
+         ${p}p_csh AS (
            SELECT DISTINCT doc_id,
                   list_reduce(list_prepend(CAST(0 AS BIGINT),
                     list_transform(range(1, length(sh)+1),
@@ -2936,34 +2954,24 @@ object SparkEntry {
            FROM (SELECT doc_id, unnest(list_distinct(list_transform(
                    range(1, greatest(len(toks) - 3, 1) + 1),
                    i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS sh
-                 FROM p_ctoks) x),
-         p_bsh AS (
-           SELECT DISTINCT
-                  list_reduce(list_prepend(CAST(0 AS BIGINT),
-                    list_transform(range(1, length(sh)+1),
-                      i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
-                    (h, c) -> (h * 31 + c) % 1000000007) AS s
-           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
-                   range(1, greatest(len(toks) - 3, 1) + 1),
-                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS sh
-                 FROM p_btoks) x),
-         p_ov AS (
+                 FROM ${p}p_ctoks) x),
+         ${p}p_ov AS (
            SELECT doc_id, count(*) AS n_ov
-           FROM p_csh JOIN p_bsh USING (s) GROUP BY 1),
+           FROM ${p}p_csh JOIN p_bsh USING (s) GROUP BY 1),
          decon AS (
-           SELECT c.doc_id, c.lang, c.text FROM gated c
-           LEFT JOIN p_ov USING (doc_id)
-           WHERE COALESCE(p_ov.n_ov, 0) = 0),
-         pii1 AS (SELECT doc_id, lang,
+           SELECT c.doc_id, c.lang, c.text FROM ${p}gated c
+           LEFT JOIN ${p}p_ov USING (doc_id)
+           WHERE COALESCE(${p}p_ov.n_ov, 0) = 0),
+         ${p}pii1 AS (SELECT doc_id, lang,
                     regexp_replace(text, '${graft.operators.TextOps.EmailRe}', '<EMAIL>', 'g') AS t
                   FROM decon),
-         pii2 AS (SELECT doc_id, lang,
+         ${p}pii2 AS (SELECT doc_id, lang,
                     regexp_replace(t, '${graft.operators.TextOps.Ipv4Re}', '<IP>', 'g') AS t
-                  FROM pii1),
-         red AS MATERIALIZED (SELECT doc_id, lang,
+                  FROM ${p}pii1),
+         ${p}red AS MATERIALIZED (SELECT doc_id, lang,
                    regexp_replace(t, '${graft.operators.TextOps.PhoneRe}', '<PHONE>', 'g') AS text
-                 FROM pii2),
-         m_sh AS MATERIALIZED (
+                 FROM ${p}pii2),
+         ${p}m_sh AS MATERIALIZED (
            SELECT DISTINCT doc_id,
                   list_reduce(list_prepend(CAST(0 AS BIGINT),
                     list_transform(range(1, length(g)+1),
@@ -2974,18 +2982,51 @@ object SparkEntry {
                    i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS g
                  FROM (SELECT doc_id,
                          regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS toks
-                       FROM red WHERE text IS NOT NULL) t) x),
-         m_df AS (SELECT s FROM m_sh GROUP BY s HAVING count(*) > 1),
-         m_dup AS (SELECT doc_id, count(*) AS n_dup FROM m_sh JOIN m_df USING (s) GROUP BY 1),
-         m_sz AS (SELECT doc_id, count(*) AS n_shingles FROM m_sh GROUP BY 1),
-         mem AS MATERIALIZED (
+                       FROM ${p}red WHERE text IS NOT NULL) t) x),
+         ${p}m_df AS (SELECT s FROM ${p}m_sh GROUP BY s HAVING count(*) > 1),
+         ${p}m_dup AS (SELECT doc_id, count(*) AS n_dup FROM ${p}m_sh JOIN ${p}m_df USING (s) GROUP BY 1),
+         ${p}m_sz AS (SELECT doc_id, count(*) AS n_shingles FROM ${p}m_sh GROUP BY 1),
+         ${p}mem AS MATERIALIZED (
            SELECT r.doc_id, r.lang, r.text
-           FROM red r LEFT JOIN m_sz USING (doc_id) LEFT JOIN m_dup USING (doc_id)
-           WHERE COALESCE(m_dup.n_dup, 0) * 10000
-                 <= 2000 * COALESCE(m_sz.n_shingles, 0)),
+           FROM ${p}red r LEFT JOIN ${p}m_sz USING (doc_id) LEFT JOIN ${p}m_dup USING (doc_id)
+           WHERE COALESCE(${p}m_dup.n_dup, 0) * 10000
+                 <= 2000 * COALESCE(${p}m_sz.n_shingles, 0))"""
+
+  /** The shared benchmark-side CTEs (bench0 / p_btoks / p_bsh) every
+    * chain instance decontaminates against.
+    */
+  private def benchCtes: String =
+    s"""bench0 AS (SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+               '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),
+               '^\\s+|\\s+$$', '', 'g'), '\\s+', ' ', 'g') AS text
+           FROM documents WHERE doc_id % 97 = 0),
+         p_btoks AS (
+           SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS toks
+           FROM bench0),
+         p_bsh AS (
+           SELECT DISTINCT
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(sh)+1),
+                      i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 3, 1) + 1),
+                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS sh
+                 FROM p_btoks) x)"""
+
+  private def q53OracleSql(mixBlock: String): String =
+    s"""WITH RECURSIVE
+         ${benchCtes},
+         ${chainCtes("", "doc_id % 97 <> 0")},
          ${tokenizerCtesOn("mem")},
          $mixBlock
-         p_base AS (
+${packTail}"""
+  /** q47's packing arithmetic over the `admitted` CTE — shared by the
+    * q53/q53b/q103 chain oracles.
+    */
+  private def packTail: String =
+    s"""p_base AS (
            SELECT t.doc_id,
              ((((CAST(1103515245 AS BIGINT)*425 + 12345) % 2147483648) *
                (list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -3012,21 +3053,30 @@ object SparkEntry {
                   - GREATEST(CAST(0 AS BIGINT), chunk*512 - off) AS n_toks
          FROM p_chunks"""
 
-  /** stage 7 as registered in q53: per-LANGUAGE token rates (q48b). */
-  private val q53LangMixSql: String =
-    s"""tok_counts AS (
+
+  /** The q48b rate-solve CTEs, parameterized (r14, for q103's frozen
+    * v1 rates): token masses from `memCte` joined to `dcCte` counts.
+    */
+  private def langRatesCtes(memCte: String, dcCte: String, pfx: String): String =
+    s"""${pfx}tok_counts AS (
            SELECT t.lang, t.t_myriad, COALESCE(g.c, 0) AS c
            FROM (VALUES ('de', 2000), ('en', 2000), ('es', 2000),
                         ('fr', 2000), ('zh', 2000)) t(lang, t_myriad)
            LEFT JOIN (SELECT d.lang, CAST(sum(dc.nt) AS BIGINT) AS c
-                      FROM mem d JOIN doc_counts dc ON dc.doc_id = d.doc_id
+                      FROM $memCte d JOIN $dcCte dc ON dc.doc_id = d.doc_id
                       GROUP BY d.lang) g USING (lang)),
-         tok_feas AS (SELECT MIN(c * 10000 // t_myriad) AS t_total FROM tok_counts),
-         tok_rates AS (
+         ${pfx}tok_feas AS (SELECT MIN(c * 10000 // t_myriad) AS t_total FROM ${pfx}tok_counts),
+         ${pfx}tok_rates AS (
            SELECT lang, CASE WHEN c = 0 THEN CAST(0 AS BIGINT)
                         ELSE (t_total * t_myriad // 10000) * 10000 // c END AS rate_myriad
-           FROM tok_counts, tok_feas),
-         admitted AS (
+           FROM ${pfx}tok_counts, ${pfx}tok_feas)"""
+
+  /** The index-214 'mixtok:' admission CTE, parameterized over the doc
+    * source, its token counts, and the rate table (q53: all own-corpus;
+    * q103: delta docs + delta counts under v1's rates).
+    */
+  private def langAdmitCte(memCte: String, dcCte: String, ratesCte: String): String =
+    s"""admitted AS (
            SELECT b.doc_id, b.n_tok
            FROM (
              SELECT t.doc_id, t.lang, dc.nt AS n_tok,
@@ -3037,11 +3087,176 @@ object SparkEntry {
                     (h, c) -> (h * 31 + c) % 1000000007))
                  + ((CAST(1103515245 AS BIGINT)*430 + 12345) % 2147483648)) % 2147483647) % 10000 AS bucket
              FROM (SELECT doc_id, lang, concat('mixtok:', CAST(doc_id AS VARCHAR)) AS k
-                   FROM mem) t
-             JOIN doc_counts dc ON dc.doc_id = t.doc_id) b
-           JOIN tok_rates r USING (lang)
-           WHERE b.bucket < r.rate_myriad),
-    """
+                   FROM $memCte) t
+             JOIN $dcCte dc ON dc.doc_id = t.doc_id) b
+           JOIN $ratesCte r USING (lang)
+           WHERE b.bucket < r.rate_myriad)"""
+
+  /** The q103 oracle: the v1 chain re-derived via the SHARED
+    * chainCtes/tokenizer/rate builders (prefixes v1_/v1t_), its frozen
+    * artifacts projected as digest CTEs, then the DELTA chain with the
+    * incremental rules — v1 digests drop exact dups, v1 segments and
+    * windows count as prior duplication, v1 shingles feed the
+    * memorization ratio, v1 cutoffs gate, v1 vocab tokenizes, v1 rates
+    * admit — and the q47 pack tail over the delta alone.
+    */
+  private def q103OracleSql: String =
+    s"""WITH RECURSIVE
+         ${benchCtes},
+         ${chainCtes("v1_", "doc_id % 97 <> 0 AND doc_id % 7 <> 0")},
+         v1_canon_dig AS MATERIALIZED (
+           SELECT DISTINCT md5(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+', ' ', 'g')) AS h
+           FROM v1_ruled),
+         v1_seg_dig AS MATERIALIZED (SELECT DISTINCT md5(seg) AS h FROM v1_p_segs),
+         v1_win_dig AS MATERIALIZED (SELECT DISTINCT h FROM v1_x_w),
+         v1_shingle AS MATERIALIZED (SELECT DISTINCT s FROM v1_m_sh),
+         ${tokenizerCtesOn("v1_mem", "v1t_")},
+         ${langRatesCtes("v1_mem", "v1t_doc_counts", "v1_")},
+         d_corpus0 AS (SELECT doc_id, lang,
+             regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+               '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),
+               '^\\s+|\\s+$$', '', 'g'), '\\s+', ' ', 'g') AS text
+           FROM documents WHERE doc_id % 97 <> 0 AND doc_id % 7 = 0),
+         ${graft.operators.QualityRules.gopherFilterCtes("d_corpus0", "d_")},
+         d_dig AS (
+           SELECT doc_id, lang, text,
+                  md5(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+', ' ', 'g')) AS h
+           FROM d_ruled),
+         d_new AS (
+           SELECT d.doc_id, d.lang, d.text, d.h FROM d_dig d
+           LEFT JOIN v1_canon_dig v ON v.h = d.h WHERE v.h IS NULL),
+         d_canon AS (
+           SELECT c.doc_id, c.lang, c.text FROM d_new c
+           JOIN (SELECT min(doc_id) AS k FROM d_new GROUP BY h) g ON g.k = c.doc_id),
+         d_segs AS (
+           SELECT doc_id, i AS seg_idx,
+                  array_to_string(ws[i*8+1 : (i+1)*8], ' ') AS seg
+           FROM (
+             SELECT doc_id,
+                    regexp_split_to_array(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+', ' ', 'g'), ' ') AS ws,
+                    unnest(generate_series(0,
+                      CAST((len(regexp_split_to_array(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+', ' ', 'g'), ' ')) - 1) // 8 AS INT))) AS i
+             FROM d_canon
+             WHERE text IS NOT NULL
+               AND length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) > 0)),
+         d_dupseg AS (
+           SELECT md5(seg) AS h FROM d_segs
+           GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+           UNION
+           SELECT h FROM v1_seg_dig),
+         d_per AS (
+           SELECT s.doc_id,
+                  coalesce(string_agg(CASE WHEN d.h IS NULL THEN s.seg END, ' ' ORDER BY s.seg_idx), '') AS ct
+           FROM d_segs s LEFT JOIN d_dupseg d ON d.h = md5(s.seg)
+           GROUP BY 1),
+         d_cleaned AS (
+           SELECT c.doc_id, c.lang,
+                  CASE WHEN c.text IS NULL THEN NULL ELSE coalesce(p.ct, '') END AS text
+           FROM d_canon c LEFT JOIN d_per p USING (doc_id)),
+         d_x_toks AS (
+           SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+'),
+                    t -> length(t) > 0) AS toks
+           FROM d_cleaned),
+         d_x_w AS (
+           SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+5], ' ')) AS h
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 4)) AS i
+                 FROM d_x_toks WHERE len(toks) >= 6) xq),
+         d_x_m AS (
+           SELECT doc_id, pos, h,
+                  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                  count(*) OVER (PARTITION BY h) AS c
+           FROM d_x_w),
+         d_x_starts AS (
+           SELECT doc_id, list_sort(list(pos)) AS st FROM (
+             SELECT DISTINCT doc_id, pos FROM (
+               SELECT doc_id, pos FROM d_x_m WHERE rn > 1 AND c >= 2
+               UNION ALL
+               SELECT m.doc_id, m.pos FROM d_x_m m JOIN v1_win_dig v ON v.h = m.h) u) t
+           GROUP BY 1),
+         d_x_fin AS (
+           SELECT t.doc_id, t.toks, coalesce(s.st, []) AS st
+           FROM d_x_toks t LEFT JOIN d_x_starts s USING (doc_id)),
+         d_x_cut AS (
+           SELECT doc_id,
+                  list_filter(toks,
+                    (tk, i) -> len(list_filter(st, p -> i >= p AND i < p + 6)) = 0) AS kept
+           FROM d_x_fin),
+         d_subclean AS (
+           SELECT c.doc_id, c.lang,
+                  CASE WHEN c.text IS NULL THEN NULL
+                       ELSE coalesce(array_to_string(x.kept, ' '), '') END AS text
+           FROM d_cleaned c LEFT JOIN d_x_cut x USING (doc_id)),
+         d_g_scored AS (
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    / CAST(nullif(length(text), 0) AS DOUBLE) AS alpha_ratio
+           FROM d_subclean),
+         d_gated AS (
+           SELECT c.doc_id, c.lang, c.text
+           FROM d_subclean c JOIN d_g_scored gs USING (doc_id), v1_g_lcut, v1_g_acut
+           WHERE (v1_g_lcut.c IS NULL OR gs.n_chars >= v1_g_lcut.c)
+             AND (v1_g_acut.c IS NULL OR gs.alpha_ratio >= v1_g_acut.c)),
+         d_p_ctoks AS (
+           SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS toks
+           FROM d_gated),
+         d_p_csh AS (
+           SELECT DISTINCT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(sh)+1),
+                      i -> CAST(unicode(substring(sh, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 3, 1) + 1),
+                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS sh
+                 FROM d_p_ctoks) x),
+         d_p_ov AS (
+           SELECT doc_id, count(*) AS n_ov
+           FROM d_p_csh JOIN p_bsh USING (s) GROUP BY 1),
+         d_decon AS (
+           SELECT c.doc_id, c.lang, c.text FROM d_gated c
+           LEFT JOIN d_p_ov USING (doc_id)
+           WHERE COALESCE(d_p_ov.n_ov, 0) = 0),
+         d_pii1 AS (SELECT doc_id, lang,
+                    regexp_replace(text, '${graft.operators.TextOps.EmailRe}', '<EMAIL>', 'g') AS t
+                  FROM d_decon),
+         d_pii2 AS (SELECT doc_id, lang,
+                    regexp_replace(t, '${graft.operators.TextOps.Ipv4Re}', '<IP>', 'g') AS t
+                  FROM d_pii1),
+         d_red AS MATERIALIZED (SELECT doc_id, lang,
+                   regexp_replace(t, '${graft.operators.TextOps.PhoneRe}', '<PHONE>', 'g') AS text
+                 FROM d_pii2),
+         d_m_sh AS MATERIALIZED (
+           SELECT DISTINCT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(g)+1),
+                      i -> CAST(unicode(substring(g, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS s
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 3, 1) + 1),
+                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS g
+                 FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS toks
+                       FROM d_red WHERE text IS NOT NULL) t) x),
+         d_m_df AS (
+           SELECT s FROM d_m_sh GROUP BY s HAVING count(*) > 1
+           UNION
+           SELECT s FROM v1_shingle),
+         d_m_dup AS (SELECT doc_id, count(*) AS n_dup FROM d_m_sh JOIN d_m_df USING (s) GROUP BY 1),
+         d_m_sz AS (SELECT doc_id, count(*) AS n_shingles FROM d_m_sh GROUP BY 1),
+         d_mem AS MATERIALIZED (
+           SELECT r.doc_id, r.lang, r.text
+           FROM d_red r LEFT JOIN d_m_sz USING (doc_id) LEFT JOIN d_m_dup USING (doc_id)
+           WHERE COALESCE(d_m_dup.n_dup, 0) * 10000
+                 <= 2000 * COALESCE(d_m_sz.n_shingles, 0)),
+         ${tokenizerCtesOn("d_mem", "dt_", vocabFrom = "v1t_vocab")},
+         ${langAdmitCte("d_mem", "dt_doc_counts", "v1_tok_rates")},
+         ${packTail}"""
+
+  /** stage 7 as registered in q53: per-LANGUAGE token rates (q48b). */
+  private def q53LangMixSql: String =
+    langRatesCtes("mem", "doc_counts", "") + ",\n         " +
+      langAdmitCte("mem", "doc_counts", "tok_rates") + ",\n    "
 
   /** stage 7 with the sourceQuotaMyriad knob ON (q53b): q90's
     * per-SOURCE rate solve + index-236 'srcq:' admission. `source` is
@@ -3108,40 +3323,52 @@ object SparkEntry {
     * q53's pipeline trains the vocab on the CURATED corpus, not the
     * raw table.
     */
-  private def tokenizerCtesOn(base: String): String =
-    s"""words0 AS (
-         SELECT doc_id,
-                unnest(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS w
-         FROM $base),
-       vocab AS (
+  /** The q51 tokenizer CTE block (vocab + greedy-walk doc counts),
+    * parameterized (r14, for q103): CTE names take prefix `pfx`; a
+    * non-empty `vocabFrom` SKIPS the vocab derivation and walks the
+    * GIVEN vocab CTE instead — the frozen-tokenizer path (delta docs
+    * count under v1's vocab).
+    */
+  private def tokenizerCtesOn(base: String, pfx: String = "",
+                              vocabFrom: String = ""): String = {
+    val vc = if (vocabFrom.nonEmpty) vocabFrom else s"${pfx}vocab"
+    val vocabDef =
+      if (vocabFrom.nonEmpty) ""
+      else s"""${pfx}vocab AS (
          SELECT substr(w, i, n) AS gram, count(*) AS cnt
          FROM (SELECT w, n, unnest(generate_series(1, length(w) - n + 1)) AS i
-               FROM (SELECT w, unnest([2, 3, 4]) AS n FROM words0)
+               FROM (SELECT w, unnest([2, 3, 4]) AS n FROM ${pfx}words0)
                WHERE length(w) >= n)
          GROUP BY gram
          ORDER BY cnt DESC, gram
          LIMIT 64),
-       dwords AS (SELECT DISTINCT w FROM words0 WHERE length(w) > 0),
-       positions AS (
+       """
+    s"""${pfx}words0 AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS w
+         FROM $base),
+       $vocabDef${pfx}dwords AS (SELECT DISTINCT w FROM ${pfx}words0 WHERE length(w) > 0),
+       ${pfx}positions AS (
          SELECT w, i AS pos,
                 coalesce(max(CASE WHEN v.gram IS NOT NULL THEN tn.n END), 1) AS mlen,
                 CASE WHEN count(v.gram) = 0 THEN 1 ELSE 0 END AS fall
-         FROM (SELECT w, unnest(generate_series(1, length(w))) AS i FROM dwords)
+         FROM (SELECT w, unnest(generate_series(1, length(w))) AS i FROM ${pfx}dwords)
          CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) tn
-         LEFT JOIN vocab v
+         LEFT JOIN $vc v
            ON v.gram = substr(w, i, tn.n) AND length(substr(w, i, tn.n)) = tn.n
          GROUP BY w, i),
-       walk AS (
+       ${pfx}walk AS (
          SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS f
-         FROM dwords
+         FROM ${pfx}dwords
          UNION ALL
          SELECT wk.w, wk.pos + p.mlen, wk.t + 1, wk.f + p.fall
-         FROM walk wk JOIN positions p ON p.w = wk.w AND p.pos = wk.pos),
-       folded AS (SELECT w, max(t) AS nt, max(f) AS nf FROM walk GROUP BY w),
-       doc_counts AS (
+         FROM ${pfx}walk wk JOIN ${pfx}positions p ON p.w = wk.w AND p.pos = wk.pos),
+       ${pfx}folded AS (SELECT w, max(t) AS nt, max(f) AS nf FROM ${pfx}walk GROUP BY w),
+       ${pfx}doc_counts AS (
          SELECT dw.doc_id,
                 CAST(sum(f.nt) AS BIGINT) AS nt,
                 CAST(sum(f.nf) AS BIGINT) AS nf
-         FROM words0 dw JOIN folded f ON f.w = dw.w
+         FROM ${pfx}words0 dw JOIN ${pfx}folded f ON f.w = dw.w
          GROUP BY dw.doc_id)"""
+  }
 }

@@ -97,14 +97,7 @@ object ExactSubstr {
     */
   def windowStarts(documents: DataFrame, k: Int = 6): DataFrame = {
     require(k >= 2, "substring window must span at least 2 tokens")
-    // One (doc_id, pos, digest) row per k-token window; text never
-    // leaves the map side — only the md5 digest enters the shuffle.
-    val wins = tokFrame(documents)
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${k - 1}), " +
-          s"i -> struct(i AS pos, md5(concat_ws(' ', slice(toks, i, $k))) AS h))")).as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val wins = windowHashFrame(documents, k)
     // First (doc_id, pos) per digest, duplicated digests only: the
     // probe-side join input is exactly the dup set, so a corpus with
     // little duplication broadcasts it (AQE), and a pathological one
@@ -119,6 +112,45 @@ object ExactSubstr {
     // Per-doc start list (<= tokens-per-doc entries), sorted for a
     // deterministic array.
     marked.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+  }
+
+  /** One (doc_id, pos, h) row per k-token window — q71's map-side
+    * digest frame exposed (text never leaves the map side): q103's
+    * frozen-state builder persists v1's distinct `h` column, and
+    * [[windowStartsVs]] marks delta windows against it.
+    */
+  private[graft] def windowHashFrame(documents: DataFrame, k: Int): DataFrame =
+    tokFrame(documents)
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> struct(i AS pos, md5(concat_ws(' ', slice(toks, i, $k))) AS h))")).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+
+  /** q71's marked starts with a FROZEN prior-corpus window set (q103's
+    * incremental stage 3): every v1 occurrence of a window PRECEDES
+    * every delta occurrence (the release shipped first), so a delta
+    * window whose digest exists in `priorDigests` (one `h` column) is
+    * never the keep-first copy — ALL its delta occurrences cut; windows
+    * new to the delta follow q71's within-corpus keep-first rule
+    * unchanged.
+    */
+  def windowStartsVs(documents: DataFrame, k: Int,
+                     priorDigests: DataFrame): DataFrame = {
+    require(k >= 2, "substring window must span at least 2 tokens")
+    val wins = windowHashFrame(documents, k).localCheckpoint(true)
+    val firsts = wins.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"), count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("h"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
+    val markedWithin = wins.join(firsts, Seq("h"))
+      .filter(col("doc_id") =!= col("fdoc") || col("pos") =!= col("fpos"))
+      .select(col("doc_id"), col("pos"))
+    val markedPrior = wins.join(priorDigests.select(col("h")), Seq("h"))
+      .select(col("doc_id"), col("pos"))
+    markedWithin.union(markedPrior).distinct()
+      .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
   }
 

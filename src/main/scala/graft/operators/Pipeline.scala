@@ -94,6 +94,16 @@ object Pipeline {
     * stages to the distributed store between jobs, which is this
     * knob's cluster-scale analog.
     */
+  /** The chain's stage-0..6b intermediates — ONE definition (r14)
+    * shared by [[curate]], [[curateState]] (q103's frozen-artifact
+    * builder), and the specs, so the full chain and the incremental
+    * path cannot drift in any stage's semantics.
+    */
+  private[graft] case class ChainOut(
+      ruled: DataFrame, canon: DataFrame, cleaned: DataFrame,
+      subbed: DataFrame, lenCut: Option[Double], alphaCut: Option[Double],
+      gated: DataFrame, decon: DataFrame, red: DataFrame, mem: DataFrame)
+
   def curate(documents: DataFrame, benchmark: DataFrame,
              targetMyriad: Map[String, Int],
              segWords: Int = 8, shingleN: Int = 4,
@@ -104,6 +114,41 @@ object Pipeline {
              ruleGate: Boolean = true,
              memCutMyriad: Int = 2000,
              sourceQuotaMyriad: Map[String, Int] = Map.empty): DataFrame = {
+    val c = chainStages(documents, benchmark, segWords, shingleN, gatePct,
+      subK, materializeStages, ruleGate, memCutMyriad)
+    // 7. vocab trained on the curated corpus; token-budget admission —
+    // per-LANGUAGE (q48b, the default) or per-SOURCE (q90, the
+    // `sourceQuotaMyriad` knob, r13): release recipes increasingly
+    // specify budgets by SOURCE (DoReMi / Pile domain weights), so a
+    // non-empty source-quota map REPLACES the language mixture with
+    // q90's admission — same shared solveRates/admitAtRates machinery
+    // (index 236, 'srcq:'), so the two paths cannot drift in rate
+    // arithmetic. The chain dropped `source` at stage 0 (it is
+    // immutable per doc_id), so the quota stage re-attaches it with
+    // ONE key-only join against the raw table — keys and a short
+    // string in the exchange, never text (the q97 shape). UniMax
+    // (q96) composes: feed its allocations as shares
+    // (alloc·10⁴ div B) — PipelineSpec exercises exactly that.
+    val vocab = TextOps.tokenizerVocabSeq(c.mem, vocabM, maxN)
+    val admitted =
+      if (sourceQuotaMyriad.isEmpty)
+        TextOps.mixtureSolveTokenized(c.mem, targetMyriad, vocab, maxN)
+      else
+        TextOps.sourceQuota(
+          c.mem.select("doc_id", "text")
+            .join(documents.select("doc_id", "source"), "doc_id"),
+          sourceQuotaMyriad, vocab, maxN)
+    // 8. pack the admitted docs on their tokenizer counts
+    TextOps.packCore(
+      admitted.select(col("doc_id"), col("n_tokens").as("n_tok")),
+      capacity, shards)
+  }
+
+  private[graft] def chainStages(
+      documents: DataFrame, benchmark: DataFrame,
+      segWords: Int, shingleN: Int, gatePct: Int, subK: Int,
+      materializeStages: Boolean, ruleGate: Boolean,
+      memCutMyriad: Int): ChainOut = {
     // 0. unicode canonicalization (q75, since late r11) — the
     // production opening move: NFC + control/zero-width strip +
     // whitespace collapse BEFORE any hashing, so encoding-variant
@@ -193,32 +238,8 @@ object Pipeline {
           lit(memCutMyriad.toLong) * col("n_shingles"))
         .select("doc_id")
         .join(red, "doc_id")
-    // 7. vocab trained on the curated corpus; token-budget admission —
-    // per-LANGUAGE (q48b, the default) or per-SOURCE (q90, the
-    // `sourceQuotaMyriad` knob, r13): release recipes increasingly
-    // specify budgets by SOURCE (DoReMi / Pile domain weights), so a
-    // non-empty source-quota map REPLACES the language mixture with
-    // q90's admission — same shared solveRates/admitAtRates machinery
-    // (index 236, 'srcq:'), so the two paths cannot drift in rate
-    // arithmetic. The chain dropped `source` at stage 0 (it is
-    // immutable per doc_id), so the quota stage re-attaches it with
-    // ONE key-only join against the raw table — keys and a short
-    // string in the exchange, never text (the q97 shape). UniMax
-    // (q96) composes: feed its allocations as shares
-    // (alloc·10⁴ div B) — PipelineSpec exercises exactly that.
-    val vocab = TextOps.tokenizerVocabSeq(mem, vocabM, maxN)
-    val admitted =
-      if (sourceQuotaMyriad.isEmpty)
-        TextOps.mixtureSolveTokenized(mem, targetMyriad, vocab, maxN)
-      else
-        TextOps.sourceQuota(
-          mem.select("doc_id", "text")
-            .join(documents.select("doc_id", "source"), "doc_id"),
-          sourceQuotaMyriad, vocab, maxN)
-    // 8. pack the admitted docs on their tokenizer counts
-    TextOps.packCore(
-      admitted.select(col("doc_id"), col("n_tokens").as("n_tok")),
-      capacity, shards)
+    ChainOut(ruled, canon, cleaned, subbed, lenCut, alphaCut,
+      gated, decon, red, mem)
   }
 
   /** The frozen p`pct` quality cutoffs (n_chars, alpha_ratio) of a
@@ -250,5 +271,183 @@ object Pipeline {
         lenCut.map(c => col("n_chars") >= lit(c)).getOrElse(lit(true)) &&
         alphaCut.map(c => col("alpha_ratio") >= lit(c)).getOrElse(lit(true)))
     cleaned.join(keep.select("doc_id"), "doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // q103: INCREMENTAL RELEASE CURATION (r13 verdict task #4) — a
+  // monthly 100 TB release never recurates from scratch: curate ONLY
+  // the delta (v2's added/changed docs, the q83 diff) against the v1
+  // release's FROZEN artifacts, emitting the same span schema.
+  // ------------------------------------------------------------------
+
+  /** Everything q103 freezes from the v1 release — the s21 CurateConfig
+    * contract EXTENDED with the cross-document state the batch chain's
+    * dedup stages need (a streaming twin accumulates this state
+    * arrival-by-arrival; the incremental batch reads it as tables):
+    *
+    *  - `canonDigests` (h): md5 of every v1 RULED doc's normalized
+    *    text — a delta doc matching one is an exact dup of shipped
+    *    content and drops at stage 1;
+    *  - `segDigests` (h): every distinct aligned segment of v1's canon
+    *    corpus — a delta copy is cross-document boilerplate (v1 plus
+    *    this doc = two docs) and is stripped at stage 2;
+    *  - `winDigests` (h): every distinct q71 window of v1's
+    *    segment-cleaned corpus — every v1 occurrence precedes every
+    *    delta occurrence, so a delta window matching one is never the
+    *    keep-first copy (ALL its delta occurrences cut at stage 3);
+    *  - `corpusShingles` (shingle): every distinct q38-family shingle
+    *    of v1's REDACTED corpus — a delta doc's shingle matching one
+    *    has document frequency ≥ 2 across the combined release, so it
+    *    counts toward the stage-6b memorization ratio (note this is
+    *    the FULL distinct set, not the df>1 `dupShingles` the s21
+    *    config carries: the df=1 shingles are exactly the ones a
+    *    single delta re-occurrence flips to duplicated);
+    *  - `benchShingles` (shingle): the frozen benchmark set (stage 5);
+    *  - `vocab`/`ratesMyriad`/`lenCut`/`alphaCut` and the gate knobs:
+    *    the s21 frozen-scalar contract, now batch — a delta must admit
+    *    under the release's published tokenizer, mixture, and quality
+    *    percentiles, not re-derive them from its own skewed sample.
+    *
+    * Frame fields are DataFrames end to end (the dup_windows ModelStore
+    * discipline — duplication-sized state never collects); persist and
+    * reload the whole bundle via ModelStore family `curate_state`.
+    *
+    * DOCUMENTED DIVERGENCES from a full q53 re-run on v1 ∪ delta,
+    * restricted to the delta (PipelineSpec pins equality outside them):
+    * vocab/rates/cutoffs are frozen (above); v1's own text is frozen —
+    * a NEW v1↔delta segment duplication re-cleans the v1 doc in a full
+    * re-run (changing its windows) but never retroactively here (the
+    * s20 no-retraction contract); and the delta packs into its OWN
+    * shards from offset 0 (an incremental release ships new shard
+    * files, never rewrites v1's).
+    */
+  case class CurateState(vocab: Seq[String], ratesMyriad: Map[String, Long],
+                         lenCut: Option[Double], alphaCut: Option[Double],
+                         memCutMyriad: Int, ruleGate: Boolean,
+                         segWords: Int, shingleN: Int, maxN: Int,
+                         capacity: Int, shards: Int, subK: Int,
+                         benchShingles: DataFrame, canonDigests: DataFrame,
+                         segDigests: DataFrame, winDigests: DataFrame,
+                         corpusShingles: DataFrame)
+
+  /** Freeze the v1 release's curation state: ONE chain run (the shared
+    * [[chainStages]] — the same stages [[curate]] executes) plus the
+    * digest projections of its intermediates.
+    */
+  def curateState(v1docs: DataFrame, benchmark: DataFrame,
+                  targetMyriad: Map[String, Int],
+                  segWords: Int = 8, shingleN: Int = 4,
+                  vocabM: Int = 64, maxN: Int = 4,
+                  capacity: Int = 512, shards: Int = 8,
+                  gatePct: Int = 5, subK: Int = 6,
+                  materializeStages: Boolean = false,
+                  ruleGate: Boolean = true,
+                  memCutMyriad: Int = 2000): CurateState = {
+    val c = chainStages(v1docs, benchmark, segWords, shingleN, gatePct,
+      subK, materializeStages, ruleGate, memCutMyriad)
+    val vocab = TextOps.tokenizerVocabSeq(c.mem, vocabM, maxN)
+    val rates = TextOps.tokenMixtureRates(c.mem, targetMyriad, vocab, maxN)
+    val bench0 = benchmark.select(col("doc_id"),
+      TextOps.normalizeCol(col("text")).as("text"))
+    CurateState(vocab, rates, c.lenCut, c.alphaCut, memCutMyriad, ruleGate,
+      segWords, shingleN, maxN, capacity, shards, subK,
+      benchShingles = Dedup.postings(bench0, shingleN)
+        .select(col("shingle")).distinct(),
+      canonDigests = c.ruled
+        .select(md5(TextOps.normText(col("text"))).as("h")).distinct(),
+      segDigests = TextOps.segmentHashFrame(c.canon, segWords)
+        .select(col("h")).distinct(),
+      winDigests = ExactSubstr.windowHashFrame(c.cleaned, subK)
+        .select(col("h")).distinct(),
+      corpusShingles = Dedup.postings(c.red, shingleN)
+        .select(col("shingle")).distinct())
+  }
+
+  /** The delta corpus after stages 0–6b against the frozen state —
+    * exposed for the spec's "incremental == full re-run restricted to
+    * the delta" assertion (stage 7/8 diverge by the frozen vocab/rates
+    * contract, so the equality claim lives here).
+    */
+  def curateDeltaDocs(delta: DataFrame, st: CurateState): DataFrame = {
+    // 0 + 0b: stateless, delta only
+    val docs0 = delta.select(col("doc_id"), col("lang"),
+      TextOps.normalizeCol(col("text")).as("text"))
+    val ruled =
+      if (!st.ruleGate) docs0
+      else QualityRules.gopherRules(docs0)
+        .filter(col("pass") === 1L).select("doc_id")
+        .join(docs0, "doc_id")
+    // 1. exact dedup: a v1-digest match drops (shipped content);
+    // within the delta the smallest doc_id is canonical (batch q20)
+    val withH = ruled.select(col("doc_id"), col("lang"), col("text"),
+      md5(TextOps.normText(col("text"))).as("h"))
+    val fresh = withH.join(st.canonDigests, Seq("h"), "left_anti")
+    val canon = fresh.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .join(fresh.drop("h"), "doc_id")
+    // 2. segment strip vs (within-delta dups ∪ v1 segments)
+    val cleaned = TextOps.segmentDedupVs(canon, st.segWords, Some(st.segDigests))
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(canon.select("doc_id", "lang"), "doc_id")
+    // 3. substring cut vs (within-delta keep-first ∪ v1 windows); the
+    // marked-start frame is narrow and always checkpointed (the q53
+    // stage-3 discipline)
+    val starts = ExactSubstr.windowStartsVs(cleaned, st.subK, st.winDigests)
+      .localCheckpoint(true)
+    val subbed = cleaned
+      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("text"),
+        coalesce(col("starts"), array().cast("array<int>")).as("st"),
+        filter(split(lower(TextOps.wsTrim(col("text"))), "\\s+"),
+          t => length(t) > 0).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", expr(
+            s"filter(toks, (t, j) -> NOT exists(st, p -> j+1 >= p AND j+1 < p + ${st.subK}))")))
+          .as("text"))
+    // 4. quality gate at the FROZEN v1 cutoffs
+    val gated = qualityGate(subbed, st.lenCut, st.alphaCut)
+    // 5. decontamination against the frozen benchmark shingle set
+    val dirty = Dedup.postings(gated, st.shingleN)
+      .join(st.benchShingles, Seq("shingle"))
+      .select(col("doc_id")).distinct()
+    val decon = gated.join(dirty, Seq("doc_id"), "left_anti")
+    // 6. PII redaction (stateless)
+    val red = TextOps.piiRedact(decon)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(decon.select("doc_id", "lang"), "doc_id")
+    // 6b. memorization gate: a shingle is duplicated when the delta
+    // repeats it (df>1 within) OR v1 already contains it (that doc +
+    // this one = df ≥ 2 across the release)
+    if (st.memCutMyriad < 0) red
+    else {
+      val post = Dedup.postings(red, st.shingleN).localCheckpoint(true)
+      val dupSh = post.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("shingle"))
+        .union(st.corpusShingles.select(col("shingle"))).distinct()
+      val dup = post.join(dupSh, Seq("shingle"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      red.join(sizes, Seq("doc_id"), "left")
+        .join(dup, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_shingles", "n_dup"))
+        .filter(col("n_dup") * lit(10000L) <=
+          lit(st.memCutMyriad.toLong) * col("n_shingles"))
+        .select(col("doc_id"), col("lang"), col("text"))
+    }
+  }
+
+  /** q103 registered entry: stages 0–6b via [[curateDeltaDocs]], then
+    * the FROZEN stage 7 (v1 vocab + v1 rates through the shared
+    * index-214 'mixtok:' admission) and q47 packing of the delta into
+    * its own shards.
+    */
+  def curateDelta(delta: DataFrame, st: CurateState): DataFrame = {
+    val mem = curateDeltaDocs(delta, st)
+    val admitted = TextOps.mixtureAdmitFrozen(mem, st.ratesMyriad,
+      st.vocab, st.maxN)
+    TextOps.packCore(
+      admitted.select(col("doc_id"), col("n_tokens").as("n_tok")),
+      st.capacity, st.shards)
   }
 }

@@ -140,8 +140,8 @@ object QualityRules {
     * keeping only passing docs. Mirrors gopherRulesOracleSql minus
     * the per-rule reporting.
     */
-  def gopherFilterCtes(srcCte: String): String =
-    s"""r_m AS (
+  def gopherFilterCtes(srcCte: String, p: String = ""): String =
+    s"""${p}r_m AS (
        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
        |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
        |           list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS chars,
@@ -152,8 +152,8 @@ object QualityRules {
        |          regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+'),
        |          x -> length(x) > 0) AS toks
        |        FROM $srcCte) t),
-       |ruled AS MATERIALIZED (
-       |  SELECT c.* FROM $srcCte c JOIN r_m USING (doc_id)
+       |${p}ruled AS MATERIALIZED (
+       |  SELECT c.* FROM $srcCte c JOIN ${p}r_m USING (doc_id)
        |  WHERE n_words >= $MinWords AND n_words <= $MaxWords
        |    AND chars * 100 // n_words >= $MinWlenX100
        |    AND chars * 100 // n_words <= $MaxWlenX100

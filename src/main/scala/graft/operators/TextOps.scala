@@ -21,7 +21,7 @@ object TextOps {
   def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
 
   /** Whitespace-normalized lowercase form used for exact dedup. */
-  private def normText(c: Column): Column =
+  private[operators] def normText(c: Column): Column =
     regexp_replace(lower(wsTrim(c)), "\\s+", " ")
 
   /** Whitespace token count; 0 for blank text. */
@@ -1031,6 +1031,23 @@ object TextOps {
       hashIndex = 214, keyPrefix = "mixtok:", Seq(col("n_tokens")))
   }
 
+  /** q48b admission at FROZEN rates (q103's stage 7, the s21 contract
+    * in batch): the same tokenFrame + index-214 'mixtok:' hash rule as
+    * [[mixtureSolveTokenized]], but the rate table is GIVEN (solved on
+    * the prior release) instead of re-solved — an incremental delta
+    * must admit under the release's published mixture, not re-derive
+    * one from its own skewed composition.
+    */
+  def mixtureAdmitFrozen(documents: DataFrame, ratesMyriad: Map[String, Long],
+                         vocab: Seq[String], maxN: Int = 4): DataFrame = {
+    require(ratesMyriad.nonEmpty, "frozen admission needs a rate table")
+    val sp = documents.sparkSession
+    import sp.implicits._
+    val rates = ratesMyriad.toSeq.sortBy(_._1).toDF("lang", "rate_myriad")
+    admitAtRates(tokenFrame(documents, vocab, maxN), rates,
+      hashIndex = 214, keyPrefix = "mixtok:", Seq(col("n_tokens")))
+  }
+
   /** The q48b rate table as a driver-side map — the configuration a
     * STREAMING admission gate (s21) needs: rates are solved offline
     * from a corpus snapshot, then applied per-arrival. L rows, one
@@ -1288,7 +1305,42 @@ object TextOps {
     * text passes through as NULL counts/text (the q51 convention),
     * blank text yields (0, 0, "").
     */
-  def segmentDedup(documents: DataFrame, segWords: Int = 8): DataFrame = {
+  def segmentDedup(documents: DataFrame, segWords: Int = 8): DataFrame =
+    segmentDedupVs(documents, segWords, None)
+
+  /** The per-document (doc_id, seg_idx, h) md5 frame of `segWords`
+    * aligned segments — q52's scan-A hash frame exposed for q103's
+    * frozen-state builder (v1's segment digests ARE this frame's
+    * distinct h column).
+    */
+  private[graft] def segmentHashFrame(documents: DataFrame,
+                                      segWords: Int): DataFrame = {
+    val norm = normText(col("text"))
+    val df = documents.select(
+      col("doc_id"),
+      when(col("text").isNull, lit(null))
+        .otherwise(when(length(norm) === 0, array())
+          .otherwise(split(norm, " "))).as("ws"))
+    val ws = col("ws")
+    val segments = when(ws.isNull, lit(null))
+      .otherwise(when(size(ws) === 0, array())
+        .otherwise(transform(
+          sequence(lit(0), ((size(ws) - 1) / segWords).cast("int")),
+          i => array_join(slice(ws, i * segWords + 1, lit(segWords)), " "))))
+    df.select(col("doc_id"), posexplode(segments).as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx"), md5(col("seg")).as("h"))
+  }
+
+  /** q52 with an optional FROZEN prior-corpus dup set (q103's
+    * incremental stage 2): a segment is boilerplate when it appears in
+    * more than one document of THIS corpus — or, incrementally, when
+    * the prior release already contains its digest (`priorDigests`,
+    * one `h` column: a v1 copy plus this one is cross-document
+    * duplication by definition; v1's own text is frozen and never
+    * re-cleaned — the s20 no-retraction contract).
+    */
+  private[operators] def segmentDedupVs(documents: DataFrame, segWords: Int,
+                                        priorDigests: Option[DataFrame]): DataFrame = {
     require(segWords > 0, "segWords must be positive")
     // materialize the word array BEFORE the transform lambda — a
     // column captured by a higher-order function re-evaluates per
@@ -1307,15 +1359,17 @@ object TextOps {
           sequence(lit(0), ((size(ws) - 1) / segWords).cast("int")),
           i => array_join(slice(ws, i * segWords + 1, lit(segWords)), " "))))
     // scan A → narrow hash frame (nullable/blank docs carry no segments)
-    val segsNarrow = withWords(documents)
-      .select(col("doc_id"), posexplode(segments).as(Seq("seg_idx", "seg")))
-      .select(col("doc_id"), col("seg_idx"), md5(col("seg")).as("h"))
+    val segsNarrow = segmentHashFrame(documents, segWords)
       .localCheckpoint(true)
-    val dupH = segsNarrow
+    val dupWithin = segsNarrow
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
       .select(col("h"))
+    val dupH = priorDigests match {
+      case None => dupWithin
+      case Some(prior) => dupWithin.union(prior.select(col("h"))).distinct()
+    }
     // per-doc dropped segment indices — only docs that lose something
     val dropped = segsNarrow
       .join(dupH, Seq("h"))

@@ -312,4 +312,99 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids.contains(11L) && !ids.contains(12L),
       s"decomposed twin must dedup against the composed doc: $ids")
   }
+
+  test("q103 incremental == full q53 re-run restricted to the delta (stages 0-6b, divergences engineered out)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // letter-only words: the frozen v1 quality cutoffs must not gate
+    // the delta for incidental reasons (digit-bearing ids shift
+    // alpha_ratio), so every corpus word is alphabetic
+    val abc = (n: Int) => n.toString.map(c => ('a' + (c - '0')).toChar).mkString
+    val uniq = (i: Int) => (0 until 24).map(j => s"w${abc(i)}q${abc(j)}").mkString(" ")
+    // doc 8 is BOTH corpora's p5 cutoff donor: shortest n_chars AND
+    // lowest alpha_ratio, and it lives in v1 — so the frozen v1
+    // cutoffs EQUAL the full re-run's union cutoffs exactly, and the
+    // quality-gate divergence is engineered out of this corpus
+    val cutoffDonor = (0 until 20).map(j => s"a$j").mkString(" ")
+    val winRun = "k1w k2w k3w k4w k5w k6w" // a 6-token run, never 8 aligned words
+    val phrase = (i: Int) => s"p${i}a p${i}b p${i}c p${i}d p${i}e"
+    val v1Rows = Seq(
+      (1L, "en", uniq(1)), (2L, "es", uniq(2)), (3L, "de", uniq(3)),
+      (4L, "fr", uniq(4)), (5L, "zh", uniq(5)),
+      (6L, "en", s"${uniq(6)} $winRun"),
+      (7L, "en", (1 to 4).map(phrase).zipWithIndex
+        .map { case (p, j) => s"$p uq$j" }.mkString(" ")),
+      (8L, "en", cutoffDonor))
+    val deltaRows = Seq(
+      (101L, "en", uniq(1)),            // exact dup of shipped doc 1 -> drops
+      (102L, "en", uniq(102)),          // clean -> survives verbatim
+      (104L, "en", uniq(102)),          // within-delta dup of 102 -> drops
+      (105L, "en", uniq(900)),          // benchmark copy -> decon drops
+      // repeats v1 doc 6's 6-token window inside otherwise-unique text
+      // (no 8-word aligned segment matches) -> exactly that span cut
+      (103L, "en", s"${uniq(31)} $winRun ${uniq(32)}"),
+      // shares doc 7's four 5-word phrases: 8+ of ~28 distinct shingles
+      // duplicated against v1 (> 20%) -> memorization gate drops
+      (106L, "en", (1 to 4).map(phrase).zipWithIndex
+        .map { case (p, j) => s"$p ur$j" }.mkString(" ")))
+    val bench = Seq((9001L, uniq(900))).toDF("doc_id", "text")
+    val v1df = v1Rows.toDF("doc_id", "lang", "text")
+    val ddf = deltaRows.toDF("doc_id", "lang", "text")
+
+    val st = Pipeline.curateState(v1df, bench, target, ruleGate = false)
+    val inc = Pipeline.curateDeltaDocs(ddf, st)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val full = Pipeline.chainStages(v1df.union(ddf), bench,
+        segWords = 8, shingleN = 4, gatePct = 5, subK = 6,
+        materializeStages = false, ruleGate = false, memCutMyriad = 2000)
+      .mem.filter(col("doc_id") >= 100L)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(inc == full,
+      s"incremental must equal the full re-run on the delta:\n inc-only=${inc -- full}\n full-only=${full -- inc}")
+    // the planted behaviors, named
+    val ids = inc.map(_._1)
+    assert(ids == Set(102L, 103L), s"survivors: $ids")
+    assert(!inc.exists(_._3.contains("k1w")),
+      "the v1-repeated window must be cut from doc 103")
+  }
+
+  test("q103 frozen stage 7/8: delta admits under v1 rates + vocab; state round-trips through ModelStore") {
+    import spark.implicits._
+    val abc = (n: Int) => n.toString.map(c => ('a' + (c - '0')).toChar).mkString
+    val uniq = (i: Int) => (0 until 24).map(j => s"w${abc(i)}q${abc(j)}").mkString(" ")
+    val v1Rows = (1 to 10).map(i =>
+      (i.toLong, Seq("en", "es", "de", "fr", "zh")(i % 5), uniq(i)))
+    val deltaRows = (101 to 108).map(i => (i.toLong, "en", uniq(i)))
+    val bench = Seq((9001L, uniq(900))).toDF("doc_id", "text")
+    val v1df = v1Rows.toDF("doc_id", "lang", "text")
+    val ddf = deltaRows.toDF("doc_id", "lang", "text")
+    val st = Pipeline.curateState(v1df, bench, target, ruleGate = false)
+    assert(st.vocab.nonEmpty && st.ratesMyriad.keySet == target.keySet)
+    val spans = Pipeline.curateDelta(ddf, st).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // only delta docs pack, into the delta's OWN shards from offset 0
+    assert(spans.nonEmpty && spans.forall(_._3 >= 101L))
+    // admission is the frozen 'mixtok:' rule at v1's en rate: replay it
+    val enRate = st.ratesMyriad("en")
+    import graft.operators.Dedup.ReplayableHash.{a, b, P}
+    val admittedIds = deltaRows.map(_._1).filter { id =>
+      val h = graft.functions.PolyHashExpr.hash("mixtok:" + id)
+      ((a(214) * h + b(214)) % P) % 10000L < enRate
+    }.toSet
+    assert(spans.map(_._3).toSet == admittedIds,
+      s"packed docs must be exactly the frozen-rate admissions: ${spans.map(_._3).toSet} vs $admittedIds")
+
+    // ModelStore round trip: the loaded artifact reproduces the spans
+    val dir = java.nio.file.Files.createTempDirectory("curate_state").toString
+    ModelStore.saveCurateState(spark, dir, st, version = 2L)
+    val loaded = ModelStore.loadCurateState(spark, dir)
+    assert(loaded.vocab == st.vocab && loaded.ratesMyriad == st.ratesMyriad &&
+      loaded.lenCut == st.lenCut && loaded.alphaCut == st.alphaCut)
+    val spans2 = Pipeline.curateDelta(ddf, loaded).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans2.sorted.toSeq == spans.sorted.toSeq,
+      "the LOADED curate_state must reproduce the delta spans exactly")
+  }
 }
