@@ -597,6 +597,31 @@ object ModelStore {
       m.params("shards").toInt, m.params("sub_k").toInt)
   }
 
+  /** q101's trained unigram model (family `unigram`, s56's segmenter):
+    * table `pieces` = (piece STRING, cnt BIGINT, cost_q16 BIGINT) —
+    * vocab-sized; the segmentation maxLen rides in params (pieces must
+    * be walked on the grid they were trained with).
+    */
+  def saveUnigram(spark: SparkSession, dir: String,
+                  model: graft.operators.Unigram.Model, maxLen: Int,
+                  version: Long,
+                  params: Map[String, String] = Map.empty): Manifest = {
+    require(model.pieces.nonEmpty, "refusing to persist an empty unigram model")
+    import spark.implicits._
+    save(spark, dir, "unigram", version, params + ("max_len" -> maxLen.toString),
+      Map("pieces" -> model.pieces.sortBy(_._1).toDF("piece", "cnt", "cost_q16")))
+  }
+
+  def loadUnigram(spark: SparkSession, dir: String)
+      : (graft.operators.Unigram.Model, Int) = {
+    val (m, t) = load(spark, dir, "unigram")
+    (graft.operators.Unigram.Model(
+      t("pieces").collect() // vocab-sized — bounded
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq),
+      m.params("max_len").toInt)
+  }
+
   /** q103's incremental-curation state (family `curate_state`): the
     * v1 release's frozen cross-document tables — `canon_digests` /
     * `seg_digests` / `win_digests` (h STRING; duplication-sized,

@@ -2879,6 +2879,41 @@ object StreamOps {
       }
   }
 
+  /** s56 output: the q101b columns per arrival. */
+  case class UnigramSegDoc(doc_id: Long, n_pieces: Long, subtext: String)
+
+  /** s56: STREAMING UNIGRAM ENCODE — q101b as a continuous tokenizer
+    * service: each arriving document is Viterbi-segmented against the
+    * FROZEN q101 model (the s25/s31 frozen-model rule — a live-trained
+    * vocab would re-segment history; ModelStore family `unigram` is
+    * the artifact). A pure stateless map — the cheapest streaming
+    * class: no state, no shuffle, trivially row-exact vs batch q101b
+    * under any batching (ModelStoreSpec asserts it from the LOADED
+    * artifact; StreamingSpec under shuffled multi-batch arrival). The
+    * normalization is the batch column chain's JVM twin
+    * (lower(wsTrim(coalesce(text,''))) — Locale.ROOT lowering, the
+    * s21 GreedyTokenStats parity precedent; the segmenter itself
+    * skips whitespace, so the trim is absorbed).
+    */
+  def streamUnigramEncode(docs: Dataset[(Long, String)],
+                          model: graft.operators.Unigram.Model,
+                          maxLen: Int = 4): Dataset[UnigramSegDoc] = {
+    import docs.sparkSession.implicits._
+    require(model.pieces.nonEmpty, "frozen unigram model must be non-empty")
+    val bc = docs.sparkSession.sparkContext.broadcast {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      model.costs.foreach { case (p, c) => m.put(p, c) }
+      m
+    }
+    docs.map { case (id, text) =>
+      val norm = (if (text == null) "" else text)
+        .toLowerCase(java.util.Locale.ROOT)
+      val pieces = graft.functions.UnigramSegExpr.segment(
+        norm, bc.value, maxLen, graft.operators.Unigram.UnkCostQ16)
+      UnigramSegDoc(id, pieces.length.toLong, pieces.mkString(" "))
+    }
+  }
+
   /** s54 scored-arrival intermediate: one probe's view of one doc —
     * the lexical BM25 sum (None when the doc shares no probe term)
     * and the integer d2 (None when the arrival carries no vector).

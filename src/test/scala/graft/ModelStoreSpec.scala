@@ -552,6 +552,34 @@ class ModelStoreSpec extends AnyFunSuite {
       "the chain fed from ONE loaded artifact must reproduce batch q53")
   }
 
+  test("unigram: the s56 encoder from the LOADED artifact is row-exact vs batch q101b") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Unigram
+    val docs = Tables.documents(spark, sfDir)
+    val batch = Unigram.unigramEncode(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val model = Unigram.unigramFit(docs)
+    val dir = tmp("unigram")
+    ModelStore.saveUnigram(spark, dir, model, maxLen = 4, version = 3L)
+    val (loaded, maxLen) = ModelStore.loadUnigram(spark, dir)
+    assert(loaded.pieces.toSet == model.pieces.toSet && maxLen == 4,
+      "pieces + grid must round-trip exactly (order is not part of the model)")
+
+    val feed = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val source = MemoryStream[(Long, String)]
+    val got = collection.mutable.Map[Long, (Long, String)]()
+    val q = StreamOps.streamUnigramEncode(source.toDS(), loaded, maxLen)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.UnigramSegDoc], _: Long) =>
+        b.collect().foreach(d => got(d.doc_id) = ((d.n_pieces, d.subtext))); ()
+      }.start()
+    try { source.addData(feed.toIndexedSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    assert(got.toMap == batch, "loaded-artifact encoder must equal batch q101b")
+  }
+
   test("drift_expected: the s55 monitor from the LOADED baseline is row-exact vs batch q100") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -3212,6 +3212,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s56 streaming unigram encode equals batch q101b under shuffled multi-batch arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    import graft.operators.Unigram
+    val docs = Tables.documents(spark, sfDir)
+    val batch = Unigram.unigramEncode(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val model = Unigram.unigramFit(docs)
+    val feed = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rng = new scala.util.Random(56L)
+    val shuffled = rng.shuffle(feed.toVector).toArray
+    val source = MemoryStream[(Long, String)]
+    val got = collection.mutable.Map[Long, (Long, String)]()
+    val q = StreamOps.streamUnigramEncode(source.toDS(), model)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.UnigramSegDoc], _: Long) =>
+        b.collect().foreach(d => got(d.doc_id) = ((d.n_pieces, d.subtext))); ()
+      }.start()
+    try {
+      val third = shuffled.length / 3 + 1
+      shuffled.grouped(third).foreach { ch =>
+        source.addData(ch.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(got.toMap == batch, "stateless encoder must equal batch q101b per arrival")
+  }
+
   test("s55 live drift monitor converges to batch q100 under shuffled multi-batch arrival") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
