@@ -139,7 +139,16 @@ object BenchScale {
     "q98_dp_counts",     // one corpus agg + pure-map noise
     "q99_hybrid_rrf",    // tf index agg + Q-bounded probe terms/vectors:
                          // both legs linear in the corpus for fixed Q
-    "q100_drift_psi")    // two feature-count aggs + bucket-sized arithmetic
+    "q100_drift_psi",    // two feature-count aggs + bucket-sized arithmetic
+                         // (q100b deliberately NOT probed separately: the
+                         // alert is one bucket-frame re-aggregation of the
+                         // probed report — no new exponent)
+    "q101_unigram_train", // ONE corpus word agg; EM loop on the wordCap frame
+    "q101b_unigram_encode", // train agg + one pure-map Viterbi encode scan
+    "q102_rag_search",   // chunk projection + passage tf agg + Q-bounded
+                         // broadcast candidates: linear for fixed Q
+    "q103_curate_incremental") // two q53-class chains (v1 + delta) over
+                               // disjoint corpus slices: the q53 shape twice
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")
