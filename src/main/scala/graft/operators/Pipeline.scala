@@ -345,8 +345,13 @@ object Pipeline {
                   memCutMyriad: Int = 2000): CurateState = {
     val c = chainStages(v1docs, benchmark, segWords, shingleN, gatePct,
       subK, materializeStages, ruleGate, memCutMyriad)
-    val vocab = TextOps.tokenizerVocabSeq(c.mem, vocabM, maxN)
-    val rates = TextOps.tokenMixtureRates(c.mem, targetMyriad, vocab, maxN)
+    // the mem stage feeds BOTH the vocab collect and the rate solve —
+    // under materializeStages, checkpoint it once instead of running
+    // the stage-6b postings machinery twice (the q53 stage-knob rule
+    // applied to the state builder's own fan-out)
+    val mem = if (materializeStages) c.mem.localCheckpoint(true) else c.mem
+    val vocab = TextOps.tokenizerVocabSeq(mem, vocabM, maxN)
+    val rates = TextOps.tokenMixtureRates(mem, targetMyriad, vocab, maxN)
     val bench0 = benchmark.select(col("doc_id"),
       TextOps.normalizeCol(col("text")).as("text"))
     CurateState(vocab, rates, c.lenCut, c.alphaCut, memCutMyriad, ruleGate,
