@@ -165,6 +165,15 @@ object ModelStore {
       node.get("created_utc_ms").asLong(), params, tables, digests)
   }
 
+  /** Families whose tables are DUPLICATION-sized (scale with corpus
+    * duplication, not with a model): re-digesting them at every load
+    * is a full extra scan per table BEFORE any real work — at 100 TB
+    * that can double the consumer job. Their digests are still written
+    * at save time and required present at load; the recompute is
+    * opt-in (`verifyLarge = true`, e.g. after an untrusted copy).
+    */
+  val DuplicationSizedFamilies: Set[String] = Set("dup_windows", "curate_state")
+
   /** Generic load with the family check AND the integrity check (r14):
     * every table's recomputed content digest must equal the manifest's
     * — a flipped value, a dropped row, or a swapped parquet file
@@ -172,22 +181,35 @@ object ModelStore {
     * model. A manifest without digests (pre-r14 format) is refused the
     * same way: integrity unknown is integrity failed for a deployment
     * artifact (re-save to upgrade).
+    *
+    * TRADE (r15): for [[DuplicationSizedFamilies]] the digest
+    * RECOMPUTE is skipped by default — those tables are corpus-
+    * duplication-sized (win_digests, corpus_shingles), so verifying
+    * them costs a full extra scan per table before the chain's own
+    * scans even start. The save-side digest is still present and the
+    * manifest commit marker still guards torn saves; pass
+    * `verifyLarge = true` to force the full recompute (after an
+    * untrusted copy / storage migration). Model-sized families always
+    * verify — their scan is a few rows.
     */
-  def load(spark: SparkSession, dir: String,
-           expectFamily: String): (Manifest, Map[String, DataFrame]) = {
+  def load(spark: SparkSession, dir: String, expectFamily: String,
+           verifyLarge: Boolean = false): (Manifest, Map[String, DataFrame]) = {
     val m = manifest(spark, dir)
     require(m.family == expectFamily,
       s"model at $dir is family '${m.family}', expected '$expectFamily'")
     val frames = m.tables.map(n => n -> spark.read.parquet(s"$dir/tables/$n")).toMap
+    val recompute = verifyLarge || !DuplicationSizedFamilies(m.family)
     m.tables.foreach { n =>
       require(m.digests.contains(n),
         s"model at $dir has no content digest for table '$n' " +
           "(pre-digest manifest format) — refusing to serve unverifiable state; re-save it")
-      val want = m.digests(n)
-      val got = tableDigest(frames(n))
-      require(got == want,
-        s"model table '$n' at $dir fails its integrity check " +
-          s"(digest $got != manifest $want) — corrupted or tampered, refusing to load")
+      if (recompute) {
+        val want = m.digests(n)
+        val got = tableDigest(frames(n))
+        require(got == want,
+          s"model table '$n' at $dir fails its integrity check " +
+            s"(digest $got != manifest $want) — corrupted or tampered, refusing to load")
+      }
     }
     (m, frames)
   }

@@ -2958,13 +2958,13 @@ object SparkEntry {
          ${p}p_ov AS (
            SELECT doc_id, count(*) AS n_ov
            FROM ${p}p_csh JOIN p_bsh USING (s) GROUP BY 1),
-         decon AS (
+         ${p}decon AS (
            SELECT c.doc_id, c.lang, c.text FROM ${p}gated c
            LEFT JOIN ${p}p_ov USING (doc_id)
            WHERE COALESCE(${p}p_ov.n_ov, 0) = 0),
          ${p}pii1 AS (SELECT doc_id, lang,
                     regexp_replace(text, '${graft.operators.TextOps.EmailRe}', '<EMAIL>', 'g') AS t
-                  FROM decon),
+                  FROM ${p}decon),
          ${p}pii2 AS (SELECT doc_id, lang,
                     regexp_replace(t, '${graft.operators.TextOps.Ipv4Re}', '<IP>', 'g') AS t
                   FROM ${p}pii1),

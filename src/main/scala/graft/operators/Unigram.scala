@@ -182,7 +182,18 @@ object Unigram {
       val alt = graft.functions.UnigramSegExpr.segCost(
         p, lut, seedMaxLen, UnkCostQ16, banFullSpan = true)
       val cnt = counts.getOrElse(p, 0L)
-      (p, cnt, cnt * (alt - c))
+      // EXACTNESS BOUND (the q99/q63 2^53-style discipline, here on
+      // int64): loss = cnt·Δcost must satisfy |cnt·Δcost| < 2^63 or
+      // the JVM multiply wraps silently while the DuckDB BIGINT raises
+      // — a silent-vs-loud divergence instead of a hash mismatch.
+      // Δcost ≤ seedMaxLen·UnkCostQ16 + cost ceiling < 2^26 here, so
+      // the guard only ever fires past cnt ≈ 2^37 piece occurrences;
+      // multiplyHigh makes the check exact at any magnitude.
+      val d = alt - c
+      require(Math.multiplyHigh(cnt, d) == (if ((cnt * d) < 0) -1L else 0L),
+        s"unigram prune loss overflows int64 for piece '$p' " +
+          s"(cnt=$cnt, dcost=$d) — exactness bound |cnt*dcost| < 2^63 violated")
+      (p, cnt, cnt * d)
     }.sortWith { (a, b) =>
       if (a._3 != b._3) a._3 > b._3
       else if (a._2 != b._2) a._2 > b._2

@@ -110,28 +110,44 @@ object BenchPins {
     for (q <- queries) {
       val fn = graft.SparkEntry.queries.getOrElse(q,
         sys.error(s"unknown query '$q'"))
-      // warmup (JIT + codegen + parquet footers land here, like Bench)
-      try graft.Bench.force(fn(spark, dir)) catch { case _: Throwable => () }
+      // warmup (JIT + codegen + parquet footers land here, like Bench);
+      // a warmup failure is loud — the timed passes will almost surely
+      // fail the same way and be discarded below
+      try graft.Bench.force(fn(spark, dir)) catch {
+        case t: Throwable =>
+          println(s"[pin] $q warmup FAILED: ${t.getClass.getName}: ${t.getMessage}")
+      }
+      // A pass that THROWS is invalid, never timed: a crashed query
+      // returns in milliseconds with ~0 steal, so timing the failure
+      // would produce a bogus qualifying pin that the monotone merge
+      // ("replaced only by a lower qualifying wall") makes permanent.
       val rows = (1 to passes).map { i =>
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         System.gc()
         val s0 = stealJiffies(); val c0 = cpuNanos; val t0 = System.nanoTime()
-        try graft.Bench.force(fn(spark, dir)) catch { case _: Throwable => () }
+        val ok = try { graft.Bench.force(fn(spark, dir)); true } catch {
+          case t: Throwable =>
+            println(s"[pin] $q pass$i FAILED (pass discarded): " +
+              s"${t.getClass.getName}: ${t.getMessage}")
+            false
+        }
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9
         val s1 = stealJiffies()
         // jiffies are 10 ms: steal seconds = Δ/100; steal_cpus = per wall-second
         val steal = if (s0 < 0 || s1 < 0 || wall <= 0) -1.0
           else (s1 - s0) / 100.0 / wall
-        println(f"[pin] $q pass$i wall=$wall%.3f cpu=$cpu%.3f steal_cpus=$steal%.4f")
-        (wall, cpu, steal)
+        if (ok)
+          println(f"[pin] $q pass$i wall=$wall%.3f cpu=$cpu%.3f steal_cpus=$steal%.4f")
+        (wall, cpu, steal, ok)
       }
-      val qual = rows.filter(r => r._3 >= 0 && r._3 < 0.1)
-      val minAny = rows.map(_._1).min
+      val valid = rows.filter(_._4)
+      val qual = valid.filter(r => r._3 >= 0 && r._3 < 0.1)
+      val minAny = if (valid.nonEmpty) valid.map(_._1).min else Double.NaN
       val existing = readPins(pinsPath)
       val updated = qual.sortBy(_._1).headOption match {
-        case Some((w, c, s)) =>
+        case Some((w, c, s, _)) =>
           val merged = existing.get(q) match {
             case Some(old) if old.wall <= w =>
               old.copy(wallMinAny = math.min(old.wallMinAny, minAny),
@@ -143,6 +159,9 @@ object BenchPins {
                 System.currentTimeMillis())
           }
           existing.updated(q, merged)
+        case None if valid.isEmpty =>
+          println(s"[pin] $q: ALL $passes passes failed — nothing recorded")
+          existing
         case None =>
           println(f"[pin] $q: NO qualifying pass this attempt " +
             f"(min wall $minAny%.3f, all passes steal >= 0.1)")
