@@ -493,6 +493,40 @@ object ModelStore {
       m.params("oov_nll").toLong)
   }
 
+  /** q104 Kneser-Ney trigram LM (s58 scorer): the ARPA file's
+    * structure as five tables — `tri` (w1,w2,w3,nll_q16: the scored
+    * trigram entries), `ctx` (w1,w2,lam3: context backoff weights),
+    * `mid` (w2,w3,p2: bigram-level Q30 probabilities), `midctx`
+    * (w2,lam2), `uni` (w3,p1) — probability + backoff per entry,
+    * exactly what an ARPA dump carries (Heafield, WMT 2011 §2).
+    * Tables come straight from [[graft.operators.NgramLm
+    * .knModelFrames]]; trigram-type-sized (production models prune
+    * counts first, the standard ARPA discipline — the bigram_lm
+    * precedent one order up).
+    */
+  def saveKnLm(spark: SparkSession, dir: String,
+               tables: Map[String, DataFrame], version: Long,
+               params: Map[String, String] = Map.empty): Manifest = {
+    require(Set("tri", "ctx", "mid", "midctx", "uni").subsetOf(tables.keySet),
+      s"kn_lm needs tables tri/ctx/mid/midctx/uni, got ${tables.keys.toSeq.sorted}")
+    save(spark, dir, "kn_lm", version, params + ("order" -> "3", "d" -> "3/4"),
+      tables)
+  }
+
+  def loadKnLm(spark: SparkSession, dir: String)
+      : graft.operators.NgramLm.KnLmModel = {
+    val (_, t) = load(spark, dir, "kn_lm")
+    graft.operators.NgramLm.KnLmModel(
+      t("tri").collect() // trigram-type rows — LM-model-sized
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap,
+      t("ctx").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      t("mid").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      t("midctx").collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      t("uni").collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
   /** q72 Naive-Bayes classifier (s-family admission scorer): table
     * `weights` = (bucket BIGINT, w BIGINT), exactly B rows (the
     * streaming twin requires full bucket coverage); the class prior

@@ -247,6 +247,12 @@ object SparkEntry {
     // q61: bigram-LM perplexity in Q16 fixed-point (the Log2Q16Expr
     // kernel — no libm, so the whole score hash-compares)
     "q61_perplexity" -> ((s, d) => TextOps.perplexity(Tables.documents(s, d))),
+    // q104: interpolated Kneser-Ney TRIGRAM perplexity — the
+    // KenLM-class CCNet scorer (r14 verdict task #2), D=3/4 discount
+    // in Q30 fixed point + the Log2Q16 kernel: hash-exact where a
+    // float KN could only be rank-gated
+    "q104_kn_trigram" -> ((s, d) =>
+      graft.operators.NgramLm.knPerplexity(Tables.documents(s, d))),
     // q74: CCNet head/middle/tail buckets — the q61 kernel + per-lang
     // q46 sketch cutoffs (33/67), all integer/replayable
     "q74_ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(Tables.documents(s, d), k = 256)),
@@ -1646,6 +1652,10 @@ object SparkEntry {
     // ops as Log2Q16Expr.compute. This retires the "log() is not
     // bit-stable across engines" limitation (q40's comment): logs ARE
     // hash-comparable once they're fixed-point.
+    // q104: the q61 CTE program one order up — trigram type counts,
+    // continuation counts, the D=3/4 Q30 probability chain in `//`
+    // arithmetic, the shared recursive log2, per-doc aggregation
+    "q104_kn_trigram" -> graft.operators.NgramLm.knPerplexityOracleSql,
     "q61_perplexity" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, list_filter(

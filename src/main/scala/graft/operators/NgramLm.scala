@@ -1,0 +1,303 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** q104: INTERPOLATED KNESER-NEY TRIGRAM LM perplexity — the
+  * KenLM-class scorer the CCNet pipeline actually deploys (Wenzek et
+  * al., LREC 2020 §4.2 ship a 5-gram Kneser-Ney model; Heafield, "KenLM:
+  * Faster and Smaller Language Model Queries", WMT 2011; smoothing per
+  * Chen & Goodman 1999 §3, fixed discount D). q61's add-one bigram was
+  * the family's declared depth gap (r14 verdict task #2): add-one
+  * smoothing systematically over-penalizes frequent contexts, while KN
+  * discounts observed mass and backs off to CONTINUATION counts — "how
+  * many contexts does this word complete?" — the property that makes it
+  * the production web-filter scorer.
+  *
+  * ORACLE-EXACT BY CONSTRUCTION, like q61: every probability is a Q30
+  * fixed-point integer (discount D = 3/4 exactly, so `max(c−D,0)/den`
+  * is the integer `(4c−3)/(4·den)` — the "discounts as Q16 rationals"
+  * discipline, here as quarters), every interpolation product is a
+  * truncating int64 multiply-shift, and the final negative log2 runs
+  * through the shared Log2Q16Expr kernel — so scores hash-compare
+  * against the DuckDB replay where a float KN (or real KenLM) could
+  * only be rank-gated.
+  *
+  * The recursion (Chen & Goodman eq. 18, hard D, interpolated form),
+  * with counts from the corpus's own trigram stream:
+  *
+  *   p1(w3)       = N1+(·w3) / N1+(··)                 (continuation unigram)
+  *   p2(w2,w3)    = max(N1+(·w2w3)−D,0)/N1+(·w2·) + λ2(w2)·p1(w3)
+  *   λ2(w2)       = D·N1+(w2·)/N1+(·w2·)
+  *   p3(w1,w2,w3) = max(c(w1w2w3)−D,0)/c(w1w2·) + λ3(w1,w2)·p2(w2,w3)
+  *   λ3(w1,w2)    = D·N1+(w1w2·)/c(w1w2·)
+  *
+  * where N1+(·w2w3) = distinct left-contexts of the bigram, N1+(·w2·) =
+  * trigram types with middle w2, N1+(w2·) = distinct continuations of
+  * w2, N1+(·w3) = distinct predecessors of w3, N1+(··) = distinct
+  * continuation-bigram types — ALL derived from the trigram-TYPE table,
+  * the standard build-lower-orders-from-continuations rule.
+  *
+  * Fixed-point contract (Q30, truncating — replayed verbatim by `//`
+  * in DuckDB):
+  *   p1_q30   = (N1+(·w3) << 30) div N1+(··)
+  *   base_q30 = ((4c − 3) << 30) div (4·den)
+  *   λ_q30    = ((3·n) << 30) div (4·den)
+  *   p_q30    = base_q30 + (λ_q30 · p_lower_q30) div 2³⁰
+  *   nll_q16  = 30·2¹⁶ − L(p_q30)        (L = Log2Q16Expr)
+  *
+  * EXACTNESS BOUNDS (documented + fail-loud, the q99/q63 discipline):
+  * truncation only ever LOWERS p, and mathematically Σ p ≤ 1 per
+  * context, so p_q30 ∈ [1, 2³⁰] — the log kernel's domain — provided
+  * the numerators stay in int64 and the minimum base stays ≥ 1:
+  * both hold when every context count (c12, N1+(·w2·)) ≤ 2²⁸
+  * (asserted per MODEL row via assert_true — a wrapped multiply would
+  * diverge silently against DuckDB's raising HUGEINT). Past 2²⁸
+  * context occurrences (≳ 2.7·10⁸, far beyond any single shard's
+  * context count after the standard per-shard count pruning), rescale
+  * Q30 → Q20: same code, one shift constant.
+  *
+  * Scale shape = q61's exactly: the corpus is touched by ONE trigram
+  * explode per consumer (recompute-lineage — no corpus-sized cache);
+  * every model table is an aggregate of the trigram-TYPE table (the
+  * sub-corpus-sized frame an n-gram LM trainer always keys on); the
+  * scoring pass is one probe join on (w1,w2,w3) + a per-doc agg. The
+  * log kernel runs on TYPE rows, never corpus rows. N1+(··) is the
+  * one driver scalar (the trainCodebook 1-row collect protocol).
+  */
+object NgramLm {
+
+  /** D = 3/4: numerators carry ×4, `4c−3` is `4(c−D)`. */
+  final val Q30: Long = 1L << 30
+  /** nll of p_q30: 30·2¹⁶ − L(p_q30). */
+  final val NllCeilQ16: Long = 30L * 65536L
+  /** Context-count bound for Q30 exactness (see scaladoc). */
+  final val CtxBound: Long = 1L << 28
+
+  /** Exploded adjacent-trigram frame (doc_id, w1, w2, w3); docs with
+    * fewer than 3 tokens contribute nothing (the q61 guard shape).
+    */
+  private[graft] def trigrams(documents: DataFrame): DataFrame = {
+    val triples = when(size(col("toks")) >= 3,
+      expr("transform(sequence(0, size(toks)-3), " +
+        "i -> struct(toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3))"))
+      .otherwise(expr(
+        "CAST(array() AS array<struct<w1:string,w2:string,w3:string>>)"))
+    TextOps.tokArrays(documents)
+      .select(col("doc_id"), explode(triples).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+  }
+
+  /** The five ARPA-shaped model frames + the one scalar — exposed so
+    * the batch scorer, the ModelStore `kn_lm` family, and the s58
+    * streaming twin all freeze EXACTLY the same tables.
+    *
+    *  - tri(w1,w2,w3, c3):          trigram type counts
+    *  - ctx(w1,w2, c12, n3):        context totals + distinct continuations
+    *  - ct(w2,w3, n1c):             continuation-bigram types (distinct w1)
+    *  - midc(w2, n1pc, n1t):        middle totals + distinct continuations
+    *  - uni(w3, n1u):               distinct predecessors
+    */
+  private[graft] case class KnCounts(
+      tri: DataFrame, ctx: DataFrame, ct: DataFrame,
+      midc: DataFrame, uni: DataFrame, nCt: Long)
+
+  private[graft] def knCounts(documents: DataFrame): KnCounts = {
+    val tgc = trigrams(documents)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    val ctx = tgc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c12"), count(lit(1)).as("n3"))
+    val ct = tgc.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("n1c"))
+    val midc = ct.groupBy(col("w2"))
+      .agg(sum(col("n1c")).as("n1pc"), count(lit(1)).as("n1t"))
+    val uni = ct.groupBy(col("w3")).agg(count(lit(1)).as("n1u"))
+    val nCt = ct.agg(count(lit(1))).collect()(0).getLong(0)
+    KnCounts(tgc, ctx, ct, midc, uni, math.max(nCt, 1L))
+  }
+
+  /** The trained model as probability frames: (w2,w3 → p2_q30),
+    * (w2 → lam2_q30), (w1,w2 → lam3_q30), (w3 → p1_q30), and the
+    * scored trigram table (w1,w2,w3 → nll_q16). Shared by the batch
+    * scorer and [[knModelFrames]] (the ModelStore artifact).
+    */
+  private[graft] def knProbFrames(c: KnCounts): (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.{VectorFunctions => VF}
+    val p1 = c.uni.select(col("w3"),
+      expr(s"(n1u * ${Q30}L) div ${c.nCt}L").as("p1"))
+    val mid = c.ct.join(c.midc, Seq("w2")).join(p1, Seq("w3"))
+      .select(col("w2"), col("w3"),
+        (expr(s"((4L*n1c - 3L) * ${Q30}L) div (4L*n1pc)") +
+          expr(s"(((3L*n1t) * ${Q30}L) div (4L*n1pc) * p1) div ${Q30}L") +
+          // Q30 exactness guard: a context past 2^28 would wrap the
+          // int64 numerator silently where DuckDB's HUGEINT raises
+          coalesce(assert_true(col("n1pc") <= lit(CtxBound),
+            lit(s"q104: N1+(.w2.) exceeds the 2^28 Q30 bound — rescale to Q20"))
+            .cast("long"), lit(0L))).as("p2"),
+        expr(s"((3L*n1t) * ${Q30}L) div (4L*n1pc)").as("lam2"))
+    val tri = c.tri.join(c.ctx, Seq("w1", "w2"))
+      .join(mid.select(col("w2"), col("w3"), col("p2")), Seq("w2", "w3"))
+      .select(col("w1"), col("w2"), col("w3"),
+        (expr(s"((4L*c3 - 3L) * ${Q30}L) div (4L*c12)") +
+          expr(s"(((3L*n3) * ${Q30}L) div (4L*c12) * p2) div ${Q30}L") +
+          coalesce(assert_true(col("c12") <= lit(CtxBound),
+            lit(s"q104: c(w1w2.) exceeds the 2^28 Q30 bound — rescale to Q20"))
+            .cast("long"), lit(0L))).as("p3"))
+      .select(col("w1"), col("w2"), col("w3"),
+        (lit(NllCeilQ16) - VF.log2_q16(col("p3"))).as("nll_q16"))
+    (tri, mid, p1)
+  }
+
+  /** q104: per-document KN-trigram perplexity — (doc_id, n_trigrams,
+    * nll_q16, ppl_q16); docs with <3 tokens score (0, 0, null), the
+    * q61 degradation contract.
+    */
+  def knPerplexity(documents: DataFrame): DataFrame = {
+    val c = knCounts(documents)
+    val (tri, _, _) = knProbFrames(c)
+    val scored = trigrams(documents)
+      .join(tri, Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("nll_q16")).as("nll_sum"))
+      .select(col("doc_id"), col("n_trigrams"), col("nll_sum"),
+        expr("nll_sum div n_trigrams").as("ppl_q16"))
+    documents.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("nll_sum"), lit(0L)).as("nll_q16"),
+        col("ppl_q16"))
+  }
+
+  /** The s58 deployment bundle — the ARPA file's structure exactly
+    * (probability + backoff weight per entry, Heafield 2011 §2): the
+    * trigram nll table plus the lower-order (prob, backoff) ladders a
+    * scorer walks for NOVEL n-grams. Collected maps are LM-model-sized
+    * (the bigram_lm precedent — production models prune counts before
+    * this step, the standard ARPA discipline).
+    */
+  case class KnLmModel(tri: Map[(String, String, String), Long],
+                       ctxLam: Map[(String, String), Long],
+                       mid: Map[(String, String), Long],
+                       midLam: Map[String, Long],
+                       uni: Map[String, Long]) {
+    require(uni.nonEmpty, "frozen KN model must carry unigram continuations")
+
+    /** The backoff ladder for one trigram: exact table hit → context
+      * backoff (λ3·p2) → bigram hit → middle backoff (λ2·p1) →
+      * unigram → OOV floor (p_q30 = 1, the model's maximum nll). Novel
+      * n-grams only — on the training corpus the first rung always
+      * hits, which is what makes s58 row-exact vs batch q104.
+      */
+    def nll(w1: String, w2: String, w3: String): Long =
+      tri.getOrElse((w1, w2, w3), {
+        val p2 = mid.get((w2, w3))
+        val p = (ctxLam.get((w1, w2)), p2) match {
+          case (Some(l3), Some(p2v)) => math.max((l3 * p2v) / Q30, 1L)
+          case (None, Some(p2v)) => p2v
+          case _ =>
+            uni.get(w3) match {
+              case Some(p1v) => midLam.get(w2) match {
+                case Some(l2) => math.max((l2 * p1v) / Q30, 1L)
+                case None => p1v
+              }
+              case None => 1L // OOV floor: the representable minimum
+            }
+        }
+        NllCeilQ16 - graft.functions.Log2Q16Expr.compute(p)
+      })
+
+    /** Score one document (the s58 kernel): (n_trigrams, nll_sum,
+      * ppl) with the batch <3-token degradation.
+      */
+    def score(toks: Array[String]): (Long, Long, Option[Long]) =
+      if (toks.length < 3) (0L, 0L, None)
+      else {
+        var s = 0L; var i = 0
+        while (i < toks.length - 2) { s += nll(toks(i), toks(i + 1), toks(i + 2)); i += 1 }
+        val n = (toks.length - 2).toLong
+        (n, s, Some(s / n))
+      }
+  }
+
+  /** The five ModelStore `kn_lm` tables, derived in one pass from the
+    * shared count frames (so batch, artifact, and stream cannot drift).
+    */
+  def knModelFrames(documents: DataFrame): Map[String, DataFrame] = {
+    val c = knCounts(documents)
+    val (tri, mid, p1) = knProbFrames(c)
+    Map(
+      "tri" -> tri,
+      "ctx" -> c.ctx.select(col("w1"), col("w2"),
+        expr(s"((3L*n3) * ${Q30}L) div (4L*c12)").as("lam3")),
+      "mid" -> mid.select(col("w2"), col("w3"), col("p2")),
+      "midctx" -> mid.select(col("w2"), col("lam2")).distinct(),
+      "uni" -> p1)
+  }
+
+  /** q104 oracle: the count/probability chain in integer `//`
+    * arithmetic + the shared 16-step recursive log2 replay (the q61
+    * CTE program one order up). Sums CAST to BIGINT — DuckDB widens
+    * sum() to HUGEINT, and the model joins must key on int64 values.
+    */
+  def knPerplexityOracleSql: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, list_filter(
+       |           regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+'),
+       |           t -> length(t) > 0) AS toks
+       |  FROM documents),
+       |tg AS MATERIALIZED (
+       |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+       |        FROM toks WHERE len(toks) >= 3) x),
+       |tgc AS MATERIALIZED (
+       |  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3 FROM tg GROUP BY 1, 2, 3),
+       |ctx AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12,
+       |               CAST(count(*) AS BIGINT) AS n3 FROM tgc GROUP BY 1, 2),
+       |ct AS MATERIALIZED (
+       |  SELECT w2, w3, CAST(count(*) AS BIGINT) AS n1c FROM tgc GROUP BY 1, 2),
+       |midc AS (SELECT w2, CAST(sum(n1c) AS BIGINT) AS n1pc,
+       |                CAST(count(*) AS BIGINT) AS n1t FROM ct GROUP BY 1),
+       |uni AS (SELECT w3, CAST(count(*) AS BIGINT) AS n1u FROM ct GROUP BY 1),
+       |nct AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS n FROM ct),
+       |p1 AS (SELECT w3, (n1u * ${Q30}) // (SELECT n FROM nct) AS p1 FROM uni),
+       |p2 AS MATERIALIZED (
+       |  SELECT ct.w2, ct.w3,
+       |         ((4*ct.n1c - 3) * ${Q30}) // (4*m.n1pc)
+       |         + ((((3*m.n1t) * ${Q30}) // (4*m.n1pc)) * p1.p1) // ${Q30} AS p2
+       |  FROM ct JOIN midc m USING (w2) JOIN p1 USING (w3)),
+       |p3 AS MATERIALIZED (
+       |  SELECT t.w1, t.w2, t.w3,
+       |         ((4*t.c3 - 3) * ${Q30}) // (4*c.c12)
+       |         + ((((3*c.n3) * ${Q30}) // (4*c.c12)) * p2.p2) // ${Q30} AS p3
+       |  FROM tgc t
+       |  JOIN ctx c ON c.w1 = t.w1 AND c.w2 = t.w2
+       |  JOIN p2 ON p2.w2 = t.w2 AND p2.w3 = t.w3),
+       |vals AS (SELECT DISTINCT p3 AS x FROM p3),
+       |s(x, z, r, i) AS (
+       |  SELECT x, (x * 65536) // (1::BIGINT << (length(bin(x)) - 1)),
+       |         CAST(length(bin(x)) - 1 AS BIGINT) * 65536, 0
+       |  FROM vals
+       |  UNION ALL
+       |  SELECT x,
+       |         CASE WHEN (z*z) // 65536 >= 131072
+       |              THEN ((z*z) // 65536) // 2 ELSE (z*z) // 65536 END,
+       |         CASE WHEN (z*z) // 65536 >= 131072
+       |              THEN r + (1::BIGINT << (16 - (i + 1))) ELSE r END,
+       |         i + 1
+       |  FROM s WHERE i < 16),
+       |il AS MATERIALIZED (SELECT x, r FROM s WHERE i = 16),
+       |model AS MATERIALIZED (
+       |  SELECT p3.w1, p3.w2, p3.w3, $NllCeilQ16 - il.r AS nll
+       |  FROM p3 JOIN il ON il.x = p3.p3),
+       |scored AS (
+       |  SELECT tg.doc_id, count(*) AS n_trigrams, sum(m.nll) AS nll_sum
+       |  FROM tg JOIN model m ON m.w1 = tg.w1 AND m.w2 = tg.w2 AND m.w3 = tg.w3
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       |       CAST(COALESCE(sc.nll_sum, 0) AS BIGINT) AS nll_q16,
+       |       CAST(sc.nll_sum // sc.n_trigrams AS BIGINT) AS ppl_q16
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN scored sc USING (doc_id)""".stripMargin
+}

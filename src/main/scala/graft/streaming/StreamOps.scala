@@ -2914,6 +2914,33 @@ object StreamOps {
     }
   }
 
+  /** s58 output: the q104 columns per arrival. */
+  case class KnScoreDoc(doc_id: Long, n_trigrams: Long, nll_q16: Long,
+                        ppl_q16: Option[Long])
+
+  /** s58: STREAMING KNESER-NEY TRIGRAM SCORING — q104 as a continuous
+    * quality filter: each arriving document scores against the FROZEN
+    * ARPA-shaped [[graft.operators.NgramLm.KnLmModel]] (ModelStore
+    * family `kn_lm` — the s25 frozen-model rule one order up: a
+    * live-trained LM would re-score history). A pure stateless map, no
+    * state, no shuffle; tokenization is the batch twin ([[normTokens]]).
+    * Streaming the training corpus is ROW-EXACT vs batch q104 under any
+    * batching/order (every corpus trigram hits the exact table — spec,
+    * multi-batch shuffled); NOVEL trigrams walk the model's backoff
+    * ladder (exact → λ3·p2 → p2 → λ2·p1 → p1 → OOV floor), the
+    * documented graceful path an ARPA scorer ships for genuinely new
+    * input (hand-pinned in the spec).
+    */
+  def streamKnPerplexity(docs: Dataset[(Long, String)],
+                         model: graft.operators.NgramLm.KnLmModel): Dataset[KnScoreDoc] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    docs.map { case (id, text) =>
+      val (n, s, p) = bc.value.score(normTokens(text))
+      KnScoreDoc(id, n, s, p)
+    }
+  }
+
   /** s54 scored-arrival intermediate: one probe's view of one doc —
     * the lexical BM25 sum (None when the doc shares no probe term)
     * and the integer d2 (None when the arrival carries no vector).

@@ -388,6 +388,35 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(got.toMap == batch, "loaded-artifact stream must equal batch q61")
   }
 
+  test("kn_lm: stream KN scoring from the LOADED model is row-exact vs batch q104") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.NgramLm
+    val d = Tables.documents(spark, sfDir)
+    val batch = NgramLm.knPerplexity(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    val dir = tmp("knlm")
+    ModelStore.saveKnLm(spark, dir, NgramLm.knModelFrames(d), version = 1L)
+    val loaded = ModelStore.loadKnLm(spark, dir)
+    assert(loaded.tri.nonEmpty && loaded.uni.nonEmpty,
+      "ARPA tables must round-trip non-empty")
+
+    val source = MemoryStream[(Long, String)]
+    val got = collection.mutable.Map[Long, (Long, Long, Option[Long])]()
+    val q = StreamOps.streamKnPerplexity(source.toDS(), loaded)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.KnScoreDoc], _: Long) =>
+        b.collect().foreach(r => got(r.doc_id) = (r.n_trigrams, r.nll_q16, r.ppl_q16)); ()
+      }.start()
+    try {
+      source.addData(d.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toMap == batch, "loaded-artifact stream must equal batch q104")
+  }
+
   test("nb: stream classification from the LOADED model is row-exact vs batch q72") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
