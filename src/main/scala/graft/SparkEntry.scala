@@ -157,6 +157,13 @@ object SparkEntry {
     // q68: the train→apply composition — corpus encoded with q67's
     // rules as one nested-replace pure map
     "q68_bpe_encode" -> ((s, d) => graft.operators.Bpe.bpeEncode(Tables.documents(s, d))),
+    // q67b/q68b: BYTE-LEVEL BPE with regex pre-tokenization (the
+    // GPT-2/Llama tokenizer shape — leading space attached, merges
+    // over UTF-8 bytes spelled as hex-pair symbols, zero OOV)
+    "q67b_bpe_bytes_train" -> ((s, d) =>
+      graft.operators.Bpe.byteBpeTrainFast(Tables.documents(s, d))),
+    "q68b_bpe_bytes_encode" -> ((s, d) =>
+      graft.operators.Bpe.byteBpeEncode(Tables.documents(s, d))),
     // q69: DSIR importance resampling — hashed-bigram target/raw
     // log-ratio scoring in Q16, top-M keep; hash-exact
     "q69_dsir" -> ((s, d) => graft.operators.Dsir.dsirSelect(Tables.documents(s, d))),
@@ -1175,6 +1182,10 @@ object SparkEntry {
     "q67_bpe_train" -> graft.operators.Bpe.bpeTrainOracleSql(),
     // q68: the q67 chain + scalar-subquery nested-replace encode
     "q68_bpe_encode" -> graft.operators.Bpe.bpeEncodeOracleSql(),
+    // q67b/q68b: the same unrolled merge CTEs over the byte packing
+    // (hex-pair symbols, regex pre-tokens)
+    "q67b_bpe_bytes_train" -> graft.operators.Bpe.byteBpeTrainOracleSql(),
+    "q68b_bpe_bytes_encode" -> graft.operators.Bpe.byteBpeEncodeOracleSql(),
     // q69: q37 char-fold buckets + two bag models + the q61 recursive
     // log2 kernel + row_number keep — Dsir.dsirOracleSql
     "q69_dsir" -> graft.operators.Dsir.dsirOracleSql(),

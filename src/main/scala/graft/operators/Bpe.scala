@@ -41,10 +41,6 @@ object Bpe {
     * checkability contract).
     */
   def bpeTrain(documents: DataFrame, vocabCap: Int = 256, merges: Int = 24): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "rank BIGINT, lhs STRING, rhs STRING, cnt BIGINT")
     val words = documents
       .select(explode(split(lower(TextOps.wsTrim(col("text"))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0 && !col("w").contains(SEP))
@@ -53,6 +49,16 @@ object Bpe {
       .select(concat(lit(SEP), regexp_replace(col("w"), "(.)", "$1" + SEP)).as("packed"),
         col("freq"))
       .localCheckpoint(true)
+    trainLoopDistributed(documents.sparkSession, words, merges)
+  }
+
+  /** The distributed merge loop over a checkpointed (packed, freq)
+    * frame — shared verbatim by the code-point (q67) and byte-level
+    * (q67b) trainers, which differ only in how a word packs.
+    */
+  private def trainLoopDistributed(spark: org.apache.spark.sql.SparkSession,
+                                   words: DataFrame, merges: Int): DataFrame = {
+    import spark.implicits._
     var cur = words
     val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var done = false
@@ -85,10 +91,18 @@ object Bpe {
             col("freq"))
       }
     }
+    rulesFrame(spark, out.toSeq)
+  }
+
+  /** (rank, lhs, rhs, cnt) rules as a frame — the shared trainer output. */
+  private def rulesFrame(spark: org.apache.spark.sql.SparkSession,
+                         out: Seq[(Long, String, String, Long)]): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "rank BIGINT, lhs STRING, rhs STRING, cnt BIGINT")
     if (out.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     else spark.createDataFrame(
-      spark.sparkContext.parallelize(out.toSeq.map(t =>
+      spark.sparkContext.parallelize(out.map(t =>
         org.apache.spark.sql.Row(t._1, t._2, t._3, t._4))), outSchema)
   }
 
@@ -166,8 +180,6 @@ object Bpe {
     */
   def bpeTrainFast(documents: DataFrame, vocabCap: Int = 256, merges: Int = 24): DataFrame = {
     val spark = documents.sparkSession
-    val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "rank BIGINT, lhs STRING, rhs STRING, cnt BIGINT")
     // identical distributed corpus pass to bpeTrain (one aggregate);
     // the collect is vocabCap-bounded — tokenizer training's OUTPUT
     // is this table, the documented trainCodebook-class collect
@@ -182,7 +194,17 @@ object Bpe {
     val words: Array[Array[String]] =
       packedRows.map(_.getString(0).split(SEP).filter(_.nonEmpty))
     val freqs: Array[Long] = packedRows.map(_.getLong(1))
+    rulesFrame(spark, mergeLoopFast(words, freqs, merges))
+  }
 
+  /** The in-memory incremental merge loop (subword-nmt delta scheme) —
+    * shared by the code-point (q67) and byte-level (q67b) fast
+    * trainers; `words` mutates in place and holds the final
+    * segmentation on return.
+    */
+  private[operators] def mergeLoopFast(words: Array[Array[String]],
+                                       freqs: Array[Long],
+                                       merges: Int): Seq[(Long, String, String, Long)] = {
     import scala.collection.mutable
     val counts = mutable.HashMap.empty[(String, String), Long]
     val postings = mutable.HashMap.empty[(String, String), mutable.BitSet]
@@ -252,11 +274,7 @@ object Bpe {
           k += 1
       }
     }
-    if (out.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    else spark.createDataFrame(
-      spark.sparkContext.parallelize(out.toSeq.map(t =>
-        org.apache.spark.sql.Row(t._1, t._2, t._3, t._4))), outSchema)
+    out.toSeq
   }
 
   /** q68: BPE ENCODING of the corpus with the rules q67 just learned —
@@ -345,8 +363,17 @@ object Bpe {
     * CTE, and a LEFT-JOIN-coalesce apply so an exhausted corpus
     * degrades to no-op CTEs instead of an empty cascade.
     */
-  def bpeTrainOracleSql(vocabCap: Int = 256, merges: Int = 24): String = {
-    val steps = (1 to merges).map { k =>
+  def bpeTrainOracleSql(vocabCap: Int = 256, merges: Int = 24): String =
+    s"""WITH ${cpBw0Sql(vocabCap)},
+       |${oracleSteps(merges)}
+       |SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, cnt FROM (
+       |${oracleRanks(merges)})""".stripMargin
+
+  /** The unrolled merge-loop CTE triples — identical for code-point
+    * and byte-level training (only bw0's packing differs).
+    */
+  private def oracleSteps(merges: Int): String =
+    (1 to merges).map { k =>
       s"""bp$k AS MATERIALIZED (
          |  SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
          |    SELECT unnest(list_transform(range(1, len(syms)),
@@ -362,10 +389,15 @@ object Bpe {
          |                           chr(1)||m.l||m.r||chr(1)) END AS packed, freq
          |  FROM bw${k - 1} LEFT JOIN bm$k m ON TRUE)""".stripMargin
     }.mkString(",\n")
-    val ranks = (1 to merges).map(k =>
+
+  private def oracleRanks(merges: Int): String =
+    (1 to merges).map(k =>
       s"SELECT $k AS rank, l AS lhs, r AS rhs, cnt FROM bm$k").mkString("\nUNION ALL\n")
+
+  /** q67's bw0: whitespace words, one SYMBOL PER CODE POINT. */
+  private def cpBw0Sql(vocabCap: Int): String = {
     val trimRe = "'^\\s+|\\s+$'"
-    s"""WITH bw0 AS MATERIALIZED (
+    s"""bw0 AS MATERIALIZED (
        |  SELECT chr(1) || regexp_replace(w, '(.)', '\\1' || chr(1), 'g') AS packed, freq
        |  FROM (
        |    SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -373,9 +405,154 @@ object Bpe {
        |               lower(regexp_replace(text, $trimRe, '', 'g')), '\\s+')) AS w
        |      FROM documents) t
        |    WHERE length(w) > 0 AND NOT contains(w, chr(1))
-       |    GROUP BY w ORDER BY freq DESC, w ASC LIMIT $vocabCap)),
-       |$steps
+       |    GROUP BY w ORDER BY freq DESC, w ASC LIMIT $vocabCap))""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q67b/q68b: BYTE-LEVEL BPE with regex pre-tokenization — the
+  // GPT-2/Llama tokenizer shape (Radford et al. 2019 §2.2: BPE over
+  // UTF-8 BYTES so any string encodes with a 256-symbol base alphabet
+  // and zero OOV, pre-tokenized by a regex that keeps the LEADING
+  // SPACE attached to each token — the 'Ġ'-prefix convention).
+  // ------------------------------------------------------------------
+
+  /** The pre-tokenizer (on the lowered, end-trimmed text): letter
+    * runs, digit runs, punctuation runs — each with an optional
+    * leading space. Deliberately inside the Java∩RE2-identical subset
+    * (alternatives disjoint on their first non-space character, so
+    * leftmost-first and leftmost-longest agree): GPT-2's exact pattern
+    * needs negative lookahead, which RE2 (the DuckDB oracle engine)
+    * rejects. Runs of extra whitespace match nothing and drop; the
+    * single leading space IS a byte of the token (0x20 participates
+    * in merges — the byte-level signature).
+    */
+  final val PreTokPat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
+  /** A word packs as its UTF-8 byte stream, ONE SYMBOL PER BYTE, each
+    * byte spelled as its 2-char uppercase hex pair — symbols stay
+    * plain ASCII strings, so the whole q67 machinery (0x01-separated
+    * packing, plain-replace merge application, (cnt DESC, lhs, rhs)
+    * tie-break) applies unchanged, and both engines spell bytes
+    * identically (`hex()` of the UTF-8 encoding). A multi-byte code
+    * point's bytes are independent symbols — merges can and do cross
+    * UTF-8 character boundaries, the byte-level property the spec
+    * pins (round-trip through `unhex` restores the exact bytes).
+    */
+  private def bytePackedCol(w: Column): Column =
+    concat(lit(SEP), regexp_replace(hex(w), "(..)", "$1" + SEP))
+
+  private def bytePretokens(documents: DataFrame): DataFrame =
+    documents.select(explode(regexp_extract_all(
+      lower(TextOps.wsTrim(col("text"))), lit(PreTokPat), lit(0))).as("w"))
+
+  private def byteWordTable(documents: DataFrame, vocabCap: Int): DataFrame =
+    bytePretokens(documents)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc).limit(vocabCap)
+      .select(bytePackedCol(col("w")).as("packed"), col("freq"))
+
+  /** q67b reference trainer: the distributed loop on byte symbols. */
+  def byteBpeTrain(documents: DataFrame, vocabCap: Int = 256, merges: Int = 24): DataFrame =
+    trainLoopDistributed(documents.sparkSession,
+      byteWordTable(documents, vocabCap).localCheckpoint(true), merges)
+
+  /** q67b registered trainer: the in-memory loop (bit-equal to
+    * [[byteBpeTrain]] — ByteBpeSpec parity-pins it, the q67
+    * fast-trainer contract on byte symbols).
+    */
+  def byteBpeTrainFast(documents: DataFrame, vocabCap: Int = 256,
+                       merges: Int = 24): DataFrame = {
+    val spark = documents.sparkSession
+    val packedRows = byteWordTable(documents, vocabCap).collect()
+    val words: Array[Array[String]] =
+      packedRows.map(_.getString(0).split(SEP).filter(_.nonEmpty))
+    val freqs: Array[Long] = packedRows.map(_.getLong(1))
+    rulesFrame(spark, mergeLoopFast(words, freqs, merges))
+  }
+
+  /** q68b: the corpus byte-encoded with q67b's rules — every
+    * pre-token's byte stream through the K merges in rank order (one
+    * pure-map expression, zero joins; OOV is IMPOSSIBLE by
+    * construction, the byte-level point). Output (doc_id, n_subwords,
+    * subtext) where subtext is the space-joined hex-symbol stream;
+    * stripping spaces and `unhex`-ing restores the pre-token bytes
+    * exactly (spec-pinned).
+    */
+  def byteBpeEncode(documents: DataFrame, vocabCap: Int = 256,
+                    merges: Int = 24): DataFrame = {
+    val rules = byteBpeTrainFast(documents, vocabCap, merges).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val toks = regexp_extract_all(
+      lower(TextOps.wsTrim(coalesce(col("text"), lit("")))), lit(PreTokPat), lit(0))
+    val encoded = (t: Column) => {
+      val merged = rules.foldLeft(bytePackedCol(t)) { case (acc, (_, l, r)) =>
+        org.apache.spark.sql.functions.replace(acc,
+          lit(SEP + l + SEP + r + SEP), lit(SEP + l + r + SEP))
+      }
+      btrim(translate(merged, SEP, " "))
+    }
+    documents.select(col("doc_id"),
+        array_join(transform(toks, encoded), " ").as("subtext"))
+      .select(col("doc_id"),
+        when(length(col("subtext")) === 0, lit(0L))
+          .otherwise(size(split(col("subtext"), " ")).cast("long")).as("n_subwords"),
+        col("subtext"))
+  }
+
+  /** q67b's bw0: regex pre-tokens, one symbol per UTF-8 byte (hex). */
+  private def byteBw0Sql(vocabCap: Int): String = {
+    val trimRe = "'^\\s+|\\s+$'"
+    s"""bw0 AS MATERIALIZED (
+       |  SELECT chr(1) || regexp_replace(hex(w), '(..)', '\\1' || chr(1), 'g') AS packed, freq
+       |  FROM (
+       |    SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |      SELECT unnest(regexp_extract_all(
+       |               lower(regexp_replace(text, $trimRe, '', 'g')), '$PreTokPat')) AS w
+       |      FROM documents) t
+       |    GROUP BY w ORDER BY freq DESC, w ASC LIMIT $vocabCap))""".stripMargin
+  }
+
+  /** The q67b oracle: the q67 merge-step CTEs verbatim over the byte
+    * packing.
+    */
+  def byteBpeTrainOracleSql(vocabCap: Int = 256, merges: Int = 24): String =
+    s"""WITH ${byteBw0Sql(vocabCap)},
+       |${oracleSteps(merges)}
        |SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, cnt FROM (
-       |$ranks)""".stripMargin
+       |${oracleRanks(merges)})""".stripMargin
+
+  /** The q68b oracle: rules re-derived through the q67b chain, encode
+    * replayed as nested replaces over the byte packing (the q68
+    * captured-column rule CTE — DuckDB lambdas reject subqueries).
+    */
+  def byteBpeEncodeOracleSql(vocabCap: Int = 256, merges: Int = 24): String = {
+    val trainSql = byteBpeTrainOracleSql(vocabCap, merges)
+    val chain = trainSql.substring(0, trainSql.lastIndexOf("SELECT CAST(rank"))
+      .trim.stripSuffix(",")
+    val packed = "chr(1) || regexp_replace(hex(t), '(..)', '\\1' || chr(1), 'g')"
+    val ruleCols = (1 to merges).map { k =>
+      s"""coalesce((SELECT chr(1)||l||chr(1)||r||chr(1) FROM bm$k), chr(2)) AS p$k,
+         |    coalesce((SELECT chr(1)||l||r||chr(1) FROM bm$k), chr(2)) AS s$k""".stripMargin
+    }.mkString(",\n    ")
+    val mergedExpr = (1 to merges).foldLeft(packed) { (acc, k) =>
+      s"replace($acc, p$k, s$k)"
+    }
+    s"""$chain,
+       |brules AS MATERIALIZED (
+       |  SELECT
+       |    $ruleCols),
+       |enc AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         array_to_string(list_transform(
+       |           regexp_extract_all(
+       |             lower(regexp_replace(coalesce(text, ''), '^\\s+|\\s+$$', '', 'g')),
+       |             '$PreTokPat'),
+       |           t -> trim(translate($mergedExpr, chr(1), ' '))), ' ') AS subtext
+       |  FROM documents CROSS JOIN brules)
+       |SELECT doc_id,
+       |       CASE WHEN length(subtext) = 0 THEN 0
+       |            ELSE CAST(len(string_split(subtext, ' ')) AS BIGINT) END AS n_subwords,
+       |       subtext
+       |FROM enc""".stripMargin
   }
 }
