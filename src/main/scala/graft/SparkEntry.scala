@@ -170,6 +170,11 @@ object SparkEntry {
     // q70: Gopher rule battery — per-rule booleans + conjunctive pass,
     // integer myriad ratios; a stateless narrow projection
     "q70_gopher_rules" -> ((s, d) => graft.operators.QualityRules.gopherRules(Tables.documents(s, d))),
+    // q105: URL/domain filtering — RefinedWeb's first stage (domain
+    // blocklist + weighted flag-word URL score); urls PLANTED from
+    // doc_id (the q58 discipline — the table has no url column)
+    "q105_url_filter" -> ((s, d) =>
+      graft.operators.UrlFilter.urlFilterPlanted(Tables.documents(s, d))),
     // q78: deterministic epoch shuffle — the doc-level training-order
     // permutation (shard, pos, bijective global_pos), no global sort
     "q78_epoch_shuffle" -> ((s, d) => TextOps.epochShuffle(Tables.documents(s, d))),
@@ -489,6 +494,18 @@ object SparkEntry {
         Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000),
         materializeStages = true)
       graft.operators.Pipeline.curateDelta(rest.filter(col("doc_id") % 7 === 0), st)
+    }),
+    // q103b: the same incremental curation from the PERSISTED+LOADED
+    // curate_state artifact (built once per sf dir under tmpdir) —
+    // the pin measures the incremental pass, not the v1 rebuild;
+    // output identical to q103 (the oracle is q103's SQL verbatim)
+    "q103b_curate_frozen" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val st = graft.operators.Pipeline.loadOrBuildReleaseState(s, d,
+        Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000))
+      val docs = Tables.documents(s, d)
+      val delta = docs.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 7 === 0)
+      graft.operators.Pipeline.curateDelta(delta, st)
     }),
   )
 
@@ -1186,6 +1203,9 @@ object SparkEntry {
     // (hex-pair symbols, regex pre-tokens)
     "q67b_bpe_bytes_train" -> graft.operators.Bpe.byteBpeTrainOracleSql(),
     "q68b_bpe_bytes_encode" -> graft.operators.Bpe.byteBpeEncodeOracleSql(),
+    // q105: identical planting + RE2-safe host extraction + integer
+    // flag-word score in DuckDB
+    "q105_url_filter" -> graft.operators.UrlFilter.urlFilterOracleSql(),
     // q69: q37 char-fold buckets + two bag models + the q61 recursive
     // log2 kernel + row_number keep — Dsir.dsirOracleSql
     "q69_dsir" -> graft.operators.Dsir.dsirOracleSql(),
@@ -2784,6 +2804,9 @@ object SparkEntry {
     // the delta chain applying the incremental rules, frozen admission,
     // and the shared pack tail
     "q103_curate_incremental" -> q103OracleSql,
+    // q103b produces q103's output from the loaded artifact — same
+    // oracle, the strongest same-semantics-different-physical statement
+    "q103b_curate_frozen" -> q103OracleSql,
   )
 
 

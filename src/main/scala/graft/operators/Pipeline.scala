@@ -442,6 +442,45 @@ object Pipeline {
     }
   }
 
+  /** Version constant for [[loadOrBuildReleaseState]]'s cached
+    * artifact — BUMP whenever any chain stage's semantics change, or a
+    * stale on-disk state would silently serve the old chain.
+    */
+  final val ReleaseStateVersion: Long = 1L
+
+  /** q103b (r14 verdict task #5): the v1 `curate_state` built and
+    * PERSISTED once per (sf dir, [[ReleaseStateVersion]]) under the
+    * JVM tmpdir, then only LOADED — so the registered q103b entry (and
+    * its bench pin) measures the INCREMENTAL pass alone, the
+    * operator's true marginal cost in the monthly-release deployment,
+    * where q103 deliberately rebuilds v1 inline every run (its
+    * documented bench-cost note: ~⅔ of that wall is state
+    * construction a production run loads from the store). Loading
+    * skips the duplication-sized digest recompute by default (the
+    * ModelStore `DuplicationSizedFamilies` trade), so the load cost is
+    * the manifest + lazy parquet handles. Identical output to q103 by
+    * the ModelStore round-trip contract (PipelineSpec) — the
+    * registered oracle IS q103's SQL, the strongest same-semantics
+    * statement.
+    */
+  def loadOrBuildReleaseState(spark: org.apache.spark.sql.SparkSession,
+                              sfDir: String,
+                              targetMyriad: Map[String, Int]): CurateState = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_curate_state/$key"
+    val dir = graft.ModelStore.versionDir(base, ReleaseStateVersion)
+    val committed = graft.ModelStore.listVersions(spark, base)
+      .contains(ReleaseStateVersion)
+    if (!committed) {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val v1 = docs.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 7 =!= 0)
+      val st = curateState(v1, bench, targetMyriad, materializeStages = true)
+      graft.ModelStore.saveCurateState(spark, dir, st, ReleaseStateVersion)
+    }
+    graft.ModelStore.loadCurateState(spark, dir)
+  }
+
   /** q103 registered entry: stages 0–6b via [[curateDeltaDocs]], then
     * the FROZEN stage 7 (v1 vocab + v1 rates through the shared
     * index-214 'mixtok:' admission) and q47 packing of the delta into

@@ -656,6 +656,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(windows <= 2, s"expected only the qterms + fusion windows, got $windows:\n$s")
   }
 
+  test("q103 incremental curation: digest-keyed anti-joins, no text exchange, one shard window") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val rest = docs.filter(col("doc_id") % 97 =!= 0)
+    val st = graft.operators.Pipeline.curateState(
+      rest.filter(col("doc_id") % 7 =!= 0), bench,
+      Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000),
+      materializeStages = true)
+    val df = graft.operators.Pipeline.curateDelta(
+      rest.filter(col("doc_id") % 7 === 0), st)
+    val s = finalPlanStr(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // the v1-vs-delta drops are digest-keyed LEFT ANTI joins (canon
+    // digests, bench shingles, stage-3 windows) — the frozen-state
+    // contract's physical signature
+    assert("LeftAnti".r.findAllIn(s).size >= 2, "digest anti-joins missing: " + s)
+    // text never rides an exchange: every shuffle keys on a digest,
+    // id, or shard — the chain's fixed-width-key rule end to end
+    assert(!s.contains("Exchange hashpartitioning(text"),
+      "corpus text must never be a shuffle key: " + s)
+    // the ONLY window is q47's per-shard packing cumsum — no corpus
+    // window anywhere in the incremental pass
+    val windows = "Window \\[".r.findAllIn(s).size
+    assert(windows == 1, s"expected exactly the packing window, got $windows:\n$s")
+    assert("Window \\[[^\\n]*\\], \\[shard".r.findFirstIn(s).isDefined,
+      "the packing window must partition by shard: " + s)
+  }
+
   test("q100 drift: bucket-sized totals broadcast back; count aggs are map-side partial") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir)
