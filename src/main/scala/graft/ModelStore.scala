@@ -678,6 +678,45 @@ object ModelStore {
       m.params("max_len").toInt)
   }
 
+  /** q102's frozen retrieval index (s57 scorer, family `rag_index`):
+    * tables `qterms` = (qid, token, idf_q16) — the nQueries·mTerms
+    * probe terms with their PASSAGE-collection idf — and `probe_vecs`
+    * = (qid, pos, v) exploded quantized probe vectors; the collection
+    * scalars (P passages, A passage tokens) and the chunk geometry
+    * (window, stride — arrivals must chunk on the index's grid, the
+    * drift_expected grid rule) ride in params.
+    */
+  def saveRagIndex(spark: SparkSession, dir: String,
+                   model: graft.operators.Rag.RagModel, version: Long,
+                   params: Map[String, String] = Map.empty): Manifest = {
+    import spark.implicits._
+    save(spark, dir, "rag_index", version,
+      params + ("n_pass" -> model.nPass.toString, "a_tok" -> model.aTok.toString,
+        "window" -> model.window.toString, "stride" -> model.stride.toString),
+      Map("qterms" -> model.qterms.toSeq
+          .flatMap { case (q, ts) => ts.toSeq.map { case (t, w) => (q, t, w) } }
+          .sortBy(x => (x._1, x._2)).toDF("qid", "token", "idf_q16"),
+        "probe_vecs" -> model.probeVecs.toSeq
+          .flatMap { case (q, v) => v.zipWithIndex.map { case (x, i) => (q, i, x) } }
+          .sortBy(x => (x._1, x._2)).toDF("qid", "pos", "v")))
+  }
+
+  def loadRagIndex(spark: SparkSession, dir: String)
+      : graft.operators.Rag.RagModel = {
+    val (m, t) = load(spark, dir, "rag_index")
+    graft.operators.Rag.RagModel(
+      t("qterms").collect() // nQueries·mTerms rows — bounded
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap
+        },
+      t("probe_vecs").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toVector
+        },
+      m.params("n_pass").toLong, m.params("a_tok").toLong,
+      m.params("window").toInt, m.params("stride").toInt)
+  }
+
   /** q103's incremental-curation state (family `curate_state`): the
     * v1 release's frozen cross-document tables — `canon_digests` /
     * `seg_digests` / `win_digests` (h STRING; duplication-sized,

@@ -2914,6 +2914,113 @@ object StreamOps {
     }
   }
 
+  /** s57 scored-arrival intermediate: one probe's view of one doc —
+    * the best-passage lexical score WITH its passage attribution, and
+    * the integer d2 (None per missing modality), the s54 shape plus
+    * the citation.
+    */
+  case class RagScore(qid: Long, doc_id: Long,
+                      lex: Option[(Long, Long)], d2: Option[Long])
+
+  /** s57 output: the q102 columns — a probe's CURRENT fused top-k with
+    * best-passage attribution, re-emitted in full whenever a batch
+    * touches the probe (generational Append, the s16/s27 contract).
+    */
+  case class RagHit(query_id: Long, rank: Long, doc_id: Long,
+                    passage_id: Option[Long], rrf_e6: Long,
+                    lex_rank: Option[Long], sem_rank: Option[Long])
+
+  /** s57: STREAMING RAG — q102's indexing+retrieval chain as a
+    * continuously-maintained result over a multimodal arrival stream
+    * (doc_id, text, embedding): each arrival normalizes, CHUNKS
+    * ITSELF (q85's geometry is per-document — the one structural fact
+    * that makes a streaming RAG index stateless on the corpus side),
+    * scores every passage against the FROZEN
+    * [[graft.operators.Rag.RagModel]] (probe terms + passage-collection
+    * idf + P/A scalars — live stats would re-rank history, the s27
+    * rule), reduces to its per-probe BEST passage (score DESC, chunk
+    * ASC — the q102 struct-max, locally since all of a doc's passages
+    * are in hand), then ONE shuffle on qid maintains the two bounded
+    * pools per probe (the s54 state machine with the lexical pool
+    * carrying the passage attribution). Self-exclusion and the s54
+    * at-least-once dedup-by-doc and dim-mismatch fail-loud contracts
+    * apply unchanged. Convergence (spec): streaming the model's own
+    * training corpus — any batching, any order — makes each probe's
+    * final generation ROW-EXACT vs batch q102 (per-doc scores are
+    * arrival-independent; bounded top-k folds merge-invariant; fusion
+    * a pure function of the final pools).
+    */
+  def streamRagSearch(docs: Dataset[(Long, String, Seq[Float])],
+                      model: graft.operators.Rag.RagModel,
+                      poolR: Int = 20, topK: Int = 10,
+                      rrfK: Int = 60): Dataset[RagHit] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val scored = docs.flatMap { case (id, text, emb) =>
+      val m = bc.value
+      val lexBest: Map[Long, (Long, Long)] =
+        m.lexicalBest(text).filter(_._1 != id)
+          .map(t => t._1 -> ((t._2, t._3))).toMap
+      val q: Array[Long] =
+        if (emb == null || emb.isEmpty) null
+        else emb.iterator.map(v =>
+          math.floor(v.toDouble * 1048576.0 + 0.5).toLong).toArray
+      m.probeVecs.keysIterator.flatMap { qid =>
+        if (qid == id) Iterator.empty
+        else {
+          val d2: Option[Long] = if (q == null) None else {
+            val pv = m.probeVecs(qid)
+            if (q.length != pv.length) throw new IllegalArgumentException(
+              s"s57: arrival doc_id=$id embedding dim ${q.length} != " +
+                s"frozen probe $qid dim ${pv.length}")
+            var s = 0L; var i = 0
+            while (i < q.length) { val d = q(i) - pv(i); s += d * d; i += 1 }
+            Some(s)
+          }
+          val lex = lexBest.get(qid)
+          if (lex.isEmpty && d2.isEmpty) Iterator.empty
+          else Iterator.single(RagScore(qid, id, lex, d2))
+        }
+      }
+    }
+    // state per probe: lexical pool (score DESC, doc ASC) carrying the
+    // best-passage citation, semantic pool (d2 ASC, doc ASC)
+    scored.groupByKey(_.qid)
+      .flatMapGroupsWithState[(List[(Long, Long, Long)], List[(Long, Long)]), RagHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (qid: Long, rows: Iterator[RagScore],
+         state: GroupState[(List[(Long, Long, Long)], List[(Long, Long)])]) =>
+          var (lexTop, semTop) = state.getOption.getOrElse((Nil, Nil))
+          rows.foreach { r =>
+            r.lex.foreach { case (s, passage) =>
+              lexTop = ((-s, r.doc_id, passage) ::
+                lexTop.collect { case (x, d, p) if d != r.doc_id => (-x, d, p) })
+                .sortBy(t => (t._1, t._2)).take(poolR)
+                .map { case (nx, d, p) => (-nx, d, p) }
+            }
+            r.d2.foreach { s =>
+              semTop = ((s, r.doc_id) :: semTop.filterNot(_._2 == r.doc_id))
+                .sorted.take(poolR)
+            }
+          }
+          state.update((lexTop, semTop))
+          val lexRank = lexTop.zipWithIndex
+            .map { case ((_, d, p), i) => d -> ((i + 1L, p)) }.toMap
+          val semRank = semTop.zipWithIndex
+            .map { case ((_, d), i) => d -> (i + 1L) }.toMap
+          (lexRank.keySet ++ semRank.keySet).iterator.map { d =>
+            val rrf = lexRank.get(d).map { case (r, _) => 1000000L / (rrfK + r) }
+              .getOrElse(0L) +
+              semRank.get(d).map(r => 1000000L / (rrfK + r)).getOrElse(0L)
+            (d, rrf)
+          }.toSeq.sortBy { case (d, rrf) => (-rrf, d) }.take(topK)
+            .iterator.zipWithIndex.map { case ((d, rrf), i) =>
+              RagHit(qid, i + 1L, d, lexRank.get(d).map(_._2), rrf,
+                lexRank.get(d).map(_._1), semRank.get(d))
+            }
+      }
+  }
+
   /** s58 output: the q104 columns per arrival. */
   case class KnScoreDoc(doc_id: Long, n_trigrams: Long, nll_q16: Long,
                         ppl_q16: Option[Long])

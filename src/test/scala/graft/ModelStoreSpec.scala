@@ -388,6 +388,51 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(got.toMap == batch, "loaded-artifact stream must equal batch q61")
   }
 
+  test("rag_index: streaming RAG from the LOADED index is row-exact vs batch q102") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Rag
+    val docs = Tables.documents(spark, sfDir)
+    val embs = Tables.embeddings(spark, sfDir)
+    val batch = Rag.ragSearch(docs, embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+    val model = Rag.ragModel(docs, embs)
+    val dir = tmp("ragindex")
+    ModelStore.saveRagIndex(spark, dir, model, version = 1L)
+    val loaded = ModelStore.loadRagIndex(spark, dir)
+    assert(loaded == model, "probe terms, vectors, and scalars must round-trip exactly")
+
+    val feed: Array[(Long, String, Seq[Float])] = docs
+      .select(col("doc_id"), col("text"))
+      .join(embs.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
+        col("text"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getSeq[Float](2)))
+    val source = MemoryStream[(Long, String, Seq[Float])]
+    val got = collection.mutable.Map[(Long, Long),
+      (Long, Option[Long], Long, Option[Long], Option[Long])]()
+    val q = StreamOps.streamRagSearch(source.toDS(), loaded)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.RagHit], _: Long) =>
+        val rows = b.collect()
+        rows.map(_.query_id).distinct
+          .foreach(qid => got.keys.filter(_._1 == qid).toSeq.foreach(got.remove))
+        rows.foreach(h => got((h.query_id, h.rank)) =
+          ((h.doc_id, h.passage_id, h.rrf_e6, h.lex_rank, h.sem_rank)))
+        ()
+      }.start()
+    try {
+      source.addData(feed.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toMap == batch, "loaded-artifact stream must equal batch q102")
+  }
+
   test("kn_lm: stream KN scoring from the LOADED model is row-exact vs batch q104") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -3241,6 +3241,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toMap == batch, "stateless encoder must equal batch q101b per arrival")
   }
 
+  test("s57 streaming RAG converges to batch q102 under shuffled multimodal arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    import graft.operators.Rag
+    val docs = Tables.documents(spark, sfDir)
+    val embs = Tables.embeddings(spark, sfDir)
+    val batch = Rag.ragSearch(docs, embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+    assert(batch.nonEmpty)
+    // some batch hit must carry a passage attribution, some must not —
+    // else the test can't see the citation path
+    assert(batch.values.exists(_._2.isDefined) && batch.values.exists(_._2.isEmpty))
+    val model = Rag.ragModel(docs, embs)
+
+    val feed: Array[(Long, String, Seq[Float])] = docs
+      .select(col("doc_id"), col("text"))
+      .join(embs.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
+        col("text"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getSeq[Float](2)))
+    val shuffled = new scala.util.Random(57L).shuffle(feed.toVector).toArray
+
+    val source = MemoryStream[(Long, String, Seq[Float])]
+    val got = collection.mutable.Map[Long,
+      Seq[(Long, Long, Option[Long], Long, Option[Long], Option[Long])]]()
+    val q = StreamOps.streamRagSearch(source.toDS(), model)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.RagHit], _: Long) =>
+        val rows = b.collect()
+        rows.map(_.query_id).distinct.foreach(got.remove)
+        rows.groupBy(_.query_id).foreach { case (qid, hs) =>
+          got(qid) = hs.sortBy(_.rank).map(h =>
+            (h.rank, h.doc_id, h.passage_id, h.rrf_e6, h.lex_rank, h.sem_rank)).toSeq
+        }
+        ()
+      }.start()
+    try {
+      val third = shuffled.length / 3 + 1
+      shuffled.grouped(third).foreach { ch =>
+        source.addData(ch.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val gotFlat = got.toMap.flatMap { case (qid, hs) =>
+      hs.map(h => (qid, h._1) -> ((h._2, h._3, h._4, h._5, h._6)))
+    }
+    assert(gotFlat == batch,
+      s"stream generation diverges from batch q102: " +
+        s"${(gotFlat.toSet -- batch.toSet).take(3)} vs ${(batch.toSet -- gotFlat.toSet).take(3)}")
+  }
+
+  test("s57 embedding-dimension mismatch fails loudly (the s54 contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    import graft.operators.Rag
+    val model = Rag.RagModel(
+      qterms = Map(1L -> Map("zz" -> 65536L)),
+      probeVecs = Map(1L -> Vector(0L, 0L)),
+      nPass = 10L, aTok = 10L, window = 4, stride = 2)
+    val source = MemoryStream[(Long, String, Seq[Float])]
+    val q = StreamOps.streamRagSearch(source.toDS(), model)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[StreamOps.RagHit], _: Long) => () }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { source.addData((10L, null, Seq(1f, 2f, 3f))); q.processAllAvailable() }
+      finally q.stop()
+    }
+  }
+
   test("s55 live drift monitor converges to batch q100 under shuffled multi-batch arrival") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
