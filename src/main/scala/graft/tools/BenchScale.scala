@@ -147,8 +147,16 @@ object BenchScale {
     "q101b_unigram_encode", // train agg + one pure-map Viterbi encode scan
     "q102_rag_search",   // chunk projection + passage tf agg + Q-bounded
                          // broadcast candidates: linear for fixed Q
-    "q103_curate_incremental") // two q53-class chains (v1 + delta) over
+    "q103_curate_incremental", // two q53-class chains (v1 + delta) over
                                // disjoint corpus slices: the q53 shape twice
+                               // (q103b deliberately NOT probed: the delta
+                               // leg alone — a strict subset of this probe)
+    "q104_kn_trigram",   // trigram type/continuation aggs + probe join +
+                         // per-doc agg: the q61 shape one order up, linear
+    "q105_url_filter",   // stateless narrow projection — the cheapest class
+    "q67b_bpe_bytes_train", // ONE corpus pre-token agg; loop on the
+                            // vocabCap-bounded byte-packed table (q67's shape)
+    "q68b_bpe_bytes_encode") // train agg + one pure-map nested-replace scan
   private val Quadratic = Seq(
     "q28_knn_bruteforce",
     "q30_embedding_dedup")
