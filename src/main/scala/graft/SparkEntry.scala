@@ -3184,10 +3184,11 @@ ${packTail}"""
              WHERE text IS NOT NULL
                AND length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) > 0)),
          d_dupseg AS (
-           SELECT md5(seg) AS h FROM d_segs
-           GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
-           UNION
-           SELECT h FROM v1_seg_dig),
+           SELECT DISTINCT h FROM (
+             SELECT md5(seg) AS h FROM d_segs
+             GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+             UNION ALL
+             SELECT h FROM v1_seg_dig) dsu),
          d_per AS (
            SELECT s.doc_id,
                   coalesce(string_agg(CASE WHEN d.h IS NULL THEN s.seg END, ' ' ORDER BY s.seg_idx), '') AS ct
@@ -3283,9 +3284,10 @@ ${packTail}"""
                          regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS toks
                        FROM d_red WHERE text IS NOT NULL) t) x),
          d_m_df AS (
-           SELECT s FROM d_m_sh GROUP BY s HAVING count(*) > 1
-           UNION
-           SELECT s FROM v1_shingle),
+           SELECT DISTINCT s FROM (
+             SELECT s FROM d_m_sh GROUP BY s HAVING count(*) > 1
+             UNION ALL
+             SELECT s FROM v1_shingle) dmu),
          d_m_dup AS (SELECT doc_id, count(*) AS n_dup FROM d_m_sh JOIN d_m_df USING (s) GROUP BY 1),
          d_m_sz AS (SELECT doc_id, count(*) AS n_shingles FROM d_m_sh GROUP BY 1),
          d_mem AS MATERIALIZED (
