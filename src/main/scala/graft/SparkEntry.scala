@@ -265,6 +265,11 @@ object SparkEntry {
     // float KN could only be rank-gated
     "q104_kn_trigram" -> ((s, d) =>
       graft.operators.NgramLm.knPerplexity(Tables.documents(s, d))),
+    // q104b: the GENERALIZED order-n KN at n=5 — the order CCNet
+    // actually deploys; the same Q30 ladder built generically (at n=3
+    // it reproduces q104 bit-for-bit, spec-pinned)
+    "q104b_kn_fivegram" -> ((s, d) =>
+      graft.operators.NgramLm.knPerplexityN(Tables.documents(s, d), 5)),
     // q74: CCNet head/middle/tail buckets — the q61 kernel + per-lang
     // q46 sketch cutoffs (33/67), all integer/replayable
     "q74_ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(Tables.documents(s, d), k = 256)),
@@ -1687,6 +1692,9 @@ object SparkEntry {
     // continuation counts, the D=3/4 Q30 probability chain in `//`
     // arithmetic, the shared recursive log2, per-doc aggregation
     "q104_kn_trigram" -> graft.operators.NgramLm.knPerplexityOracleSql,
+    // q104b: the generated order-5 CTE program (type marginalization
+    // L5..L1 + the Q30 ladder + the shared recursive log2)
+    "q104b_kn_fivegram" -> graft.operators.NgramLm.knPerplexityNOracleSql(5),
     "q61_perplexity" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, list_filter(

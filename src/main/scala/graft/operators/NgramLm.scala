@@ -235,6 +235,175 @@ object NgramLm {
       "uni" -> p1)
   }
 
+  // ------------------------------------------------------------------
+  // q104b: GENERALIZED order-n interpolated KN (registered n = 5 —
+  // the order CCNet actually deploys, Wenzek et al. LREC 2020 §4.2).
+  // The recursion is the q104 chain run generically: the top-order
+  // type table L_n carries raw counts; each lower order derives as
+  // the CONTINUATION counts of the order above (L_k = L_{k+1} grouped
+  // by its suffix, count(*) = distinct left extensions — the standard
+  // build-lower-orders-from-continuations rule applied recursively);
+  // per order, context totals come from grouping by the context
+  // (drop the last word), and the Q30 ladder interpolates upward.
+  // At n = 3 this reproduces knPerplexity BIT-FOR-BIT (spec-pinned —
+  // the strongest crosscheck the general builder can carry).
+  // ------------------------------------------------------------------
+
+  /** Column names w1..wn for one n-gram. */
+  private def wcols(n: Int): Seq[String] = (1 to n).map(i => s"w$i")
+
+  /** Exploded adjacent n-gram frame (doc_id, w1..wn). */
+  private[graft] def ngrams(documents: DataFrame, n: Int): DataFrame = {
+    val fields = (0 until n).map(i => s"toks[i+$i] AS w${i + 1}").mkString(", ")
+    val tuples = when(size(col("toks")) >= n,
+      expr(s"transform(sequence(0, size(toks)-$n), i -> struct($fields))"))
+      .otherwise(expr("CAST(array() AS array<struct<" +
+        wcols(n).map(_ + ":string").mkString(",") + ">>)"))
+    TextOps.tokArrays(documents)
+      .select(col("doc_id") +: Seq(explode(tuples).as("t")): _*)
+      .select(col("doc_id") +: wcols(n).map(w => col(s"t.$w").as(w)): _*)
+  }
+
+  /** The order-n model: (w1..wn, nll_q16). */
+  private[graft] def knModelN(documents: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "KN needs order >= 2")
+    import graft.functions.{VectorFunctions => VF}
+    // L_n raw counts; L_k (k<n) = continuation counts of L_{k+1}
+    val L = new Array[DataFrame](n + 1)
+    L(n) = ngrams(documents, n)
+      .groupBy(wcols(n).map(col): _*).agg(count(lit(1)).as("cnt"))
+    for (k <- n - 1 to 1 by -1) {
+      // L_{k+1} columns are w1..w_{k+1}; its suffix (w2..w_{k+1})
+      // renames to w1..wk
+      val suffix = (2 to k + 1).map(i => col(s"w$i").as(s"w${i - 1}"))
+      L(k) = L(k + 1).select(suffix: _*)
+        .groupBy(wcols(k).map(col): _*).agg(count(lit(1)).as("cnt"))
+    }
+    // unigram: p1 = (cnt << 30) div Σcnt (one bounded scalar collect)
+    val tot1 = L(1).agg(coalesce(sum(col("cnt")), lit(1L))).collect()(0).getLong(0)
+    var p = L(1).select(col("w1").as(s"w$n"),
+      expr(s"(cnt * ${Q30}L) div ${math.max(tot1, 1L)}L").as("p"))
+    // ladder: at level k the model keys on the LAST k words (w_{n-k+1}..w_n)
+    for (k <- 2 to n) {
+      // L(k) columns w1..wk → rename to the suffix alignment w_{n-k+1}..w_n
+      val shift = n - k
+      val aligned = L(k).select(
+        (1 to k).map(i => col(s"w$i").as(s"w${i + shift}")) :+ col("cnt"): _*)
+      val ctxCols = (shift + 1 until n).map(i => s"w$i") // context = first k-1 of the suffix
+      val ctx = aligned.groupBy(ctxCols.map(col): _*)
+        .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n1t"))
+      val lowKey = (shift + 2 to n).map(i => s"w$i") // p_{k-1} keys
+      p = aligned.join(ctx, ctxCols)
+        .join(p.withColumnRenamed("p", "plow"), lowKey)
+        .select((shift + 1 to n).map(i => col(s"w$i")) :+
+          (expr(s"((4L*cnt - 3L) * ${Q30}L) div (4L*tot)") +
+            expr(s"(((3L*n1t) * ${Q30}L) div (4L*tot) * plow) div ${Q30}L") +
+            coalesce(assert_true(col("tot") <= lit(CtxBound),
+              lit(s"q104b: order-$k context exceeds the 2^28 Q30 bound — rescale to Q20"))
+              .cast("long"), lit(0L))).as("p"): _*)
+    }
+    p.select(wcols(n).map(col) :+
+      (lit(NllCeilQ16) - VF.log2_q16(col("p"))).as("nll_q16"): _*)
+  }
+
+  /** q104b: order-n KN perplexity (registered n = 5); docs with < n
+    * tokens score (0, 0, null).
+    */
+  def knPerplexityN(documents: DataFrame, n: Int = 5): DataFrame = {
+    val model = knModelN(documents, n)
+    val scored = ngrams(documents, n)
+      .join(model, wcols(n))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"), sum(col("nll_q16")).as("nll_sum"))
+      .select(col("doc_id"), col("n_ngrams"), col("nll_sum"),
+        expr("nll_sum div n_ngrams").as("ppl_q16"))
+    documents.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("nll_sum"), lit(0L)).as("nll_q16"),
+        col("ppl_q16"))
+  }
+
+  /** The q104b oracle, generated for any order: type CTEs L_n..L_1 by
+    * suffix marginalization, per-order context totals, the `//` Q30
+    * ladder, the shared recursive log2, the scoring join.
+    */
+  def knPerplexityNOracleSql(n: Int = 5): String = {
+    val ws = (i: Int, j: Int) => (i to j).map(x => s"w$x").mkString(", ")
+    val typeCtes = (n - 1 to 1 by -1).map { k =>
+      val ren = (2 to k + 1).map(i => s"w$i AS w${i - 1}").mkString(", ")
+      s"""l$k AS MATERIALIZED (
+         |  SELECT ${ws(1, k)}, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT $ren FROM l${k + 1}) t GROUP BY ${(1 to k).map(_.toString).mkString(", ")})""".stripMargin
+    }.mkString(",\n")
+    val ladder = (2 to n).map { k =>
+      val shift = n - k
+      val aligned = (1 to k).map(i => s"w$i AS w${i + shift}").mkString(", ")
+      val ctxCols = (shift + 1 until n).map(x => s"w$x")
+      val lowKey = (shift + 2 to n).map(x => s"w$x")
+      val lowP = if (k == 2) "p1" else s"p${k - 1}"
+      s"""a$k AS (SELECT $aligned, cnt FROM l$k),
+         |c$k AS (SELECT ${ctxCols.mkString(", ")}, CAST(sum(cnt) AS BIGINT) AS tot,
+         |               CAST(count(*) AS BIGINT) AS n1t
+         |        FROM a$k GROUP BY ${(1 to ctxCols.size).map(_.toString).mkString(", ")}),
+         |p$k AS MATERIALIZED (
+         |  SELECT ${(shift + 1 to n).map(i => s"a$k.w$i").mkString(", ")},
+         |         ((4*a$k.cnt - 3) * $Q30) // (4*c$k.tot)
+         |         + ((((3*c$k.n1t) * $Q30) // (4*c$k.tot)) * $lowP.p) // $Q30 AS p
+         |  FROM a$k
+         |  JOIN c$k ON ${ctxCols.map(x => s"c$k.$x = a$k.$x").mkString(" AND ")}
+         |  JOIN $lowP ON ${lowKey.map(x => s"$lowP.$x = a$k.$x").mkString(" AND ")})""".stripMargin
+    }.mkString(",\n")
+    val gramFields = (0 until n).map(i => s"toks[i+$i] AS w${i + 1}").mkString(", ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, list_filter(
+       |           regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+'),
+       |           t -> length(t) > 0) AS toks
+       |  FROM documents),
+       |tg AS MATERIALIZED (
+       |  SELECT doc_id, $gramFields
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${n - 2})) AS i
+       |        FROM toks WHERE len(toks) >= $n) x),
+       |l$n AS MATERIALIZED (
+       |  SELECT ${ws(1, n)}, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT ${(0 until n).map(i => s"toks[i+$i] AS w${i + 1}").mkString(", ")}
+       |        FROM (SELECT toks, unnest(range(1, len(toks) - ${n - 2})) AS i
+       |              FROM toks WHERE len(toks) >= $n) y) t
+       |  GROUP BY ${(1 to n).map(_.toString).mkString(", ")}),
+       |$typeCtes,
+       |tot1 AS (SELECT greatest(CAST(sum(cnt) AS BIGINT), 1) AS t FROM l1),
+       |p1 AS (SELECT w1 AS w$n, (cnt * $Q30) // (SELECT t FROM tot1) AS p FROM l1),
+       |$ladder,
+       |vals AS (SELECT DISTINCT p AS x FROM p$n),
+       |s(x, z, r, i) AS (
+       |  SELECT x, (x * 65536) // (1::BIGINT << (length(bin(x)) - 1)),
+       |         CAST(length(bin(x)) - 1 AS BIGINT) * 65536, 0
+       |  FROM vals
+       |  UNION ALL
+       |  SELECT x,
+       |         CASE WHEN (z*z) // 65536 >= 131072
+       |              THEN ((z*z) // 65536) // 2 ELSE (z*z) // 65536 END,
+       |         CASE WHEN (z*z) // 65536 >= 131072
+       |              THEN r + (1::BIGINT << (16 - (i + 1))) ELSE r END,
+       |         i + 1
+       |  FROM s WHERE i < 16),
+       |il AS MATERIALIZED (SELECT x, r FROM s WHERE i = 16),
+       |model AS MATERIALIZED (
+       |  SELECT ${(1 to n).map(i => s"p$n.w$i").mkString(", ")}, $NllCeilQ16 - il.r AS nll
+       |  FROM p$n JOIN il ON il.x = p$n.p),
+       |scored AS (
+       |  SELECT tg.doc_id, count(*) AS n_ngrams, sum(m.nll) AS nll_sum
+       |  FROM tg JOIN model m ON ${(1 to n).map(i => s"m.w$i = tg.w$i").mkString(" AND ")}
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(sc.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       |       CAST(COALESCE(sc.nll_sum, 0) AS BIGINT) AS nll_q16,
+       |       CAST(sc.nll_sum // sc.n_ngrams AS BIGINT) AS ppl_q16
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN scored sc USING (doc_id)""".stripMargin
+  }
+
   /** q104 oracle: the count/probability chain in integer `//`
     * arithmetic + the shared 16-step recursive log2 replay (the q61
     * CTE program one order up). Sums CAST to BIGINT — DuckDB widens

@@ -153,6 +153,8 @@ object BenchScale {
                                // leg alone — a strict subset of this probe)
     "q104_kn_trigram",   // trigram type/continuation aggs + probe join +
                          // per-doc agg: the q61 shape one order up, linear
+    "q104b_kn_fivegram", // the same ladder at order 5: type tables per
+                         // order, all linear in corpus n-gram volume
     "q105_url_filter",   // stateless narrow projection — the cheapest class
     "q67b_bpe_bytes_train", // ONE corpus pre-token agg; loop on the
                             // vocabCap-bounded byte-packed table (q67's shape)

@@ -145,6 +145,83 @@ class NgramLmSpec extends AnyFunSuite {
     assertSameRows(a, b)
   }
 
+  // ---------------- q104b: the generalized order-n builder ----------------
+
+  /** Independent sequential replay at arbitrary order — collections +
+    * the generic continuation recursion, sharing no code with the
+    * DataFrame builder.
+    */
+  private def sequentialKnN(texts: Seq[(Long, String)], n: Int)
+      : Map[Long, (Long, Long, Option[Long])] = {
+    def toks(t: String): Array[String] =
+      if (t == null) Array.empty
+      else t.replaceAll("^\\s+|\\s+$", "").toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+    val grams = texts.flatMap { case (_, t) =>
+      val w = toks(t)
+      if (w.length < n) Nil
+      else (0 to w.length - n).map(i => w.slice(i, i + n).toVector)
+    }
+    // L_n raw counts; L_k = continuation counts of L_{k+1}
+    val L = collection.mutable.Map[Int, Map[Vector[String], Long]]()
+    L(n) = grams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for (k <- n - 1 to 1 by -1)
+      L(k) = L(k + 1).keys.groupBy(_.tail).map { case (s, v) => s -> v.size.toLong }
+    val Q = NgramLm.Q30
+    val tot1 = math.max(L(1).values.sum, 1L)
+    def p(k: Int, u: Vector[String]): Long =
+      if (k == 1) (L(1)(u) * Q) / tot1
+      else {
+        val ctx = L(k).filter(_._1.init == u.init)
+        val tot = ctx.values.sum; val n1t = ctx.size.toLong
+        ((4 * L(k)(u) - 3) * Q) / (4 * tot) +
+          (((3 * n1t) * Q) / (4 * tot) * p(k - 1, u.tail)) / Q
+      }
+    texts.map { case (id, t) =>
+      val w = toks(t)
+      if (w.length < n) id -> ((0L, 0L, None))
+      else {
+        val parts = (0 to w.length - n).map { i =>
+          NgramLm.NllCeilQ16 -
+            graft.functions.Log2Q16Expr.compute(p(n, w.slice(i, i + n).toVector))
+        }
+        val s = parts.sum; val m = parts.size.toLong
+        id -> ((m, s, Some(s / m)))
+      }
+    }.toMap
+  }
+
+  test("q104b generalized builder at n=3 reproduces q104 bit-for-bit") {
+    val a = graft.operators.NgramLm.knPerplexity(docs)
+    val b = graft.operators.NgramLm.knPerplexityN(docs, 3)
+      .withColumnRenamed("n_ngrams", "n_trigrams")
+    assertSameRows(a, b)
+  }
+
+  test("q104b order-5 distributed == independent sequential replay (micro corpus)") {
+    import spark.implicits._
+    val texts = microCorpus ++ Seq(
+      8L -> "one two three four five six seven one two three four five")
+    val df = texts.toDF("doc_id", "text")
+    val got = graft.operators.NgramLm.knPerplexityN(df, 5).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    }.toMap
+    assert(got == sequentialKnN(texts, 5))
+    // <5-token docs degrade: doc 5 has 2 tokens
+    assert(got(5L) == ((0L, 0L, None)))
+  }
+
+  test("q104b order-5 on the real corpus == sequential replay") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    val got = graft.operators.NgramLm.knPerplexityN(docs, 5).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    }.toMap
+    assert(got == sequentialKnN(texts, 5))
+  }
+
   // ---------------- s58: the streaming twin ----------------
 
   private def fitModel(d: org.apache.spark.sql.DataFrame): NgramLm.KnLmModel = {
