@@ -51,7 +51,7 @@ object BenchPins {
     "q65_pq_codes", "q66_ivfadc", "q74_ccnet_buckets",
     "q80_leakage_split", "q81_contamination_report",
     "q84_memorization_risk", "q89_copurchase_topk",
-    "q104_kn_trigram", "q105_url_filter",
+    "q104_kn_trigram", "q104b_kn_fivegram", "q105_url_filter",
     "q67b_bpe_bytes_train", "q68b_bpe_bytes_encode")
 
   private def stealJiffies(): Long = try {
