@@ -64,7 +64,8 @@ object ModelStore {
     */
   case class Manifest(family: String, version: Long, createdUtcMs: Long,
                       params: Map[String, String], tables: Seq[String],
-                      digests: Map[String, Long] = Map.empty)
+                      digests: Map[String, Long] = Map.empty,
+                      rows: Map[String, Long] = Map.empty)
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -78,15 +79,22 @@ object ModelStore {
     * family, where a single narrow extra scan at save time is the
     * price of refusing corrupt dedup state at deploy time.
     */
-  def tableDigest(df: DataFrame): Long = {
+  def tableDigest(df: DataFrame): Long = tableDigestAndCount(df)._1
+
+  /** Digest + row count in ONE scan (the save path records both; the
+    * count is the r16 cheap-proxy check for the families whose digest
+    * recompute is skipped at load — see [[load]]).
+    */
+  def tableDigestAndCount(df: DataFrame): (Long, Long) = {
     // sum through DECIMAL(38,0) — a raw BIGINT sum of 2⁶³-scale hashes
     // overflow-throws under ANSI — then wrap to the long (mod 2⁶⁴,
     // order-independent, exact up to ~10¹⁹ rows)
-    val bd = df.select(xxhash64(df.columns.map(col): _*)
+    val row = df.select(xxhash64(df.columns.map(col): _*)
         .cast("decimal(38,0)").as("h"))
-      .agg(coalesce(sum(col("h")), lit(0).cast("decimal(38,0)")))
-      .collect()(0).getDecimal(0)
-    bd.toBigInteger.longValue()
+      .agg(coalesce(sum(col("h")), lit(0).cast("decimal(38,0)")),
+        count(lit(1)))
+      .collect()(0)
+    (row.getDecimal(0).toBigInteger.longValue(), row.getLong(1))
   }
 
   /** Generic save: parquet tables first, manifest last (the commit
@@ -109,10 +117,12 @@ object ModelStore {
     }
     // digest what a loader will READ (the written files), not the
     // in-memory frame — a write-path corruption must be caught here
-    val digests = names.map(n =>
-      n -> tableDigest(spark.read.parquet(s"$dir/tables/$n"))).toMap
+    val dc = names.map(n =>
+      n -> tableDigestAndCount(spark.read.parquet(s"$dir/tables/$n"))).toMap
+    val digests = dc.map { case (n, (d, _)) => n -> d }
+    val rowCounts = dc.map { case (n, (_, c)) => n -> c }
     val m = Manifest(family, version, System.currentTimeMillis(), params,
-      names, digests)
+      names, digests, rowCounts)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
     root.put("family", m.family)
@@ -124,6 +134,8 @@ object ModelStore {
     names.foreach(tn.add)
     val dn = root.putObject("digests")
     names.foreach(n => dn.put(n, digests(n)))
+    val rn = root.putObject("rows")
+    names.foreach(n => rn.put(n, rowCounts(n)))
     val out = f.create(new Path(dir, ManifestFile), true)
     try out.write(om.writeValueAsBytes(root)) finally out.close()
     m
@@ -152,9 +164,9 @@ object ModelStore {
       while (it.hasNext) b += it.next().asText()
       b.result()
     }
-    val digests = {
+    def longMap(field: String): Map[String, Long] = {
       val b = Map.newBuilder[String, Long]
-      val dn = node.get("digests")
+      val dn = node.get(field)
       if (dn != null) {
         val it = dn.fields()
         while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
@@ -162,7 +174,8 @@ object ModelStore {
       b.result()
     }
     Manifest(node.get("family").asText(), node.get("version").asLong(),
-      node.get("created_utc_ms").asLong(), params, tables, digests)
+      node.get("created_utc_ms").asLong(), params, tables,
+      longMap("digests"), longMap("rows"))
   }
 
   /** Families whose tables are DUPLICATION-sized (scale with corpus
@@ -198,17 +211,31 @@ object ModelStore {
     require(m.family == expectFamily,
       s"model at $dir is family '${m.family}', expected '$expectFamily'")
     val frames = m.tables.map(n => n -> spark.read.parquet(s"$dir/tables/$n")).toMap
-    val recompute = verifyLarge || !DuplicationSizedFamilies(m.family)
     m.tables.foreach { n =>
       require(m.digests.contains(n),
         s"model at $dir has no content digest for table '$n' " +
           "(pre-digest manifest format) — refusing to serve unverifiable state; re-save it")
+      // r16: the skip path still runs a CHEAP proxy check — the row
+      // count (a column-pruned footer-driven scan, no hashing) must
+      // match the manifest's save-time count, so a truncated or
+      // swapped parquet refuses even when the digest recompute is
+      // skipped. A pre-r16 manifest without row counts gets the full
+      // digest recompute instead (integrity unknown ≠ integrity waived).
+      val recompute = verifyLarge || !DuplicationSizedFamilies(m.family) ||
+        !m.rows.contains(n)
       if (recompute) {
         val want = m.digests(n)
         val got = tableDigest(frames(n))
         require(got == want,
           s"model table '$n' at $dir fails its integrity check " +
             s"(digest $got != manifest $want) — corrupted or tampered, refusing to load")
+      } else {
+        val want = m.rows(n)
+        val got = frames(n).count()
+        require(got == want,
+          s"model table '$n' at $dir fails its row-count proxy check " +
+            s"($got rows != manifest $want) — truncated or swapped state, refusing to load " +
+            "(run load(verifyLarge = true) for the full digest check)")
       }
     }
     (m, frames)

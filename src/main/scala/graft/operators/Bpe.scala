@@ -331,11 +331,14 @@ object Bpe {
     val packed = "chr(1) || regexp_replace(t, '(.)', '\\1' || chr(1), 'g')"
     // DuckDB lambdas reject subqueries, so the 24 pattern/replacement
     // pairs ride as columns of a cross-joined single-row CTE the
-    // lambda captures
-    val ruleCols = (1 to merges).map { k =>
-      s"""coalesce((SELECT chr(1)||l||chr(1)||r||chr(1) FROM bm$k), chr(2)) AS p$k,
-         |    coalesce((SELECT chr(1)||l||r||chr(1) FROM bm$k), chr(2)) AS s$k""".stripMargin
-    }.mkString(",\n    ")
+    // lambda captures; merges = 0 still needs ONE (no-op) column or
+    // the brules CTE body would be an empty SELECT (r15 ADVICE)
+    val ruleCols =
+      if (merges == 0) "chr(2) AS p0, chr(2) AS s0"
+      else (1 to merges).map { k =>
+        s"""coalesce((SELECT chr(1)||l||chr(1)||r||chr(1) FROM bm$k), chr(2)) AS p$k,
+           |    coalesce((SELECT chr(1)||l||r||chr(1) FROM bm$k), chr(2)) AS s$k""".stripMargin
+      }.mkString(",\n    ")
     val mergedExpr = (1 to merges).foldLeft(packed) { (acc, k) =>
       s"replace($acc, p$k, s$k)"
     }
@@ -530,10 +533,15 @@ object Bpe {
     val chain = trainSql.substring(0, trainSql.lastIndexOf("SELECT CAST(rank"))
       .trim.stripSuffix(",")
     val packed = "chr(1) || regexp_replace(hex(t), '(..)', '\\1' || chr(1), 'g')"
-    val ruleCols = (1 to merges).map { k =>
-      s"""coalesce((SELECT chr(1)||l||chr(1)||r||chr(1) FROM bm$k), chr(2)) AS p$k,
-         |    coalesce((SELECT chr(1)||l||r||chr(1) FROM bm$k), chr(2)) AS s$k""".stripMargin
-    }.mkString(",\n    ")
+    // merges = 0: one no-op rule column, same rationale as
+    // bpeEncodeOracleSql (r15 ADVICE — an empty ruleCols emitted
+    // `SELECT )`)
+    val ruleCols =
+      if (merges == 0) "chr(2) AS p0, chr(2) AS s0"
+      else (1 to merges).map { k =>
+        s"""coalesce((SELECT chr(1)||l||chr(1)||r||chr(1) FROM bm$k), chr(2)) AS p$k,
+           |    coalesce((SELECT chr(1)||l||r||chr(1) FROM bm$k), chr(2)) AS s$k""".stripMargin
+      }.mkString(",\n    ")
     val mergedExpr = (1 to merges).foldLeft(packed) { (acc, k) =>
       s"replace($acc, p$k, s$k)"
     }

@@ -184,25 +184,29 @@ object NgramLm {
     require(uni.nonEmpty, "frozen KN model must carry unigram continuations")
 
     /** The backoff ladder for one trigram: exact table hit → context
-      * backoff (λ3·p2) → bigram hit → middle backoff (λ2·p1) →
-      * unigram → OOV floor (p_q30 = 1, the model's maximum nll). Novel
-      * n-grams only — on the training corpus the first rung always
-      * hits, which is what makes s58 row-exact vs batch q104.
+      * backoff (λ3·p2') → unigram ladder → OOV floor (p_q30 = 1, the
+      * model's maximum nll). p2' is the bigram-level estimate — the
+      * table hit when (w2,w3) is frozen, else its OWN backoff
+      * λ2(w2)·p1(w3) (or p1 / floor) — and λ3 applies whenever the
+      * CONTEXT (w1,w2) is seen, regardless of which rung produced p2'
+      * (ARPA semantics: backoff weights multiply down the whole
+      * ladder, Chen & Goodman eq. 18). Novel n-grams only — on the
+      * training corpus the first rung always hits, which is what
+      * makes s58 row-exact vs batch q104.
       */
     def nll(w1: String, w2: String, w3: String): Long =
       tri.getOrElse((w1, w2, w3), {
-        val p2 = mid.get((w2, w3))
-        val p = (ctxLam.get((w1, w2)), p2) match {
-          case (Some(l3), Some(p2v)) => math.max((l3 * p2v) / Q30, 1L)
-          case (None, Some(p2v)) => p2v
-          case _ =>
-            uni.get(w3) match {
-              case Some(p1v) => midLam.get(w2) match {
-                case Some(l2) => math.max((l2 * p1v) / Q30, 1L)
-                case None => p1v
-              }
-              case None => 1L // OOV floor: the representable minimum
+        val p2 = mid.getOrElse((w2, w3),
+          uni.get(w3) match {
+            case Some(p1v) => midLam.get(w2) match {
+              case Some(l2) => math.max((l2 * p1v) / Q30, 1L)
+              case None => p1v
             }
+            case None => 1L // OOV floor: the representable minimum
+          })
+        val p = ctxLam.get((w1, w2)) match {
+          case Some(l3) => math.max((l3 * p2) / Q30, 1L)
+          case None => p2
         }
         NllCeilQ16 - graft.functions.Log2Q16Expr.compute(p)
       })

@@ -463,20 +463,71 @@ object Pipeline {
     * registered oracle IS q103's SQL, the strongest same-semantics
     * statement.
     */
+  /** Fingerprint of the SOURCE parquet behind a cached state: every
+    * file's (name, length, mtime) folded into one long. Part of the
+    * cache KEY (r16) — regenerated data at the same path changes the
+    * fingerprint and so gets a fresh state dir instead of silently
+    * serving the stale one.
+    */
+  private def dirFingerprint(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return 0L
+    var h = 1125899906842597L
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      h = h * 31 + st.getPath.getName.hashCode
+      h = h * 31 + st.getLen
+      h = h * 31 + st.getModificationTime
+    }
+    h
+  }
+
   def loadOrBuildReleaseState(spark: org.apache.spark.sql.SparkSession,
                               sfDir: String,
                               targetMyriad: Map[String, Int]): CurateState = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // key = readable sanitized path + a hash of the RAW path (distinct
+    // dirs can't collide through sanitization) + the source-data
+    // fingerprint (regenerated data at the same path gets a fresh key)
+    val fp = dirFingerprint(spark, s"$sfDir/documents.parquet")
+    val disc = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong * 2654435761L + fp)
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + disc
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_curate_state/$key"
     val dir = graft.ModelStore.versionDir(base, ReleaseStateVersion)
-    val committed = graft.ModelStore.listVersions(spark, base)
+    def committed = graft.ModelStore.listVersions(spark, base)
       .contains(ReleaseStateVersion)
     if (!committed) {
-      val docs = graft.sources.Tables.documents(spark, sfDir)
-      val bench = docs.filter(col("doc_id") % 97 === 0)
-      val v1 = docs.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 7 =!= 0)
-      val st = curateState(v1, bench, targetMyriad, materializeStages = true)
-      graft.ModelStore.saveCurateState(spark, dir, st, ReleaseStateVersion)
+      val f = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.mkdirs(new org.apache.hadoop.fs.Path(base))
+      // concurrent runs: exactly one builder wins the atomic
+      // create-exclusive lock; the rest poll for the winner's commit
+      // marker (the manifest) instead of racing the save
+      val lock = new org.apache.hadoop.fs.Path(base, "build.lock")
+      val acquired =
+        try { f.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (acquired) {
+        try {
+          if (!committed) {
+            val docs = graft.sources.Tables.documents(spark, sfDir)
+            val bench = docs.filter(col("doc_id") % 97 === 0)
+            val v1 = docs.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 7 =!= 0)
+            val st = curateState(v1, bench, targetMyriad, materializeStages = true)
+            graft.ModelStore.saveCurateState(spark, dir, st, ReleaseStateVersion)
+          }
+        } finally f.delete(lock, false)
+      } else {
+        val deadline = System.currentTimeMillis() + 600000L
+        while (!committed && System.currentTimeMillis() < deadline)
+          Thread.sleep(1000L)
+        require(committed,
+          s"curate_state build at $base held by another run did not commit " +
+            "within 10 min — remove its build.lock if that run crashed")
+      }
     }
     graft.ModelStore.loadCurateState(spark, dir)
   }

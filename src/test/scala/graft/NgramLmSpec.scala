@@ -285,6 +285,14 @@ class NgramLmSpec extends AnyFunSuite {
     // rung 3: unseen context, seen bigram — p2 directly
     assert(!m.ctxLam.contains(("e", "b")))
     assert(m.nll("e", "b", "d") == ceil - L(p2bd))
+    // rung 3b (the r15 ADVICE gap): SEEN context (a,b) + UNSEEN bigram
+    // (b,e) — λ3 must still apply on top of the bigram-level backoff:
+    // p = max(λ3(a,b) · max(λ2(b)·p1(e) >> 30, 1) >> 30, 1)
+    assert(m.ctxLam.contains(("a", "b")) && !m.mid.contains(("b", "e")))
+    assert(m.midLam.contains("b") && m.uni.contains("e"))
+    val p2be = math.max((m.midLam("b") * m.uni("e")) / NgramLm.Q30, 1L)
+    val expected3b = ceil - L(math.max((m.ctxLam(("a", "b")) * p2be) / NgramLm.Q30, 1L))
+    assert(m.nll("a", "b", "e") == expected3b)
     // rung 4: unseen bigram, seen middle + seen word — λ2(w2)·p1(w3)
     assert(!m.mid.contains(("b", "e")) && m.midLam.contains("b") && m.uni.contains("e"))
     val expected4 = ceil - L(math.max((m.midLam("b") * m.uni("e")) / NgramLm.Q30, 1L))
