@@ -554,6 +554,47 @@ object ModelStore {
       t("uni").collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
+  /** q104b/q104c order-n Kneser-Ney LM (s58's generic scorer), the
+    * PRUNABLE layout (r16, verdict tasks #1/#4): `p1` (w1, p) plus per
+    * level k ∈ 2..n a KEPT-entries table `p$k` (w1..wk, p) and a
+    * STORED-contexts table `lam$k` (w1..w_{k-1}, lam) — the ARPA
+    * probability/backoff pair per level, pruned by the
+    * [[graft.operators.NgramLm.knModelFramesN]] thresholds that ride
+    * in params (`order`, `min_count`, `min_ctx`). Size bound: kept
+    * entries ≤ T_k/min_count and contexts ≤ T_k/min_ctx per level
+    * (Heafield WMT 2011 §4) — with min_count > 1 this artifact stops
+    * scaling with corpus size, closing the r15 verdict's unbounded-
+    * collect caveat on the trigram layout.
+    */
+  def saveKnLmN(spark: SparkSession, dir: String,
+                tables: Map[String, DataFrame], version: Long, order: Int,
+                minCount: Long, minCtx: Long,
+                params: Map[String, String] = Map.empty): Manifest = {
+    val want = Set("p1") ++ (2 to order).flatMap(k => Seq(s"p$k", s"lam$k"))
+    require(want.subsetOf(tables.keySet),
+      s"order-$order kn_lm needs tables ${want.toSeq.sorted.mkString("/")}, " +
+        s"got ${tables.keys.toSeq.sorted}")
+    save(spark, dir, "kn_lm", version,
+      params + ("order" -> order.toString, "d" -> "3/4",
+        "min_count" -> minCount.toString, "min_ctx" -> minCtx.toString),
+      tables)
+  }
+
+  def loadKnLmN(spark: SparkSession, dir: String)
+      : graft.operators.NgramLm.KnLmModelN = {
+    val (m, t) = load(spark, dir, "kn_lm")
+    require(t.contains("p1"),
+      s"kn_lm at $dir has the legacy trigram layout (tri/ctx/mid) — " +
+        "load it with loadKnLm, or re-save via knModelFramesN")
+    val n = m.params("order").toInt
+    def keyed(name: String, keys: Int): Map[Seq[String], Long] =
+      t(name).collect() // pruned-model rows — bounded by T_k/min_count (manifest params)
+        .map(r => (0 until keys).map(r.getString).toSeq -> r.getLong(keys)).toMap
+    graft.operators.NgramLm.KnLmModelN(n,
+      (1 to n).map(k => keyed(s"p$k", k)),
+      (2 to n).map(k => keyed(s"lam$k", k - 1)))
+  }
+
   /** q72 Naive-Bayes classifier (s-family admission scorer): table
     * `weights` = (bucket BIGINT, w BIGINT), exactly B rows (the
     * streaming twin requires full bucket coverage); the class prior

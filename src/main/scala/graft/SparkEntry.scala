@@ -270,6 +270,15 @@ object SparkEntry {
     // it reproduces q104 bit-for-bit, spec-pinned)
     "q104b_kn_fivegram" -> ((s, d) =>
       graft.operators.NgramLm.knPerplexityN(Tables.documents(s, d), 5)),
+    // q104c: ARPA-style COUNT-PRUNED KN (r15 verdict task #1) — the
+    // Heafield §4 discipline that bounds the deployed model: entries
+    // below minCount drop from the stored tables and scoring walks
+    // the backoff ladder instead (the `peff` column); thresholds live
+    // inside the oracle CTE chain. Registered at order 3, minCount =
+    // minCtx = 2 (singleton trigrams/contexts pruned — the config
+    // that actually exercises every ladder branch at sf0.01)
+    "q104c_kn_pruned" -> ((s, d) =>
+      graft.operators.NgramLm.knPerplexityNPruned(Tables.documents(s, d), 3, 2L, 2L)),
     // q74: CCNet head/middle/tail buckets — the q61 kernel + per-lang
     // q46 sketch cutoffs (33/67), all integer/replayable
     "q74_ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(Tables.documents(s, d), k = 256)),
@@ -1695,6 +1704,9 @@ object SparkEntry {
     // q104b: the generated order-5 CTE program (type marginalization
     // L5..L1 + the Q30 ladder + the shared recursive log2)
     "q104b_kn_fivegram" -> graft.operators.NgramLm.knPerplexityNOracleSql(5),
+    // q104c: the pruned ladder — prune thresholds inside the CTE chain
+    "q104c_kn_pruned" ->
+      graft.operators.NgramLm.knPerplexityNPrunedOracleSql(3, 2L, 2L),
     "q61_perplexity" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, list_filter(

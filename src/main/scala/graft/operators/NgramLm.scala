@@ -329,6 +329,179 @@ object NgramLm {
         col("ppl_q16"))
   }
 
+  // ------------------------------------------------------------------
+  // q104c: ARPA-STYLE COUNT PRUNING (r15 verdict task #1) — the
+  // KenLM/Heafield 2011 §4 discipline that BOUNDS the deployed model:
+  // probabilities are estimated from FULL counts first (Chen & Goodman
+  // interpolation unchanged), then entries below the count threshold
+  // are DROPPED from the stored model and a scorer reaching a dropped
+  // entry walks the backoff ladder instead (ARPA semantics: a missing
+  // entry backs off through its context weight when the CONTEXT is
+  // stored, and falls straight through when it is not). Size bound
+  // (documented, the task's `entries ≤ f(minCount)` ask): at level k,
+  // Σ cnt over entries = (level-k type-or-token total) T_k, so kept
+  // entries ≤ T_k / minCount; stored contexts ≤ T_k / minCtx; level 1
+  // (vocab-sized) never prunes. minCount = minCtx = 1 keeps
+  // everything and reproduces q104/q104b BIT-FOR-BIT (spec-pinned).
+  // ------------------------------------------------------------------
+
+  /** One KN ladder level: `entries` = (w1..wk, cnt, p, peff) — p the
+    * full-count interpolated probability, peff the PRUNED-model
+    * effective probability a deployed scorer computes for this k-gram
+    * (== p when kept; the backoff value when pruned); `ctx` =
+    * (w1..w_{k-1}, tot, n1t, lam). Level 1 has entries (w1, p, peff)
+    * and no ctx.
+    */
+  private[graft] case class KnLevel(entries: DataFrame, ctx: DataFrame)
+
+  /** The per-level KN model frames for order n with pruning knobs —
+    * the shared builder behind [[knPerplexityNPruned]], the order-n
+    * ModelStore `kn_lm` family ([[knModelFramesN]]), and the generic
+    * scorer's spec crosschecks. Arithmetic is bit-identical to
+    * [[knModelN]]'s ladder (same Q30 expressions, levels keyed
+    * canonically w1..wk instead of suffix-aligned).
+    */
+  private[graft] def knLevels(documents: DataFrame, n: Int,
+                              minCount: Long = 1L,
+                              minCtx: Long = 1L): IndexedSeq[KnLevel] = {
+    require(n >= 2, "KN needs order >= 2")
+    require(minCount >= 1L && minCtx >= 1L, "prune thresholds are counts >= 1")
+    val L = new Array[DataFrame](n + 1)
+    L(n) = ngrams(documents, n)
+      .groupBy(wcols(n).map(col): _*).agg(count(lit(1)).as("cnt"))
+    for (k <- n - 1 to 1 by -1) {
+      val suffix = (2 to k + 1).map(i => col(s"w$i").as(s"w${i - 1}"))
+      L(k) = L(k + 1).select(suffix: _*)
+        .groupBy(wcols(k).map(col): _*).agg(count(lit(1)).as("cnt"))
+    }
+    val tot1 = L(1).agg(coalesce(sum(col("cnt")), lit(1L))).collect()(0).getLong(0)
+    val lvl1 = L(1).select(col("w1"),
+      expr(s"(cnt * ${Q30}L) div ${math.max(tot1, 1L)}L").as("p"))
+      .withColumn("peff", col("p"))
+    val out = IndexedSeq.newBuilder[KnLevel]
+    out += KnLevel(lvl1, null)
+    var prev = lvl1
+    for (k <- 2 to n) {
+      val ctxKeys = (1 until k).map(i => s"w$i")
+      val ctx = L(k).groupBy(ctxKeys.map(col): _*)
+        .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n1t"))
+        .select(ctxKeys.map(col) :+ col("tot") :+ col("n1t") :+
+          expr(s"((3L*n1t) * ${Q30}L) div (4L*tot)").as("lam"): _*)
+      val prevS = prev.select((1 until k).map(i => col(s"w$i").as(s"w${i + 1}")) :+
+        col("p").as("plow") :+ col("peff").as("plow_eff"): _*)
+      val pExact = expr(s"((4L*cnt - 3L) * ${Q30}L) div (4L*tot)") +
+        expr(s"(lam * plow) div ${Q30}L") +
+        coalesce(assert_true(col("tot") <= lit(CtxBound),
+          lit(s"q104c: order-$k context exceeds the 2^28 Q30 bound — rescale to Q20"))
+          .cast("long"), lit(0L))
+      val entries = L(k).join(ctx, ctxKeys)
+        .join(prevS, (2 to k).map(i => s"w$i"))
+        .select(wcols(k).map(col) :+ col("cnt") :+ pExact.as("p") :+
+          when(col("cnt") >= lit(minCount), pExact)
+            .when(col("tot") >= lit(minCtx),
+              greatest(expr(s"(lam * plow_eff) div ${Q30}L"), lit(1L)))
+            .otherwise(col("plow_eff")).as("peff"): _*)
+      out += KnLevel(entries, ctx)
+      prev = entries
+    }
+    out.result()
+  }
+
+  /** q104c: order-n KN perplexity scored with the PRUNED model — per
+    * corpus n-gram: the exact entry when its count clears `minCount`,
+    * else λ·p_eff(lower) when the context clears `minCtx`, else the
+    * lower level's effective value (the recursive `peff` column).
+    * minCount = minCtx = 1 is exactly [[knPerplexityN]].
+    */
+  def knPerplexityNPruned(documents: DataFrame, n: Int,
+                          minCount: Long, minCtx: Long): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val top = knLevels(documents, n, minCount, minCtx).last.entries
+      .select(wcols(n).map(col) :+
+        (lit(NllCeilQ16) - VF.log2_q16(col("peff"))).as("nll_q16"): _*)
+    val scored = ngrams(documents, n)
+      .join(top, wcols(n))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"), sum(col("nll_q16")).as("nll_sum"))
+      .select(col("doc_id"), col("n_ngrams"), col("nll_sum"),
+        expr("nll_sum div n_ngrams").as("ppl_q16"))
+    documents.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("nll_sum"), lit(0L)).as("nll_q16"),
+        col("ppl_q16"))
+  }
+
+  /** The order-n `kn_lm` ModelStore tables, PRUNED: per level k ≥ 2 a
+    * `p$k` table of KEPT entries (cnt ≥ minCount → exact Q30 p) and a
+    * `lam$k` table of STORED contexts (tot ≥ minCtx); `p1` is the full
+    * (vocab-sized) continuation-unigram table. Entry bound:
+    * Σ_k T_k/minCount + Σ_k T_k/minCtx + V (the Heafield §4 size
+    * discipline — the artifact stops scaling with corpus duplication
+    * the moment minCount > 1).
+    */
+  def knModelFramesN(documents: DataFrame, n: Int,
+                     minCount: Long = 1L, minCtx: Long = 1L): Map[String, DataFrame] = {
+    val levels = knLevels(documents, n, minCount, minCtx)
+    val b = Map.newBuilder[String, DataFrame]
+    b += "p1" -> levels(0).entries.select(col("w1"), col("p"))
+    for (k <- 2 to n) {
+      val lv = levels(k - 1)
+      b += s"p$k" -> lv.entries.filter(col("cnt") >= lit(minCount))
+        .select(wcols(k).map(col) :+ col("p"): _*)
+      b += s"lam$k" -> lv.ctx.filter(col("tot") >= lit(minCtx))
+        .select((1 until k).map(i => col(s"w$i")) :+ col("lam"): _*)
+    }
+    b.result()
+  }
+
+  /** The generic order-n deployed scorer (s58's model, any order, any
+    * pruning): `levels(k-1)` maps a kept k-gram (last-k-words key) to
+    * its Q30 p; `lams(k-2)` maps a stored level-k context to its λ.
+    * The ladder is the ARPA walk: stored entry → λ(context)·lower when
+    * the context is stored → lower directly — recursively to the
+    * unigram floor. Scoring the training corpus from an UNPRUNED
+    * artifact always hits the top entry (row-exact vs batch q104b);
+    * from a PRUNED artifact it reproduces the batch `peff` ladder
+    * bit-for-bit (spec-pinned on pruned-away entries).
+    */
+  case class KnLmModelN(n: Int,
+                        levels: IndexedSeq[Map[Seq[String], Long]],
+                        lams: IndexedSeq[Map[Seq[String], Long]]) {
+    require(n >= 2 && levels.size == n && lams.size == n - 1,
+      "order-n KN model needs n entry maps and n-1 context maps")
+    require(levels.head.nonEmpty, "frozen KN model must carry unigram continuations")
+
+    /** Effective Q30 probability of the last-k-words key. */
+    def prob(k: Int, words: Seq[String]): Long =
+      if (k == 1) levels(0).getOrElse(words, 1L) // OOV floor
+      else levels(k - 1).getOrElse(words, {
+        val lower = prob(k - 1, words.drop(1))
+        lams(k - 2).get(words.dropRight(1)) match {
+          case Some(l) => math.max((l * lower) / Q30, 1L)
+          case None => lower
+        }
+      })
+
+    def nll(words: Seq[String]): Long = {
+      require(words.length == n, s"order-$n model scores $n-grams")
+      NllCeilQ16 - graft.functions.Log2Q16Expr.compute(prob(n, words))
+    }
+
+    /** Score one document (the s58 kernel, order-n): (n_ngrams,
+      * nll_sum, ppl) with the batch <n-token degradation.
+      */
+    def score(toks: Array[String]): (Long, Long, Option[Long]) =
+      if (toks.length < n) (0L, 0L, None)
+      else {
+        var s = 0L; var i = 0
+        while (i <= toks.length - n) { s += nll(toks.slice(i, i + n).toSeq); i += 1 }
+        val m = (toks.length - n + 1).toLong
+        (m, s, Some(s / m))
+      }
+  }
+
   /** The q104b oracle, generated for any order: type CTEs L_n..L_1 by
     * suffix marginalization, per-order context totals, the `//` Q30
     * ladder, the shared recursive log2, the scoring join.
@@ -396,6 +569,88 @@ object NgramLm {
        |model AS MATERIALIZED (
        |  SELECT ${(1 to n).map(i => s"p$n.w$i").mkString(", ")}, $NllCeilQ16 - il.r AS nll
        |  FROM p$n JOIN il ON il.x = p$n.p),
+       |scored AS (
+       |  SELECT tg.doc_id, count(*) AS n_ngrams, sum(m.nll) AS nll_sum
+       |  FROM tg JOIN model m ON ${(1 to n).map(i => s"m.w$i = tg.w$i").mkString(" AND ")}
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(sc.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       |       CAST(COALESCE(sc.nll_sum, 0) AS BIGINT) AS nll_q16,
+       |       CAST(sc.nll_sum // sc.n_ngrams AS BIGINT) AS ppl_q16
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN scored sc USING (doc_id)""".stripMargin
+  }
+
+  /** The q104c oracle, generated for any (order, minCount, minCtx):
+    * the q104b type-CTE chain with levels keyed canonically w1..wk and
+    * a `peff` column replaying the pruned-model ladder — the prune
+    * thresholds live INSIDE the CTE chain (the verdict's ask), so the
+    * hash compare pins exactly which entries a deployed scorer keeps.
+    */
+  def knPerplexityNPrunedOracleSql(n: Int, minCount: Long, minCtx: Long): String = {
+    val ws = (i: Int, j: Int) => (i to j).map(x => s"w$x").mkString(", ")
+    val typeCtes = (n - 1 to 1 by -1).map { k =>
+      val ren = (2 to k + 1).map(i => s"w$i AS w${i - 1}").mkString(", ")
+      s"""l$k AS MATERIALIZED (
+         |  SELECT ${ws(1, k)}, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT $ren FROM l${k + 1}) t GROUP BY ${(1 to k).map(_.toString).mkString(", ")})""".stripMargin
+    }.mkString(",\n")
+    val ladder = (2 to n).map { k =>
+      val ctxCols = (1 until k).map(x => s"w$x")
+      val lam = s"(((3*c$k.n1t) * $Q30) // (4*c$k.tot))"
+      val pExact = s"((4*e.cnt - 3) * $Q30) // (4*c$k.tot) + ($lam * low.p) // $Q30"
+      s"""c$k AS (SELECT ${ctxCols.mkString(", ")}, CAST(sum(cnt) AS BIGINT) AS tot,
+         |               CAST(count(*) AS BIGINT) AS n1t
+         |        FROM l$k GROUP BY ${(1 to ctxCols.size).map(_.toString).mkString(", ")}),
+         |p$k AS MATERIALIZED (
+         |  SELECT ${(1 to k).map(i => s"e.w$i").mkString(", ")}, e.cnt,
+         |         $pExact AS p,
+         |         CASE WHEN e.cnt >= $minCount THEN $pExact
+         |              WHEN c$k.tot >= $minCtx
+         |                THEN greatest(($lam * low.peff) // $Q30, 1)
+         |              ELSE low.peff END AS peff
+         |  FROM l$k e
+         |  JOIN c$k ON ${ctxCols.map(x => s"c$k.$x = e.$x").mkString(" AND ")}
+         |  JOIN p${k - 1} low ON ${(1 until k).map(i => s"low.w$i = e.w${i + 1}").mkString(" AND ")})""".stripMargin
+    }.mkString(",\n")
+    val gramFields = (0 until n).map(i => s"toks[i+$i] AS w${i + 1}").mkString(", ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, list_filter(
+       |           regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+'),
+       |           t -> length(t) > 0) AS toks
+       |  FROM documents),
+       |tg AS MATERIALIZED (
+       |  SELECT doc_id, $gramFields
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${n - 2})) AS i
+       |        FROM toks WHERE len(toks) >= $n) x),
+       |l$n AS MATERIALIZED (
+       |  SELECT ${ws(1, n)}, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT ${(0 until n).map(i => s"toks[i+$i] AS w${i + 1}").mkString(", ")}
+       |        FROM (SELECT toks, unnest(range(1, len(toks) - ${n - 2})) AS i
+       |              FROM toks WHERE len(toks) >= $n) y) t
+       |  GROUP BY ${(1 to n).map(_.toString).mkString(", ")}),
+       |$typeCtes,
+       |tot1 AS (SELECT greatest(CAST(sum(cnt) AS BIGINT), 1) AS t FROM l1),
+       |p1 AS (SELECT w1, (cnt * $Q30) // (SELECT t FROM tot1) AS p,
+       |              (cnt * $Q30) // (SELECT t FROM tot1) AS peff FROM l1),
+       |$ladder,
+       |vals AS (SELECT DISTINCT peff AS x FROM p$n),
+       |s(x, z, r, i) AS (
+       |  SELECT x, (x * 65536) // (1::BIGINT << (length(bin(x)) - 1)),
+       |         CAST(length(bin(x)) - 1 AS BIGINT) * 65536, 0
+       |  FROM vals
+       |  UNION ALL
+       |  SELECT x,
+       |         CASE WHEN (z*z) // 65536 >= 131072
+       |              THEN ((z*z) // 65536) // 2 ELSE (z*z) // 65536 END,
+       |         CASE WHEN (z*z) // 65536 >= 131072
+       |              THEN r + (1::BIGINT << (16 - (i + 1))) ELSE r END,
+       |         i + 1
+       |  FROM s WHERE i < 16),
+       |il AS MATERIALIZED (SELECT x, r FROM s WHERE i = 16),
+       |model AS MATERIALIZED (
+       |  SELECT ${(1 to n).map(i => s"p$n.w$i").mkString(", ")}, $NllCeilQ16 - il.r AS nll
+       |  FROM p$n JOIN il ON il.x = p$n.peff),
        |scored AS (
        |  SELECT tg.doc_id, count(*) AS n_ngrams, sum(m.nll) AS nll_sum
        |  FROM tg JOIN model m ON ${(1 to n).map(i => s"m.w$i = tg.w$i").mkString(" AND ")}

@@ -3048,6 +3048,29 @@ object StreamOps {
     }
   }
 
+  /** s58 output, order-n form: the q104b columns per arrival. */
+  case class KnScoreDocN(doc_id: Long, n_ngrams: Long, nll_q16: Long,
+                         ppl_q16: Option[Long])
+
+  /** s58 generalized to ORDER n (r16, the r15 verdict's task #4): the
+    * same stateless frozen-model map scoring against the generic
+    * [[graft.operators.NgramLm.KnLmModelN]] (ModelStore `kn_lm`,
+    * order-n PRUNABLE layout). From an UNPRUNED artifact, streaming
+    * the training corpus is row-exact vs batch q104b under any
+    * batching/order; from a PRUNED one it reproduces batch q104c's
+    * `peff` ladder bit-for-bit — both spec-pinned, including
+    * pruned-away entries walking the generic backoff recursion.
+    */
+  def streamKnPerplexityN(docs: Dataset[(Long, String)],
+                          model: graft.operators.NgramLm.KnLmModelN): Dataset[KnScoreDocN] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    docs.map { case (id, text) =>
+      val (n, s, p) = bc.value.score(normTokens(text))
+      KnScoreDocN(id, n, s, p)
+    }
+  }
+
   /** s54 scored-arrival intermediate: one probe's view of one doc —
     * the lexical BM25 sum (None when the doc shares no probe term)
     * and the integer d2 (None when the arrival carries no vector).

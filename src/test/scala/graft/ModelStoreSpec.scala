@@ -462,6 +462,58 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(got.toMap == batch, "loaded-artifact stream must equal batch q104")
   }
 
+  test("kn_lm order-n: s58N from the LOADED order-5 artifact is row-exact vs batch q104b; pruned artifact replays q104c") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.NgramLm
+    val d = Tables.documents(spark, sfDir)
+    def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    def streamScores(model: NgramLm.KnLmModelN) = {
+      val source = MemoryStream[(Long, String)]
+      val got = collection.mutable.Map[Long, (Long, Long, Option[Long])]()
+      val q = StreamOps.streamKnPerplexityN(source.toDS(), model)
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.KnScoreDocN], _: Long) =>
+          b.collect().foreach(r => got(r.doc_id) = (r.n_ngrams, r.nll_q16, r.ppl_q16)); ()
+        }.start()
+      try {
+        source.addData(d.select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      got.toMap
+    }
+    // UNPRUNED order 5: training corpus always hits the top table
+    val dir5 = tmp("knlm5")
+    ModelStore.saveKnLmN(spark, dir5, NgramLm.knModelFramesN(d, 5), version = 1L,
+      order = 5, minCount = 1L, minCtx = 1L)
+    val m5 = ModelStore.loadKnLmN(spark, dir5)
+    assert(ModelStore.manifest(spark, dir5).params("order") == "5")
+    assert(streamScores(m5) == scores(NgramLm.knPerplexityN(d, 5)),
+      "loaded order-5 artifact stream must equal batch q104b")
+    // PRUNED order 3: pruned-away entries walk the generic ladder and
+    // must still replay batch q104c bit-for-bit from the artifact
+    val dir3 = tmp("knlm3p")
+    ModelStore.saveKnLmN(spark, dir3,
+      NgramLm.knModelFramesN(d, 3, minCount = 2L, minCtx = 2L), version = 1L,
+      order = 3, minCount = 2L, minCtx = 2L)
+    val m3 = ModelStore.loadKnLmN(spark, dir3)
+    assert(ModelStore.manifest(spark, dir3).params("min_count") == "2")
+    assert(streamScores(m3) == scores(NgramLm.knPerplexityNPruned(d, 3, 2L, 2L)),
+      "loaded PRUNED artifact stream must equal batch q104c")
+    // the bound bites: the pruned top table is strictly smaller
+    val m3full = {
+      val dirF = tmp("knlm3f")
+      ModelStore.saveKnLmN(spark, dirF, NgramLm.knModelFramesN(d, 3), version = 1L,
+        order = 3, minCount = 1L, minCtx = 1L)
+      ModelStore.loadKnLmN(spark, dirF)
+    }
+    assert(m3.levels.last.size < m3full.levels.last.size,
+      "minCount=2 must shrink the deployed top table")
+  }
+
   test("nb: stream classification from the LOADED model is row-exact vs batch q72") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -304,4 +304,164 @@ class NgramLmSpec extends AnyFunSuite {
     assert(m.nll("x", "y", "unseenword") == ceil - L(1L))
     assert(m.nll("x", "y", "unseenword") == ceil)
   }
+
+  // ---------------- q104c: ARPA-style count pruning ----------------
+
+  /** Independent sequential replay of the PRUNED ladder (r16):
+    * probabilities from full counts, then the `peff` recursion — kept
+    * entry → exact; pruned entry with a stored context → λ·peff(lower)
+    * floored at 1; unstored context → peff(lower) directly.
+    */
+  private def sequentialKnNPruned(texts: Seq[(Long, String)], n: Int,
+                                  mc: Long, mcCtx: Long)
+      : Map[Long, (Long, Long, Option[Long])] = {
+    def toks(t: String): Array[String] =
+      if (t == null) Array.empty
+      else t.replaceAll("^\\s+|\\s+$", "").toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+    val grams = texts.flatMap { case (_, t) =>
+      val w = toks(t)
+      if (w.length < n) Nil
+      else (0 to w.length - n).map(i => w.slice(i, i + n).toVector)
+    }
+    val L = collection.mutable.Map[Int, Map[Vector[String], Long]]()
+    L(n) = grams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for (k <- n - 1 to 1 by -1)
+      L(k) = L(k + 1).keys.groupBy(_.tail).map { case (s, v) => s -> v.size.toLong }
+    val Q = NgramLm.Q30
+    val tot1 = math.max(L(1).values.sum, 1L)
+    def pExact(k: Int, u: Vector[String]): Long =
+      if (k == 1) (L(1)(u) * Q) / tot1
+      else {
+        val ctx = L(k).filter(_._1.init == u.init)
+        val tot = ctx.values.sum; val n1t = ctx.size.toLong
+        ((4 * L(k)(u) - 3) * Q) / (4 * tot) +
+          (((3 * n1t) * Q) / (4 * tot) * pExact(k - 1, u.tail)) / Q
+      }
+    def peff(k: Int, u: Vector[String]): Long =
+      if (k == 1) pExact(1, u)
+      else {
+        val ctx = L(k).filter(_._1.init == u.init)
+        val tot = ctx.values.sum; val n1t = ctx.size.toLong
+        val lam = ((3 * n1t) * Q) / (4 * tot)
+        if (L(k)(u) >= mc) pExact(k, u)
+        else if (tot >= mcCtx) math.max((lam * peff(k - 1, u.tail)) / Q, 1L)
+        else peff(k - 1, u.tail)
+      }
+    texts.map { case (id, t) =>
+      val w = toks(t)
+      if (w.length < n) id -> ((0L, 0L, None))
+      else {
+        val parts = (0 to w.length - n).map { i =>
+          NgramLm.NllCeilQ16 -
+            graft.functions.Log2Q16Expr.compute(peff(n, w.slice(i, i + n).toVector))
+        }
+        val s = parts.sum; val m = parts.size.toLong
+        id -> ((m, s, Some(s / m)))
+      }
+    }.toMap
+  }
+
+  private def collectScores(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Long, Long, Option[Long])] =
+    df.collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    }.toMap
+
+  test("q104c pruned builder at thresholds 1/1 reproduces q104b bit-for-bit") {
+    assertSameRows(NgramLm.knPerplexityN(docs, 3),
+      NgramLm.knPerplexityNPruned(docs, 3, 1L, 1L))
+    assertSameRows(NgramLm.knPerplexityN(docs, 5),
+      NgramLm.knPerplexityNPruned(docs, 5, 1L, 1L))
+  }
+
+  test("q104c distributed == independent sequential pruned replay, and pruning FIRES") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    val got = collectScores(NgramLm.knPerplexityNPruned(docs, 3, 2L, 2L))
+    assert(got == sequentialKnNPruned(texts, 3, 2L, 2L))
+    // the thresholds must actually change scores (singleton trigrams
+    // exist in any natural corpus) — a vacuous prune proves nothing
+    val unpruned = collectScores(NgramLm.knPerplexity(docs)
+      .withColumnRenamed("n_trigrams", "n_ngrams"))
+    assert(got.exists { case (id, v) => unpruned(id) != v },
+      "minCount=2 must reroute at least one trigram through the backoff ladder")
+  }
+
+  test("q104c order-5 pruned micro corpus == sequential replay") {
+    import spark.implicits._
+    val texts = microCorpus ++ Seq(
+      8L -> "one two three four five six seven one two three four five six seven one two")
+    val df = texts.toDF("doc_id", "text")
+    val got = collectScores(NgramLm.knPerplexityNPruned(df, 5, 2L, 2L))
+    assert(got == sequentialKnNPruned(texts, 5, 2L, 2L))
+  }
+
+  // ---------------- KnLmModelN: the generic deployed scorer ----------------
+
+  private def fitModelN(d: org.apache.spark.sql.DataFrame, n: Int,
+                        mc: Long, mcCtx: Long): NgramLm.KnLmModelN = {
+    val t = NgramLm.knModelFramesN(d, n, mc, mcCtx)
+    def keyed(name: String, keys: Int): Map[Seq[String], Long] =
+      t(name).collect().map(r =>
+        (0 until keys).map(r.getString).toSeq -> r.getLong(keys)).toMap
+    NgramLm.KnLmModelN(n,
+      (1 to n).map(k => keyed(s"p$k", k)),
+      (2 to n).map(k => keyed(s"lam$k", k - 1)))
+  }
+
+  test("generic scorer from PRUNED frames == batch q104c per doc (order 3 and 5)") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    def norm(t: String): Array[String] =
+      if (t == null) Array.empty
+      else t.replaceAll("^\\s+|\\s+$", "").toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+    for ((n, mc, mcCtx) <- Seq((3, 2L, 2L), (5, 3L, 2L))) {
+      val batch = collectScores(NgramLm.knPerplexityNPruned(docs, n, mc, mcCtx))
+      val m = fitModelN(docs, n, mc, mcCtx)
+      val got = texts.map { case (id, t) => id -> m.score(norm(t)) }.toMap
+      assert(got == batch, s"order-$n mc=$mc scorer must equal batch peff ladder")
+      // the pruned model is STRICTLY smaller than the type tables
+      val full = fitModelN(docs, n, 1L, 1L)
+      assert(m.levels.last.size < full.levels.last.size,
+        s"order-$n top table must shrink under minCount=$mc")
+    }
+  }
+
+  test("generic scorer ladder rungs hand-checked, including pruned-away entries") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b c a b c a b c"), // (a,b,c) count 3 — kept at mc=2
+      (2L, "a b d"),             // (a,b,d) count 1 — PRUNED at mc=2
+      (3L, "z b d x"),
+      (4L, "b c a b c a")).toDF("doc_id", "text")
+    val m = fitModelN(train, 3, 2L, 1L)
+    val full = fitModelN(train, 3, 1L, 1L)
+    val Q = NgramLm.Q30
+    val ceil = NgramLm.NllCeilQ16
+    val Lg = graft.functions.Log2Q16Expr.compute _
+    // kept entry: straight table hit
+    assert(m.levels(2).contains(Seq("a", "b", "c")))
+    assert(m.nll(Seq("a", "b", "c")) == ceil - Lg(m.levels(2)(Seq("a", "b", "c"))))
+    // pruned entry with stored context: λ3(a,b)·peff(b,d) — (a,b,d)
+    // existed in the corpus (count 1) so this IS the pruned-away path
+    assert(!m.levels(2).contains(Seq("a", "b", "d")) &&
+      full.levels(2).contains(Seq("a", "b", "d")))
+    assert(m.lams(1).contains(Seq("a", "b")))
+    val p2bd = m.levels(1).getOrElse(Seq("b", "d"),
+      math.max((m.lams(0)(Seq("b")) * m.levels(0)(Seq("d"))) / Q, 1L))
+    val want = math.max((m.lams(1)(Seq("a", "b")) * p2bd) / Q, 1L)
+    assert(m.nll(Seq("a", "b", "d")) == ceil - Lg(want))
+    // novel gram, unstored contexts at BOTH levels: falls straight
+    // through to the unigram — no λ applies anywhere on the walk
+    assert(!m.lams(1).contains(Seq("q", "q")) && !m.lams(0).contains(Seq("q")))
+    assert(m.nll(Seq("q", "q", "d")) == ceil - Lg(m.levels(0)(Seq("d"))))
+    // novel gram, stored MIDDLE context (b): λ2 applies on the lower walk
+    assert(m.lams(0).contains(Seq("b")) && !m.levels(1).contains(Seq("b", "qq")))
+    assert(m.nll(Seq("q", "b", "d")) == ceil - Lg(p2bd))
+    // OOV floor
+    assert(m.nll(Seq("q", "q", "neverseen")) == ceil)
+  }
 }
