@@ -460,6 +460,20 @@ object SparkEntry {
         sourceQuotaMyriad =
           Map("src0" -> 3000, "src1" -> 2500, "src2" -> 1500, "src3" -> 500))
     }),
+    // q53c: the chain with the URL-GATE knob ON (r15 verdict task #3 —
+    // q105 as stage −1, the RefinedWeb ordering: origin-level junk
+    // dropped before any content stage; urls planted from doc_id, the
+    // corpus statistics all derive from the gated corpus)
+    "q53c_curate_urlgate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      graft.operators.Pipeline.curate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000),
+        materializeStages = true,
+        urlGate = true)
+    }),
     // q99: hybrid BM25+ANN retrieval fused by integer RRF — the
     // two-leg search (lexical q62 kernel, semantic q63 kernel) ranked
     // in pure int64 so the fusion hash-compares
@@ -2684,6 +2698,10 @@ object SparkEntry {
     // the knob semantics inside the full stage order
     "q53b_curate_srcquota" ->
       q53OracleSql(q53SrcQuotaMixSql),
+    // q53c: the chain with the url gate ON — the q105 pass CTE as
+    // stage −1, every other CTE shared verbatim
+    "q53c_curate_urlgate" ->
+      q53OracleSql(q53LangMixSql, urlGate = true),
     // q99: the whole hybrid retrieval replayed — probe draw (poly
     // hash at index 250, bottom-8), probe-term tf·idf selection with
     // the recursive-CTE Q16 log2, multi-term BM25 candidate scoring,
@@ -3079,13 +3097,21 @@ object SparkEntry {
                    i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS sh
                  FROM p_btoks) x)"""
 
-  private def q53OracleSql(mixBlock: String): String =
+  private def q53OracleSql(mixBlock: String, urlGate: Boolean = false): String = {
+    // stage −1 (q53c): the q105 planted-url PASS set emitted first so
+    // the corpus predicate can reference it — every other CTE is
+    // shared verbatim with q53/q53b (the mixBlock precedent)
+    val (ugCte, corpusPred) =
+      if (!urlGate) ("", "doc_id % 97 <> 0")
+      else (graft.operators.UrlFilter.passCteSql("ug_pass") + ",\n         ",
+        "doc_id % 97 <> 0 AND doc_id IN (SELECT doc_id FROM ug_pass)")
     s"""WITH RECURSIVE
-         ${benchCtes},
-         ${chainCtes("", "doc_id % 97 <> 0")},
+         $ugCte${benchCtes},
+         ${chainCtes("", corpusPred)},
          ${tokenizerCtesOn("mem")},
          $mixBlock
 ${packTail}"""
+  }
   /** q47's packing arithmetic over the `admitted` CTE — shared by the
     * q53/q53b/q103 chain oracles.
     */

@@ -113,8 +113,22 @@ object Pipeline {
              materializeStages: Boolean = false,
              ruleGate: Boolean = true,
              memCutMyriad: Int = 2000,
-             sourceQuotaMyriad: Map[String, Int] = Map.empty): DataFrame = {
-    val c = chainStages(documents, benchmark, segWords, shingleN, gatePct,
+             sourceQuotaMyriad: Map[String, Int] = Map.empty,
+             urlGate: Boolean = false): DataFrame = {
+    // stage −1 (q105, r15 verdict task #3): URL/domain filtering — the
+    // RefinedWeb ordering, BEFORE any content stage: origin-level junk
+    // never reaches normalization, hashing, or the corpus statistics
+    // (cutoffs, vocab, rates all derive from the GATED corpus, exactly
+    // as a crawl pipeline that never fetched those pages). The knob
+    // plants urls from doc_id (the documents table carries none — the
+    // q58 planted-PII discipline); a corpus with a real url column
+    // composes UrlFilter.urlRules directly instead.
+    val corpus =
+      if (!urlGate) documents
+      else documents.join(
+        UrlFilter.urlFilterPlanted(documents).filter(col("pass") === 1L)
+          .select("doc_id"), "doc_id")
+    val c = chainStages(corpus, benchmark, segWords, shingleN, gatePct,
       subK, materializeStages, ruleGate, memCutMyriad)
     // 7. vocab trained on the curated corpus; token-budget admission —
     // per-LANGUAGE (q48b, the default) or per-SOURCE (q90, the

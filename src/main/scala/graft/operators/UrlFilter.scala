@@ -92,6 +92,32 @@ object UrlFilter {
     urlRules(documents.select(col("doc_id"),
       plantedUrl(col("doc_id")).as("url")), cutMyriad)
 
+  /** The planted-url PASS set as one oracle CTE — the q53c chain's
+    * stage −1 (emitted before chainCtes so the corpus predicate can
+    * reference it); the identical plant/extract/score logic as
+    * [[urlFilterOracleSql]], reduced to the passing doc_ids.
+    */
+  def passCteSql(cteName: String, cutMyriad: Long = DefaultCutMyriad): String = {
+    val domains = PlantDomains.map(d => s"'$d'").mkString(", ")
+    val words = PlantWords.map(w => s"'$w'").mkString(", ")
+    val blocked = Blocklist.map(d => s"'$d'").mkString(", ")
+    val scoreSql = FlagWords.map { case (w, wt) =>
+      s"CASE WHEN contains(url, '$w') THEN $wt ELSE 0 END"
+    }.mkString(" + ")
+    s"""$cteName AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |           regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+       |           CAST($scoreSql AS BIGINT) AS score_myriad
+       |    FROM (SELECT doc_id,
+       |                 'https://' || ([$domains])[CAST(doc_id % 12 AS INT) + 1]
+       |                   || '/' || ([$words])[CAST(doc_id % 7 AS INT) + 1]
+       |                   || '/' || CAST(doc_id AS VARCHAR) AS url
+       |          FROM documents) u) r
+       |  WHERE length(domain) > 0 AND domain NOT IN ($blocked)
+       |    AND score_myriad < $cutMyriad)""".stripMargin
+  }
+
   /** The q105 oracle: the identical planting + extraction + integer
     * score in DuckDB.
     */

@@ -313,6 +313,31 @@ class PipelineSpec extends AnyFunSuite {
       s"decomposed twin must dedup against the composed doc: $ids")
   }
 
+  test("q53c urlGate: gate == pre-filter (url-dropped docs never reach stage 0); the gate actually drops") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    // attribution contract: the knob is EXACTLY a stage −1 filter —
+    // running the gated chain equals running the ungated chain on the
+    // pre-filtered corpus (so a url-dropped doc cannot influence any
+    // stage: not the dedup groups, not the cutoffs, not the rates)
+    val passSet = graft.operators.UrlFilter.urlFilterPlanted(corpus)
+      .filter(col("pass") === 1L).select("doc_id")
+    val gated = Pipeline.curate(corpus, bench, target, urlGate = true)
+    val prefiltered = Pipeline.curate(corpus.join(passSet, "doc_id"), bench, target)
+    assertSameRows(gated, prefiltered)
+    // the gate fires: blocked domains / flag words exist in the plant
+    val nAll = corpus.count()
+    val nPass = passSet.count()
+    assert(nPass < nAll && nPass > 0,
+      s"planted url gate must drop some docs and keep some ($nPass/$nAll)")
+    // and gated output is NOT the ungated output (the knob matters)
+    val ungated = Pipeline.curate(corpus, bench, target)
+    assert(gated.count() != ungated.count() ||
+      gated.exceptAll(ungated).count() > 0,
+      "urlGate=true must change the chain's output on the planted corpus")
+  }
+
   test("q103 incremental == full q53 re-run restricted to the delta (stages 0-6b, divergences engineered out)") {
     import spark.implicits._
     import graft.operators.TextOps
