@@ -535,6 +535,25 @@ object SparkEntry {
       val delta = docs.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 7 === 0)
       graft.operators.Pipeline.curateDelta(delta, st)
     }),
+    // q103c (r15 verdict task #2): the MONTH-3 release — the q103
+    // delta cohort split in two increments (%14==0 month 2, %14==7
+    // month 3): v1 state advanced by month 2's curated delta
+    // (state_2 = state_1 ⊕ delta_2), then month 3 curated against the
+    // ADVANCED state — a month-3 copy of month-2 shipped content now
+    // drops, where q103's stale v1 state would keep it
+    "q103c_curate_advance" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val rest = docs.filter(col("doc_id") % 97 =!= 0)
+      val st1 = graft.operators.Pipeline.curateState(
+        rest.filter(col("doc_id") % 7 =!= 0), bench,
+        Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000),
+        materializeStages = true)
+      val st2 = graft.operators.Pipeline.advanceState(
+        rest.filter(col("doc_id") % 14 === 0), st1)
+      graft.operators.Pipeline.curateDelta(rest.filter(col("doc_id") % 14 === 7), st2)
+    }),
   )
 
   /** TERMINAL DECLARATION (r13): the FP-cosine ANN scale probes,
@@ -2845,6 +2864,9 @@ object SparkEntry {
     // q103b produces q103's output from the loaded artifact — same
     // oracle, the strongest same-semantics-different-physical statement
     "q103b_curate_frozen" -> q103OracleSql,
+    // q103c: the month-3 program — month-2 incremental chain, the
+    // advance fold as digest-union CTEs, month-3 chain against them
+    "q103c_curate_advance" -> q103cOracleSql,
   )
 
 
@@ -3194,31 +3216,90 @@ ${packTail}"""
     s"""WITH RECURSIVE
          ${benchCtes},
          ${chainCtes("v1_", "doc_id % 97 <> 0 AND doc_id % 7 <> 0")},
-         v1_canon_dig AS MATERIALIZED (
-           SELECT DISTINCT md5(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+', ' ', 'g')) AS h
-           FROM v1_ruled),
-         v1_seg_dig AS MATERIALIZED (SELECT DISTINCT md5(seg) AS h FROM v1_p_segs),
-         v1_win_dig AS MATERIALIZED (SELECT DISTINCT h FROM v1_x_w),
-         v1_shingle AS MATERIALIZED (SELECT DISTINCT s FROM v1_m_sh),
+         ${stateDigestCtes("v1_", "v1_")},
          ${tokenizerCtesOn("v1_mem", "v1t_")},
          ${langRatesCtes("v1_mem", "v1t_doc_counts", "v1_")},
-         d_corpus0 AS (SELECT doc_id, lang,
+         ${deltaChainCtes("d_", "doc_id % 97 <> 0 AND doc_id % 7 = 0", "v1_")},
+         ${tokenizerCtesOn("d_mem", "dt_", vocabFrom = "v1t_vocab")},
+         ${langAdmitCte("d_mem", "dt_doc_counts", "v1_tok_rates")},
+         ${packTail}"""
+
+  /** The q103c oracle: the q103 program one increment further — v1
+    * chain + digests, MONTH-2 incremental chain (prefix e_) against
+    * the v1 digests, the ADVANCE fold (s2_ digests = v1 ∪ month-2's
+    * ruled digests / canon segments / cleaned windows / redacted
+    * shingles — UNION ALL + outer DISTINCT per the §4 DuckDB rule),
+    * then the MONTH-3 incremental chain (prefix f_) against the
+    * ADVANCED digests, with the release's frozen v1 cutoffs, vocab,
+    * and rates gating/admitting as at every increment.
+    */
+  private def q103cOracleSql: String =
+    s"""WITH RECURSIVE
+         ${benchCtes},
+         ${chainCtes("v1_", "doc_id % 97 <> 0 AND doc_id % 7 <> 0")},
+         ${stateDigestCtes("v1_", "v1_")},
+         ${tokenizerCtesOn("v1_mem", "v1t_")},
+         ${langRatesCtes("v1_mem", "v1t_doc_counts", "v1_")},
+         ${deltaChainCtes("e_", "doc_id % 97 <> 0 AND doc_id % 14 = 0", "v1_")},
+         s2_canon_dig AS MATERIALIZED (
+           SELECT DISTINCT h FROM (
+             SELECT h FROM v1_canon_dig UNION ALL SELECT h FROM e_dig) u),
+         s2_seg_dig AS MATERIALIZED (
+           SELECT DISTINCT h FROM (
+             SELECT h FROM v1_seg_dig UNION ALL SELECT md5(seg) AS h FROM e_segs) u),
+         s2_win_dig AS MATERIALIZED (
+           SELECT DISTINCT h FROM (
+             SELECT h FROM v1_win_dig UNION ALL SELECT h FROM e_x_w) u),
+         s2_shingle AS MATERIALIZED (
+           SELECT DISTINCT s FROM (
+             SELECT s FROM v1_shingle UNION ALL SELECT s FROM e_m_sh) u),
+         ${deltaChainCtes("f_", "doc_id % 97 <> 0 AND doc_id % 14 = 7", "s2_")},
+         ${tokenizerCtesOn("f_mem", "ft_", vocabFrom = "v1t_vocab")},
+         ${langAdmitCte("f_mem", "ft_doc_counts", "v1_tok_rates")},
+         ${packTail}"""
+
+  /** The frozen-state digest projections of a FULL chain's
+    * intermediates (prefix `src`), emitted under prefix `dig` — the
+    * curate_state tables as CTEs. Shared by q103 (v1 digests) and
+    * q103c's advance fold.
+    */
+  private def stateDigestCtes(src: String, dig: String): String =
+    s"""${dig}canon_dig AS MATERIALIZED (
+           SELECT DISTINCT md5(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+', ' ', 'g')) AS h
+           FROM ${src}ruled),
+         ${dig}seg_dig AS MATERIALIZED (SELECT DISTINCT md5(seg) AS h FROM ${src}p_segs),
+         ${dig}win_dig AS MATERIALIZED (SELECT DISTINCT h FROM ${src}x_w),
+         ${dig}shingle AS MATERIALIZED (SELECT DISTINCT s FROM ${src}m_sh)"""
+
+  /** The INCREMENTAL stage-0..6b chain over one delta cohort (r16,
+    * extracted verbatim from the q103 oracle): prefix `p` names this
+    * cohort's CTEs, `corpusPred` selects it, and `dig` names the
+    * frozen digest family it curates against (`{dig}canon_dig` /
+    * `{dig}seg_dig` / `{dig}win_dig` / `{dig}shingle`). Quality
+    * cutoffs and the benchmark set stay the RELEASE's frozen v1_/p_bsh
+    * CTEs at every increment (the q103 contract). Emits `${"$"}{p}mem`
+    * plus the intermediates ([[stateDigestCtes]]-compatible names:
+    * `${"$"}{p}dig` ruled digests, `${"$"}{p}segs`, `${"$"}{p}x_w`,
+    * `${"$"}{p}m_sh`) so q103c's advance CTEs can fold them.
+    */
+  private def deltaChainCtes(p: String, corpusPred: String, dig: String): String =
+    s"""${p}corpus0 AS (SELECT doc_id, lang,
              regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
                '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),
                '^\\s+|\\s+$$', '', 'g'), '\\s+', ' ', 'g') AS text
-           FROM documents WHERE doc_id % 97 <> 0 AND doc_id % 7 = 0),
-         ${graft.operators.QualityRules.gopherFilterCtes("d_corpus0", "d_")},
-         d_dig AS (
+           FROM documents WHERE $corpusPred),
+         ${graft.operators.QualityRules.gopherFilterCtes(s"${p}corpus0", p)},
+         ${p}dig AS (
            SELECT doc_id, lang, text,
                   md5(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+', ' ', 'g')) AS h
-           FROM d_ruled),
-         d_new AS (
-           SELECT d.doc_id, d.lang, d.text, d.h FROM d_dig d
-           LEFT JOIN v1_canon_dig v ON v.h = d.h WHERE v.h IS NULL),
-         d_canon AS (
-           SELECT c.doc_id, c.lang, c.text FROM d_new c
-           JOIN (SELECT min(doc_id) AS k FROM d_new GROUP BY h) g ON g.k = c.doc_id),
-         d_segs AS (
+           FROM ${p}ruled),
+         ${p}new AS (
+           SELECT d.doc_id, d.lang, d.text, d.h FROM ${p}dig d
+           LEFT JOIN ${dig}canon_dig v ON v.h = d.h WHERE v.h IS NULL),
+         ${p}canon AS (
+           SELECT c.doc_id, c.lang, c.text FROM ${p}new c
+           JOIN (SELECT min(doc_id) AS k FROM ${p}new GROUP BY h) g ON g.k = c.doc_id),
+         ${p}segs AS (
            SELECT doc_id, i AS seg_idx,
                   array_to_string(ws[i*8+1 : (i+1)*8], ' ') AS seg
            FROM (
@@ -3226,72 +3307,72 @@ ${packTail}"""
                     regexp_split_to_array(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+', ' ', 'g'), ' ') AS ws,
                     unnest(generate_series(0,
                       CAST((len(regexp_split_to_array(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+', ' ', 'g'), ' ')) - 1) // 8 AS INT))) AS i
-             FROM d_canon
+             FROM ${p}canon
              WHERE text IS NOT NULL
                AND length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) > 0)),
-         d_dupseg AS (
+         ${p}dupseg AS (
            SELECT DISTINCT h FROM (
-             SELECT md5(seg) AS h FROM d_segs
+             SELECT md5(seg) AS h FROM ${p}segs
              GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
              UNION ALL
-             SELECT h FROM v1_seg_dig) dsu),
-         d_per AS (
+             SELECT h FROM ${dig}seg_dig) dsu),
+         ${p}per AS (
            SELECT s.doc_id,
                   coalesce(string_agg(CASE WHEN d.h IS NULL THEN s.seg END, ' ' ORDER BY s.seg_idx), '') AS ct
-           FROM d_segs s LEFT JOIN d_dupseg d ON d.h = md5(s.seg)
+           FROM ${p}segs s LEFT JOIN ${p}dupseg d ON d.h = md5(s.seg)
            GROUP BY 1),
-         d_cleaned AS (
+         ${p}cleaned AS (
            SELECT c.doc_id, c.lang,
                   CASE WHEN c.text IS NULL THEN NULL ELSE coalesce(p.ct, '') END AS text
-           FROM d_canon c LEFT JOIN d_per p USING (doc_id)),
-         d_x_toks AS (
+           FROM ${p}canon c LEFT JOIN ${p}per p USING (doc_id)),
+         ${p}x_toks AS (
            SELECT doc_id, list_filter(
                     regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+'),
                     t -> length(t) > 0) AS toks
-           FROM d_cleaned),
-         d_x_w AS (
+           FROM ${p}cleaned),
+         ${p}x_w AS (
            SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+5], ' ')) AS h
            FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 4)) AS i
-                 FROM d_x_toks WHERE len(toks) >= 6) xq),
-         d_x_m AS (
+                 FROM ${p}x_toks WHERE len(toks) >= 6) xq),
+         ${p}x_m AS (
            SELECT doc_id, pos, h,
                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
                   count(*) OVER (PARTITION BY h) AS c
-           FROM d_x_w),
-         d_x_starts AS (
+           FROM ${p}x_w),
+         ${p}x_starts AS (
            SELECT doc_id, list_sort(list(pos)) AS st FROM (
              SELECT DISTINCT doc_id, pos FROM (
-               SELECT doc_id, pos FROM d_x_m WHERE rn > 1 AND c >= 2
+               SELECT doc_id, pos FROM ${p}x_m WHERE rn > 1 AND c >= 2
                UNION ALL
-               SELECT m.doc_id, m.pos FROM d_x_m m JOIN v1_win_dig v ON v.h = m.h) u) t
+               SELECT m.doc_id, m.pos FROM ${p}x_m m JOIN ${dig}win_dig v ON v.h = m.h) u) t
            GROUP BY 1),
-         d_x_fin AS (
+         ${p}x_fin AS (
            SELECT t.doc_id, t.toks, coalesce(s.st, []) AS st
-           FROM d_x_toks t LEFT JOIN d_x_starts s USING (doc_id)),
-         d_x_cut AS (
+           FROM ${p}x_toks t LEFT JOIN ${p}x_starts s USING (doc_id)),
+         ${p}x_cut AS (
            SELECT doc_id,
                   list_filter(toks,
                     (tk, i) -> len(list_filter(st, p -> i >= p AND i < p + 6)) = 0) AS kept
-           FROM d_x_fin),
-         d_subclean AS (
+           FROM ${p}x_fin),
+         ${p}subclean AS (
            SELECT c.doc_id, c.lang,
                   CASE WHEN c.text IS NULL THEN NULL
                        ELSE coalesce(array_to_string(x.kept, ' '), '') END AS text
-           FROM d_cleaned c LEFT JOIN d_x_cut x USING (doc_id)),
-         d_g_scored AS (
+           FROM ${p}cleaned c LEFT JOIN ${p}x_cut x USING (doc_id)),
+         ${p}g_scored AS (
            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                     / CAST(nullif(length(text), 0) AS DOUBLE) AS alpha_ratio
-           FROM d_subclean),
-         d_gated AS (
+           FROM ${p}subclean),
+         ${p}gated AS (
            SELECT c.doc_id, c.lang, c.text
-           FROM d_subclean c JOIN d_g_scored gs USING (doc_id), v1_g_lcut, v1_g_acut
+           FROM ${p}subclean c JOIN ${p}g_scored gs USING (doc_id), v1_g_lcut, v1_g_acut
            WHERE (v1_g_lcut.c IS NULL OR gs.n_chars >= v1_g_lcut.c)
              AND (v1_g_acut.c IS NULL OR gs.alpha_ratio >= v1_g_acut.c)),
-         d_p_ctoks AS (
+         ${p}p_ctoks AS (
            SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS toks
-           FROM d_gated),
-         d_p_csh AS (
+           FROM ${p}gated),
+         ${p}p_csh AS (
            SELECT DISTINCT doc_id,
                   list_reduce(list_prepend(CAST(0 AS BIGINT),
                     list_transform(range(1, length(sh)+1),
@@ -3300,24 +3381,24 @@ ${packTail}"""
            FROM (SELECT doc_id, unnest(list_distinct(list_transform(
                    range(1, greatest(len(toks) - 3, 1) + 1),
                    i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS sh
-                 FROM d_p_ctoks) x),
-         d_p_ov AS (
+                 FROM ${p}p_ctoks) x),
+         ${p}p_ov AS (
            SELECT doc_id, count(*) AS n_ov
-           FROM d_p_csh JOIN p_bsh USING (s) GROUP BY 1),
-         d_decon AS (
-           SELECT c.doc_id, c.lang, c.text FROM d_gated c
-           LEFT JOIN d_p_ov USING (doc_id)
-           WHERE COALESCE(d_p_ov.n_ov, 0) = 0),
-         d_pii1 AS (SELECT doc_id, lang,
+           FROM ${p}p_csh JOIN p_bsh USING (s) GROUP BY 1),
+         ${p}decon AS (
+           SELECT c.doc_id, c.lang, c.text FROM ${p}gated c
+           LEFT JOIN ${p}p_ov USING (doc_id)
+           WHERE COALESCE(${p}p_ov.n_ov, 0) = 0),
+         ${p}pii1 AS (SELECT doc_id, lang,
                     regexp_replace(text, '${graft.operators.TextOps.EmailRe}', '<EMAIL>', 'g') AS t
-                  FROM d_decon),
-         d_pii2 AS (SELECT doc_id, lang,
+                  FROM ${p}decon),
+         ${p}pii2 AS (SELECT doc_id, lang,
                     regexp_replace(t, '${graft.operators.TextOps.Ipv4Re}', '<IP>', 'g') AS t
-                  FROM d_pii1),
-         d_red AS MATERIALIZED (SELECT doc_id, lang,
+                  FROM ${p}pii1),
+         ${p}red AS MATERIALIZED (SELECT doc_id, lang,
                    regexp_replace(t, '${graft.operators.TextOps.PhoneRe}', '<PHONE>', 'g') AS text
-                 FROM d_pii2),
-         d_m_sh AS MATERIALIZED (
+                 FROM ${p}pii2),
+         ${p}m_sh AS MATERIALIZED (
            SELECT DISTINCT doc_id,
                   list_reduce(list_prepend(CAST(0 AS BIGINT),
                     list_transform(range(1, length(g)+1),
@@ -3328,24 +3409,21 @@ ${packTail}"""
                    i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')))) AS g
                  FROM (SELECT doc_id,
                          regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS toks
-                       FROM d_red WHERE text IS NOT NULL) t) x),
-         d_m_df AS (
+                       FROM ${p}red WHERE text IS NOT NULL) t) x),
+         ${p}m_df AS (
            SELECT DISTINCT s FROM (
-             SELECT s FROM d_m_sh GROUP BY s HAVING count(*) > 1
+             SELECT s FROM ${p}m_sh GROUP BY s HAVING count(*) > 1
              UNION ALL
-             SELECT s FROM v1_shingle) dmu),
-         d_m_dup AS (SELECT doc_id, count(*) AS n_dup FROM d_m_sh JOIN d_m_df USING (s) GROUP BY 1),
-         d_m_sz AS (SELECT doc_id, count(*) AS n_shingles FROM d_m_sh GROUP BY 1),
-         d_mem AS MATERIALIZED (
+             SELECT s FROM ${dig}shingle) dmu),
+         ${p}m_dup AS (SELECT doc_id, count(*) AS n_dup FROM ${p}m_sh JOIN ${p}m_df USING (s) GROUP BY 1),
+         ${p}m_sz AS (SELECT doc_id, count(*) AS n_shingles FROM ${p}m_sh GROUP BY 1),
+         ${p}mem AS MATERIALIZED (
            SELECT r.doc_id, r.lang, r.text
-           FROM d_red r LEFT JOIN d_m_sz USING (doc_id) LEFT JOIN d_m_dup USING (doc_id)
-           WHERE COALESCE(d_m_dup.n_dup, 0) * 10000
-                 <= 2000 * COALESCE(d_m_sz.n_shingles, 0)),
-         ${tokenizerCtesOn("d_mem", "dt_", vocabFrom = "v1t_vocab")},
-         ${langAdmitCte("d_mem", "dt_doc_counts", "v1_tok_rates")},
-         ${packTail}"""
+           FROM ${p}red r LEFT JOIN ${p}m_sz USING (doc_id) LEFT JOIN ${p}m_dup USING (doc_id)
+           WHERE COALESCE(${p}m_dup.n_dup, 0) * 10000
+                 <= 2000 * COALESCE(${p}m_sz.n_shingles, 0))"""
 
-  /** stage 7 as registered in q53: per-LANGUAGE token rates (q48b). */
+    /** stage 7 as registered in q53: per-LANGUAGE token rates (q48b). */
   private def q53LangMixSql: String =
     langRatesCtes("mem", "doc_counts", "") + ",\n         " +
       langAdmitCte("mem", "doc_counts", "tok_rates") + ",\n    "

@@ -382,12 +382,24 @@ object Pipeline {
         .select(col("shingle")).distinct())
   }
 
+  /** The delta chain's stage-0..6b intermediates (the incremental
+    * [[ChainOut]] analog, r16) — exposed so [[advanceState]] can fold
+    * exactly the frames the v1 state builder folds: ruled digests,
+    * canon segments, cleaned windows, redacted shingles.
+    */
+  private[graft] case class DeltaChainOut(
+      ruled: DataFrame, canon: DataFrame, cleaned: DataFrame,
+      red: DataFrame, mem: DataFrame)
+
   /** The delta corpus after stages 0–6b against the frozen state —
     * exposed for the spec's "incremental == full re-run restricted to
     * the delta" assertion (stage 7/8 diverge by the frozen vocab/rates
     * contract, so the equality claim lives here).
     */
-  def curateDeltaDocs(delta: DataFrame, st: CurateState): DataFrame = {
+  def curateDeltaDocs(delta: DataFrame, st: CurateState): DataFrame =
+    deltaChainStages(delta, st).mem
+
+  private[graft] def deltaChainStages(delta: DataFrame, st: CurateState): DeltaChainOut = {
     // 0 + 0b: stateless, delta only
     val docs0 = delta.select(col("doc_id"), col("lang"),
       TextOps.normalizeCol(col("text")).as("text"))
@@ -438,22 +450,64 @@ object Pipeline {
     // 6b. memorization gate: a shingle is duplicated when the delta
     // repeats it (df>1 within) OR v1 already contains it (that doc +
     // this one = df ≥ 2 across the release)
-    if (st.memCutMyriad < 0) red
-    else {
-      val post = Dedup.postings(red, st.shingleN).localCheckpoint(true)
-      val dupSh = post.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).select(col("shingle"))
-        .union(st.corpusShingles.select(col("shingle"))).distinct()
-      val dup = post.join(dupSh, Seq("shingle"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
-      val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-      red.join(sizes, Seq("doc_id"), "left")
-        .join(dup, Seq("doc_id"), "left")
-        .na.fill(0L, Seq("n_shingles", "n_dup"))
-        .filter(col("n_dup") * lit(10000L) <=
-          lit(st.memCutMyriad.toLong) * col("n_shingles"))
-        .select(col("doc_id"), col("lang"), col("text"))
-    }
+    val mem =
+      if (st.memCutMyriad < 0) red
+      else {
+        val post = Dedup.postings(red, st.shingleN).localCheckpoint(true)
+        val dupSh = post.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select(col("shingle"))
+          .union(st.corpusShingles.select(col("shingle"))).distinct()
+        val dup = post.join(dupSh, Seq("shingle"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+        val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+        red.join(sizes, Seq("doc_id"), "left")
+          .join(dup, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_shingles", "n_dup"))
+          .filter(col("n_dup") * lit(10000L) <=
+            lit(st.memCutMyriad.toLong) * col("n_shingles"))
+          .select(col("doc_id"), col("lang"), col("text"))
+      }
+    DeltaChainOut(ruled, canon, cleaned, red, mem)
+  }
+
+  /** q103c (r15 verdict task #2): ADVANCE the release state —
+    * state_{k+1} = state_k ⊕ delta_k, the fold a production MONTHLY
+    * release runs so month k+2's increment curates against everything
+    * shipped through month k+1 instead of stale v1 state. Folds
+    * EXACTLY the frames [[curateState]] folds, taken from the delta's
+    * own incremental chain (so the advanced state describes the
+    * release as actually shipped — v1 text frozen, delta text as
+    * incrementally cleaned):
+    *
+    *  - `canonDigests` ∪ the delta's RULED-doc normalized digests
+    *    (ruled level, not shipped level — mirrors the v1 builder, and
+    *    matches a full re-run's canonical choice: an earlier cohort's
+    *    copy is always the canonical one);
+    *  - `segDigests`   ∪ the delta's post-dedup canon segments;
+    *  - `winDigests`   ∪ the delta's segment-cleaned windows;
+    *  - `corpusShingles` ∪ the delta's redacted shingles.
+    *
+    * vocab/rates/cutoffs stay FROZEN at v1's published values (the
+    * q103 release contract: a release cycle re-derives those at major
+    * versions, not per increment). Persist the result as a SUPERSEDING
+    * ModelStore `curate_state` version (save with version k+1; the
+    * resolve/pin lifecycle handles rollback).
+    */
+  def advanceState(delta: DataFrame, st: CurateState): CurateState = {
+    val c = deltaChainStages(delta, st)
+    st.copy(
+      canonDigests = st.canonDigests
+        .union(c.ruled.select(md5(TextOps.normText(col("text"))).as("h")))
+        .distinct(),
+      segDigests = st.segDigests
+        .union(TextOps.segmentHashFrame(c.canon, st.segWords).select(col("h")))
+        .distinct(),
+      winDigests = st.winDigests
+        .union(ExactSubstr.windowHashFrame(c.cleaned, st.subK).select(col("h")))
+        .distinct(),
+      corpusShingles = st.corpusShingles
+        .union(Dedup.postings(c.red, st.shingleN).select(col("shingle")))
+        .distinct())
   }
 
   /** Version constant for [[loadOrBuildReleaseState]]'s cached

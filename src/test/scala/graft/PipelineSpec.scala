@@ -395,6 +395,68 @@ class PipelineSpec extends AnyFunSuite {
       "the v1-repeated window must be cut from doc 103")
   }
 
+  test("q103c advance: month-3 over (v1 + delta2) state == full re-run on delta3; stale v1 state provably misses month-2 dups") {
+    import spark.implicits._
+    val abc = (n: Int) => n.toString.map(c => ('a' + (c - '0')).toChar).mkString
+    val uniq = (i: Int) => (0 until 24).map(j => s"w${abc(i)}q${abc(j)}").mkString(" ")
+    val cutoffDonor = (0 until 20).map(j => s"a$j").mkString(" ")
+    val winRunB = "m1w m2w m3w m4w m5w m6w" // delta2's 6-token run
+    val phraseB = (i: Int) => s"r${i}a r${i}b r${i}c r${i}d r${i}e"
+    val v1Rows = Seq(
+      (1L, "en", uniq(1)), (2L, "es", uniq(2)), (3L, "de", uniq(3)),
+      (4L, "fr", uniq(4)), (5L, "zh", uniq(5)),
+      (8L, "en", cutoffDonor)) // the p5 cutoff donor for EVERY corpus
+    val d2Rows = Seq(
+      (101L, "en", uniq(102)),                          // ships in month 2
+      (102L, "en", s"${uniq(41)} $winRunB ${uniq(42)}"), // ships, carries the run
+      (103L, "en", (1 to 4).map(phraseB).zipWithIndex
+        .map { case (p, j) => s"$p vq$j" }.mkString(" "))) // ships, carries the phrases
+    val d3Rows = Seq(
+      (201L, "en", uniq(102)),  // exact dup of SHIPPED month-2 doc 101
+                                //   -> drops ONLY with the advanced state
+      (202L, "en", uniq(202)),  // clean -> survives
+      (205L, "en", uniq(1)),    // exact dup of v1 doc 1 -> drops under BOTH states
+      // repeats month-2's window run inside otherwise-unique text
+      (203L, "en", s"${uniq(51)} $winRunB ${uniq(52)}"),
+      // shares month-2 doc 103's four phrases (> 20% of its shingles)
+      (204L, "en", (1 to 4).map(phraseB).zipWithIndex
+        .map { case (p, j) => s"$p vr$j" }.mkString(" ")))
+    val bench = Seq((9001L, uniq(900))).toDF("doc_id", "text")
+    val v1df = v1Rows.toDF("doc_id", "lang", "text")
+    val d2df = d2Rows.toDF("doc_id", "lang", "text")
+    val d3df = d3Rows.toDF("doc_id", "lang", "text")
+
+    val st1 = Pipeline.curateState(v1df, bench, target, ruleGate = false)
+    val st2 = Pipeline.advanceState(d2df, st1)
+    val inc = Pipeline.curateDeltaDocs(d3df, st2)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val full = Pipeline.chainStages(v1df.union(d2df).union(d3df), bench,
+        segWords = 8, shingleN = 4, gatePct = 5, subK = 6,
+        materializeStages = false, ruleGate = false, memCutMyriad = 2000)
+      .mem.filter(col("doc_id") >= 200L)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(inc == full,
+      s"month-3 over advanced state must equal the full re-run on delta3:\n" +
+        s" inc-only=${inc -- full}\n full-only=${full -- inc}")
+    val ids = inc.map(_._1)
+    assert(ids == Set(202L, 203L), s"survivors: $ids")
+    assert(!inc.exists(_._3.contains("m1w")),
+      "the month-2-repeated window must be cut from doc 203")
+    // the DIFFERENTIAL: against the stale v1-only state, the month-2
+    // dup (201) and the month-2 window/phrase repeats all slip through
+    val stale = Pipeline.curateDeltaDocs(d3df, st1)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(stale.contains(201L),
+      "stale v1 state must MISS the month-2 exact dup (that is the bug advance fixes)")
+    assert(stale(203L).contains("m1w"),
+      "stale v1 state must miss the month-2 window repeat")
+    assert(stale.contains(204L),
+      "stale v1 state must miss the month-2 phrase memorization")
+  }
+
   test("q103 frozen stage 7/8: delta admits under v1 rates + vocab; state round-trips through ModelStore") {
     import spark.implicits._
     val abc = (n: Int) => n.toString.map(c => ('a' + (c - '0')).toChar).mkString
