@@ -83,6 +83,48 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no content digest"))
   }
 
+  test("row-count proxy (r16): skip-path families refuse truncated state; pre-r16 manifests fall back to the full digest") {
+    import spark.implicits._
+    // a duplication-sized family skips the digest recompute — the
+    // cheap row-count proxy must still catch a truncated table
+    val dir = tmp("proxy")
+    ModelStore.save(spark, dir, "dup_windows", 1L, Map.empty,
+      Map("win" -> Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("h", "pos")))
+    ModelStore.load(spark, dir, "dup_windows") // sanity: loads
+    Seq(("a", 1L), ("b", 2L)).toDF("h", "pos")
+      .write.mode("overwrite").parquet(s"$dir/tables/win")
+    val e = intercept[IllegalArgumentException](
+      ModelStore.load(spark, dir, "dup_windows"))
+    assert(e.getMessage.contains("row-count proxy") && e.getMessage.contains("win"))
+    // same-count corruption slips the proxy BY DESIGN (the documented
+    // trade) — but verifyLarge=true still catches it via the digest
+    val dir2 = tmp("proxy2")
+    ModelStore.save(spark, dir2, "dup_windows", 1L, Map.empty,
+      Map("win" -> Seq(("a", 1L), ("b", 2L)).toDF("h", "pos")))
+    Seq(("a", 1L), ("b", 9L)).toDF("h", "pos")
+      .write.mode("overwrite").parquet(s"$dir2/tables/win")
+    ModelStore.load(spark, dir2, "dup_windows") // proxy passes (2 rows)
+    val e2 = intercept[IllegalArgumentException](
+      ModelStore.load(spark, dir2, "dup_windows", verifyLarge = true))
+    assert(e2.getMessage.contains("integrity"))
+    // a pre-r16 manifest (no rows node) forces the full digest path
+    // even for skip families: integrity unknown is not integrity waived
+    val dir3 = tmp("proxy3")
+    ModelStore.save(spark, dir3, "dup_windows", 1L, Map.empty,
+      Map("win" -> Seq(("a", 1L)).toDF("h", "pos")))
+    val mf = new java.io.File(dir3, ModelStore.ManifestFile)
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath))
+    val stripped = txt.replaceAll(""","rows":\{[^}]*\}""", "")
+    assert(stripped != txt, "test must actually strip the rows node")
+    java.nio.file.Files.write(mf.toPath, stripped.getBytes)
+    new java.io.File(dir3, s".${ModelStore.ManifestFile}.crc").delete()
+    Seq(("zz", 1L)).toDF("h", "pos") // same count, different content
+      .write.mode("overwrite").parquet(s"$dir3/tables/win")
+    val e3 = intercept[IllegalArgumentException](
+      ModelStore.load(spark, dir3, "dup_windows"))
+    assert(e3.getMessage.contains("integrity"))
+  }
+
   test("lifecycle (r14): listVersions sees only committed dirs; gc keeps newest; pins ignore supersedes") {
     import spark.implicits._
     val base = tmp("versions")

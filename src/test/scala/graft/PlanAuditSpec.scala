@@ -184,6 +184,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("Window"), s)
   }
 
+  test("q104/q104b/q104c kn family: model joins keyed on n-gram columns, no corpus window, text never a shuffle key") {
+    val docs = Tables.documents(spark, sfDir)
+    for ((name, df) <- Seq(
+        "q104" -> graft.operators.NgramLm.knPerplexity(docs),
+        "q104b" -> graft.operators.NgramLm.knPerplexityN(docs, 5),
+        "q104c" -> graft.operators.NgramLm.knPerplexityNPruned(docs, 3, 2L, 2L))) {
+      val s = finalPlanStr(df)
+      // probe + ladder joins: hash/merge equi-joins only
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$name: $s")
+      // the scoring probe join keys on the n-gram WORD columns (the
+      // model is an aggregate of the type frame, never a corpus cache)
+      assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[?w1#".r
+        .findFirstIn(s).isDefined,
+        s"$name: model join must key on the n-gram columns\n$s")
+      // type-table aggregates are ordinary partial->final hash aggs;
+      // nothing plans a window sort anywhere (the log kernel runs on
+      // TYPE rows inside projections)
+      assert(s.contains("HashAggregate"), s"$name: $s")
+      assert(!s.contains("Window"), s"$name: no corpus window allowed\n$s")
+      // text never rides an exchange — shuffles key on words/doc_id
+      assert(!s.contains("Exchange hashpartitioning(text"),
+        s"$name: corpus text must never be a shuffle key\n$s")
+    }
+  }
+
   test("BLANKET SWEEP: no query plans a cartesian or nested-loop join") {
     // Every SparkEntry query executed at sf0.001, its FINAL plan
     // grepped for the two scale-killer join shapes. The dedicated
