@@ -150,11 +150,21 @@ object BenchScale {
     "q103_curate_incremental", // two q53-class chains (v1 + delta) over
                                // disjoint corpus slices: the q53 shape twice
                                // (q103b deliberately NOT probed: the delta
-                               // leg alone — a strict subset of this probe)
+                               // leg alone — a strict subset of this probe;
+                               // q103c r16 likewise: the same two chains
+                               // plus one more delta leg and linear
+                               // digest-union distincts — the probed shape
+                               // a third time, no new exponent)
     "q104_kn_trigram",   // trigram type/continuation aggs + probe join +
                          // per-doc agg: the q61 shape one order up, linear
     "q104b_kn_fivegram", // the same ladder at order 5: type tables per
                          // order, all linear in corpus n-gram volume
+                         // (q104c r16 deliberately NOT probed: q104b's
+                         // exact aggregates at order 3 with peff as one
+                         // more projection column per level — a strict
+                         // subset of this probe's work; q53c likewise:
+                         // q53's probed chain over a gated subset plus a
+                         // stateless url projection, the q105 class)
     "q105_url_filter",   // stateless narrow projection — the cheapest class
     "q67b_bpe_bytes_train", // ONE corpus pre-token agg; loop on the
                             // vocabCap-bounded byte-packed table (q67's shape)
