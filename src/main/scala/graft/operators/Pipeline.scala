@@ -183,14 +183,22 @@ object Pipeline {
     // synthetic vocabularies can't satisfy it (hand-planted spec
     // corpora use digit-bearing words that fail the alpha rule) —
     // the registered configuration keeps it ON.
-    val ruled =
+    val ruled0 =
       if (!ruleGate) docs0
       else QualityRules.gopherRules(docs0)
         .filter(col("pass") === 1L).select("doc_id")
         .join(docs0, "doc_id")
+    // ruled/canon each feed TWO+ consumers (the dedup pair below, plus
+    // curateState's digest projections): un-checkpointed they replayed
+    // the stage-0/0b prefix once per consumer (r16 measurement: q103's
+    // single executed plan carried 516 parquet scans — the recompute
+    // cascade, not ReuseExchange, is what lazy sharing buys here), so
+    // the materialize knob now covers them like the later text stages.
+    val ruled = if (materializeStages) ruled0.localCheckpoint(true) else ruled0
     // 1. exact dedup — survivors keep their canonical text and lang
-    val canon = TextOps.dedupExact(ruled).select("doc_id")
+    val canon0 = TextOps.dedupExact(ruled).select("doc_id")
       .join(ruled, "doc_id")
+    val canon = if (materializeStages) canon0.localCheckpoint(true) else canon0
     // 2. segment dedup — cleaned text replaces the original
     val cleaned0 = TextOps.segmentDedup(canon, segWords)
       .select(col("doc_id"), col("clean_text").as("text"))
@@ -368,18 +376,28 @@ object Pipeline {
     val rates = TextOps.tokenMixtureRates(mem, targetMyriad, vocab, maxN)
     val bench0 = benchmark.select(col("doc_id"),
       TextOps.normalizeCol(col("text")).as("text"))
+    // Digest frames are NARROW (one digest/shingle column, the q69
+    // docB class) but their lineage is the whole v1 chain: left lazy,
+    // every delta-pass consumer (and advanceState's unions) re-ran the
+    // v1 stages per reference (the r16 516-scan plan). Materializing
+    // them makes the frozen state actually FROZEN in-session — the
+    // production analog persists these tables to the store (which
+    // ModelStore.saveCurateState does), so the checkpoint is the
+    // single-node stand-in, not a new storage class.
+    def ck(df: DataFrame): DataFrame =
+      if (materializeStages) df.localCheckpoint(true) else df
     CurateState(vocab, rates, c.lenCut, c.alphaCut, memCutMyriad, ruleGate,
       segWords, shingleN, maxN, capacity, shards, subK,
-      benchShingles = Dedup.postings(bench0, shingleN)
-        .select(col("shingle")).distinct(),
-      canonDigests = c.ruled
-        .select(md5(TextOps.normText(col("text"))).as("h")).distinct(),
-      segDigests = TextOps.segmentHashFrame(c.canon, segWords)
-        .select(col("h")).distinct(),
-      winDigests = ExactSubstr.windowHashFrame(c.cleaned, subK)
-        .select(col("h")).distinct(),
-      corpusShingles = Dedup.postings(c.red, shingleN)
-        .select(col("shingle")).distinct())
+      benchShingles = ck(Dedup.postings(bench0, shingleN)
+        .select(col("shingle")).distinct()),
+      canonDigests = ck(c.ruled
+        .select(md5(TextOps.normText(col("text"))).as("h")).distinct()),
+      segDigests = ck(TextOps.segmentHashFrame(c.canon, segWords)
+        .select(col("h")).distinct()),
+      winDigests = ck(ExactSubstr.windowHashFrame(c.cleaned, subK)
+        .select(col("h")).distinct()),
+      corpusShingles = ck(Dedup.postings(c.red, shingleN)
+        .select(col("shingle")).distinct()))
   }
 
   /** The delta chain's stage-0..6b intermediates (the incremental
@@ -396,10 +414,25 @@ object Pipeline {
     * the delta" assertion (stage 7/8 diverge by the frozen vocab/rates
     * contract, so the equality claim lives here).
     */
-  def curateDeltaDocs(delta: DataFrame, st: CurateState): DataFrame =
-    deltaChainStages(delta, st).mem
+  def curateDeltaDocs(delta: DataFrame, st: CurateState,
+                      materialize: Boolean = true): DataFrame =
+    deltaChainStages(delta, st, materialize).mem
 
-  private[graft] def deltaChainStages(delta: DataFrame, st: CurateState): DeltaChainOut = {
+  /** `materialize` (r16): the delta chain's text stages each feed two
+    * consumers (the composed-select pair per stage), and the frozen
+    * state frames are themselves referenced through every stage's
+    * lineage — left lazy, the registered q103 plan carried 516 parquet
+    * scans / 870 exchanges (q103c: 1354 / 2075) from the recompute
+    * cascade. The delta is increment-sized (a monthly run's NEW docs),
+    * so the eager per-stage checkpoint is cheap by construction and is
+    * exactly the persist-stages-between-jobs pattern a production
+    * incremental release runs. `false` keeps the fully-composed lazy
+    * plan (the plan-audit surface; values identical either way).
+    */
+  private[graft] def deltaChainStages(delta: DataFrame, st: CurateState,
+                                      materialize: Boolean = true): DeltaChainOut = {
+    def ck(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
     // 0 + 0b: stateless, delta only
     val docs0 = delta.select(col("doc_id"), col("lang"),
       TextOps.normalizeCol(col("text")).as("text"))
@@ -412,20 +445,20 @@ object Pipeline {
     // within the delta the smallest doc_id is canonical (batch q20)
     val withH = ruled.select(col("doc_id"), col("lang"), col("text"),
       md5(TextOps.normText(col("text"))).as("h"))
-    val fresh = withH.join(st.canonDigests, Seq("h"), "left_anti")
-    val canon = fresh.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    val fresh = ck(withH.join(st.canonDigests, Seq("h"), "left_anti"))
+    val canon = ck(fresh.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-      .join(fresh.drop("h"), "doc_id")
+      .join(fresh.drop("h"), "doc_id"))
     // 2. segment strip vs (within-delta dups ∪ v1 segments)
-    val cleaned = TextOps.segmentDedupVs(canon, st.segWords, Some(st.segDigests))
+    val cleaned = ck(TextOps.segmentDedupVs(canon, st.segWords, Some(st.segDigests))
       .select(col("doc_id"), col("clean_text").as("text"))
-      .join(canon.select("doc_id", "lang"), "doc_id")
+      .join(canon.select("doc_id", "lang"), "doc_id"))
     // 3. substring cut vs (within-delta keep-first ∪ v1 windows); the
     // marked-start frame is narrow and always checkpointed (the q53
     // stage-3 discipline)
     val starts = ExactSubstr.windowStartsVs(cleaned, st.subK, st.winDigests)
       .localCheckpoint(true)
-    val subbed = cleaned
+    val subbed = ck(cleaned
       .join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("text"),
         coalesce(col("starts"), array().cast("array<int>")).as("st"),
@@ -435,18 +468,18 @@ object Pipeline {
         when(col("text").isNull, lit(null).cast("string"))
           .otherwise(concat_ws(" ", expr(
             s"filter(toks, (t, j) -> NOT exists(st, p -> j+1 >= p AND j+1 < p + ${st.subK}))")))
-          .as("text"))
+          .as("text")))
     // 4. quality gate at the FROZEN v1 cutoffs
-    val gated = qualityGate(subbed, st.lenCut, st.alphaCut)
+    val gated = ck(qualityGate(subbed, st.lenCut, st.alphaCut))
     // 5. decontamination against the frozen benchmark shingle set
     val dirty = Dedup.postings(gated, st.shingleN)
       .join(st.benchShingles, Seq("shingle"))
       .select(col("doc_id")).distinct()
-    val decon = gated.join(dirty, Seq("doc_id"), "left_anti")
+    val decon = ck(gated.join(dirty, Seq("doc_id"), "left_anti"))
     // 6. PII redaction (stateless)
-    val red = TextOps.piiRedact(decon)
+    val red = ck(TextOps.piiRedact(decon)
       .select(col("doc_id"), col("clean_text").as("text"))
-      .join(decon.select("doc_id", "lang"), "doc_id")
+      .join(decon.select("doc_id", "lang"), "doc_id"))
     // 6b. memorization gate: a shingle is duplicated when the delta
     // repeats it (df>1 within) OR v1 already contains it (that doc +
     // this one = df ≥ 2 across the release)
@@ -493,21 +526,29 @@ object Pipeline {
     * ModelStore `curate_state` version (save with version k+1; the
     * resolve/pin lifecycle handles rollback).
     */
-  def advanceState(delta: DataFrame, st: CurateState): CurateState = {
-    val c = deltaChainStages(delta, st)
+  def advanceState(delta: DataFrame, st: CurateState,
+                   materialize: Boolean = true): CurateState = {
+    val c = deltaChainStages(delta, st, materialize)
+    // the advanced digest frames are the next increment's join sides —
+    // materialize the unions (narrow frames) so month k+2's chain
+    // reads frozen tables instead of replaying month k+1's delta chain
+    // per reference (the production analog re-SAVES the superseding
+    // ModelStore version, which is this checkpoint done durably)
+    def ck(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
     st.copy(
-      canonDigests = st.canonDigests
+      canonDigests = ck(st.canonDigests
         .union(c.ruled.select(md5(TextOps.normText(col("text"))).as("h")))
-        .distinct(),
-      segDigests = st.segDigests
+        .distinct()),
+      segDigests = ck(st.segDigests
         .union(TextOps.segmentHashFrame(c.canon, st.segWords).select(col("h")))
-        .distinct(),
-      winDigests = st.winDigests
+        .distinct()),
+      winDigests = ck(st.winDigests
         .union(ExactSubstr.windowHashFrame(c.cleaned, st.subK).select(col("h")))
-        .distinct(),
-      corpusShingles = st.corpusShingles
+        .distinct()),
+      corpusShingles = ck(st.corpusShingles
         .union(Dedup.postings(c.red, st.shingleN).select(col("shingle")))
-        .distinct())
+        .distinct()))
   }
 
   /** Version constant for [[loadOrBuildReleaseState]]'s cached
@@ -605,8 +646,9 @@ object Pipeline {
     * index-214 'mixtok:' admission) and q47 packing of the delta into
     * its own shards.
     */
-  def curateDelta(delta: DataFrame, st: CurateState): DataFrame = {
-    val mem = curateDeltaDocs(delta, st)
+  def curateDelta(delta: DataFrame, st: CurateState,
+                  materialize: Boolean = true): DataFrame = {
+    val mem = curateDeltaDocs(delta, st, materialize)
     val admitted = TextOps.mixtureAdmitFrozen(mem, st.ratesMyriad,
       st.vocab, st.maxN)
     TextOps.packCore(

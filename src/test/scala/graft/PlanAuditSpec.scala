@@ -691,8 +691,11 @@ class PlanAuditSpec extends AnyFunSuite {
       rest.filter(col("doc_id") % 7 =!= 0), bench,
       Map("en" -> 2000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 2000),
       materializeStages = true)
+    // materialize=false: audit the fully-COMPOSED delta plan (the
+    // registered entry materializes per stage — same stages, same
+    // shapes, split across checkpoint boundaries)
     val df = graft.operators.Pipeline.curateDelta(
-      rest.filter(col("doc_id") % 7 === 0), st)
+      rest.filter(col("doc_id") % 7 === 0), st, materialize = false)
     val s = finalPlanStr(df)
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
     // the v1-vs-delta drops are digest-keyed LEFT ANTI joins (canon
